@@ -1,0 +1,252 @@
+"""Near-duplicate detection operators: MinHash-LSH and SimHash.
+
+Both are deterministic (fixed hash seeds and coefficient tables, no
+RNG at runtime) and built entirely from JVM-side functions — the
+shuffle keys are compact integers/digests, never raw text.
+
+Scale design (the whole point of these vs q_ngram_jaccard_pairs's full
+shingle join):
+- MinHash banding makes candidate generation sub-quadratic: docs
+  collide only when a band signature matches, so the candidate-pair
+  count tracks true near-dup density, not |docs|².
+- SimHash reduces each doc to one 63-bit integer; the 16-bit-chunk
+  pigeonhole join finds all pairs within Hamming distance ≤ 3·16-bit
+  chunks misses bound, then exact bit_count(xor) verifies.
+- Both end with an exact verification pass (true Jaccard / Hamming) on
+  candidates only.
+
+Algorithmic background is standard MinHash/LSH (Broder 1997; Mining of
+Massive Datasets ch.3) and SimHash (Charikar 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime modulus and a fixed LCG-generated coefficient table:
+# h_i(x) = (a_i * x + b_i) mod P with P = 2^31 - 1. Keeping all values
+# < 2^31 bounds a*x < 2^62 — no 64-bit overflow.
+_P = 2_147_483_647
+_NUM_HASHES = 32
+_ROWS_PER_BAND = 4  # 8 bands of 4 → catches jaccard ≳ 0.5 w.h.p.
+
+
+def _coefficients() -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) rows via a fixed LCG (no runtime RNG)."""
+    rows = []
+    state = 88172645463325252
+    for i in range(_NUM_HASHES):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (_P - 2) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % _P
+        rows.append((i, a, b))
+    return rows
+
+
+def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) distinct word n-grams — posexplode + lead window."""
+    words = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.split(text_col, " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    sh = words.select(
+        "_id", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("_tail")
+    ).where(F.col("_tail").isNotNull())
+    return sh.select(F.col("_id").alias(id_col), "shingle").distinct()
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, i, minhash) — one row per hash function.
+
+    xxhash64 maps each shingle to an int, the broadcast coefficient
+    table fans out the permutations, min-aggregate per (doc, i). The
+    explode factor is NUM_HASHES; the groupBy shuffles (id, i, h)
+    triples only.
+    """
+    spark = shingles.sparkSession
+    coef = spark.createDataFrame(_coefficients(), "i INT, a LONG, b LONG")
+    hashed = shingles.select(
+        id_col, (F.pmod(F.xxhash64("shingle"), F.lit(_P))).alias("h0")
+    )
+    fanned = hashed.crossJoin(F.broadcast(coef))
+    return (
+        fanned.select(
+            id_col, "i", F.pmod(F.col("a") * F.col("h0") + F.col("b"), F.lit(_P)).alias("h")
+        )
+        .groupBy(id_col, "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_sig): md5 over the band's minhashes in hash-index
+    order (sort_array over (i, h) structs — deterministic under any
+    shuffle order)."""
+    banded = signatures.withColumn("band", (F.col("i") / _ROWS_PER_BAND).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            )
+        ).alias("band_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold).
+
+    Pipeline: shingle → minhash → band → bucket self-join (candidates)
+    → exact Jaccard verify on candidates only. The band join is the
+    only potentially-skewed shuffle; identical band_sig groups are
+    true near-dup clusters, so skew == signal here.
+    """
+    sh = shingle_sets(docs, n, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col)
+    buckets = minhash_band_buckets(sigs, id_col)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = exact_jaccard(cand, sh, id_col)
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def exact_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) candidate pairs from the
+    (id, shingle) set table. Joins shingles only for candidate docs."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 63  # avoid the bigint sign bit
+_CHUNKS = 4  # 16-bit pigeonhole chunks → finds all pairs with hamming ≤ 3
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash): 63-bit weighted-bit-vote fingerprint over word
+    frequencies (Charikar-style). One groupBy on id; the 63 per-bit
+    votes are codegen'd column expressions, not 63 passes."""
+    words = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(text_col, " ")).alias("word")
+    )
+    wc = words.groupBy("_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64("word")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{b}")
+        for b in range(_SIM_BITS)
+    ]
+    voted = wc.groupBy("_id").agg(*votes)
+    sig = None
+    for b in range(_SIM_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig + term
+    return voted.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs within Hamming ≤ max_hamming of each other's
+    simhash. Candidates come from matching any 16-bit chunk (pigeonhole:
+    guaranteed complete for hamming ≤ 3; a recall-bounded screen above
+    that); exact bit_count(xor) verifies."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Queries broadcast, candidates streamed once; dot/norm via
+  higher-order array functions (JVM codegen, no UDF).
+- ``hyperplane_lsh_topk``: the scale path — random-hyperplane LSH
+  (Charikar 2002) with L tables × m bits. Each vector lands in one
+  bucket per table; only bucket-mates are scored. Recall is tuned by
+  (L, m); the structure turns an O(N·Q) scan into O(bucket · Q).
+
+Determinism: hyperplanes come from a fixed LCG (no runtime RNG);
+cosine uses double products + decimal sums (see plans/northstar.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC_ACC = "decimal(28,12)"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"CAST(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+        )
+    )
+
+
+def cosine(a: str, b: str) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "query_id",
+    c_id: str = "cand_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Exact cosine top-k per query (excluding self-matches by id)."""
+    pairs = F.broadcast(queries).crossJoin(candidates).where(F.col(q_id) != F.col(c_id))
+    sims = pairs.withColumn("cosine_sim", cosine(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop(q_vec, c_vec)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5]^dim via a
+    fixed LCG; row t*n_bits+j is plane j of table t."""
+    planes = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n_tables * n_bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append((state % 1_000_000) / 1_000_000.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_ids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, table_id, bucket): sign-pattern bucket of each vector in
+    each LSH table. Planes join is a broadcast; per-vector work is
+    n_tables*n_bits dot products in codegen'd array exprs."""
+    spark = vectors.sparkSession
+    rows = [
+        (t, j, _hyperplanes(n_tables, n_bits, dim)[t * n_bits + j])
+        for t in range(n_tables)
+        for j in range(n_bits)
+    ]
+    planes = spark.createDataFrame(rows, "table_id INT, bit INT, plane ARRAY<DOUBLE>")
+    fanned = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).crossJoin(F.broadcast(planes))
+    dot = F.expr(
+        "aggregate(zip_with(_vec, plane, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    bits = fanned.select(
+        "_id",
+        "table_id",
+        F.shiftleft(F.when(dot > 0, F.lit(1).cast("long")).otherwise(0), F.col("bit")).alias(
+            "term"
+        ),
+    )
+    return (
+        bits.groupBy("_id", "table_id")
+        .agg(F.sum("term").alias("bucket"))
+        .select(F.col("_id").alias(id_col), "table_id", "bucket")
+    )
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    dim: int = 64,
+    q_id: str = "query_id",
+    c_id: str = "cand_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates sharing an LSH
+    bucket with the query in ≥1 table. Returns the same shape as
+    brute_force_topk (recall measured against it in tests)."""
+    qb = lsh_bucket_ids(queries, q_id, q_vec, n_tables, n_bits, dim)
+    cb = lsh_bucket_ids(candidates, c_id, c_vec, n_tables, n_bits, dim)
+    cand_ids = (
+        qb.join(cb, ["table_id", "bucket"])
+        .where(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id)
+        .distinct()
+    )
+    scored = (
+        cand_ids.join(F.broadcast(queries), q_id)
+        .join(candidates, c_id)
+        .withColumn("cosine_sim", cosine(q_vec, c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop(q_vec, c_vec)
+    )

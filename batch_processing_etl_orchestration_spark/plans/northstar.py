@@ -1,0 +1,505 @@
+"""North-star LLM-data-pipeline operators (SURVEY §2.10, BASELINE.json).
+
+Not present in the reference — these are the training-data-pipeline
+operators the north star requires, built Spark-first over the driver's
+``documents`` and ``embeddings`` tables: exact/near dedup, similarity
+search, text analysis, fingerprinting. The SQL-expressible ones carry
+DuckDB oracles; the sketch/LSH ones register rows-only and are
+verified against brute-force in tests/.
+
+Scale posture: dedup and similarity are shuffle-heavy by nature; every
+operator here shuffles on a *derived compact key* (hash, shingle,
+band signature, bucket id) rather than raw text/vectors, and candidate
+generation (LSH/banding/blocking) bounds the pair explosion that a
+naive cross join would cause at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.exact import DEC2
+from batch_processing_etl_orchestration_spark.plans.registry import register
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text.
+
+    Scale note: shuffling full document text to group is wasteful at
+    100 TB — q_dedup_exact_hash below shuffles a 32-byte digest
+    instead. This variant exists for oracle parity on the *semantic*.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "q_dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: group by sha256(text) — the scale path.
+    Only the 64-hex digest shuffles; text stays columnar in the scan.
+    min(doc_id) is the canonical survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word shingles (shared by n-gram Jaccard + fingerprint);
+# lead-window formulation keeps the Spark and SQL sides structurally
+# identical, so the oracle exercises the same semantics.
+# ---------------------------------------------------------------------------
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams via posexplode + lead."""
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    sh = words.select(
+        "doc_id", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("_tail")
+    ).where(F.col("_tail").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+_SQL_SHINGLES = """
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+               AS shingle,
+             lead(word, 2) OVER w AS _tail
+      FROM words
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM grams WHERE _tail IS NOT NULL
+    )
+"""
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=_SQL_SHINGLES
+    + """,
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1
+    ),
+    langs AS (SELECT doc_id, lang FROM documents),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN langs la ON la.doc_id = a.doc_id
+      JOIN langs lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.1
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard ≥ 0.1, blocked
+    to same-language pairs.
+
+    Scale: the shingle equi-join shuffles on the shingle string (a
+    compact key); same-lang blocking bounds the pair space. At 100 TB
+    the MinHash-LSH variant (q_minhash_lsh_pairs) replaces the full
+    shingle join — banding makes candidate generation sub-quadratic.
+    Jaccard is an integer ratio → deterministic double division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    langs = d.select("doc_id", "lang")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(langs.alias("la"), F.col("la.doc_id") == F.col("a.doc_id"))
+        .join(
+            langs.alias("lb"),
+            (F.col("lb.doc_id") == F.col("b.doc_id")) & (F.col("la.lang") == F.col("lb.lang")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= 0.1)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=_SQL_SHINGLES
+    + """
+    SELECT d.doc_id,
+           md5(d.lang || ':' || lower(d.text)) AS fingerprint,
+           m.min_shingle_md5
+    FROM documents d
+    JOIN (SELECT doc_id, MIN(md5(shingle)) AS min_shingle_md5
+          FROM shingles GROUP BY 1) m
+      ON m.doc_id = d.doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity)
+    plus the minimum shingle-md5 (a 1-hash MinHash — equal min-shingle
+    fingerprints are near-dup candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    min_sh = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("min_shingle_md5"))
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.lower("text"))).alias("fingerprint"),
+    )
+    return fp.join(min_sh, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: per-doc statistics, token counting, quality, lang-id
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: whitespace token count, distinct
+    tokens, type-token ratio. All JVM-side array functions — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")).alias(
+            "uniq_ratio"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q_token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_re_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single other-glyph). The regex uses
+    only constructs with identical semantics in Java regex and RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_re_tokens"),
+    )
+
+
+_QUALITY_SQL_FLAGS = """
+           CASE WHEN length(text) BETWEEN 100 AND 450 THEN 1 ELSE 0 END
+             + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.15
+                    THEN 1 ELSE 0 END
+"""
+
+
+@register(
+    "q_quality_filter",
+    oracle=f"""
+    SELECT doc_id, lang, quality_score
+    FROM (
+      SELECT doc_id, lang, {_QUALITY_SQL_FLAGS} AS quality_score
+      FROM documents
+    )
+    WHERE quality_score >= 2
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band + token count + lexical
+    diversity) and filtering — the standard pre-training corpus
+    quality gate, as integer flag arithmetic (exact in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = (
+        F.when(F.length("text").between(100, 450), 1).otherwise(0)
+        + F.when(F.size(toks) >= 20, 1).otherwise(0)
+        + F.when(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+            >= 0.15,
+            1,
+        ).otherwise(0)
+    )
+    return (
+        d.select("doc_id", "lang", score.alias("quality_score"))
+        .where(F.col("quality_score") >= 2)
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "ist"],
+    "es": ["el", "la", "los", "de", "y", "un", "es"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _sql_stop_count(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains([{lst}], w)))"
+    )
+
+
+def _sql_argmax_lang() -> str:
+    conds = []
+    for lang in _LANG_ORDER:
+        others = [o for o in _LANG_ORDER if o != lang]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang, {_sql_argmax_lang()} AS predicted_lang
+      FROM (
+        SELECT lang,
+               {", ".join(f"{_sql_stop_count(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+        FROM documents
+      )
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits per
+    document, argmax with a fixed tiebreak order, confusion rollup vs
+    the labeled lang. Integer votes → exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def stop_count(lg: str) -> F.Column:
+        lits = ", ".join(f"'{w}'" for w in _STOPWORDS[lg])
+        return F.expr(
+            f"size(filter(split(lower(text), ' '), "
+            f"w -> array_contains(array({lits}), w)))"
+        )
+
+    scored = d.select(
+        "lang", *[stop_count(lg).alias(f"s_{lg}") for lg in _LANG_ORDER]
+    )
+    pred = F.lit("und")
+    # build CASE chain in reverse so earlier langs win ties, matching SQL
+    for lang in reversed(_LANG_ORDER):
+        others = [o for o in _LANG_ORDER if o != lang]
+        cond = None
+        for o in others:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return (
+        scored.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (exact oracle-checked
+# baseline; the LSH scale path registers rows-only in northstar_ml.py)
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 10
+_N_QUERY_VECS = 5
+
+
+# Accumulator precision 28 (not 38): Spark types DECIMAL(p,s)+DECIMAL(p,s)
+# as DECIMAL(p+1,s) and, at p=38, claws back a scale digit (→ (38,11)),
+# silently rounding every accumulate step. p=28 keeps all 12 fractional
+# digits exact so the fold matches DuckDB's SUM(DECIMAL(38,12)) bit-for-bit.
+_DEC_ACC = "decimal(28,12)"
+
+
+def _dot_dec(a: str, b: str) -> F.Column:
+    """Exact dot product: per-element double products (deterministic)
+    summed as DECIMAL (order-insensitive), returned as double."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+    )
+
+
+def _norm_dec(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"CAST(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+        )
+    )
+
+
+@register(
+    "q_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce, label FROM embeddings),
+    elems AS (
+      SELECT q.query_id, c.cand_id, c.label,
+             CAST(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) AS p,
+             CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) AS qq,
+             CAST(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) AS cc
+      FROM q, c, range(1, 65) r(i)
+      WHERE q.query_id <> c.cand_id
+    ),
+    sims AS (
+      SELECT query_id, cand_id, ANY_VALUE(label) AS label,
+             CAST(SUM(p) AS DOUBLE)
+               / (SQRT(CAST(SUM(qq) AS DOUBLE)) * SQRT(CAST(SUM(cc) AS DOUBLE)))
+               AS cosine_sim
+      FROM elems GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, label, cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM sims
+    )
+    WHERE rank <= {_TOPK_K}
+    """,
+    tags=("similarity", "ann"),
+)
+def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against
+    every candidate, dot/norm via higher-order array functions
+    (JVM-side, no UDF), rank per query.
+
+    Determinism: products in double, sums in DECIMAL → bit-identical
+    across engines and partitionings; rank ties broken by cand_id.
+    Scale: queries broadcast (k vectors), candidates streamed — one
+    pass over the embedding table, top-k via per-partition heap
+    (TakeOrderedAndProject under the per-query window at realistic
+    query counts it's a partial agg). This is the exact baseline the
+    LSH/IVF variant is recall-tested against.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label"
+    )
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
+    sims = pairs.select(
+        "query_id",
+        "cand_id",
+        "label",
+        (_dot_dec("qe", "ce") / (_norm_dec("qe") * _norm_dec("ce"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK_K)
+        .select("query_id", "cand_id", "label", "cosine_sim", "rank")
+    )

@@ -1,0 +1,940 @@
+"""Reference-parity query catalog.
+
+Each query re-expresses one (or a few) operators from SURVEY.md §2 —
+the complete inventory of data operations the reference performs — as
+an idiomatic Catalyst plan over the driver fixtures, paired with an
+ANSI-SQL oracle for the DuckDB correctness gate. Operator IDs (A1, P4,
+J1, ...) refer to SURVEY §2; reference citations are file:line into
+/root/reference/.
+
+Determinism rules (see functions/exact.py): double SUM/AVG/STD go
+through DECIMAL, timestamps are emitted as formatted strings, every
+ORDER BY ... LIMIT has a unique-key tiebreaker.
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+prunes — written for the 1000-executor / 100 TB case even though tests
+run on local[32].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.cleaning import (
+    month_end,
+    parse_quarter_period,
+)
+from batch_processing_etl_orchestration_spark.functions.exact import (
+    exact_avg,
+    exact_std,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_std,
+    sql_exact_sum,
+    sql_ts_str,
+    ts_str,
+)
+from batch_processing_etl_orchestration_spark.plans.registry import register
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# A1 — flagship: hourly net value by type (reference headline viz:
+# hourly net generation by energy source, EIA930PipelineHourlyData.py:111-118)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hourly_net_by_type",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('hour', ts)")} AS hour,
+           event_type,
+           {sql_exact_sum('value')} AS total_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("A1", "flagship"),
+)
+def q_hourly_net_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped SUM on (hour, type) — EIA930PipelineHourlyData.py:111-118.
+
+    Scale: partial (map-side) + final hash agg; shuffle key
+    (hour, event_type) has bounded cardinality (24×365×|types|/yr) so
+    the shuffle is tiny regardless of input size. Scan prunes to
+    (ts, event_type, value) columns only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            ts_str(F.date_trunc("hour", F.col("ts"))).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            exact_sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — grouped SUM, 4 keys (EIA930PipelineHourlyData.py:125)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_sum_by_user_type",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('day', ts)")} AS day,
+           user_id,
+           event_type,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A2",),
+)
+def q_daily_sum_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-key grouped SUM (day, respondent-analog, type) —
+    EIA930PipelineHourlyData.py:125."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        ts_str(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "user_id",
+        "event_type",
+    ).agg(exact_sum("value").alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
+# A3 — grouped SUM by type only (EIA930PipelineHourlyData.py:138)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_total_by_type",
+    oracle=f"""
+    SELECT event_type,
+           {sql_exact_sum('value')} AS total_value,
+           {sql_exact_avg('value')} AS avg_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A3",),
+)
+def q_total_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped SUM by type — EIA930PipelineHourlyData.py:138; plus AVG
+    (gold-layer extension per SURVEY §2.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        exact_sum("value").alias("total_value"),
+        exact_avg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 + P12 — pivot to wide type columns, then drop incomplete rows
+# (pivot_table + dropna, EIA930PipelineHourlyData.py:126-127)
+# ---------------------------------------------------------------------------
+
+
+def _sql_pivot_cols() -> str:
+    cols = []
+    for t in EVENT_TYPES:
+        cols.append(
+            "CAST(SUM(CASE WHEN event_type = '%s' THEN CAST(value AS DECIMAL(38,6)) END)"
+            " AS DOUBLE) AS %s" % (t, t)
+        )
+    return ",\n           ".join(cols)
+
+
+@register(
+    "q_pivot_user_type_complete",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT {sql_ts_str("date_trunc('day', ts)")} AS day,
+             user_id,
+             {_sql_pivot_cols()}
+      FROM events
+      GROUP BY 1, 2
+    )
+    WHERE click IS NOT NULL AND error IS NOT NULL AND purchase IS NOT NULL
+      AND signup IS NOT NULL AND view IS NOT NULL
+    """,
+    tags=("A4", "P12"),
+)
+def q_pivot_user_type_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (day,user) × type → wide D/DF/NG/TI-analog columns, then
+    drop rows not reporting all types — EIA930PipelineHourlyData.py:126-127.
+
+    Scale: pivot with an explicit value list is a single hash agg (one
+    shuffle on the group keys); no second pass to discover pivot values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(
+            ts_str(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.col("user_id"),
+        )
+        .pivot("event_type", EVENT_TYPES)
+        .agg(exact_sum("value"))
+    )
+    return wide.na.drop("any")
+
+
+# ---------------------------------------------------------------------------
+# A5 — single-key pivot (EIA930PipelineHourlyData.py:139)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot_day_type",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('day', ts)")} AS day,
+           {_sql_pivot_cols()}
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A5",),
+)
+def q_pivot_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot day × type — EIA930PipelineHourlyData.py:139."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(ts_str(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(exact_sum("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast semi-join of facts against a small dimension
+# (isin over BA codes, EIA930PipelineHourlyData.py:104-106)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semi_join_dim",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    WHERE user_id IN (SELECT n_nationkey FROM nation)
+    GROUP BY 1
+    """,
+    tags=("J1",),
+)
+def q_semi_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi-join facts ⋉ dimension — the reference's only join
+    (isin against BA codes, EIA930PipelineHourlyData.py:104-106).
+
+    Scale: dimension is broadcast (≤ a few MB) → BroadcastHashJoin
+    LeftSemi, zero shuffle of the fact table for the join; only the
+    post-join groupBy shuffles, keyed on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "nation")
+    joined = ev.join(
+        F.broadcast(dim), ev.user_id == dim.n_nationkey, "left_semi"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — key-based equi-join through dimension chain (replaces the
+# reference's positional state join, OpenMeteoWeatherPipelineHourlyData.py:88-103)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_dim_chain",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           {sql_exact_sum('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    tags=("J2",),
+)
+def q_join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → dim → dim equi-join chain; key-based replacement for the
+    reference's fragile positional join (J2, SURVEY §2.4).
+
+    Scale: both dims broadcast; the fact table is never shuffled for
+    the joins (two chained BroadcastHashJoins inside one codegen stage).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P5 — null-on-error coercion (pd.to_numeric/to_datetime errors='coerce',
+# EIA930PipelineHourlyData.py:101,114)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cast_coerce",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_id % 7 = 0
+                         THEN 'x' || CAST(event_id AS VARCHAR)
+                         ELSE CAST(event_id AS VARCHAR) END AS DOUBLE)
+             AS num_coerced,
+           strftime(TRY_CAST(CASE WHEN event_id % 11 = 0
+                                  THEN 'not-a-date'
+                                  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                             AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS ts_coerced
+    FROM events
+    """,
+    tags=("P4", "P5"),
+)
+def q_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→double and string→timestamp with null-on-error — the
+    reference's core cleaning semantic (errors='coerce',
+    EIA930PipelineHourlyData.py:101,114). Dirty strings are derived
+    deterministically from event_id so both engines see identical input.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dirty_num = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit("x"), F.col("event_id").cast("string")),
+    ).otherwise(F.col("event_id").cast("string"))
+    dirty_ts = F.when(F.col("event_id") % 11 == 0, F.lit("not-a-date")).otherwise(
+        ts_str(F.col("ts"))
+    )
+    return ev.select(
+        "event_id",
+        dirty_num.try_cast("double").alias("num_coerced"),
+        ts_str(dirty_ts.try_cast("timestamp_ntz")).alias("ts_coerced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 (quarterly) — 'YYYY-Qn' period parse (EIA7APipelineQuarterlyData.py:76,90)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quarter_parse",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('quarter', o_orderdate)")} AS quarter_start,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("P5",),
+)
+def q_quarter_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through 'YYYY-Qn' strings and back — the quarterly
+    period representation of EIA7APipelineQuarterlyData.py:76,90. The
+    custom parse (regexp_extract year/quarter → make_date) is the one
+    expression Spark lacks a built-in for (SURVEY §4)."""
+    o = load_table(spark, sf_dir, "orders")
+    qstr = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    return (
+        o.withColumn("qstr", qstr)
+        .withColumn("quarter_start", ts_str(parse_quarter_period("qstr")))
+        .groupBy("quarter_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — month-end snap (pd.offsets.MonthEnd(0), EIA814PipelineMonthlyData.py:66)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_month_end_snap",
+    oracle=f"""
+    SELECT {sql_ts_str("CAST(last_day(o_orderdate) AS TIMESTAMP)")} AS month_end,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("P6",),
+)
+def q_month_end_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end date snap — EIA814PipelineMonthlyData.py:66 → last_day."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(ts_str(month_end("o_orderdate")).alias("month_end"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8/P9/P10 — predicates: inequality, temporal range (value-based trim)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_predicate_filters",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag <> 'R'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+    tags=("P8", "P9", "P10"),
+)
+def q_predicate_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality predicate (.query('... != "Total"'),
+    EIA7APipelineQuarterlyData.py:86) + value-based temporal trim
+    replacing the reference's positional boundary cut
+    (EIA930PipelineHourlyData.py:102; SURVEY P10).
+
+    Scale: both predicates push to the parquet scan (PushedFilters);
+    with date-partitioned layout the range prunes partitions entirely.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_returnflag") != "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11/P12/P13 — null drop / null fill (dropna/fillna,
+# EIA7APipelineQuarterlyData.py:80,88; EIA930PipelineHourlyData.py:127)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_handling",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN event_type <> 'error' THEN value END) AS n_nonnull,
+           {sql_exact_sum("CASE WHEN event_type = 'error' THEN -1.0 ELSE value END")}
+             AS sum_filled
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("P11", "P13"),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null injection → dropna-subset count + fillna-constant sum —
+    EIA7APipelineQuarterlyData.py:80 (dropna subset) and :88
+    (fillna constant)."""
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    filled = F.coalesce(nulled, F.lit(-1.0))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(nulled).alias("n_nonnull"),
+        exact_sum(filled).alias("sum_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O6 — union of pages (pd.concat of paginated fetches,
+# EIA930PipelineHourlyData.py:100)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_pages",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum('l_quantity')} AS sum_qty
+    FROM (
+      SELECT * FROM lineitem WHERE l_orderkey % 3 = 0
+      UNION ALL
+      SELECT * FROM lineitem WHERE l_orderkey % 3 = 1
+      UNION ALL
+      SELECT * FROM lineitem WHERE l_orderkey % 3 = 2
+    )
+    GROUP BY 1
+    """,
+    tags=("O6",),
+)
+def q_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of page-slices == whole fetch (pd.concat of pages,
+    EIA930PipelineHourlyData.py:100). unionByName keeps schema-drift
+    safety (allowMissingColumns for P14 cases)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pages = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    unioned = pages[0].unionByName(pages[1]).unionByName(pages[2])
+    return unioned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O8 — distinct (unique values, OpenMeteoWeatherPipelineHourlyData.py:103)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct_user_type",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("O8",),
+)
+def q_distinct_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection — .unique() analog
+    (OpenMeteoWeatherPipelineHourlyData.py:103)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# top-k (O5 LIMIT + sort O1/O2 with deterministic tiebreaker)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("O1", "O5"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value with unique-key tiebreak (multi-key sort O1/O2 +
+    LIMIT O5, databaseOperations.py:72-75). Spark executes as
+    TakeOrderedAndProject — a per-partition top-k then a k-row merge on
+    the driver; no global sort materialization at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions — ranking / lag (gold-layer extension, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_lag",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             {sql_ts_str('ts')} AS ts,
+             event_type,
+             date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE rn <= 5
+    """,
+    tags=("W",),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + lag over per-user event sequences — the window
+    surface the reference lacks but its gold layer needs (SURVEY §2.7:
+    hour-over-hour deltas). Gap computed with timestamp arithmetic
+    (timestampdiff), no epoch/timezone dependence.
+
+    Scale: single shuffle on user_id, then in-partition sort; no
+    global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            ts_str(F.col("ts")).alias("ts"),
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            ).alias("gap_us"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — multi-column mean/std per group (ddof=1),
+# OpenMeteoWeatherPipelineHourlyData.py:86-107
+# ---------------------------------------------------------------------------
+
+_STAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "q_grouped_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {", ".join(
+               f"{sql_exact_avg(c)} AS {c}_mean, {sql_exact_std(c)} AS {c}_std"
+               for c in _STAT_COLS
+           )}
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("A6", "A7"),
+)
+def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean + sample std (ddof=1) over multiple measure
+    columns — the weather per-state-per-hour statistics
+    (OpenMeteoWeatherPipelineHourlyData.py:86-107, dispatch :100).
+    Derived from exact decimal sums so the result is deterministic
+    under any parallelism (see functions/exact.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STAT_COLS:
+        aggs.append(exact_avg(c).alias(f"{c}_mean"))
+        aggs.append(exact_std(c).alias(f"{c}_std"))
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — grouping sets (gold-layer extension, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_returnflag",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A", "rollup"),
+)
+def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total) — part of the
+    engine's agg surface beyond the reference (SURVEY §2.5 'not
+    present' row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT DISTINCT (exact) — gold-layer extension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A", "distinct"),
+)
+def q_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group. (approx_count_distinct is
+    exposed separately without an oracle — sketches are
+    engine-specific.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — batch formulation (streaming analog in streaming/;
+# SURVEY §2.9 'sessionization of events' north-star row)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q_sessionize_users",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           MAX(n_events) AS longest_session,
+           MAX(dur_us) AS longest_dur_us
+    FROM per_session
+    GROUP BY 1
+    """,
+    tags=("W", "session"),
+)
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch twin of session_window in streaming/ (SURVEY §2.9).
+
+    Scale: one shuffle on user_id; both windows and the first groupBy
+    share that partitioning (no extra exchange — verify in .explain).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, MIN(ts), MAX(ts))").alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("longest_session"),
+        F.max("dur_us").alias("longest_dur_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (the canonical grouped-agg workload;
+# same shape as the reference's compute* stages at warehouse scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_exact_sum('l_quantity')} AS sum_qty,
+           {sql_exact_sum('l_extendedprice')} AS sum_base_price,
+           {sql_exact_sum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+           {sql_exact_sum('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)')}
+             AS sum_charge,
+           {sql_exact_avg('l_quantity')} AS avg_qty,
+           {sql_exact_avg('l_extendedprice')} AS avg_price,
+           {sql_exact_avg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+    tags=("A1", "bench"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter + 8 aggregates over the
+    widest fact table. The per-row products are computed in double with
+    fixed parenthesization so both engines fold identically, then
+    summed exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props — SURVEY §2.8 JSON family, F7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           SUM(k) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY 1
+    """,
+    tags=("JSON",),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column (F7; reference JSON
+    path access at EIA930PipelineHourlyData.py:64-66). Integer sums are
+    exact in both engines — no decimal detour needed."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — time-series materialization: sequence + explode, gap-filled join
+# (pd.date_range, OpenMeteoWeatherPipelineHourlyData.py:67-70)
+# ---------------------------------------------------------------------------
+
+_TS_START = "2024-01-01 00:00:00"
+_TS_END = "2024-01-30 23:00:00"
+
+
+@register(
+    "q_timeseries_fill",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '{_TS_START}',
+                                    TIMESTAMP '{_TS_END}',
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n,
+             {sql_exact_sum('value')} AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT {sql_ts_str('s.hour')} AS hour,
+           COALESCE(h.n, 0) AS n_events,
+           h.total_value AS total_value
+    FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+    """,
+    tags=("S9",),
+)
+def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize an hourly spine (sequence+explode — the Spark analog
+    of pd.date_range, OpenMeteoWeatherPipelineHourlyData.py:67-70) and
+    left-join hourly aggregates onto it, exposing gap hours as 0/null."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_TS_START).cast("timestamp_ntz"),
+                F.lit(_TS_END).cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("value").alias("total_value"),
+    )
+    return spine.join(hourly, "hour", "left").select(
+        ts_str(F.col("hour")).alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — column-slice projection (iloc[:, :6] analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_projection_slice",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+    tags=("P1", "P16"),
+)
+def q_projection_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional column-slice projection (.iloc[:, :6],
+    EIA930PipelineHourlyData.py:34) → select of the first N columns;
+    column pruning reaches the scan (ReadSchema shows 4 columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(*c.columns[:4])

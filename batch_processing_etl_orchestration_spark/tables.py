@@ -1,0 +1,72 @@
+"""Fixture table loaders.
+
+Driver-generated deterministic parquet lives at
+``/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`` (TESTDATA.md).
+These play the role of the reference's raw API payloads and warehouse
+tables (FIXTURES.md gives the mapping, e.g. ``events`` ≈ EIA-930 hourly
+fact rows, ``nation`` ≈ the balancing-authority dimension).
+
+At 100 TB these would be date-partitioned Delta/parquet tables; the
+loader keeps the access path identical (``spark.read.parquet``) so the
+query code does not change — partition pruning and predicate pushdown
+happen in the scan either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Columnar vectorized parquet scan;
+    filters/projections applied by callers reach the scan via Catalyst
+    pushdown (verify with df.explain: PushedFilters/ReadSchema).
+
+    ``events.ts`` is written as parquet INT64 TIMESTAMP(NANOS) which
+    Spark does not map to a timestamp type; we read it as epoch-nanos
+    long (legacy conf, runtime-settable) and rebuild a TIMESTAMP_NTZ
+    with pure integer arithmetic — no session-timezone dependence, so
+    results compare cleanly against any oracle reading the same file.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver) — the same way a cluster job would be bound
+by the write stage, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from batch_processing_etl_orchestration_spark.plans import QUERIES  # noqa: E402
+from batch_processing_etl_orchestration_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_hourly_net_by_type",
+    "q_pivot_user_type_complete",
+    "q_join_dim_chain",
+    "q_semi_join_dim",
+    "q_grouped_stats",
+    "q_sessionize_users",
+    "q_window_lag",
+    "q_dedup_exact_hash",
+    "q_text_stats",
+    "q_cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bpeo-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once on the smallest SF so per-query numbers
+    # measure the plan, not first-run JIT
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        QUERIES["q_hourly_net_by_type"].fn(spark, warm_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

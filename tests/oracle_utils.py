@@ -1,0 +1,100 @@
+"""Local replica of the driver's DuckDB-oracle comparison: run a
+registered query on Spark and its oracle SQL on DuckDB over the same
+parquet, compare row count, column names, and order-insensitive
+values. Exact equality for ints/strings; floats must agree to 1e-9
+relative (the engine's decimal-exact aggregation should make them
+bit-identical — the tolerance only cushions the comparison itself).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, then rows; floats rounded to 9 sig-ish
+    decimals for the sort key only."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def key(row):
+        out = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                out.append(("f", round(v, 9)))
+            elif v is None:
+                out.append(("n",))
+            else:
+                out.append(("v", str(v)))
+        return out
+
+    return sorted([tuple(r[i] for i in idx) for r in rows], key=lambda r: key([*r])), [
+        columns[i] for i in idx
+    ]
+
+
+def compare_query(spark, sf_dir: str, fn, sql: str) -> None:
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    con = duckdb_con(sf_dir)
+    try:
+        res = con.execute(sql)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(scols) == sorted(ocols), (
+        f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
+    )
+    assert len(srows) == len(orows), (
+        f"row count mismatch: spark={len(srows)} oracle={len(orows)}"
+    )
+
+    snorm, cols = _normalize(srows, scols)
+    onorm, _ = _normalize(orows, ocols)
+    n_float_diff = 0
+    max_rel = 0.0
+    for i, (sr, orow) in enumerate(zip(snorm, onorm)):
+        for c, (sv, ov) in zip(cols, zip(sr, orow)):
+            if isinstance(sv, float) and isinstance(ov, float):
+                if sv != ov:
+                    if math.isnan(sv) and math.isnan(ov):
+                        continue
+                    denom = max(abs(sv), abs(ov), 1e-12)
+                    rel = abs(sv - ov) / denom
+                    max_rel = max(max_rel, rel)
+                    n_float_diff += 1
+                    assert rel < 1e-9, (
+                        f"row {i} col {c}: spark={sv!r} oracle={ov!r} rel={rel}"
+                    )
+            else:
+                assert sv == ov, f"row {i} col {c}: spark={sv!r} oracle={ov!r}"
+    if n_float_diff:
+        print(f"  note: {n_float_diff} float cells differed (max rel {max_rel:.2e})")
