@@ -17,22 +17,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEC_ACC = "decimal(28,12)"
+# scaled-long fold: exact, order-insensitive, primitive codegen path
+# (see plans/northstar.py and functions/exact.py for the rationale)
+_SIM_SCALE = 10**14
 
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
-        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
-    )
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + CAST(ROUND(v * {_SIM_SCALE}) AS BIGINT))"
+    ) / F.lit(float(_SIM_SCALE))
 
 
 def _norm(a: str) -> F.Column:
     return F.sqrt(
         F.expr(
-            f"CAST(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-            f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + CAST(ROUND(v * {_SIM_SCALE}) AS BIGINT))"
         )
+        / F.lit(float(_SIM_SCALE))
     )
 
 
@@ -83,8 +86,8 @@ def lsh_bucket_ids(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    n_tables: int = 8,
-    n_bits: int = 6,
+    n_tables: int = 16,
+    n_bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
     """(id, table_id, bucket): sign-pattern bucket of each vector in
@@ -107,9 +110,11 @@ def lsh_bucket_ids(
     bits = fanned.select(
         "_id",
         "table_id",
-        F.shiftleft(F.when(dot > 0, F.lit(1).cast("long")).otherwise(0), F.col("bit")).alias(
-            "term"
-        ),
+        # shiftleft's Python wrapper takes only int amounts; the SQL
+        # form accepts a column
+        F.when(dot > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term"),
     )
     return (
         bits.groupBy("_id", "table_id")
@@ -122,8 +127,8 @@ def hyperplane_lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    n_tables: int = 8,
-    n_bits: int = 6,
+    n_tables: int = 16,
+    n_bits: int = 4,
     dim: int = 64,
     q_id: str = "query_id",
     c_id: str = "cand_id",

@@ -12,5 +12,6 @@ from batch_processing_etl_orchestration_spark.plans.registry import (
 # importing the catalog modules populates the registry
 from batch_processing_etl_orchestration_spark.plans import parity  # noqa: F401
 from batch_processing_etl_orchestration_spark.plans import northstar  # noqa: F401
+from batch_processing_etl_orchestration_spark.plans import northstar_ml  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "all_queries", "all_oracle_sql"]

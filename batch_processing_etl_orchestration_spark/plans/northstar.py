@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from batch_processing_etl_orchestration_spark.functions.exact import DEC2
 from batch_processing_etl_orchestration_spark.plans.registry import register
 from batch_processing_etl_orchestration_spark.tables import load_table
 
@@ -408,28 +407,29 @@ _TOPK_K = 10
 _N_QUERY_VECS = 5
 
 
-# Accumulator precision 28 (not 38): Spark types DECIMAL(p,s)+DECIMAL(p,s)
-# as DECIMAL(p+1,s) and, at p=38, claws back a scale digit (→ (38,11)),
-# silently rounding every accumulate step. p=28 keeps all 12 fractional
-# digits exact so the fold matches DuckDB's SUM(DECIMAL(38,12)) bit-for-bit.
-_DEC_ACC = "decimal(28,12)"
+# Scaled-long fold (see functions/exact.py): per-element double
+# products rounded at 1e-14 and accumulated as int64 — exact,
+# order-insensitive, and on the primitive codegen path (the DECIMAL
+# fold this replaces was ~10× slower). |x| ≤ ~0.6 in the fixture
+# embeddings → per-term ≤ 3.6e13, 64 terms ≤ 2.4e15 ≪ 2^63.
+_SIM_SCALE = 10**14
 
 
 def _dot_dec(a: str, b: str) -> F.Column:
-    """Exact dot product: per-element double products (deterministic)
-    summed as DECIMAL (order-insensitive), returned as double."""
+    """Exact dot product via scaled-long fold, returned as double."""
     return F.expr(
-        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
-    )
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + CAST(ROUND(v * {_SIM_SCALE}) AS BIGINT))"
+    ) / F.lit(float(_SIM_SCALE))
 
 
 def _norm_dec(a: str) -> F.Column:
     return F.sqrt(
         F.expr(
-            f"CAST(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-            f"CAST(0 AS {_DEC_ACC}), (acc, v) -> CAST(acc + CAST(v AS {_DEC_ACC}) AS {_DEC_ACC})) AS DOUBLE)"
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + CAST(ROUND(v * {_SIM_SCALE}) AS BIGINT))"
         )
+        / F.lit(float(_SIM_SCALE))
     )
 
 
@@ -443,19 +443,20 @@ def _norm_dec(a: str) -> F.Column:
     c AS (SELECT vec_id AS cand_id, embedding AS ce, label FROM embeddings),
     elems AS (
       SELECT q.query_id, c.cand_id, c.label,
-             CAST(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) AS p,
-             CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) AS qq,
-             CAST(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) AS cc
+             CAST(ROUND(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS p,
+             CAST(ROUND(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS qq,
+             CAST(ROUND(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS cc
       FROM q, c, range(1, 65) r(i)
       WHERE q.query_id <> c.cand_id
     ),
     sims AS (
       SELECT query_id, cand_id, ANY_VALUE(label) AS label,
-             CAST(SUM(p) AS DOUBLE)
-               / (SQRT(CAST(SUM(qq) AS DOUBLE)) * SQRT(CAST(SUM(cc) AS DOUBLE)))
+             (CAST(SUM(p) AS DOUBLE) / {float(_SIM_SCALE)})
+               / (SQRT(CAST(SUM(qq) AS DOUBLE) / {float(_SIM_SCALE)})
+                  * SQRT(CAST(SUM(cc) AS DOUBLE) / {float(_SIM_SCALE)}))
                AS cosine_sim
       FROM elems GROUP BY 1, 2
     )

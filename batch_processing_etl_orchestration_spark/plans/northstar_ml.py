@@ -1,0 +1,250 @@
+"""North-star operators built on sketches, streaming, and Arrow-batched
+Python — registered rows-only where ANSI SQL cannot express the
+semantics (MinHash/SimHash/LSH use engine hash functions; approx
+sketches are engine-specific). Each rows-only operator is verified
+against a brute-force ground truth in tests/ instead. Streaming, as-of
+join, and the multimodal feature plumbing DO carry oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.exact import sql_exact_sum, sql_ts_str, ts_str
+from batch_processing_etl_orchestration_spark.multimodal.binary import (
+    FEAT_DIM,
+    attach_binary_payload,
+    extract_features,
+)
+from batch_processing_etl_orchestration_spark.operators.asof import asof_join
+from batch_processing_etl_orchestration_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from batch_processing_etl_orchestration_spark.operators.similarity import (
+    hyperplane_lsh_topk,
+)
+from batch_processing_etl_orchestration_spark.plans.registry import register
+from batch_processing_etl_orchestration_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_stream_to_table,
+    session_stream,
+)
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Sketch-based dedup (rows-only: engine hash functions have no ANSI twin)
+# ---------------------------------------------------------------------------
+
+
+@register("q_minhash_lsh_pairs", oracle=None, tags=("dedup", "lsh"))
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (Jaccard ≥ 0.3 on word-3-gram sets).
+    Sub-quadratic candidate generation via band buckets — the 100 TB
+    replacement for q_ngram_jaccard_pairs' full shingle join. Verified
+    against brute-force Jaccard in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.3)
+
+
+@register("q_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 63-bit weighted-bit-vote fingerprints,
+    16-bit-chunk pigeonhole candidates, exact Hamming ≤ 8 verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Approximate nearest neighbors (rows-only; recall-tested vs brute force)
+# ---------------------------------------------------------------------------
+
+
+@register("q_ann_lsh_topk", oracle=None, tags=("similarity", "lsh"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate cosine top-10 for query vectors
+    vec_id < 5 — scores only bucket-mates (16 tables × 4 bits) instead
+    of the full table. Recall vs q_cosine_topk_bruteforce measured in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
+    return hyperplane_lsh_topk(q, c, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Approx sketches (rows-only: HLL estimates are engine-specific)
+# ---------------------------------------------------------------------------
+
+
+@register("q_approx_count_distinct", oracle=None, tags=("A", "sketch"))
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per event_type — the
+    at-scale companion to q_count_distinct_users (exact). rsd 1%."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha,
+           {FEAT_DIM} AS feat_dim,
+           CAST(octet_length(encode(text)) AS DOUBLE) AS feat_sum
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: text → BINARY payload +
+    metadata struct → mapInPandas byte-histogram 'decode' → fixed-dim
+    features. The oracle cross-checks the plumbing: the histogram must
+    sum to the payload byte length, and metadata sha256/n_bytes are
+    recomputed independently by DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs)
+    feats = extract_features(with_payload)
+    meta = with_payload.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.sha256").alias("payload_sha")
+    )
+    return meta.join(feats, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        "payload_sha",
+        F.size("features").alias("feat_dim"),
+        F.expr(
+            "aggregate(features, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("feat_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (availableNow over the static fixture must equal
+# the batch aggregation → oracle is the batch SQL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_hourly_window",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('hour', ts)")} AS hour,
+           event_type,
+           {sql_exact_sum('value')} AS total_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window hourly aggregate executed as a real
+    Structured Streaming query (availableNow → memory sink). Over a
+    static source this must equal the batch flagship — which is
+    exactly what the oracle asserts."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(hourly_counts_stream(events), spark)
+
+
+@register(
+    "q_stream_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization as a real streaming query. Spark
+    merges events strictly closer than the gap (new session when
+    diff ≥ gap), which the lag-based oracle mirrors with '>='."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(session_stream(events, gap="30 minutes"), spark)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (oracle: DuckDB's native ASOF LEFT JOIN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_join_clicks",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           {sql_ts_str('p.ts')} AS ts,
+           c.event_id AS click_id,
+           {sql_ts_str('c.ts')} AS click_ts,
+           c.value AS click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("J", "asof"),
+)
+def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most
+    recent prior click by the same user (union + last-ignore-nulls
+    running window — operators/asof.py). Checked against DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts", "value"],
+        suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("ts"),
+        F.col("event_id_click").alias("click_id"),
+        ts_str(F.col("ts_click")).alias("click_ts"),
+        F.col("value_click").alias("click_value"),
+    )

@@ -26,6 +26,7 @@ from batch_processing_etl_orchestration_spark.functions.cleaning import (
     parse_quarter_period,
 )
 from batch_processing_etl_orchestration_spark.functions.exact import (
+    SCALE,
     exact_avg,
     exact_std,
     exact_sum,
@@ -146,8 +147,9 @@ def _sql_pivot_cols() -> str:
     cols = []
     for t in EVENT_TYPES:
         cols.append(
-            "CAST(SUM(CASE WHEN event_type = '%s' THEN CAST(value AS DECIMAL(38,6)) END)"
-            " AS DOUBLE) AS %s" % (t, t)
+            "(CAST(SUM(CASE WHEN event_type = '%s' "
+            "THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS DOUBLE)"
+            " / 1000000.0) AS %s" % (t, t)
         )
     return ",\n           ".join(cols)
 
@@ -613,7 +615,13 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OpenMeteoWeatherPipelineHourlyData.py:86-107
 # ---------------------------------------------------------------------------
 
-_STAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+# per-column scale for the squared-term sums: chosen so
+# max(x²)·scale2·rows_per_group stays < 2^63 (see functions/exact.py)
+_STAT_COLS = {
+    "l_quantity": (SCALE, 10**9),
+    "l_extendedprice": (SCALE, 10**2),
+    "l_discount": (SCALE, 10**12),
+}
 
 
 @register(
@@ -622,8 +630,9 @@ _STAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
            {", ".join(
-               f"{sql_exact_avg(c)} AS {c}_mean, {sql_exact_std(c)} AS {c}_std"
-               for c in _STAT_COLS
+               f"{sql_exact_avg(c, s1)} AS {c}_mean, "
+               f"{sql_exact_std(c, s1, s2)} AS {c}_std"
+               for c, (s1, s2) in _STAT_COLS.items()
            )}
     FROM lineitem
     GROUP BY 1
@@ -634,13 +643,13 @@ def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mean + sample std (ddof=1) over multiple measure
     columns — the weather per-state-per-hour statistics
     (OpenMeteoWeatherPipelineHourlyData.py:86-107, dispatch :100).
-    Derived from exact decimal sums so the result is deterministic
+    Derived from exact scaled-long sums so the result is deterministic
     under any parallelism (see functions/exact.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _STAT_COLS:
-        aggs.append(exact_avg(c).alias(f"{c}_mean"))
-        aggs.append(exact_std(c).alias(f"{c}_std"))
+    for c, (s1, s2) in _STAT_COLS.items():
+        aggs.append(exact_avg(c, s1).alias(f"{c}_mean"))
+        aggs.append(exact_std(c, s1, s2).alias(f"{c}_std"))
     return li.groupBy("l_returnflag").agg(*aggs)
 
 
@@ -938,3 +947,188 @@ def q_projection_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning reaches the scan (ReadSchema shows 4 columns)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(*c.columns[:4])
+
+
+# ---------------------------------------------------------------------------
+# Anti-join — completes the join surface (SURVEY §2.4 'not present' row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anti_join_dim",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    WHERE user_id NOT IN (SELECT n_nationkey FROM nation)
+    GROUP BY 1
+    """,
+    tags=("J",),
+)
+def q_anti_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join: facts whose key is absent from the dimension —
+    the complement of J1, used for orphan-key auditing. Broadcast
+    anti hash join; dimension keys are non-null so NOT IN == anti."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "nation")
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.n_nationkey, "left_anti")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — full grouping-set surface alongside q_rollup_returnflag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A", "cube"),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (SURVEY §2.6 'not present' row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT 'both' AS bucket, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchase_only' AS bucket, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    tags=("O",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over per-type user sets."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = purch.intersect(err).select(F.lit("both").alias("bucket"), "user_id")
+    only = purch.exceptAll(err).select(F.lit("purchase_only").alias("bucket"), "user_id")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Rolling window frame — rowsBetween moving average (SURVEY §2.7
+# 'not present' row: rolling frames for gold analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_avg",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n_rows
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           {sql_ts_str('hour_ts')} AS hour,
+           n_rows,
+           ROUND(AVG(n_rows) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_24h_avg
+    FROM hourly
+    """,
+    tags=("W", "rolling"),
+)
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour moving average of hourly event counts per type
+    (hour-over-hour gold analytics, SURVEY §2.7). AVG over a bigint
+    count inside a ROWS frame; rounded to absorb engine-side division
+    ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        ts_str(F.col("hour_ts")).alias("hour"),
+        "n_rows",
+        F.round(F.avg("n_rows").over(w), 6).alias("rolling_24h_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — relative-date literal arithmetic (anchored, deterministic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_relative_dates",
+    oracle=f"""
+    WITH anchored AS (
+      SELECT TIMESTAMP '2024-02-15 13:45:00' AS now_ts
+    )
+    SELECT {sql_ts_str("now_ts - INTERVAL 3 DAY")} AS three_days_ago,
+           {sql_ts_str("date_trunc('hour', now_ts - INTERVAL 3 DAY)")} AS three_days_ago_hour,
+           {sql_ts_str("now_ts - INTERVAL 6 MONTH")} AS six_months_ago,
+           {sql_ts_str("date_trunc('quarter', now_ts - INTERVAL 6 MONTH)")} AS six_months_ago_quarter,
+           {sql_ts_str("date_trunc('month', now_ts - INTERVAL 3 MONTH)")} AS three_months_ago_month,
+           {sql_ts_str("CAST(last_day(CAST(now_ts AS DATE)) AS TIMESTAMP)")} AS this_month_end
+    FROM anchored
+    """,
+    tags=("P7",),
+)
+def q_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's relative-date literal family (P7): now−3 days
+    truncated to hour (EIA930PipelineHourlyData.py:48), now−6 months →
+    quarter (EIA7APipelineQuarterlyData.py:51), today−3 months → month
+    (EIA814PipelineMonthlyData.py:19), month-end. Anchored at a fixed
+    literal so both engines compute the same values (wall-clock 'now'
+    is the caller's policy, not the operator's)."""
+    anchored = spark.range(1).select(
+        F.lit("2024-02-15 13:45:00").cast("timestamp_ntz").alias("now_ts")
+    )
+    return anchored.select(
+        ts_str(F.expr("now_ts - INTERVAL 3 DAY")).alias("three_days_ago"),
+        ts_str(F.date_trunc("hour", F.expr("now_ts - INTERVAL 3 DAY"))).alias(
+            "three_days_ago_hour"
+        ),
+        ts_str(F.expr("now_ts - INTERVAL 6 MONTH")).alias("six_months_ago"),
+        ts_str(
+            F.date_trunc("quarter", F.expr("now_ts - INTERVAL 6 MONTH"))
+        ).alias("six_months_ago_quarter"),
+        ts_str(
+            F.date_trunc("month", F.expr("now_ts - INTERVAL 3 MONTH"))
+        ).alias("three_months_ago_month"),
+        ts_str(F.last_day(F.col("now_ts").cast("date")).cast("timestamp_ntz")).alias(
+            "this_month_end"
+        ),
+    )

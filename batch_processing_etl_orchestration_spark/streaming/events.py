@@ -1,0 +1,108 @@
+"""Structured Streaming over the events feed.
+
+The reference ingests hourly feeds in scheduled batch DAGs with fixed
+lateness horizons (EIA930PipelineHourlyData.py:48,73,98,102 — fetch 3
+days back, keep through 2 days back; weather 7 days,
+OpenMeteoWeatherPipelineHourlyData.py:50). In the engine those become
+first-class streaming semantics (SURVEY §2.9):
+
+- lateness horizon → ``withWatermark``
+- hourly grain     → tumbling ``window(ts, '1 hour')``
+- cron cadence     → ``trigger(availableNow=True)`` incremental runs
+- append-only INSERT duplication defect → checkpointed exactly-once
+  sink (here: memory/parquet sink; Delta MERGE in production)
+- sessionization   → ``session_window(ts, gap)`` (north-star row)
+
+The batch twins of these aggregations live in plans/parity.py
+(q_hourly_net_by_type, q_sessionize_users); with availableNow over a
+static directory the streaming results must equal the batch results,
+which is exactly how the driver's oracle checks them.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.exact import exact_sum
+
+_CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. Watermarks require
+    TIMESTAMP (not NTZ), so the nanos-long ts becomes an epoch-based
+    TIMESTAMP and the session timezone is pinned to UTC so formatted
+    output equals the naive wall time any oracle reads from the file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source needs a directory basePath; the fixture is
+    # a single parquet file inside sf_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Watermarked tumbling-window hourly aggregate — the streaming
+    form of the flagship A1 query. Watermark '2 days' mirrors the
+    reference's keep-through-2-days-back trim (P10)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "total_value",
+            "n_rows",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 days") -> DataFrame:
+    """session_window sessionization — the streaming twin of
+    q_sessionize_users' lag-based batch formulation. Same gap, same
+    session boundaries."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_table(df: DataFrame, spark: SparkSession, name: str | None = None) -> DataFrame:
+    """Execute a streaming aggregation to completion with
+    trigger(availableNow) into a memory sink and return the result as
+    a batch DataFrame. This is the incremental-batch execution mode
+    matching the reference's cron cadence; checkpoints give restart
+    exactly-once."""
+    table = name or f"stream_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_CHECKPOINT_ROOT, table)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -1,0 +1,89 @@
+"""Physical-plan audits: the 100 TB posture is only real if the plans
+show it. These assert on explain() output — broadcast joins where dims
+are small, predicate/projection pushdown into the parquet scan, no
+unintended cartesian products, whole-stage codegen present."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from batch_processing_etl_orchestration_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_dim_chain")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not trigger a shuffle join
+
+
+def test_semi_join_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_semi_join_dim")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_anti_join_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_anti_join_dim")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_predicate_filters")
+    # returnflag + shipdate predicates must appear as pushed filters on
+    # the parquet scan, not only as a post-scan Filter
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_projection_slice")
+    # scan must read only the projected columns (ReadSchema shows 4 cols)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_mktsegment" not in read_schema
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_hourly_net_by_type")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "event_id" not in read_schema
+
+
+def test_no_unintended_cartesian(spark, sf_dir):
+    for name in [
+        "q_join_dim_chain",
+        "q_semi_join_dim",
+        "q_ngram_jaccard_pairs",
+        "q_sessionize_users",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def test_flagship_partial_final_agg_one_shuffle(spark, sf_dir):
+    # map-side partial + final hash agg around exactly one shuffle
+    plan = _plan(spark, sf_dir, "q_hourly_net_by_type")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) == 2
+    assert _n_exchanges(plan) == 1
+
+
+def test_pivot_no_value_discovery_pass(spark, sf_dir):
+    # explicit pivot value list → the two-level pivot aggregation
+    # (≤2 shuffles), never a third pass to discover pivot values
+    plan = _plan(spark, sf_dir, "q_pivot_day_type")
+    assert _n_exchanges(plan) <= 2

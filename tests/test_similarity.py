@@ -1,0 +1,64 @@
+"""ANN-LSH recall vs the exact brute-force baseline on real fixture
+embeddings (sf0.001 for speed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+K = 10
+N_Q = 5
+
+
+def _qc(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.where(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
+    return q, c
+
+
+def test_bruteforce_topk_shape_and_order(spark):
+    q, c = _qc(spark)
+    out = brute_force_topk(q, c, k=K).collect()
+    assert len(out) == N_Q * K
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        sims = [r["cosine_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["cand_id"] != r["query_id"] for r in rows)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    q, c = _qc(spark)
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in brute_force_topk(q, c, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in hyperplane_lsh_topk(q, c, k=K).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.92 with the default 16 tables × 4 bits on this fixture
+    # (sweep: L=8/m=6 → 0.28, L=12/m=5 → 0.68, L=16/m=4 → 0.92);
+    # assert with margin for param drift
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_lsh_sims_are_exact_for_returned_pairs(spark):
+    q, c = _qc(spark)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine_sim"]
+        for r in brute_force_topk(q, c, k=500).collect()
+    }
+    for r in hyperplane_lsh_topk(q, c, k=K).collect():
+        assert abs(exact[(r["query_id"], r["cand_id"])] - r["cosine_sim"]) < 1e-12

@@ -1,0 +1,83 @@
+"""Paginated REST source (S1-S4), Last-Modified cache (S6), CSV dim
+(S7), distributed fetch (S8) — offline, with injected fetchers."""
+
+from __future__ import annotations
+
+from batch_processing_etl_orchestration_spark.sources import (
+    LastModifiedCache,
+    PaginatedRestSource,
+    read_csv_dim,
+)
+from batch_processing_etl_orchestration_spark.sources.rest import (
+    fetch_partitioned,
+    scrub_params,
+)
+
+
+def _fake_fetch(pages):
+    calls = []
+
+    def fetch(req):
+        calls.append(req.offset)
+        idx = req.offset // req.length
+        return pages[idx] if idx < len(pages) else []
+
+    return fetch, calls
+
+
+def test_pagination_until_empty(spark):
+    pages = [[{"period": "2024-01", "value": str(i)} for i in range(3)], [{"period": "2024-02", "value": "9"}]]
+    fetch, calls = _fake_fetch(pages)
+    src = PaginatedRestSource(fetch=fetch, endpoint="e", page_size=3)
+    df = src.to_dataframe(spark, "period STRING, value STRING")
+    assert df.count() == 4
+    assert calls == [0, 3, 6]  # stopped on the empty third page
+
+
+def test_pagination_stop_predicate(spark):
+    pages = [
+        [{"period": "2024-01"}],
+        [{"period": "2024-09"}],  # beyond boundary → stop after this page
+        [{"period": "2024-10"}],
+    ]
+    fetch, calls = _fake_fetch(pages)
+    src = PaginatedRestSource(
+        fetch=fetch,
+        endpoint="e",
+        page_size=1,
+        stop_when=lambda last: last["period"] >= "2024-06",
+    )
+    assert sum(len(p) for p in src.pages()) == 2
+    assert calls == [0, 1]
+
+
+def test_last_modified_cache():
+    cache = LastModifiedCache()
+    assert not cache.is_fresh("u", "Mon")
+    cache.update("u", "Mon")
+    assert cache.is_fresh("u", "Mon")
+    assert not cache.is_fresh("u", "Tue")  # changed upstream → refetch
+
+
+def test_scrub_params():
+    # P18 — API-key scrub (EIA930PipelineHourlyData.py:65)
+    assert scrub_params({"api_key": "secret", "start": "x"}, "api_key") == {"start": "x"}
+
+
+def test_csv_dim(spark, tmp_path):
+    p = tmp_path / "coords.csv"
+    p.write_text("State,Latitude,Longitude\nMA,42.0,-71.0\nMA,42.5,-70.9\n")
+    df = read_csv_dim(spark, str(p))
+    assert df.columns == ["State", "Latitude", "Longitude"]
+    assert df.count() == 2
+    assert dict(df.dtypes)["Latitude"] == "double"
+
+
+def test_fetch_partitioned(spark):
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "key INT")
+
+    def fetch_rows(rec):
+        return [{"key": rec["key"], "v": rec["key"] * 10}]
+
+    out = fetch_partitioned(keys, fetch_rows, "key INT, v INT")
+    assert {(r["key"], r["v"]) for r in out.collect()} == {(1, 10), (2, 20), (3, 30)}
