@@ -24,25 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Mersenne prime modulus and a fixed LCG-generated coefficient table:
-# h_i(x) = (a_i * x + b_i) mod P with P = 2^31 - 1. Keeping all values
-# < 2^31 bounds a*x < 2^62 — no 64-bit overflow.
-_P = 2_147_483_647
 _NUM_HASHES = 32
 _ROWS_PER_BAND = 4  # 8 bands of 4 → catches jaccard ≳ 0.5 w.h.p.
-
-
-def _coefficients() -> list[tuple[int, int, int]]:
-    """Deterministic (i, a, b) rows via a fixed LCG (no runtime RNG)."""
-    rows = []
-    state = 88172645463325252
-    for i in range(_NUM_HASHES):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
-        a = state % (_P - 2) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
-        b = state % _P
-        rows.append((i, a, b))
-    return rows
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -61,21 +44,22 @@ def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, i, minhash) — one row per hash function.
 
-    xxhash64 maps each shingle to an int, the broadcast coefficient
-    table fans out the permutations, min-aggregate per (doc, i). The
-    explode factor is NUM_HASHES; the groupBy shuffles (id, i, h)
-    triples only.
+    The i-th hash family member is xxhash64(base_hash, i) — a fresh
+    deterministic 64-bit value per (shingle, i), equivalent to an
+    independent permutation for MinHash purposes. Implemented as a
+    pure explode + map-side partial min: no join at all (an earlier
+    coefficient-table cross join planned as BroadcastNestedLoopJoin
+    and dominated runtime). The groupBy shuffles only the (id, i, min)
+    partials — NUM_HASHES rows per doc.
     """
-    spark = shingles.sparkSession
-    coef = spark.createDataFrame(_coefficients(), "i INT, a LONG, b LONG")
-    hashed = shingles.select(
-        id_col, (F.pmod(F.xxhash64("shingle"), F.lit(_P))).alias("h0")
+    hashed = shingles.select(id_col, F.xxhash64("shingle").alias("h0"))
+    fanned = hashed.select(
+        id_col,
+        "h0",
+        F.explode(F.array([F.lit(i) for i in range(_NUM_HASHES)])).alias("i"),
     )
-    fanned = hashed.crossJoin(F.broadcast(coef))
     return (
-        fanned.select(
-            id_col, "i", F.pmod(F.col("a") * F.col("h0") + F.col("b"), F.lit(_P)).alias("h")
-        )
+        fanned.select(id_col, "i", F.xxhash64("h0", "i").alias("h"))
         .groupBy(id_col, "i")
         .agg(F.min("h").alias("minhash"))
     )
@@ -113,9 +97,15 @@ def minhash_lsh_pairs(
     only potentially-skewed shuffle; identical band_sig groups are
     true near-dup clusters, so skew == signal here.
     """
-    sh = shingle_sets(docs, n, id_col, text_col)
+    # shingle sets feed the signature pipeline AND (3×) the exact
+    # verify; band buckets self-join. Without eager materialization
+    # each reuse replays the whole upstream DAG (~5× total runtime).
+    # localCheckpoint (not cache) so the blocks are dropped when the
+    # result DataFrame is garbage-collected — repeated operator calls
+    # in one session must not accumulate storage.
+    sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, id_col)
-    buckets = minhash_band_buckets(sigs, id_col)
+    buckets = minhash_band_buckets(sigs, id_col).localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -128,6 +118,7 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     jac = exact_jaccard(cand, sh, id_col)
     return jac.where(F.col("jaccard") >= threshold)
@@ -209,7 +200,9 @@ def simhash_pairs(
     simhash. Candidates come from matching any 16-bit chunk (pigeonhole:
     guaranteed complete for hamming ≤ 3; a recall-bounded screen above
     that); exact bit_count(xor) verifies."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    # the chunk table self-joins below — eager localCheckpoint so the
+    # signature aggregation (63 bit-vote sums) computes once, not twice
+    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         id_col,
         "simhash",

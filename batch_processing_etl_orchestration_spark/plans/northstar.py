@@ -504,3 +504,68 @@ def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOPK_K)
         .select("query_id", "cand_id", "label", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the fifth §2.10 dedup modality)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_TAU = 0.35
+
+
+@register(
+    "q_embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    elems AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS p,
+             CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS aa,
+             CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS bb
+      FROM e a
+      JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+      range(1, 65) r(i)
+    ),
+    sims AS (
+      SELECT vec_a, vec_b,
+             (CAST(SUM(p) AS DOUBLE) / {float(_SIM_SCALE)})
+               / (SQRT(CAST(SUM(aa) AS DOUBLE) / {float(_SIM_SCALE)})
+                  * SQRT(CAST(SUM(bb) AS DOUBLE) / {float(_SIM_SCALE)}))
+               AS cosine_sim
+      FROM elems GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM sims
+    WHERE cosine_sim >= {_NEAR_DUP_TAU}
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ τ), blocked to
+    same-label pairs — the fifth dedup modality of SURVEY §2.10.
+
+    Blocking is what makes this scale: compare only within a coarse
+    partition (here the label; at 100 TB an LSH bucket from
+    operators/similarity.lsh_bucket_ids, giving the same
+    candidate-bounding effect without supervision). The cosine kernel
+    is the scaled-long exact fold shared with q_cosine_topk_bruteforce.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("label").alias("label_b"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    sims = pairs.select(
+        "vec_a",
+        "vec_b",
+        (_dot_dec("ea", "eb") / (_norm_dec("ea") * _norm_dec("eb"))).alias("cosine_sim"),
+    )
+    return sims.where(F.col("cosine_sim") >= _NEAR_DUP_TAU)

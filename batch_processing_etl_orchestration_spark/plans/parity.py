@@ -1132,3 +1132,90 @@ def q_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "this_month_end"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact join — orders ⋈ lineitem (the big-join shape the gold layer
+# needs; neither side broadcastable at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_fact_fact",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           l.l_linestatus,
+           COUNT(*) AS n_lines,
+           {sql_exact_sum('l.l_extendedprice')} AS total_price,
+           {sql_exact_sum('o.o_totalprice', 10**4)} AS total_order_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2
+    """,
+    tags=("J", "bench"),
+)
+def q_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join on the orderkey: at 100 TB neither side
+    broadcasts, so this is the shuffle-join shape (sort-merge or
+    shuffled-hash, AQE's choice; co-partitioned if both tables are
+    bucketed by orderkey at write time — zero join shuffle then).
+    The date predicate pushes into the orders scan before the join.
+
+    o_totalprice repeats per line item and sums to ~6e16·scale at
+    sf0.1 — scale 1e4 keeps the scaled-long sum far below 2^63.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum("l_extendedprice").alias("total_price"),
+            exact_sum("o_totalprice", 10**4).alias("total_order_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware aggregation — salted two-phase groupBy (SURVEY §4 skew row)
+# ---------------------------------------------------------------------------
+
+_N_SALTS = 8
+
+
+@register(
+    "q_salted_skew_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A", "skew"),
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for hot keys: phase 1 groups on
+    (key, salt) spreading each hot key over _N_SALTS reducers, phase 2
+    merges the partials. Result is identical to a direct groupBy (the
+    oracle is the plain SQL); the plan trades one extra tiny shuffle
+    for immunity to single-reducer hot spots — the CISO/MISO-scale-BA
+    scenario of SURVEY §4. (AQE skew handling covers joins; salting is
+    the aggregation-side tool.)
+
+    The scaled-long partials make the two-phase merge exact — partial
+    sums are int64, so re-aggregation loses nothing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(_N_SALTS)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col("value") * SCALE).cast("long")).alias("_s"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_rows"),
+        (F.sum("_s") / F.lit(float(SCALE))).alias("total_value"),
+    )

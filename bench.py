@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q_hourly_net_by_type",
     "q_pivot_user_type_complete",
     "q_join_dim_chain",
+    "q_join_fact_fact",
     "q_semi_join_dim",
     "q_grouped_stats",
     "q_sessionize_users",
@@ -33,6 +34,9 @@ BENCH_QUERIES = [
     "q_dedup_exact_hash",
     "q_text_stats",
     "q_cosine_topk_bruteforce",
+    "q_ann_lsh_topk",
+    "q_minhash_lsh_pairs",
+    "q_simhash_pairs",
 ]
 
 
