@@ -271,13 +271,16 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     (letter runs | digit runs | single other-glyph). The regex uses
     only constructs with identical semantics in Java regex and RE2."""
+    from batch_processing_etl_orchestration_spark.functions.text import (
+        regex_token_count,
+        ws_token_count,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
-        ).alias("n_re_tokens"),
+        ws_token_count("text").alias("n_ws_tokens"),
+        regex_token_count("text").alias("n_re_tokens"),
     )
 
 
@@ -306,19 +309,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length band + token count + lexical
     diversity) and filtering — the standard pre-training corpus
     quality gate, as integer flag arithmetic (exact in both engines)."""
+    from batch_processing_etl_orchestration_spark.functions.text import quality_score
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    score = (
-        F.when(F.length("text").between(100, 450), 1).otherwise(0)
-        + F.when(F.size(toks) >= 20, 1).otherwise(0)
-        + F.when(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
-            >= 0.15,
-            1,
-        ).otherwise(0)
-    )
     return (
-        d.select("doc_id", "lang", score.alias("quality_score"))
+        d.select("doc_id", "lang", quality_score("text").alias("quality_score"))
         .where(F.col("quality_score") >= 2)
     )
 
@@ -370,27 +365,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID: count per-language stopword hits per
     document, argmax with a fixed tiebreak order, confusion rollup vs
     the labeled lang. Integer votes → exact cross-engine."""
-    d = load_table(spark, sf_dir, "documents")
-
-    def stop_count(lg: str) -> F.Column:
-        lits = ", ".join(f"'{w}'" for w in _STOPWORDS[lg])
-        return F.expr(
-            f"size(filter(split(lower(text), ' '), "
-            f"w -> array_contains(array({lits}), w)))"
-        )
-
-    scored = d.select(
-        "lang", *[stop_count(lg).alias(f"s_{lg}") for lg in _LANG_ORDER]
+    from batch_processing_etl_orchestration_spark.functions.text import (
+        argmax_label,
+        stopword_hits,
     )
-    pred = F.lit("und")
-    # build CASE chain in reverse so earlier langs win ties, matching SQL
-    for lang in reversed(_LANG_ORDER):
-        others = [o for o in _LANG_ORDER if o != lang]
-        cond = None
-        for o in others:
-            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        *[stopword_hits("text", _STOPWORDS[lg]).alias(f"s_{lg}") for lg in _LANG_ORDER],
+    )
+    pred = argmax_label({lg: f"s_{lg}" for lg in _LANG_ORDER})
     return (
         scored.select("lang", pred.alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
@@ -569,3 +554,79 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dot_dec("ea", "eb") / (_norm_dec("ea") * _norm_dec("eb"))).alias("cosine_sim"),
     )
     return sims.where(F.col("cosine_sim") >= _NEAR_DUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Language ID, char-n-gram variant (the n-gram heuristic; the stopword
+# vote above is the word-level variant)
+# ---------------------------------------------------------------------------
+
+_CHAR_PROFILES = {
+    "en": ["th", "he", "in", "er", "an"],
+    "de": ["ch", "ei", "ie", "sc", "un"],
+    "es": ["os", "as", "el", "ue", "ar"],
+    "fr": ["ou", "es", "re", "ai", "eu"],
+    "zh": ["zh", "sh", "ng", "xi", "ao"],
+}
+
+
+def _sql_bigram_hits(lang: str) -> str:
+    lits = ", ".join(f"'{b}'" for b in _CHAR_PROFILES[lang])
+    return (
+        "len(list_filter(list_transform(range(1, length(text)), "
+        "i -> substring(lower(text), i, 2)), "
+        f"b -> list_contains([{lits}], b)))"
+    )
+
+
+def _sql_argmax_chain(names: list[str], col_fmt: str, labels: list[str]) -> str:
+    conds = []
+    for name, label in zip(names, labels):
+        others = [o for o in names if o != name]
+        cond = " AND ".join(f"{col_fmt.format(name)} >= {col_fmt.format(o)}" for o in others)
+        conds.append(f"WHEN {cond} THEN '{label}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@register(
+    "q_lang_id_chargram",
+    oracle=f"""
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             {_sql_argmax_chain(list(_CHAR_PROFILES), "g_{}", list(_CHAR_PROFILES))}
+               AS predicted_lang
+      FROM (
+        SELECT lang,
+               {", ".join(f"{_sql_bigram_hits(lg)} AS g_{lg}" for lg in _CHAR_PROFILES)}
+        FROM documents
+      )
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("text", "langid"),
+)
+def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID: count occurrences of each
+    language's distinctive bigrams, argmax with fixed tiebreak —
+    the n-gram heuristic complement to the stopword vote (q_lang_id).
+    Built on functions/text.py char_bigram_hits / argmax_label."""
+    from batch_processing_etl_orchestration_spark.functions.text import (
+        argmax_label,
+        char_bigram_hits,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        *[
+            char_bigram_hits("text", _CHAR_PROFILES[lg]).alias(f"g_{lg}")
+            for lg in _CHAR_PROFILES
+        ],
+    )
+    pred = argmax_label({lg: f"g_{lg}" for lg in _CHAR_PROFILES})
+    return (
+        scored.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

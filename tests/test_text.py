@@ -1,0 +1,62 @@
+"""functions/text.py unit tests on constructed strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.text import (
+    argmax_label,
+    char_bigram_hits,
+    char_bigrams,
+    normalized_fingerprint,
+    quality_score,
+    regex_token_count,
+    stopword_hits,
+    uniq_token_ratio,
+    ws_token_count,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text STRING")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a b c", ws_token_count("text")) == 3
+    # 'ab3!' → [ab][3][!] + [cd] = 4
+    assert _one(spark, "ab3! cd", regex_token_count("text")) == 4
+
+
+def test_uniq_ratio(spark):
+    assert _one(spark, "a a b b", uniq_token_ratio("text")) == 0.5
+
+
+def test_quality_score_bounds(spark):
+    long_diverse = " ".join(f"w{i}" for i in range(40))  # >100 chars, 40 uniq tokens
+    assert _one(spark, long_diverse, quality_score("text")) == 3
+    # short text fails length+token floors but is trivially "diverse"
+    assert _one(spark, "tiny", quality_score("text")) == 1
+    assert _one(spark, "a a a a a a a a", quality_score("text")) == 0  # ratio 1/8 < 0.15
+
+
+def test_stopword_hits_multiplicity(spark):
+    assert _one(spark, "the cat the dog", stopword_hits("text", ["the"])) == 2
+
+
+def test_char_bigrams(spark):
+    assert _one(spark, "abc", char_bigrams("text")) == ["ab", "bc"]
+    assert _one(spark, "ththth", char_bigram_hits("text", ["th"])) == 3
+
+
+def test_argmax_tiebreak_order(spark):
+    df = spark.createDataFrame([(1, 1, 0)], "a INT, b INT, c INT")
+    # a and b tie — first key in dict order wins
+    pred = argmax_label({"a": "a", "b": "b", "c": "c"})
+    assert df.select(pred.alias("p")).collect()[0]["p"] == "a"
+
+
+def test_normalized_fingerprint_case_insensitive(spark):
+    df = spark.createDataFrame([("en", "Hello"), ("en", "hello")], "lang STRING, text STRING")
+    fps = [r["f"] for r in df.select(normalized_fingerprint("text", "lang").alias("f")).collect()]
+    assert fps[0] == fps[1]
