@@ -1219,3 +1219,161 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_rows"),
         (F.sum("_s") / F.lit(float(SCALE))).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics — TPC-H Q3/Q5 shapes (join reordering +
+# mixed broadcast/shuffle strategy selection is Catalyst's job)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_exact_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           {sql_ts_str('o.o_orderdate')} AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 20
+    """,
+    tags=("J", "tpch"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem with selective
+    predicates on all three tables, grouped revenue, top-20.
+
+    Scale: the customer filter makes that side broadcastable after
+    AQE sees the post-filter size; orders⋈lineitem shuffles on
+    orderkey (or runs shuffle-free on bucketed tables). All three
+    predicates push to their scans. Top-k via TakeOrderedAndProject
+    with a unique tiebreaker.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o.where(F.col("o_orderdate") < cutoff), c.c_custkey == o.o_custkey)
+        .join(li.where(F.col("l_shipdate") > cutoff), o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            ts_str(F.col("o_orderdate")).alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(exact_sum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_regional_volume",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           COUNT(*) AS n_lines,
+           {sql_exact_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+    tags=("J", "tpch"),
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-table join (two broadcast dims, one
+    mid-size dim, two facts) with a date-window predicate, revenue per
+    (region, nation). Catalyst orders the joins; the dims broadcast;
+    only orders⋈lineitem shuffles."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(revenue).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join — inequality-condition join (SURVEY §2.4: part of the
+# engine's join surface; no reference analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_range_join_periods",
+    oracle=f"""
+    WITH periods AS (
+      SELECT 'H1-1996' AS period_name, TIMESTAMP '1996-01-01' AS p_start,
+             TIMESTAMP '1996-07-01' AS p_end
+      UNION ALL SELECT 'H2-1996', TIMESTAMP '1996-07-01', TIMESTAMP '1997-01-01'
+      UNION ALL SELECT 'H1-1997', TIMESTAMP '1997-01-01', TIMESTAMP '1997-07-01'
+    )
+    SELECT p.period_name,
+           COUNT(*) AS n_lines,
+           {sql_exact_sum('l.l_quantity')} AS sum_qty
+    FROM lineitem l
+    JOIN periods p ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
+    GROUP BY 1
+    """,
+    tags=("J", "range"),
+)
+def q_range_join_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: facts against a small interval table on
+    start ≤ ts < end. The interval side broadcasts → a broadcast
+    nested-loop with both bounds as the join condition; at 100 TB with
+    a large interval table the standard rewrite is binning (join on
+    date_trunc bucket, then refine) — here the dim is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    periods = spark.createDataFrame(
+        [
+            ("H1-1996", "1996-01-01 00:00:00", "1996-07-01 00:00:00"),
+            ("H2-1996", "1996-07-01 00:00:00", "1997-01-01 00:00:00"),
+            ("H1-1997", "1997-01-01 00:00:00", "1997-07-01 00:00:00"),
+        ],
+        "period_name STRING, p_start STRING, p_end STRING",
+    ).select(
+        "period_name",
+        F.col("p_start").cast("timestamp_ntz").alias("p_start"),
+        F.col("p_end").cast("timestamp_ntz").alias("p_end"),
+    )
+    joined = li.join(
+        F.broadcast(periods),
+        (li.l_shipdate >= periods.p_start) & (li.l_shipdate < periods.p_end),
+    )
+    return joined.groupBy("period_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )
