@@ -1377,3 +1377,170 @@ def q_range_join_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         exact_sum("l_quantity").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries — scalar aggregate + EXISTS (Catalyst decorrelation;
+# SURVEY §4 'subquery decorrelation' built-in row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.8
+    """,
+    tags=("subquery",),
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: orders 1.8× above the global mean.
+    Expressed through the SQL surface so Catalyst plans the scalar
+    subquery (one-row broadcast), demonstrating the engine's second
+    entry point (spark.sql over registered views).
+
+    The comparison predicate is scale-insensitive to double rounding:
+    AVG differs between engines only below 1e-12 relative, and the
+    1.8× threshold sits in a gap of the price distribution (prices are
+    cents-quantized), so the selected set is stable.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.8
+        """
+    )
+
+
+@register(
+    "q_exists_big_spenders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+    )
+    """,
+    tags=("subquery", "J"),
+)
+def q_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers with at least one 400k+ order.
+    Catalyst decorrelates to a left semi-join on the filtered orders —
+    same physical shape as J1, arrived at from SQL."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles — exact interpolated quantiles + sketch variant
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A", "percentile"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: linear interpolation over the sorted
+    values). Rounded to 6dp — the interpolation arithmetic can differ
+    by an ulp between engines. At 100 TB the sketch variant
+    (approx_percentile, below in q_approx_count_distinct's family)
+    replaces the exact sort-based path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group — the per-key ranking pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top3_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    WHERE rk <= 3
+    """,
+    tags=("W", "topn"),
+)
+def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: broadcast dim join + ranked
+    window with unique tiebreak. One shuffle on the partition key;
+    Spark pushes a per-partition rank limit (WindowGroupLimit) so the
+    sort never materializes beyond k rows per key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram — fixed-width value bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {sql_exact_sum('value')} AS bucket_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("A", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value column per type — floor
+    bucketing is exact integer arithmetic after one deterministic
+    double division."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("value").alias("bucket_sum"),
+    )

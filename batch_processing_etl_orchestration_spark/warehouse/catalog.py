@@ -192,8 +192,11 @@ def create_all_tables(spark: SparkSession, db: str = DEFAULT_DB) -> None:
 
 
 def list_tables(spark: SparkSession, db: str = DEFAULT_DB) -> list[str]:
-    """S10 — catalog listing (databaseOperations.py:48-64)."""
-    return [t.name for t in spark.catalog.listTables(db)]
+    """S10 — catalog listing (databaseOperations.py:48-64). Excludes
+    session temp views: spark.catalog.listTables(db) mixes them into
+    every database's listing, but the reference semantic is the
+    database's persistent tables (information_schema.tables)."""
+    return [t.name for t in spark.catalog.listTables(db) if t.tableType != "TEMPORARY"]
 
 
 def preview_table(spark: SparkSession, name: str, n: int = 5, db: str = DEFAULT_DB) -> DataFrame:
