@@ -29,16 +29,25 @@ _ROWS_PER_BAND = 4  # 8 bands of 4 → catches jaccard ≳ 0.5 w.h.p.
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) distinct word n-grams — posexplode + lead window."""
-    words = docs.select(
-        F.col(id_col).alias("_id"), F.posexplode(F.split(text_col, " ")).alias("pos", "word")
+    """(id, shingle) distinct word n-grams.
+
+    Array-local formulation: build all n-grams inside the words array
+    (transform over a position sequence) and explode the distinct set.
+    No shuffle and no per-doc window sort — the n-gram assembly happens
+    where the row already is. (A lead-window variant costs a full
+    shuffle+sort of every word.)
+    """
+    parts = ", ".join(f"_words[i + {k}]" for k in range(n))
+    grams = (
+        f"CASE WHEN size(_words) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_words) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
     )
-    w = Window.partitionBy("_id").orderBy("pos")
-    leads = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    sh = words.select(
-        "_id", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("_tail")
-    ).where(F.col("_tail").isNotNull())
-    return sh.select(F.col("_id").alias(id_col), "shingle").distinct()
+    return (
+        docs.select(F.col(id_col), F.split(text_col, " ").alias("_words"))
+        .select(id_col, F.explode(F.expr(grams)).alias("shingle"))
+    )
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:

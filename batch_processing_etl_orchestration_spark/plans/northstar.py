@@ -86,16 +86,11 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams via posexplode + lead."""
-    words = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    sh = words.select(
-        "doc_id", F.concat_ws(" ", *leads).alias("shingle"), leads[-1].alias("_tail")
-    ).where(F.col("_tail").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+    """(doc_id, shingle) distinct word n-grams — array-local transform
+    (no shuffle/window; see operators/dedup.shingle_sets)."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import shingle_sets
+
+    return shingle_sets(d, n)
 
 
 _SQL_SHINGLES = """

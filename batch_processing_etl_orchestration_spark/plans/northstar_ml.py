@@ -248,3 +248,37 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("ts_click")).alias("click_ts"),
         F.col("value_click").alias("click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_stateful_totals",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via a custom applyInPandasWithState
+    operator (streaming/stateful.py), executed availableNow. The state
+    function accumulates scaled int64 — the same exactness scheme as
+    the batch engine — so the drained stream equals the batch groupBy,
+    which the oracle asserts."""
+    from batch_processing_etl_orchestration_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        stateful_user_totals(events.select("user_id", "value")),
+        spark,
+        output_mode="update",
+    )

@@ -88,18 +88,24 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
-def run_stream_to_table(df: DataFrame, spark: SparkSession, name: str | None = None) -> DataFrame:
+def run_stream_to_table(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute a streaming aggregation to completion with
     trigger(availableNow) into a memory sink and return the result as
     a batch DataFrame. This is the incremental-batch execution mode
     matching the reference's cron cadence; checkpoints give restart
-    exactly-once."""
+    exactly-once. Stateful applyInPandasWithState queries use
+    output_mode='update' (complete is aggregation-only)."""
     table = name or f"stream_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_CHECKPOINT_ROOT, table)
     q = (
         df.writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
