@@ -625,3 +625,37 @@ def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash train/eval split (corpus pipeline staple)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hash_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    tags=("text", "split"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split keyed on a content hash
+    (md5 prefix mod 100) — reproducible across runs, engines, and
+    re-shards, unlike random sampling; near-duplicate content hashes
+    to one side only if texts are identical, which is why exact dedup
+    runs first in a real pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    split = F.when(bucket < 90, "train").otherwise("eval")
+    return d.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

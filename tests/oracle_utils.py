@@ -9,8 +9,14 @@ bit-identical — the tolerance only cushions the comparison itself).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
+
+# ORACLE_STRICT=1 → floats must match bit-for-bit (the driver's hash
+# compare is exact; the default 1e-9 tolerance only cushions local
+# iteration)
+STRICT = os.environ.get("ORACLE_STRICT", "") == "1"
 
 TABLES = [
     "region",
@@ -91,7 +97,8 @@ def compare_query(spark, sf_dir: str, fn, sql: str) -> None:
                     rel = abs(sv - ov) / denom
                     max_rel = max(max_rel, rel)
                     n_float_diff += 1
-                    assert rel < 1e-9, (
+                    limit = 0.0 if STRICT else 1e-9
+                    assert rel <= limit, (
                         f"row {i} col {c}: spark={sv!r} oracle={ov!r} rel={rel}"
                     )
             else:
