@@ -659,3 +659,110 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (SURVEY §2.10 text-analysis row: TF-IDF)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6)
+               AS tfidf
+      FROM tf t JOIN df d ON t.word = d.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rk
+      FROM scored
+    )
+    WHERE rk <= {_TFIDF_K}
+    """,
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_K} TF-IDF terms per document: term frequency ×
+    ln(N/df), ranked per doc with a term tiebreak. tf/df are exact
+    ints; the single ln+multiply is rounded to 6dp so a 1-ulp libm
+    difference between engines cannot flip a value or a rank.
+
+    Scale: two shuffles (tf on (doc, word), df on word — both compact
+    keys); df joins back broadcast-or-shuffle by vocabulary size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (array analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_dim_stats",
+    oracle="""
+    SELECT pos,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000000) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0) AS dim_sum,
+           ROUND(MIN(CAST(v AS DOUBLE)), 6) AS dim_min,
+           ROUND(MAX(CAST(v AS DOUBLE)), 6) AS dim_max
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    GROUP BY 1
+    """,
+    tags=("similarity", "array"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics over the embedding column: posexplode
+    the vectors, aggregate per position. The columnar scan reads the
+    list column once; the shuffle key is the 64-value position. Sum
+    uses scale 1e9 (|x| < 1; 2000 rows/dim → far under 2^63); min/max
+    of identical float→double casts are exact, rounded only for
+    display symmetry."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    return x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("v") * F.lit(10**9)).cast("long")) / F.lit(1e9)).alias("dim_sum"),
+        F.round(F.min("v"), 6).alias("dim_min"),
+        F.round(F.max("v"), 6).alias("dim_max"),
+    )
