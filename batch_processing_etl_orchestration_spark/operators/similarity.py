@@ -191,3 +191,125 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .drop(q_vec, c_vec)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cell-partitioned scale path
+# ---------------------------------------------------------------------------
+
+
+def _centroid_elems(spark, centroids: list[tuple[int, list[float]]]):
+    """Element-wise centroid table (cell_id, pos, w, cnorm) for
+    broadcast joins; cnorm precomputed driver-side (n_cells is tiny)."""
+    rows = []
+    for cell_id, vec in centroids:
+        cnorm = sum(x * x for x in vec) ** 0.5 or 1.0
+        rows.extend((cell_id, p, float(w), cnorm) for p, w in enumerate(vec))
+    return spark.createDataFrame(rows, "cell_id INT, pos INT, w DOUBLE, cnorm DOUBLE")
+
+
+def _nearest_cells(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_elems: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """(id, cell_id, cell_rank): the n_probe nearest centroids per
+    vector by cosine. Since |v| is constant per vector, ranking by
+    dot/|c| equals ranking by cosine — no vector-norm pass needed.
+    Same posexplode→broadcast-join→partial-agg shape as
+    lsh_bucket_ids (primitive codegen; no interpreted lambdas)."""
+    exploded = vectors.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    scores = (
+        exploded.join(F.broadcast(centroid_elems), "pos")
+        .groupBy("_id", "cell_id")
+        .agg(
+            (F.sum(F.col("val").cast("double") * F.col("w")) / F.first("cnorm")).alias(
+                "_score"
+            )
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_score").desc(), F.col("cell_id"))
+    return (
+        scores.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n_probe)
+        .select(F.col("_id").alias(id_col), "cell_id", "cell_rank")
+    )
+
+
+def ivf_build_centroids(
+    vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, dim: int
+) -> DataFrame:
+    """Coarse quantizer: seeds = the n_cells lowest-id vectors
+    (deterministic, no RNG), then ONE Lloyd iteration (per-cell mean
+    of assigned vectors) to pull centroids toward the data. Returns
+    the broadcast-ready element table.
+
+    Driver collects are n_cells and n_cells*dim rows — index
+    metadata, not data. At 100 TB the index is built once and reused
+    across queries (two passes over the corpus, amortized)."""
+    spark = vectors.sparkSession
+    seeds = [
+        (i, [float(x) for x in r[1]])
+        for i, r in enumerate(
+            vectors.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+        )
+    ]
+    seed_elems = _centroid_elems(spark, seeds)
+    assign1 = _nearest_cells(vectors, id_col, vec_col, seed_elems, 1)
+    exploded = vectors.select(
+        F.col(id_col).alias("_vid"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    means = (
+        exploded.join(assign1.select(F.col(id_col).alias("_vid"), "cell_id"), "_vid")
+        .groupBy("cell_id", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("w"))
+        .collect()
+    )
+    by_cell: dict[int, list[float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell_id"], [0.0] * dim)[r["pos"]] = r["w"]
+    return _centroid_elems(spark, sorted(by_cell.items()))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    q_id: str = "query_id",
+    c_id: str = "cand_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """IVF approximate cosine top-k: candidates are binned to their
+    nearest centroid (the inverted lists); each query probes only its
+    n_probe nearest cells, so the exact-scoring pass touches
+    ~n_probe/n_cells of the corpus instead of all of it.
+
+    Scale: the inverted lists ARE a partitioning — at 100 TB,
+    repartition/cluster the corpus by cell_id on write and a probe
+    reads only the probed cells' files (partition pruning on cell_id).
+    Returns brute_force_topk's shape; recall measured in
+    tests/test_similarity.py."""
+    cent = ivf_build_centroids(candidates, c_id, c_vec, n_cells, dim)
+    cand_cells = _nearest_cells(candidates, c_id, c_vec, cent, 1).select(c_id, "cell_id")
+    inverted = candidates.join(cand_cells, c_id).repartition("cell_id")
+    q_cells = _nearest_cells(queries, q_id, q_vec, cent, n_probe).select(q_id, "cell_id")
+    probe = q_cells.join(F.broadcast(queries), q_id)
+    scored = (
+        probe.join(inverted, "cell_id")
+        .where(F.col(q_id) != F.col(c_id))
+        .withColumn("cosine_sim", cosine(q_vec, c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "label", "cosine_sim", "rank")
+    )

@@ -766,3 +766,114 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("dim_min"),
         F.round(F.max("v"), 6).alias("dim_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment: connected components over the near-dup
+# pair graph (the step after pairwise dedup — "which rows are one
+# document"). Iterative min-label propagation in Spark; the oracle is
+# a DuckDB recursive CTE over the identical edge set.
+# ---------------------------------------------------------------------------
+
+_SQL_JACCARD_EDGES = """,
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1
+    ),
+    langs AS (SELECT doc_id, lang FROM documents),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN langs la ON la.doc_id = a.doc_id
+      JOIN langs lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    )
+"""
+
+
+@register(
+    "q_dup_clusters",
+    oracle=_SQL_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _SQL_JACCARD_EDGES
+    + """,
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp_id
+      FROM walk GROUP BY src
+    )
+    SELECT doc_id, comp_id,
+           COUNT(*) OVER (PARTITION BY comp_id) AS cluster_size
+    FROM comp
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the
+    word-3-gram Jaccard ≥ 0.1 pair graph (q_ngram_jaccard_pairs'
+    edges), each doc labeled with its component's minimum doc_id and
+    the cluster size — the "pick one representative per duplicate
+    cluster" primitive a training-data pipeline runs after pairwise
+    near-dup detection.
+
+    Implementation: iterative min-label propagation (comp := least of
+    own comp and neighbors' comps) until a fixpoint; each round is one
+    shuffle join + partial agg on the compact (long, long) edge list,
+    and ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1. Convergence in O(component
+    diameter) rounds — near-dup graphs are overwhelmingly tiny
+    cliques, so 2-3 rounds in practice; the driver-side loop only
+    inspects a monotone scalar (sum of labels), never the data. At
+    100 TB this is the standard large-star/small-star regime: edges
+    pre-partitioned by src so every round reuses one partitioning.
+    The oracle is a DuckDB recursive CTE over the same edge set — a
+    genuinely iterative operator that still hash-checks.
+    """
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    prev_sum = None
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select("id", F.least("comp", "nbr_comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("comp")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("comp_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -24,6 +24,7 @@ from batch_processing_etl_orchestration_spark.operators.dedup import (
 )
 from batch_processing_etl_orchestration_spark.operators.similarity import (
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from batch_processing_etl_orchestration_spark.plans.registry import register
 from batch_processing_etl_orchestration_spark.streaming.events import (
@@ -74,6 +75,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
     return hyperplane_lsh_topk(q, c, k=10)
+
+
+@register("q_ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-10: corpus binned into 8 centroid
+    cells (deterministic seeds + one Lloyd step), queries probe their
+    4 nearest cells — the partition-pruning ANN layout (vs the LSH
+    bucket layout above). Recall vs q_cosine_topk_bruteforce measured
+    in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
+    return ivf_topk(q, c, k=10, n_cells=8, n_probe=4)
 
 
 # ---------------------------------------------------------------------------

@@ -1544,3 +1544,47 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum("value").alias("bucket_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general grouping-set surface (ROLLUP and CUBE
+# above are its hierarchical/powerset specializations); the set list
+# here is deliberately NON-hierarchical, so neither rollup nor cube
+# could express it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    tags=("A", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation with GROUPING() markers (which
+    disambiguate a NULL grouping key from a super-aggregate row).
+    Catalyst plans one Expand + one hash aggregate — a single scan
+    and a single shuffle regardless of how many sets are listed, which
+    is exactly the 100 TB-friendly shape (vs one job per set unioned).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n_rows,
+               {sql_exact_sum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )

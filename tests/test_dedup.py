@@ -68,3 +68,22 @@ def test_simhash_exact_dup_distance_zero(spark):
     # near dup should be within the hamming budget; unrelated should not
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A~B and B~C but A!~C must still land in ONE cluster (label
+    propagation crosses the transitive link), and the cluster id is
+    the component's minimum doc_id."""
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        q_dup_clusters,
+    )
+
+    rows = [r for r in q_dup_clusters(spark, "/root/testdata/sf0.001").collect()]
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["comp_id"], []).append(r)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m["doc_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # sanity: at least one multi-doc cluster exists in the fixture
+    assert any(len(m) >= 2 for m in by_comp.values())

@@ -62,3 +62,40 @@ def test_lsh_sims_are_exact_for_returned_pairs(spark):
     }
     for r in hyperplane_lsh_topk(q, c, k=K).collect():
         assert abs(exact[(r["query_id"], r["cand_id"])] - r["cosine_sim"]) < 1e-12
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from batch_processing_etl_orchestration_spark.operators.similarity import ivf_topk
+
+    q, c = _qc(spark)
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in brute_force_topk(q, c, k=K).collect()
+    }
+    approx_rows = ivf_topk(q, c, k=K, n_cells=8, n_probe=4).collect()
+    approx = {(r["query_id"], r["cand_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # measured 0.90 at 8 cells / 4 probes on this fixture (0.90 at
+    # 8/2, 0.84 at 16/4); assert with margin for param drift
+    assert recall >= 0.6, f"recall {recall}"
+    # every returned row is exact-cosine within the probed cells:
+    # ranks are 1..k per query with descending sims
+    for qid in {r["query_id"] for r in approx_rows}:
+        rows = [r for r in approx_rows if r["query_id"] == qid]
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        sims = [r["cosine_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_cells_partition_corpus(spark):
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        ivf_build_centroids,
+        _nearest_cells,
+    )
+
+    _, c = _qc(spark)
+    cent = ivf_build_centroids(c, "cand_id", "ce", n_cells=8, dim=64)
+    assign = _nearest_cells(c, "cand_id", "ce", cent, 1)
+    n_vec = c.count()
+    assert assign.count() == n_vec  # every vector in exactly one cell
+    n_cells_used = assign.select("cell_id").distinct().count()
+    assert n_cells_used >= 2  # quantizer actually splits the corpus
