@@ -83,3 +83,51 @@ def extract_features(
 
     out_schema = f"{id_col} LONG, features ARRAY<DOUBLE>"
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+FRAME_BYTES = 64  # fake "frame" stride over the payload
+FRAME_MS = 40  # 25 fps
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame-sampling plumbing: treat the payload as a stream of
+    FRAME_BYTES-byte frames at 25 fps and emit every k-th frame's
+    (index, timestamp, actual slice length). The byte slicing runs on
+    the real binary column inside Arrow batches — only the notion that
+    64 bytes == one frame is fake (no codecs in this container; a real
+    deployment swaps the slicer for an av/ffmpeg call with the same
+    mapInPandas signature and one-row-per-frame output shape).
+
+    Scale: fan-out is rows × sampled-frames; frames inherit the
+    input's partitioning, so a downstream per-frame feature extractor
+    chains onto the same scan with no shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, mss, sizes = [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(buf)
+                n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, n_frames, every_k):
+                    ids.append(i)
+                    idxs.append(fi)
+                    mss.append(fi * FRAME_MS)
+                    sizes.append(len(raw[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ms": pd.Series(mss, dtype="int64"),
+                    "frame_n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    out_schema = f"{id_col} LONG, frame_idx LONG, frame_ms LONG, frame_n_bytes LONG"
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

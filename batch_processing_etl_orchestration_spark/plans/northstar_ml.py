@@ -11,11 +11,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from batch_processing_etl_orchestration_spark.functions.exact import sql_exact_sum, sql_ts_str, ts_str
+from batch_processing_etl_orchestration_spark.functions.exact import (
+    exact_sum,
+    sql_exact_sum,
+    sql_ts_str,
+    ts_str,
+)
 from batch_processing_etl_orchestration_spark.multimodal.binary import (
     FEAT_DIM,
     attach_binary_payload,
     extract_features,
+    sample_frames,
 )
 from batch_processing_etl_orchestration_spark.operators.asof import asof_join
 from batch_processing_etl_orchestration_spark.operators.dedup import (
@@ -298,3 +304,100 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="update",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join, streaming dedup, frame sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_enrich_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the
+    static customer dimension (broadcast — the dim is re-read per
+    micro-batch but never shuffled), aggregated by market segment.
+    The canonical streaming-ETL enrichment shape; with availableNow
+    over the static fixture it must equal the batch join, which the
+    oracle asserts."""
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("total_value"),
+    )
+    return run_stream_to_table(agg, spark)
+
+
+@register(
+    "q_stream_dedup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under at-least-once delivery: the
+    source is read TWICE and unioned (simulating redelivery), then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses each event
+    back to one occurrence before aggregation — so the result must
+    equal the single-copy batch aggregate, which the oracle asserts.
+    The watermark bounds the dedup state: at 100 TB/day the state
+    store holds only ids younger than the horizon, not the full
+    history."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("total_value"),
+    )
+    return run_stream_to_table(agg, spark)
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_bytes,
+             unnest(range(0, CAST(ceil(n_bytes / 64.0) AS BIGINT), 3)) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * 40 AS frame_ms,
+           LEAST(64, n_bytes - 64 * frame_idx) AS frame_n_bytes
+    FROM f
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: every 3rd 64-byte 'frame'
+    of each document's payload with its index, 25-fps timestamp, and
+    actual slice length — the video-pipeline plumbing shape (decode
+    stubbed; slicing real). The oracle recomputes the sampled frame
+    geometry from byte lengths in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs), every_k=3)

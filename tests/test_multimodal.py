@@ -36,3 +36,35 @@ def test_decode_media_is_explicit_stub(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     with pytest.raises(NotImplementedError):
         decode_media(attach_binary_payload(docs))
+
+
+def test_sample_frames_geometry(spark):
+    from batch_processing_etl_orchestration_spark.multimodal.binary import (
+        FRAME_BYTES,
+        sample_frames,
+    )
+
+    # 1 byte (sub-frame), exactly 1 frame, 1 frame + 1 byte, 10 frames
+    docs = spark.createDataFrame(
+        [
+            (1, "x"),
+            (2, "a" * FRAME_BYTES),
+            (3, "b" * (FRAME_BYTES + 1)),
+            (4, "c" * (10 * FRAME_BYTES)),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = sample_frames(attach_binary_payload(docs), every_k=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0]
+    assert by_doc[1][0]["frame_n_bytes"] == 1
+    assert [r["frame_idx"] for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [0]
+    assert by_doc[2][0]["frame_n_bytes"] == FRAME_BYTES
+    f3 = sorted(by_doc[3], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f3] == [0]  # frame 1 exists but isn't sampled (k=3)
+    f4 = sorted(by_doc[4], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f4] == [0, 3, 6, 9]
+    assert all(r["frame_n_bytes"] == FRAME_BYTES for r in f4)
+    assert all(r["frame_ms"] == r["frame_idx"] * 40 for r in rows)
