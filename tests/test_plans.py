@@ -87,3 +87,40 @@ def test_pivot_no_value_discovery_pass(spark, sf_dir):
     # (≤2 shuffles), never a third pass to discover pivot values
     plan = _plan(spark, sf_dir, "q_pivot_day_type")
     assert _n_exchanges(plan) <= 2
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS must plan as one Expand + one aggregate exchange —
+    a single scan regardless of how many sets are listed (not one job
+    per set unioned)."""
+    plan = _plan(spark, sf_dir, "q_grouping_sets")
+    assert "Expand" in plan
+    # the formatted plan prints each node in the tree AND the detail
+    # section — assert structure by node kind, not raw counts
+    assert "Union" not in plan  # NOT one aggregation job per set
+    n_scans = plan.count("(1) Scan parquet")  # node ids are stable: scan is leaf
+    assert n_scans == 1
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    """The stream-static enrichment join must broadcast the customer
+    dimension, never shuffle the stream."""
+    from batch_processing_etl_orchestration_spark.streaming.events import (
+        read_events_stream,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+    from pyspark.sql import functions as F
+    import io
+    from contextlib import redirect_stdout
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(cust), "user_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
