@@ -1588,3 +1588,86 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — the pure filter-aggregate: every predicate must reach
+# the parquet scan, the plan is scan → partial agg → single-row final
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_agg_pushdown",
+    oracle=f"""
+    SELECT {sql_exact_sum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("A", "pushdown"),
+)
+def q_filter_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive range predicates + global aggregate.
+    At 100 TB this is the pushdown showcase — all four predicates land
+    in the parquet scan (row-group min/max skipping), shipdate prunes
+    date partitions, and the aggregate is one partial/final pair with
+    a single-row exchange. Product sum at scale 1e6: |x| ≤ 1e4 and
+    ~6e5 rows/sf0.1 keep the scaled-long fold far under 2^63."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function variety: rank/dense_rank/lead/first_value with an
+# explicit frame (q_window_lag covers lag/row_number)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_rank_frames",
+    oracle="""
+    SELECT event_id, user_id, value,
+           rank()       OVER w AS value_rank,
+           dense_rank() OVER w AS value_dense_rank,
+           lead(value)  OVER w AS next_value,
+           first_value(value) OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS top_value
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    tags=("W", "window"),
+)
+def q_window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lead / first_value-with-frame over per-user
+    value ordering (event_id tiebreak keeps every function
+    deterministic — Spark sorts are not stable, SURVEY O3). One
+    window spec → one shuffle+sort serves all four functions."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.rank().over(w).alias("value_rank"),
+        F.dense_rank().over(w).alias("value_dense_rank"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("top_value"),
+    )

@@ -124,3 +124,14 @@ def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Every Q6 predicate must reach the parquet scan as a pushed
+    filter — none may survive only as a post-scan Filter."""
+    plan = _plan(spark, sf_dir, "q_filter_agg_pushdown")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters in scan"
+    text = " ".join(pushed)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in text, f"{col} not pushed to scan"
