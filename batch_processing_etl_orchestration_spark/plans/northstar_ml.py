@@ -401,3 +401,62 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry from byte lengths in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(docs), every_k=3)
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           date_diff('second', c.ts, p.ts) AS secs_before
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour — attribution, the canonical
+    stream-stream shape. Both sides carry watermarks and the join
+    condition is time-bounded, so the state store only retains events
+    inside watermark + interval (bounded state at 100 TB/day). With
+    availableNow over the static fixture the result must equal the
+    batch interval self-join, which the oracle asserts."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 days")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_before"),
+    )
+    return run_stream_to_table(joined, spark, output_mode="append")

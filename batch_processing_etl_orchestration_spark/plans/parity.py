@@ -1671,3 +1671,50 @@ def q_window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("next_value"),
         F.first("value").over(wf).alias("top_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated aggregate subquery (TPC-H Q17 shape) — Catalyst must
+# decorrelate into one join against the per-group aggregate, not
+# re-execute the subquery per row
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle=f"""
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small,
+           {sql_exact_sum('l.l_extendedprice')} AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.4 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY 1
+    """,
+    tags=("subquery",),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q17 shape): lineitems whose
+    quantity is under 40% of their part's average. Catalyst
+    decorrelates this into a single aggregate + join — one scan pair,
+    not a per-row subquery execution; the 0.4 multiplier lands the
+    threshold strictly between integer quantities so the selected set
+    is stable under double rounding in either engine."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l.l_partkey,
+               COUNT(*) AS n_small,
+               {sql_exact_sum('l.l_extendedprice')} AS small_revenue
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.4 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY 1
+        """
+    )
