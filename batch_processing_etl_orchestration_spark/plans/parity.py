@@ -1718,3 +1718,63 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas — the batch grouped-UDF surface (the
+# streaming flavor is q_stream_stateful_totals; mapInPandas powers the
+# multimodal/ANN kernels). Semantics chosen to be integer-exact so the
+# Python path still hash-matches the SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouped_map_deltas",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                     ts) AS us_since_prev
+    FROM events
+    WHERE user_id < 20
+    """,
+    tags=("W", "udf"),
+)
+def q_grouped_map_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps via grouped-map ``applyInPandas`` —
+    each user's history arrives as one pandas frame (sorted in Python;
+    Spark grouped-map gives no intra-group order), the gap is an
+    integer microsecond count, so the Arrow path is bit-exact against the
+    SQL lag() oracle. At scale the shuffle key is user_id and each
+    group must fit one executor's memory — the operator of choice when
+    per-entity logic genuinely needs imperative pandas (model scoring,
+    per-entity curve fitting), NOT for things a window can express
+    (the lag twin q_window_lag stays JVM-side)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20).select(
+        "user_id", "event_id", "ts"
+    )
+
+    def deltas(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # integer nanos -> exact microsecond gaps (no float rounding,
+        # and microsecond granularity makes 'boundaries crossed' ==
+        # 'elapsed units', so it matches date_diff exactly)
+        ns = pdf["ts"].astype("int64")
+        dif = ns.diff()
+        gaps = [None if pd.isna(v) else int(v) // 1000 for v in dif]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts_str": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "us_since_prev": gaps,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        deltas, "user_id BIGINT, event_id BIGINT, ts_str STRING, us_since_prev BIGINT"
+    )
