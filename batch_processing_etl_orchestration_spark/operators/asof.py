@@ -38,7 +38,16 @@ def asof_join(
     as-of, inclusive). Right columns come back suffixed; unmatched
     left rows keep nulls (LEFT ASOF semantics)."""
     rpay = F.struct(*[F.col(c) for c in right_cols]).alias("_rpay")
-    r = right.select(*on, F.col(right_ts).alias("_ts"), rpay, F.lit(0).alias("_side"))
+    # Deterministic tiebreak: if several right rows share (key, ts), keep the
+    # struct-max payload (lexicographic over right_cols order) so the carried
+    # match is stable run-to-run — every sort in the engine has a unique-key
+    # tiebreak, including this implicit one. Also shrinks the window input.
+    r = (
+        right.select(*on, F.col(right_ts).alias("_ts"), rpay)
+        .groupBy(*on, "_ts")
+        .agg(F.max("_rpay").alias("_rpay"))
+        .withColumn("_side", F.lit(0))
+    )
     lpay = F.struct(*[F.col(c) for c in left.columns]).alias("_lpay")
     l = left.select(
         *on,

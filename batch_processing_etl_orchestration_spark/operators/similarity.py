@@ -329,8 +329,9 @@ def ivf_topk(
         .withColumn("cosine_sim", cosine(q_vec, c_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
+    passthrough = [f.name for f in candidates.schema.fields if f.name not in (c_id, c_vec)]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(q_id, c_id, "label", "cosine_sim", "rank")
+        .select(q_id, c_id, *passthrough, "cosine_sim", "rank")
     )

@@ -303,6 +303,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_totals(events.select("user_id", "value")),
         spark,
         output_mode="update",
+        update_keys=["user_id"],
     )
 
 

@@ -846,7 +846,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(k) AS n_with_k,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k
     FROM (

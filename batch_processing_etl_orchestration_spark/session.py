@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Engine-wide convention: parquet INT64 TIMESTAMP(NANOS) columns
+        # (events.ts in the fixtures) are read as epoch-nanos longs and
+        # rebuilt as TIMESTAMP_NTZ by the loader (tables.load_table) —
+        # set once here, never toggled per-read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

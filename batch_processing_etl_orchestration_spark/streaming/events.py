@@ -93,15 +93,31 @@ def run_stream_to_table(
     spark: SparkSession,
     name: str | None = None,
     output_mode: str = "complete",
+    update_keys: list[str] | None = None,
 ) -> DataFrame:
     """Execute a streaming aggregation to completion with
     trigger(availableNow) into a memory sink and return the result as
     a batch DataFrame. This is the incremental-batch execution mode
     matching the reference's cron cadence; checkpoints give restart
-    exactly-once. Stateful applyInPandasWithState queries use
-    output_mode='update' (complete is aggregation-only)."""
+    exactly-once.
+
+    Stateful applyInPandasWithState queries use output_mode='update'
+    (complete is aggregation-only). An update sink receives EVERY
+    per-batch revision of a key's row, so if the source splits into
+    more than one micro-batch (multiple files, maxFilesPerTrigger) a
+    plain memory sink accumulates duplicates. For update mode pass
+    ``update_keys``: micro-batches are staged via foreachBatch with
+    their batch_id stamped on, and only each key's final revision
+    (max batch_id) is returned — correct under any micro-batch split."""
     table = name or f"stream_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_CHECKPOINT_ROOT, table)
+    if output_mode == "update":
+        if not update_keys:
+            raise ValueError(
+                "output_mode='update' requires update_keys so later batch "
+                "revisions of a key replace earlier ones"
+            )
+        return _run_update_stream(df, spark, table, ckpt, update_keys)
     q = (
         df.writeStream.format("memory")
         .queryName(table)
@@ -112,3 +128,41 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def _run_update_stream(
+    df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    ckpt: str,
+    update_keys: list[str],
+) -> DataFrame:
+    """Drain an update-mode stream keeping each key's LAST revision.
+    foreachBatch appends every micro-batch to a parquet staging dir
+    with its batch_id (distributed write — no driver collect); the
+    final read keeps the max-batch_id row per key."""
+    from pyspark.sql import Window
+
+    stage = os.path.join(_CHECKPOINT_ROOT, f"{table}_stage")
+    out_cols = df.columns
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(stage)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(stage):
+        return spark.createDataFrame([], df.schema)
+    staged = spark.read.parquet(stage)
+    w = Window.partitionBy(*update_keys).orderBy(F.col("_batch_id").desc())
+    return (
+        staged.withColumn("_rev", F.row_number().over(w))
+        .where(F.col("_rev") == 1)
+        .select(*out_cols)
+    )

@@ -50,6 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Session-wide engine convention (also set in session.get_spark):
+        # nanos columns read as longs everywhere, timestamps rebuilt
+        # explicitly. Idempotent same-value set — kept here because the
+        # driver's verify harness builds its own SparkSession that does
+        # not go through get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn(
