@@ -3,14 +3,21 @@
 The reference reads a 150-row coordinate CSV
 (OpenMeteoWeatherPipelineHourlyData.py:47-57) and two Excel reference
 sheets cached by Last-Modified (EIA930PipelineHourlyData.py:15-42).
-Excel support is gated behind an import-try: the container has no
-Excel reader, so the loader degrades to a clear error while the CSV
-path (the one exercised by tests) is pure Spark.
+Excel ingestion runs on the stdlib OOXML parser in sources/xlsx.py —
+no openpyxl needed — so S5 is a working path, not a gated stub.
 """
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from batch_processing_etl_orchestration_spark.sources.xlsx import (
+    read_workbook,
+    rows_to_header_and_data,
+)
 
 
 def read_csv_dim(spark: SparkSession, path: str) -> DataFrame:
@@ -19,22 +26,55 @@ def read_csv_dim(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, header=True, inferSchema=True)
 
 
+def _column_type(values: list[Any]) -> T.DataType:
+    """Narrowest Spark type covering a column's non-null cells
+    (mirrors pandas' per-column dtype inference on read_excel)."""
+    present = [v for v in values if v is not None]
+    if not present:
+        return T.StringType()
+    if all(isinstance(v, bool) for v in present):
+        return T.BooleanType()
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in present):
+        return T.LongType()
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in present):
+        return T.DoubleType()
+    return T.StringType()
+
+
 def read_excel_sheets(
-    spark: SparkSession, path: str, sheets: list[str]
+    spark: SparkSession, path: str, sheets: list[str], max_cols: int | None = None
 ) -> dict[str, DataFrame]:
     """S5 — multi-sheet Excel scan (pd.read_excel(sheet_name=[...]),
-    EIA930PipelineHourlyData.py:33-34). Requires an Excel engine
-    (openpyxl) on the driver; the small sheets then become broadcast
-    dims via createDataFrame."""
-    try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl; stage the sheets as CSV/parquet "
-            "and use read_csv_dim instead"
-        ) from e
-    import pandas as pd
-
-    frames = pd.read_excel(path, sheet_name=sheets)
-    return {name: spark.createDataFrame(pdf) for name, pdf in frames.items()}
+    EIA930PipelineHourlyData.py:33-34). Sheets parse on the driver
+    (stdlib zip+XML — workbook dims are driver-small by contract) and
+    become broadcast-ready DataFrames via createDataFrame. ``max_cols``
+    mirrors the reference's first-6-column BA projection (.iloc[:, :6],
+    EIA930PipelineHourlyData.py:34)."""
+    out: dict[str, DataFrame] = {}
+    for name, grid in read_workbook(path, sheets).items():
+        header, data = rows_to_header_and_data(grid)
+        if max_cols is not None:
+            header, data = header[:max_cols], [r[:max_cols] for r in data]
+        cols = list(zip(*data)) if data else [[] for _ in header]
+        schema = T.StructType(
+            [
+                T.StructField(h, _column_type(list(col)), nullable=True)
+                for h, col in zip(header, cols)
+            ]
+        )
+        coerced = [
+            tuple(
+                None
+                if v is None
+                else float(v)
+                if isinstance(schema[i].dataType, T.DoubleType)
+                and not isinstance(v, bool)
+                else str(v)
+                if isinstance(schema[i].dataType, T.StringType)
+                else v
+                for i, v in enumerate(row)
+            )
+            for row in data
+        ]
+        out[name] = spark.createDataFrame(coerced, schema=schema)
+    return out
