@@ -13,5 +13,6 @@ from batch_processing_etl_orchestration_spark.plans.registry import (
 from batch_processing_etl_orchestration_spark.plans import parity  # noqa: F401
 from batch_processing_etl_orchestration_spark.plans import northstar  # noqa: F401
 from batch_processing_etl_orchestration_spark.plans import northstar_ml  # noqa: F401
+from batch_processing_etl_orchestration_spark.plans import replay  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "all_queries", "all_oracle_sql"]
