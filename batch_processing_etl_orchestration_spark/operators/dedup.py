@@ -92,19 +92,81 @@ def minhash_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
+def capped_bucket_pairs(
+    members: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs within each bucket, with bounded
+    work per bucket — the adversarial-skew guard for LSH self-joins.
+
+    An all-pairs bucket self-join is quadratic in bucket size: a
+    pathological corpus (10⁶ identical docs → one bucket) would emit
+    5·10¹¹ pairs. Instead, members rank by id inside their bucket and:
+
+    - ranks ≤ cap pair all-with-all            → ≤ cap²/2 pairs
+    - ranks ≥ cap chain to their successor      → n - cap pairs
+
+    Total O(cap² + n) per bucket. Pair COMPLETENESS degrades only for
+    buckets larger than cap (tail members get chain edges, not all
+    pairs) — but such buckets are near-identical-content clusters, the
+    chain keeps every member connected (each chain edge still passes
+    the exact verify when members truly are near-dups), and downstream
+    clustering (plans/northstar.py dup_clusters) recovers the full
+    cluster from the chain. Normal buckets (≤ cap) are exhaustive.
+
+    Scale: the rank is a per-bucket window sort — O(n log n) on the
+    bucket's partition, never quadratic. The emitted-pair bound, not
+    the sort, is what saves the job.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(id_col)
+    ranked = members.withColumn("_r", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    same_bucket = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    head = ranked.where(F.col("_r") <= cap)
+    a, b = head.alias("a"), head.alias("b")
+    head_pairs = a.join(
+        b, _and_all(same_bucket + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
+    ta = ranked.where(F.col("_r") >= cap).alias("a")
+    tb = ranked.where(F.col("_r") > cap).alias("b")
+    chain_pairs = ta.join(
+        tb, _and_all(same_bucket + [F.col("a._r") + 1 == F.col("b._r")])
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+    )
+    return head_pairs.unionByName(chain_pairs)
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold).
 
-    Pipeline: shingle → minhash → band → bucket self-join (candidates)
-    → exact Jaccard verify on candidates only. The band join is the
-    only potentially-skewed shuffle; identical band_sig groups are
-    true near-dup clusters, so skew == signal here.
+    Pipeline: shingle → minhash → band → capped bucket self-join
+    (candidates) → exact Jaccard verify on candidates only. The band
+    join is the only potentially-skewed shuffle; identical band_sig
+    groups are true near-dup clusters, so skew == signal — but
+    adversarially-large buckets are bounded by ``max_bucket_size``
+    (see capped_bucket_pairs) so one degenerate signature can't go
+    quadratic.
     """
     # shingle sets feed the signature pipeline AND (3×) the exact
     # verify; band buckets self-join. Without eager materialization
@@ -114,18 +176,9 @@ def minhash_lsh_pairs(
     # in one session must not accumulate storage.
     sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, id_col)
-    buckets = minhash_band_buckets(sigs, id_col).localCheckpoint(eager=True)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    buckets = minhash_band_buckets(sigs, id_col)
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        capped_bucket_pairs(buckets, ["band", "band_sig"], id_col, max_bucket_size)
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -204,17 +257,19 @@ def simhash_pairs(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate pairs within Hamming ≤ max_hamming of each other's
     simhash. Candidates come from matching any 16-bit chunk (pigeonhole:
     guaranteed complete for hamming ≤ 3; a recall-bounded screen above
-    that); exact bit_count(xor) verifies."""
+    that); exact bit_count(xor) verifies. Degenerate chunk buckets are
+    bounded by ``max_bucket_size`` (capped_bucket_pairs) — identical
+    corpora can't drive the chunk join quadratic."""
     # the chunk table self-joins below — eager localCheckpoint so the
     # signature aggregation (63 bit-vote sums) computes once, not twice
     sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         id_col,
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -228,27 +283,16 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
+    ).select(id_col, "c.chunk_idx", "c.chunk_val")
+    cand = capped_bucket_pairs(
+        chunks, ["chunk_idx", "chunk_val"], id_col, max_bucket_size
+    ).distinct()
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -87,3 +87,65 @@ def test_dup_clusters_transitive_chain(spark):
         assert all(m["cluster_size"] == len(members) for m in members)
     # sanity: at least one multi-doc cluster exists in the fixture
     assert any(len(m) >= 2 for m in by_comp.values())
+
+
+# ---------------------------------------------------------------------------
+# Adversarial skew guard: a degenerate corpus (every doc identical) puts
+# all docs in ONE bucket per band; pair generation must stay O(cap² + n),
+# not n²/2, and chain edges must keep every doc connected.
+# ---------------------------------------------------------------------------
+
+_ADV_N = 10_000
+_ADV_TEXT = (
+    "every single document in this adversarial corpus carries exactly "
+    "the same words so all band signatures and simhash chunks collide"
+)
+
+
+def _adversarial_docs(spark, n=_ADV_N):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(_ADV_TEXT).alias("text")
+    )
+
+
+def test_minhash_adversarial_bucket_is_bounded(spark):
+    docs = _adversarial_docs(spark)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=64).collect()
+    # unguarded would be n(n-1)/2 ≈ 5·10⁷ pairs; capped is head all-pairs
+    # (≤ 64²/2) + one chain edge per tail doc
+    assert len(pairs) < 3 * _ADV_N
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    # connectivity: every doc appears in at least one surviving pair, so
+    # downstream connected-components recovers the single true cluster
+    touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert len(touched) == _ADV_N
+
+
+def test_simhash_adversarial_bucket_is_bounded(spark):
+    docs = _adversarial_docs(spark, n=2_000)
+    pairs = simhash_pairs(docs, max_hamming=8, max_bucket_size=64).collect()
+    assert len(pairs) < 3 * 2_000
+    assert all(r["hamming"] == 0 for r in pairs)
+    touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert len(touched) == 2_000
+
+
+def test_capped_pairs_exhaustive_below_cap(spark):
+    """Buckets at or below the cap must be exhaustive — the guard may
+    only kick in above it (no recall change for normal corpora)."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        capped_bucket_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.range(10).select(
+        F.lit("b0").alias("bucket"), F.col("id").alias("doc_id")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped_bucket_pairs(members, ["bucket"], "doc_id", cap=64).collect()
+    }
+    want = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert got == want
