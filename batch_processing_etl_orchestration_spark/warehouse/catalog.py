@@ -222,6 +222,65 @@ def append_rows(df: DataFrame, name: str, db: str = DEFAULT_DB) -> None:
     df.write.mode("append").insertInto(f"{db}.{name}")
 
 
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """K1 Postgres-parity path: a configured ``DataFrameWriter`` for an
+    external RDBMS — the direct analog of the reference's
+    psycopg2 execute_values loader (databaseOperations.py:129-382,
+    EIA930PipelineHourlyData.py:158-180), but distributed: each
+    partition opens its own connection and writes ``batchsize`` rows
+    per round trip, so load parallelism = ``num_partitions`` (coalesce
+    first — a 1000-executor write would otherwise open 1000
+    connections against one Postgres).
+
+    Returns the writer unsaved so callers (and tests) can inspect the
+    exact options; call ``.save()`` to execute. Executing requires the
+    target's JDBC driver jar on the classpath (``--jars``/
+    ``spark.jars.packages``) and a reachable database — neither exists
+    in this container, so execution is exercised against real
+    infrastructure, not in tests (documented in COVERAGE.md).
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_options(url, table, batch_size, properties).items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option set jdbc_writer applies (pure — unit-testable
+    without a JVM writer or a database)."""
+    return {"url": url, "dbtable": table, "batchsize": str(batch_size)} | (
+        properties or {}
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Execute the K1 JDBC load (see jdbc_writer)."""
+    jdbc_writer(df, url, table, mode, batch_size, num_partitions, properties).save()
+
+
 def merge_idempotent(
     spark: SparkSession, df: DataFrame, name: str, key_cols: list[str], db: str = DEFAULT_DB
 ) -> None:

@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "q_ann_lsh_topk",
     "q_minhash_lsh_pairs",
     "q_simhash_pairs",
+    # r2 breadth (VERDICT r1 #8): iterative, IVF, and streaming paths
+    "q_dup_clusters",
+    "q_ann_ivf_topk",
+    "q_stream_hourly_window",
+    "q_pipeline_eia930_net_gen",
 ]
 
 

@@ -1,0 +1,50 @@
+"""Run-to-run determinism attestation for the rows-only (no-SQL-oracle)
+operators: two independent executions of the same registered query must
+return IDENTICAL row sets — bit-exact, order-insensitive.
+
+These operators are verified against brute-force ground truth in
+test_dedup.py / test_similarity.py; this file pins the other half of
+the contract (VERDICT r1 #6): hash-seeded algorithms (MinHash, SimHash,
+hyperplane LSH, IVF seeding) must be deterministic functions of their
+input, with no RNG, partition-order, or accumulation-order dependence
+leaking into results.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from batch_processing_etl_orchestration_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+ROWS_ONLY_QUERIES = [
+    "q_minhash_lsh_pairs",
+    "q_simhash_pairs",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_approx_count_distinct",
+]
+
+
+def _canonical(df):
+    """Order-insensitive canonical form with NaN normalized (NaN != NaN
+    would defeat the comparison; a NaN-vs-value flip still fails)."""
+    rows = [
+        tuple(
+            "NaN" if isinstance(v, float) and math.isnan(v) else v for v in r
+        )
+        for r in df.collect()
+    ]
+    return sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_two_runs_identical(spark, name):
+    fn = QUERIES[name].fn
+    first = _canonical(fn(spark, SF))
+    second = _canonical(fn(spark, SF))
+    assert first, f"{name} returned no rows at {SF}"
+    assert first == second, f"{name} differs between two identical runs"

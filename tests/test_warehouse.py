@@ -56,3 +56,34 @@ def test_merge_idempotent_rerun_no_duplicates(spark):
     merge_idempotent(spark, df, t, ["ba_code"], DB)  # rerun — same input
     assert spark.table(f"{DB}.{t}").count() == 1
     truncate_table(spark, t, DB)
+
+
+def test_jdbc_writer_option_assembly(spark):
+    """K1 Postgres-parity writer: exact option set and partition
+    coalesce, without executing (no JDBC driver/DB in container)."""
+    from batch_processing_etl_orchestration_spark.warehouse.catalog import (
+        jdbc_options,
+        jdbc_writer,
+    )
+
+    opts = jdbc_options(
+        url="jdbc:postgresql://db:5432/warehouse",
+        table="eia930_hourly_net_generation_by_energy_source",
+        batch_size=5000,
+        properties={"user": "etl", "isolationLevel": "READ_COMMITTED"},
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/warehouse",
+        "dbtable": "eia930_hourly_net_generation_by_energy_source",
+        "batchsize": "5000",
+        "user": "etl",
+        "isolationLevel": "READ_COMMITTED",
+    }
+    # the writer builds without a database; coalesce caps connections
+    w = jdbc_writer(
+        spark.range(100),
+        url="jdbc:postgresql://db:5432/warehouse",
+        table="t",
+        num_partitions=4,
+    )
+    assert w._df.rdd.getNumPartitions() == 4
