@@ -14,5 +14,6 @@ from batch_processing_etl_orchestration_spark.plans import parity  # noqa: F401
 from batch_processing_etl_orchestration_spark.plans import northstar  # noqa: F401
 from batch_processing_etl_orchestration_spark.plans import northstar_ml  # noqa: F401
 from batch_processing_etl_orchestration_spark.plans import replay  # noqa: F401
+from batch_processing_etl_orchestration_spark.plans import analytics  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "all_queries", "all_oracle_sql"]

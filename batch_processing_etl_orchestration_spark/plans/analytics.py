@@ -1,0 +1,331 @@
+"""Widened OLAP coverage (round 2): the join types and window
+functions the round-1 catalog didn't yet attest — LEFT/FULL OUTER
+joins, conditional (CASE) aggregation, disjunctive predicate pushdown,
+ratio-of-exact-sums, and the distribution window family
+(ntile / percent_rank / cume_dist / first_value / last_value /
+nth_value).
+
+These generalize the reference's analysis surface the same way the
+TPC-H-shaped queries in parity.py do (its pandas merges are all inner
+or isin-semi — SURVEY §2.4 names outer joins as engine-surface gaps),
+and each carries a bit-exact DuckDB oracle.
+
+Scale posture per query is inline; nothing here introduces a new
+shuffle pattern beyond what parity.py already demonstrates (broadcast
+dims, partial+final aggs, single-window sorts with unique tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.exact import (
+    exact_sum,
+    sql_exact_sum,
+    sql_ts_str,
+    ts_str,
+)
+from batch_processing_etl_orchestration_spark.plans.registry import register
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join + distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_left_join_order_counts",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    tags=("J", "left-outer"),
+)
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution via LEFT OUTER join (TPC-H
+    Q13 shape): customers with zero orders must survive with count 0 —
+    the outer-join semantic an inner join would silently drop.
+
+    Scale: orders groups to (custkey, count) first — the join input is
+    one row per customer per side, so the outer join shuffles
+    |customers|, not |orders|. Second agg is on a tiny key domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — reconcile two aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_full_outer_daily_types",
+    oracle=f"""
+    WITH c AS (
+      SELECT {sql_ts_str("date_trunc('day', ts)")} AS day,
+             COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT {sql_ts_str("date_trunc('day', ts)")} AS day,
+             COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.day, p.day) AS day, c.n_clicks, p.n_purchases
+    FROM c FULL OUTER JOIN p ON c.day = p.day
+    """,
+    tags=("J", "full-outer"),
+)
+def q_full_outer_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two daily aggregates with a FULL OUTER join — days
+    present on either side survive with nulls on the missing side (the
+    data-quality reconciliation shape: feed A vs feed B).
+
+    Scale: both inputs pre-aggregate to |days| rows before the join —
+    the outer join is over bounded key cardinality regardless of event
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ts_str(F.date_trunc("day", F.col("ts"))).alias("day")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = clicks.alias("c").join(
+        purchases.alias("p"), F.col("c.day") == F.col("p.day"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.day"), F.col("p.day")).alias("day"),
+        "n_clicks",
+        "n_purchases",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (TPC-H Q12 shape, adapted to fixture columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_priority_line_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    tags=("A", "case-agg"),
+)
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional CASE counts inside an aggregate over a fact-fact
+    join (TPC-H Q12 shape on the fixture's columns).
+
+    Scale: shipdate predicate pushes to the lineitem scan; the join
+    shuffles on orderkey (AQE-splittable); CASE branches are codegen'd
+    expressions, one pass."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio of exact sums (TPC-H Q14 promo revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('month', l_shipdate)")} AS month,
+           100.0 * {sql_exact_sum(
+               "CASE WHEN p_type = 'PROMO' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_exact_sum('l_extendedprice * (1 - l_discount)')}
+             AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+    tags=("A", "ratio"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per month (TPC-H Q14): ratio of two
+    scaled-long exact sums — numerator conditional on the part type.
+    Both engines compute identical int64 sums, then one deterministic
+    IEEE division each.
+
+    Scale: part is the broadcast side (dim-sized); lineitem streams
+    once; agg keys are months (bounded)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(ts_str(F.date_trunc("month", F.col("l_shipdate"))).alias("month"))
+        .agg(
+            (F.lit(100.0) * exact_sum(promo_rev) / exact_sum(rev)).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive predicate pushdown (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity < 20)
+       OR (p_type = 'PROMO' AND l_quantity BETWEEN 5 AND 25)
+    """,
+    tags=("P", "disjunctive"),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across both join sides (TPC-H Q19 shape).
+    Catalyst splits the disjunction: single-side conjuncts
+    (l_quantity bounds OR-reduced) can push below the join while the
+    cross-side residual evaluates after — the planner test asserts the
+    scan isn't unfiltered.
+
+    Scale: part broadcasts; one lineitem pass; global agg is a single
+    partial+final reduce."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_type")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & (F.col("l_quantity") < 20))
+        | ((F.col("p_type") == "PROMO") & F.col("l_quantity").between(5, 25))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).alias("n_rows"), exact_sum(rev).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window family: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_mktsegment,
+           c_custkey,
+           ntile(4)      OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("W", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per market segment — quartile
+    bucketing (ntile), relative rank, cumulative distribution. Order
+    key carries the unique c_custkey tiebreak so every function is
+    deterministic; pct/cume round to 6dp (k/n rationals — engines
+    agree, rounding guards the 1-ulp division edge).
+
+    Scale: one shuffle on segment, one in-partition sort — same
+    profile as any ranked window; segments are balanced here, skewed
+    partitions would salt via two-level ntile."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-positional window family: first_value / last_value / nth_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_first_last",
+    oracle=f"""
+    SELECT DISTINCT
+           user_id,
+           {sql_ts_str("date_trunc('day', ts)")} AS day,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type)  OVER w AS last_event,
+           nth_value(event_type, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("W", "positional"),
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/second event of each user-day via positional window
+    functions over an unbounded frame (the session-summary shape:
+    entry page, exit page, second action). (ts, event_id) ordering is
+    unique → deterministic; DISTINCT collapses to one row per
+    user-day.
+
+    Scale: one shuffle on (user, day), one sort; DISTINCT reuses the
+    same partitioning (no second exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        ts_str(day).alias("day"),
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+        F.nth_value("event_type", 2).over(w).alias("second_event"),
+    ).distinct()
