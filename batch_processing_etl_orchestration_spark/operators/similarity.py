@@ -335,3 +335,61 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(q_id, c_id, *passthrough, "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs at scale (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+
+def cosine_lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim ≥ threshold) — the unsupervised scale
+    path for embedding near-dup detection (q_embedding_near_dup_pairs
+    blocks on a label column; this blocks on hyperplane-LSH buckets,
+    the structure available when no labels exist).
+
+    Pipeline: lsh_bucket_ids (one Arrow matmul pass, zero shuffle) →
+    capped bucket self-join (candidates bounded per bucket — see
+    operators/dedup.capped_bucket_pairs) → exact cosine verify on
+    candidates only, with the same scaled-long kernel as the
+    brute-force baseline, so any returned similarity is bit-identical
+    to brute force. Candidate count tracks near-dup density ×
+    n_tables, never |vectors|².
+
+    Recall tuning mirrors hyperplane_lsh_topk: P(collide in ≥1 table)
+    = 1-(1-p^m)^L with p = 1 - θ/π; at τ=0.35, L=16, m=4 ≈ 0.9,
+    rising steeply with similarity (true dups ≈ 1.0). Floor asserted
+    in tests/test_similarity.py.
+    """
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        capped_bucket_pairs,
+    )
+
+    buckets = lsh_bucket_ids(vectors, id_col, vec_col, n_tables, n_bits, dim)
+    cand = (
+        capped_bucket_pairs(buckets, ["table_id", "bucket"], id_col, max_bucket_size)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_ea"))
+    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_eb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine_sim", cosine("_ea", "_eb"))
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "cosine_sim",
+        )
+    )

@@ -29,6 +29,7 @@ from batch_processing_etl_orchestration_spark.operators.dedup import (
     simhash_pairs,
 )
 from batch_processing_etl_orchestration_spark.operators.similarity import (
+    cosine_lsh_near_dup_pairs,
     hyperplane_lsh_topk,
     ivf_topk,
 )
@@ -96,6 +97,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
     return ivf_topk(q, c, k=10, n_cells=8, n_probe=4)
+
+
+@register("q_embedding_near_dup_lsh", oracle=None, tags=("dedup", "similarity", "lsh"))
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH blocking — the
+    unsupervised scale path beside q_embedding_near_dup_pairs'
+    label-blocked exact baseline. Returned similarities are bit-exact
+    (same scaled-long kernel); recall floor asserted in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_lsh_near_dup_pairs(e, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
