@@ -54,16 +54,19 @@ def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q13 shape): customers with zero orders must survive with count 0 —
     the outer-join semantic an inner join would silently drop.
 
-    Scale: orders groups to (custkey, count) first — the join input is
-    one row per customer per side, so the outer join shuffles
-    |customers|, not |orders|. Second agg is on a tiny key domain."""
+    Scale: orders pre-aggregates to (custkey, count) BEFORE the join —
+    the outer join's right side is one row per ordering customer, so
+    the join handles |customers| rows, not |orders| (joining at order
+    grain and counting after would shuffle the full fact through the
+    join). Second agg is on a tiny key domain."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    per_ordering_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n")
     )
+    per_cust = c.join(
+        per_ordering_cust, c["c_custkey"] == per_ordering_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"))
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
 
 

@@ -135,3 +135,63 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
     text = " ".join(pushed)
     for col in ["l_shipdate", "l_discount", "l_quantity"]:
         assert col in text, f"{col} not pushed to scan"
+
+
+# --- round-2 additions: analytics + replay plan shapes ---------------------
+
+
+def test_promo_and_disjunctive_broadcast_part(spark, sf_dir):
+    """part is dim-sized → both Q14/Q19-shaped joins must broadcast it,
+    never shuffle lineitem for a sort-merge join."""
+    for name in ["q_promo_revenue", "q_disjunctive_revenue"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_priority_line_counts_pushdown(spark, sf_dir):
+    """The shipdate range predicate must reach the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q_priority_line_counts")
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed
+
+
+def test_left_join_aggregates_before_join(spark, sf_dir):
+    """Q13 shape: orders must aggregate to (custkey, count) BEFORE the
+    outer join — the join handles |customers| rows, not |orders|. In
+    the formatted tree the count(o_orderkey) aggregate must sit below
+    the outer join (higher node ids print deeper = later; the join
+    consumes the agg's output)."""
+    plan = _plan(spark, sf_dir, "q_left_join_order_counts")
+    import re
+
+    join = re.search(
+        r"\((\d+)\) BroadcastHashJoin|\((\d+)\) SortMergeJoin", plan
+    )
+    agg = re.search(r"\((\d+)\) HashAggregate[\s\S]{0,400}?partial_count\(o_orderkey", plan)
+    assert join and agg, plan[:600]
+    join_id = int(join.group(1) or join.group(2))
+    # the pre-join aggregate is an input to the join: its node id is
+    # smaller (leaves number first in the formatted plan)
+    assert int(agg.group(1)) < join_id, plan[:600]
+
+
+def test_replay_semi_join_broadcasts(spark, sf_dir):
+    """The pipeline replay's BA semi-join must broadcast the 25-row
+    nation dim exactly like the standalone J1 query."""
+    plan = _plan(spark, sf_dir, "q_pipeline_eia930_net_gen")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_pre_aggregates(spark, sf_dir):
+    """Both sides must aggregate to |days| before the full-outer join —
+    never an event-grain outer join."""
+    plan = _plan(spark, sf_dir, "q_full_outer_daily_types")
+    assert "FullOuter" in plan
+    import re
+
+    aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    joins = [int(m) for m in re.findall(r"\((\d+)\) SortMergeJoin", plan)]
+    if joins:  # agg nodes sit below the join in the formatted tree
+        assert sum(1 for a in aggs if a < max(joins)) >= 2
