@@ -90,7 +90,12 @@ _SQL_CLEAN = f"""
 def _bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-shaped raw rows (all-string payload columns, FIXTURES.md F1)
     derived deterministically from the events fixture."""
-    ev = load_table(spark, sf_dir, "events")
+    return _bronze_cols(load_table(spark, sf_dir, "events"))
+
+
+def _bronze_cols(ev: DataFrame) -> DataFrame:
+    """The bronze projection itself — pure per-row expressions, so it
+    applies unchanged to a batch or a streaming events DataFrame."""
     uid = F.col("user_id").cast("string")
     drift = F.col("event_id") % 5 == 0
     return ev.select(
@@ -201,3 +206,43 @@ def q_pipeline_eia930_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.select(
         ts_str("date").alias("date"), "d", "df", "ng", "ti"
     )
+
+
+@register(
+    "q_pipeline_eia930_stream",
+    oracle=f"""
+    WITH {_SQL_CLEAN}
+    SELECT {sql_ts_str('date')} AS date,
+           fueltype,
+           {sql_exact_sum('value')} AS value
+    FROM clean
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "streaming"),
+)
+def q_pipeline_eia930_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-DAG replay executed as a STRUCTURED STREAMING job: the
+    bronze projection and cleaner run on a streaming events read
+    (stream-static broadcast semi-join against the BA dim), the gold
+    aggregate runs in complete mode, availableNow drains it — the
+    incremental-batch form of the reference's cron'd DAG. Over the
+    static fixture this must equal the batch replay, which the
+    (identical) oracle asserts.
+
+    Scale: the only stateful operator is the bounded-key hourly
+    aggregate; the semi-join re-broadcasts the 25-row dim per
+    micro-batch, never shuffling the stream."""
+    from batch_processing_etl_orchestration_spark.functions.exact import exact_sum
+    from batch_processing_etl_orchestration_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    ba_dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("ba_code")
+    )
+    clean = clean_hourly(_bronze_cols(stream), ba_dim, CUTOFF)
+    agg = clean.groupBy("date", "fueltype").agg(exact_sum("value").alias("value"))
+    result = run_stream_to_table(agg, spark)
+    return result.select(ts_str("date").alias("date"), "fueltype", "value")
