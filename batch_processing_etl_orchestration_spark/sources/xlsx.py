@@ -141,6 +141,8 @@ def _sheet_rows(zf: zipfile.ZipFile, part: str, strings: list[str]) -> list[list
             row_cells[idx] = _cell_value(cell, strings)
         sparse.append(row_cells)
     width = max((max(cells) + 1 for cells in sparse if cells), default=0)
+    if width == 0:  # rows exist but hold no cells → an empty grid
+        return []
     return [[cells.get(i) for i in range(width)] for cells in sparse]
 
 

@@ -116,3 +116,56 @@ def test_ba_sheet_feeds_clean_hourly(spark, workbook):
     out = clean_hourly(raw, ba_dim, cutoff_ts="2024-01-08 00:00:00")
     rows = {r["respondent"]: r["value"] for r in out.collect()}
     assert rows == {"CISO": 101.5, "AZPS": 55.0}
+
+
+# ---------------------------------------------------------------------------
+# Property: writer→reader round-trip over arbitrary typed grids
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64).filter(
+        lambda x: x != 0 or str(x)[0] != "-"  # exclude -0.0 (== 0.0 but repr-differs)
+    ),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "S", "Zs")
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+
+
+def _normalize_widths(grid):
+    """Sheet XML stores cells sparsely: fully-empty trailing COLUMNS
+    are unrepresentable, so the round-trip contract pads/truncates
+    every row to the grid's last non-None column. Empty ROWS survive
+    (their <row> elements are written); a grid with no cells at all
+    reads back as []."""
+    width = 0
+    for row in grid:
+        for i in range(len(row) - 1, -1, -1):
+            if row[i] is not None:
+                width = max(width, i + 1)
+                break
+    if width == 0:
+        return []
+    return [list(row[:width]) + [None] * (width - len(row)) for row in grid]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    grid=st.lists(
+        st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=8
+    )
+)
+def test_write_read_round_trip_property(tmp_path_factory, grid):
+    path = str(tmp_path_factory.mktemp("xlsx_prop") / "wb.xlsx")
+    write_workbook(path, {"S": grid})
+    got = read_workbook(path, ["S"])["S"]
+    assert got == _normalize_widths(grid)
