@@ -473,3 +473,49 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_before"),
     )
     return run_stream_to_table(joined, spark, output_mode="append")
+
+
+@register(
+    "q_stream_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+      SELECT value,
+             unnest(ARRAY[date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                          date_trunc('hour', ts)]) AS w_start
+      FROM events
+    )
+    SELECT {sql_ts_str('w_start')} AS window_start,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM starts
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window streaming aggregate (2h window, 1h slide) — each
+    event lands in exactly two overlapping windows; complements the
+    tumbling (q_stream_hourly_window) and session (q_stream_sessions)
+    coverage. The oracle unrolls the overlap explicitly: every event
+    contributes to the hour-truncated window and the one before it.
+
+    Scale: state per (window, ~nothing) is bounded by the window count
+    within the watermark horizon; slide/window ratio fixes the per-event
+    fan-out at 2."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(agg, spark)
