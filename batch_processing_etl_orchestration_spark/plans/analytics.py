@@ -332,3 +332,137 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_event"),
         F.nth_value("event_type", 2).over(w).alias("second_event"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide → long reshape (inverse of the pivot family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem
+    )
+    """,
+    tags=("W", "reshape"),
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): three measure columns reshaped to
+    (key, measure-name, value) long form — the inverse of the A4/A5
+    pivots and the wide→long step a metrics store ingests. Native
+    DataFrame.unpivot (Spark's Expand node), oracle = UNION ALL
+    unrolling.
+
+    Scale: Expand emits 3 rows per input row in the same task — no
+    shuffle, no extra scan (vs the UNION ALL formulation's 3 scans)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=>)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nullsafe_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT NULLIF(user_id % 10, 0) AS bucket,
+             COUNT(*) AS n_a,
+             {sql_exact_sum('value')} AS val_a
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(user_id % 10, 0) AS bucket,
+             COUNT(*) AS n_b
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT a.bucket, n_a, val_a, n_b
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+    tags=("J", "null-safe"),
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    bucket on both sides must MATCH (one joined row), where a plain
+    equi-join would silently drop it — the semantic trap in joining on
+    nullable keys (the reference's fromba column is exactly such a
+    key).
+
+    Scale: same shuffle profile as an equi-join — null-safe equality
+    still hash-partitions (nulls hash to one partition; a heavy null
+    key would need the salted-agg treatment)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.nullif(F.col("user_id") % 10, F.lit(0)).alias("bucket")
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_a"), exact_sum("value").alias("val_a"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["bucket"].eqNullSafe(b["bucket"])).select(
+        a["bucket"], "n_a", "val_a", "n_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    WITH c AS (SELECT user_id, date_trunc('day', ts) AS day FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT user_id, date_trunc('day', ts) AS day FROM events
+               WHERE event_type = 'view')
+    SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+      SELECT * FROM c INTERSECT ALL SELECT * FROM v
+    )
+    UNION ALL
+    SELECT 'except_all', COUNT(*) FROM (
+      SELECT * FROM c EXCEPT ALL SELECT * FROM v
+    )
+    """,
+    tags=("O", "set-ops"),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL subtracts multiplicities — vs the DISTINCT set-ops
+    already covered by q_set_ops. The (user, day) bags differ exactly
+    by repeat visits, which DISTINCT forms erase.
+
+    Scale: both plan as a single aggregate on the compared columns with
+    count columns, then a generate — one shuffle each, same key profile
+    as DISTINCT set-ops."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    c = ev.where(F.col("event_type") == "click").select("user_id", day)
+    v = ev.where(F.col("event_type") == "view").select("user_id", day)
+    inter = c.intersectAll(v).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = c.exceptAll(v).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionByName(exc)
