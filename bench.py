@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "q_ann_ivf_topk",
     "q_stream_hourly_window",
     "q_pipeline_eia930_net_gen",
+    # r2 widened-coverage representatives: Expand reshape + broadcast ratio agg
+    "q_unpivot_measures",
+    "q_promo_revenue",
 ]
 
 

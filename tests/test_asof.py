@@ -48,3 +48,24 @@ def test_asof_equal_timestamp_inclusive(spark):
         left, right, on=["key"], left_ts="ts", right_ts="ts", right_cols=["v"]
     ).collect()[0]
     assert row["v_right"] == 42.0  # ts >= semantics: equal timestamps match
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """Two right rows sharing (key, ts): the carried match must be the
+    struct-max payload (deterministic) — not whichever row the shuffle
+    happened to order last (ADVICE r1)."""
+    left = spark.createDataFrame(
+        [(1, 100, "L")], "k LONG, ts LONG, tag STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "a", 10.0), (1, 50, "b", 20.0), (1, 50, "a", 30.0)],
+        "k LONG, ts LONG, rid STRING, val DOUBLE",
+    )
+    for _ in range(3):  # stable across repeated executions
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rid", "val"],
+        ).collect()
+        assert len(out) == 1
+        # struct-max over (rid, val): 'b' > 'a' lexicographically
+        assert out[0]["rid_right"] == "b" and out[0]["val_right"] == 20.0
