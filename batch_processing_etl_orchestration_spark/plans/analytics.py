@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_processing_etl_orchestration_spark.functions.exact import (
+    exact_avg,
     exact_sum,
     sql_exact_sum,
     sql_ts_str,
@@ -466,3 +467,107 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("op"), "n"
     )
     return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# IN-subquery over a HAVING aggregate (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_large_volume_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {sql_ts_str('o.o_orderdate')} AS o_orderdate,
+           o.o_totalprice,
+           {sql_exact_sum('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1
+      HAVING CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 > 150
+    )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J", "subquery"),
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): orders whose lineitems
+    total more than 150 units — an IN-subquery over a grouped HAVING,
+    planned as a semi-join against the aggregated fact.
+
+    Scale: the HAVING aggregate reduces lineitem to qualifying
+    orderkeys before any join; both joins then key on orderkey (AQE
+    co-planned). The quantity threshold uses the scaled-long sum on
+    both sides so the HAVING boundary can't flap on float noise."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        l.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(qualifying, o["o_orderkey"] == qualifying["l_orderkey"], "left_semi")
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            ts_str("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-avg subquery + NOT EXISTS anti-join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_global_sales_opportunity",
+    oracle="""
+    SELECT c_custkey % 7 AS segment_code,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(c_acctbal)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=("J", "anti", "scalar-subquery"),
+)
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promising inactive customers (TPC-H Q22 shape): above-average
+    balance AND no orders — a scalar aggregate subquery feeding a
+    filter plus a NOT EXISTS anti-join, grouped by a derived segment
+    code.
+
+    Scale: the scalar avg is one tiny global agg joined in as a
+    broadcast single-row table (no driver-side collect — the plan
+    stays fully declarative); the anti-join keys on custkey; the
+    exact-avg threshold uses scaled-long on both sides so the
+    comparison boundary is bit-stable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_row = (
+        c.where(F.col("c_acctbal") > 0.0).agg(exact_avg("c_acctbal").alias("_avg"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("segment_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum("c_acctbal").alias("total_bal"),
+        )
+    )
