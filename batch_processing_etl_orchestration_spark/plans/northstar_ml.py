@@ -519,3 +519,19 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, spark)
+
+
+@register("q_approx_percentiles", oracle=None, tags=("A", "sketch"))
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per order priority via the
+    percentile_approx sketch (KLL-style, mergeable across partitions) —
+    the at-scale companion to q_value_percentiles' exact sort-based
+    percentiles, the same exact↔sketch pairing as
+    q_count_distinct_users ↔ q_approx_count_distinct. Rank-error bound
+    vs the exact answer is asserted in tests/test_queries_vs_duckdb.py
+    (accuracy 10000 → error ≤ ~0.01·n ranks)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.9], 10000).alias("approx_p"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -25,3 +25,33 @@ def test_rows_only_queries_run(spark, sf_dir):
         if spec.oracle is None:
             df = spec.fn(spark, sf_dir)
             assert df.count() >= 0, name
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """percentile_approx(accuracy=10000) must land within the sketch's
+    rank-error bound of the exact percentile: the returned value's true
+    rank is within ~n/accuracy positions of the target rank."""
+    from batch_processing_etl_orchestration_spark.plans import QUERIES
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["o_orderpriority"]: (r["approx_p"], r["n_orders"])
+        for r in QUERIES["q_approx_percentiles"].fn(spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "orders").select("o_orderpriority", "o_totalprice").collect()
+    by_prio: dict[str, list[float]] = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for prio, (approx, n) in got.items():
+        vals = sorted(by_prio[prio])
+        assert n == len(vals)
+        for q, a in zip([0.25, 0.5, 0.9], approx):
+            # true rank of the returned value vs target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, a)
+            hi = bisect.bisect_right(vals, a)
+            target = q * (len(vals) - 1)
+            tol = max(1.0, len(vals) / 10000) + 1
+            assert lo - tol <= target <= hi + tol, (prio, q, a)
