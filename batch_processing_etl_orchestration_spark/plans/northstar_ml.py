@@ -535,3 +535,49 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", [0.25, 0.5, 0.9], 10000).alias("approx_p"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_pandas_udf_scalar",
+    oracle="""
+    SELECT event_id,
+           value,
+           (value - 32.0) * (5.0 / 9.0) AS value_c,
+           CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS band
+    FROM events
+    """,
+    tags=("F-udf", "pandas"),
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized pandas_udf — completes the Python UDF
+    surface matrix (mapInPandas: multimodal/ANN; grouped applyInPandas:
+    q_grouped_map_deltas; applyInPandasWithState:
+    q_stream_stateful_totals; scalar pandas_udf: here). The kernel is a
+    pure per-element IEEE computation so the oracle can recompute it in
+    SQL and the hash must match bit-for-bit — attesting that the Arrow
+    round trip preserves doubles exactly. (In production this surface
+    is for logic that genuinely needs Python libraries; anything
+    SQL-expressible stays JVM-side per the engine's UDF policy.)
+
+    Scale: vectorized per batch, no shuffle, pipelined into the scan
+    projection."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # callable form (not decorator-with-hints): this module runs under
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pandas_udf's type inference
+    to_celsius = pandas_udf(lambda v: (v - 32.0) * (5.0 / 9.0), "double")
+    band = pandas_udf(
+        lambda v: pd.Series(np.where(v >= 50.0, "high", "low"), dtype="object"),
+        "string",
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "value",
+        to_celsius("value").alias("value_c"),
+        band("value").alias("band"),
+    )

@@ -19,3 +19,10 @@ __all__ = [
     "read_csv_dim",
     "read_excel_sheets",
 ]
+
+from batch_processing_etl_orchestration_spark.sources.xlsx import (  # noqa: E402
+    read_workbook,
+    write_workbook,
+)
+
+__all__ += ["read_workbook", "write_workbook"]
