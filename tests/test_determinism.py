@@ -26,6 +26,8 @@ ROWS_ONLY_QUERIES = [
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_approx_count_distinct",
+    "q_embedding_near_dup_lsh",
+    "q_approx_percentiles",
 ]
 
 
