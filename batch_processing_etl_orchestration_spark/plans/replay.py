@@ -1,13 +1,14 @@
-"""End-to-end replay of the reference's flagship DAG as correctness
-entries.
+"""End-to-end replays of ALL FOUR reference DAGs as correctness
+entries: EIA-930 hourly (batch + streaming), Open-Meteo weather,
+EIA-7A quarterly coal, EIA-814 monthly crude oil.
 
-The parity catalog checks the EIA-930 transform's PIECES (rename,
-coerce, trim, semi-join, pivot — SURVEY §2.3/§2.5); these queries check
-the WHOLE dataflow: F1-shaped bronze rows (FIXTURES.md) derived
-deterministically from the ``events`` fixture are pushed through the
-real pipeline code (pipelines/eia930.py — the same functions
-pipelines/jobs.py lands in the warehouse) and the resulting gold tables
-are oracle-checked against the identical dataflow written in SQL.
+The parity catalog checks each transform's PIECES (rename, coerce,
+trim, semi-join, pivot — SURVEY §2.3/§2.5); these queries check the
+WHOLE dataflow: bronze rows shaped like each DAG's raw payload
+(FIXTURES.md F1/F2/F5/F6) derive deterministically from the driver
+fixtures and run through the real pipeline code (pipelines/*.py — the
+same functions pipelines/jobs.py lands in the warehouse); the gold
+tables are oracle-checked against the identical dataflow in SQL.
 
 Bronze derivation (identical in both engines so inputs match bit-wise):
 
@@ -246,3 +247,264 @@ def q_pipeline_eia930_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = clean.groupBy("date", "fueltype").agg(exact_sum("value").alias("value"))
     result = run_stream_to_table(agg, spark)
     return result.select(ts_str("date").alias("date"), "fueltype", "value")
+
+
+# ---------------------------------------------------------------------------
+# Second DAG replay: Open-Meteo weather (S9 materialization → A6/A7 gold)
+# ---------------------------------------------------------------------------
+
+_WX_VARS = ["temperature", "wind", "precip"]
+_WX_START_S = 1704067200  # 2024-01-01 00:00:00 UTC
+_WX_HOURS = 24
+
+# value formula shared by both engines: pure integer arithmetic cast to
+# double — v(k, var_i, hour_idx) = ((k*7 + i*13 + idx) % 100)/10 + i
+_SQL_WX = f"""
+  coords AS (
+    SELECT c_custkey AS k,
+           'S' || CAST(c_custkey % 50 AS VARCHAR) AS state
+    FROM customer WHERE c_custkey < 150
+  ),
+  ticks AS (
+    SELECT k, state, unnest(range(0, {_WX_HOURS})) AS idx FROM coords
+  ),
+  weather AS (
+    SELECT state,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (idx) HOUR AS date,
+           {", ".join(
+               f"CAST((k*7 + {i}*13 + idx) % 100 AS DOUBLE)/10.0 + {i} AS {v}"
+               for i, v in enumerate(_WX_VARS)
+           )}
+    FROM ticks
+  )
+"""
+
+
+def _wx_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic F2-shaped Open-Meteo responses: one row per coordinate
+    with the hourly time axis (start/end/interval unix seconds) and one
+    float array per variable — derived deterministically from customer
+    keys so the oracle can recompute every value in SQL."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 150)
+    k = F.col("c_custkey")
+    arrays = F.array(
+        *[
+            F.expr(
+                f"transform(sequence(0, {_WX_HOURS - 1}), idx -> "
+                f"CAST((c_custkey*7 + {i}*13 + idx) % 100 AS DOUBLE)/10.0 + {i})"
+            )
+            for i in range(len(_WX_VARS))
+        ]
+    )
+    return c.select(
+        (k * 0.5).alias("latitude"),
+        (k * -0.25).alias("longitude"),
+        F.lit(_WX_START_S).alias("start_s"),
+        F.lit(_WX_START_S + _WX_HOURS * 3600).alias("end_s"),
+        F.lit(3600).alias("interval_s"),
+        arrays.alias("values"),
+    )
+
+
+def _wx_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coordinate dimension (F3): same coordinate derivation, with
+    the state label — 50 states × 3 coordinates, the reference's
+    curatedCoordinates.csv shape."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 150)
+    k = F.col("c_custkey")
+    return c.select(
+        F.concat(F.lit("S"), (k % 50).cast("string")).alias("State"),
+        (k * 0.5).alias("Latitude"),
+        (k * -0.25).alias("Longitude"),
+    )
+
+
+def _wx_gold(spark: SparkSession, sf_dir: str, computation: str) -> DataFrame:
+    from batch_processing_etl_orchestration_spark.pipelines.openmeteo import (
+        materialize_hourly,
+        metrics_per_state_per_hour,
+    )
+
+    weather = materialize_hourly(_wx_responses(spark, sf_dir), _WX_VARS)
+    gold = metrics_per_state_per_hour(
+        weather, _wx_coords(spark, sf_dir), computation, _WX_VARS
+    )
+    return gold.select(
+        ts_str("date").alias("date"), "state", *_WX_VARS
+    )
+
+
+def _sql_wx_avg(v: str) -> str:
+    from batch_processing_etl_orchestration_spark.functions.exact import sql_exact_avg
+
+    return f"{sql_exact_avg(v)} AS {v}"
+
+
+def _sql_wx_std(v: str) -> str:
+    from batch_processing_etl_orchestration_spark.functions.exact import sql_exact_std
+
+    return f"{sql_exact_std(v)} AS {v}"
+
+
+@register(
+    "q_pipeline_openmeteo_means",
+    oracle=f"""
+    WITH {_SQL_WX}
+    SELECT {sql_ts_str('date')} AS date, state,
+           {", ".join(_sql_wx_avg(v) for v in _WX_VARS)}
+    FROM weather
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "A6"),
+)
+def q_pipeline_openmeteo_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-DAG replay: synthetic per-coordinate responses →
+    materialize_hourly (sequence+posexplode time axis,
+    OpenMeteoWeatherPipelineHourlyData.py:60-83) → per-state hourly
+    MEANS over each state's 3 coordinates (:86-107) — the gold table
+    run_openmeteo_job lands as openmeteo_weather_means_per_hour."""
+    return _wx_gold(spark, sf_dir, "mean")
+
+
+@register(
+    "q_pipeline_openmeteo_stds",
+    oracle=f"""
+    WITH {_SQL_WX}
+    SELECT {sql_ts_str('date')} AS date, state,
+           {", ".join(_sql_wx_std(v) for v in _WX_VARS)}
+    FROM weather
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "A7"),
+)
+def q_pipeline_openmeteo_stds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-DAG replay, std variant: per-state hourly SAMPLE std
+    (ddof=1 — pd.Series.std parity,
+    OpenMeteoWeatherPipelineHourlyData.py:100) via exact_std's
+    scaled-long formulation."""
+    return _wx_gold(spark, sf_dir, "std")
+
+
+# ---------------------------------------------------------------------------
+# Third DAG replay: EIA-7A quarterly coal (union → cleaner branch → quarter)
+# ---------------------------------------------------------------------------
+
+_Q_TARGET = "1997-Q2"
+
+
+@register(
+    "q_pipeline_eia7a_quarterly",
+    oracle=f"""
+    WITH bronze AS (
+      SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q'
+               || CAST(quarter(o_orderdate) AS VARCHAR) AS period,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  WHEN o_orderkey % 13 = 0 THEN 'bad'
+                  ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'Total'
+                  ELSE 'D' || CAST(o_orderkey % 5 AS VARCHAR) END
+               AS customs_district_description,
+             o_custkey AS country_id,
+             date_trunc('quarter', o_orderdate) AS qstart
+      FROM orders
+    )
+    SELECT {sql_ts_str('qstart')} AS date,
+           country_id,
+           customs_district_description,
+           TRY_CAST(price AS DOUBLE) AS price
+    FROM bronze
+    WHERE price IS NOT NULL
+      AND TRY_CAST(price AS DOUBLE) IS NOT NULL
+      AND customs_district_description <> 'Total'
+      AND qstart = TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("pipeline", "P5", "P8", "P11"),
+)
+def q_pipeline_eia7a_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-DAG replay: EIA-7A quarterly coal cleaner
+    (EIA7APipelineQuarterlyData.py:74-92) — two bronze pages unioned
+    (O6), dropna + numeric-validity on price (P11/P4), the custom
+    'YYYY-Qn' quarter parse (P5), the imports-variant 'Total' district
+    exclusion (P8), and the target-quarter equality (P9). The oracle
+    reaches the same rows via date_trunc('quarter') directly — the
+    string round trip must be semantically invisible."""
+    from batch_processing_etl_orchestration_spark.pipelines.eia7a import (
+        clean_quarterly,
+        prepare_for_load,
+        union_pages,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    bronze = o.select(
+        F.concat(
+            F.year("o_orderdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("period"),
+        F.when(key % 11 == 0, F.lit(None).cast("string"))
+        .when(key % 13 == 0, F.lit("bad"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("price"),
+        F.when(key % 17 == 0, F.lit("Total"))
+        .otherwise(F.concat(F.lit("D"), (key % 5).cast("string")))
+        .alias("customsDistrictDescription"),
+        F.col("o_custkey").alias("country_id"),
+        F.lit(1).alias("customsDistrictId"),  # imports variant → 'Total' branch
+    )
+    pages = [
+        bronze.where(key % 2 == 0),
+        bronze.where(key % 2 == 1),
+    ]
+    cleaned = prepare_for_load(clean_quarterly(union_pages(pages), _Q_TARGET))
+    return cleaned.select(
+        ts_str("date").alias("date"),
+        "country_id",
+        "customs_district_description",
+        "price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fourth DAG replay: EIA-814 monthly crude oil (month-end snap cleaner)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pipeline_eia814_monthly",
+    oracle=f"""
+    SELECT {sql_ts_str("CAST(last_day(o_orderdate) AS TIMESTAMP)")} AS date,
+           o_custkey % 25 AS origin_id,
+           'G' || CAST(o_orderkey % 3 AS VARCHAR) AS grade_id,
+           TRY_CAST(CASE WHEN o_orderkey % 19 = 0 THEN 'n/a'
+                         ELSE CAST(o_totalprice AS VARCHAR) END AS DOUBLE)
+             AS quantity
+    FROM orders
+    """,
+    tags=("pipeline", "P5", "P6"),
+)
+def q_pipeline_eia814_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth-DAG replay: EIA-814 monthly crude-oil cleaner
+    (EIA814PipelineMonthlyData.py:63-68) — 'YYYY-MM' period parse
+    snapped to month-end (P5+P6) with dirty-quantity coercion (P4),
+    through the real pipeline code. The oracle snaps the source date
+    directly with last_day — the string round trip must be invisible."""
+    from batch_processing_etl_orchestration_spark.pipelines.eia814 import (
+        clean_monthly,
+        prepare_for_load,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    bronze = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("period"),
+        (F.col("o_custkey") % 25).alias("origin_id"),
+        F.concat(F.lit("G"), (key % 3).cast("string")).alias("grade_id"),
+        F.when(key % 19 == 0, F.lit("n/a"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("quantity"),
+    )
+    cleaned = prepare_for_load(clean_monthly(bronze))
+    return cleaned.select(
+        ts_str("date").alias("date"), "origin_id", "grade_id", "quantity"
+    )
