@@ -581,3 +581,62 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_celsius("value").alias("value_c"),
         band("value").alias("band"),
     )
+
+
+# per-stratum keep-thresholds out of the 16-bit hash space [0, 65536)
+_SAMPLE_THRESHOLDS = {
+    "click": 3277,      # ~5%
+    "view": 6554,       # ~10%
+    "purchase": 32768,  # 50%
+    "signup": 65536,    # 100% — stratum kept whole
+    "error": 0,         # 0%  — stratum dropped entirely
+}
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type, value,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))::INT AS h
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           {sql_exact_sum('value')} AS total_value
+    FROM hashed
+    WHERE h < CASE event_type
+                {" ".join(f"WHEN '{t}' THEN {th}" for t, th in _SAMPLE_THRESHOLDS.items())}
+                ELSE 0 END
+    GROUP BY 1
+    """,
+    tags=("sampling", "north-star"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data downsample
+    (rebalance strata, drop a noisy class) done with a CONTENT HASH
+    threshold instead of an RNG, so the sample is reproducible across
+    engines, runs, and partitionings (df.sample(seed=) is
+    Spark-RNG-specific and partition-dependent; this is neither). The
+    16-bit md5 prefix gives each row a uniform [0, 65536) draw; a
+    per-stratum threshold sets the rate. Same family as q_hash_split
+    (content-hash train/eval split); here the rate varies per stratum.
+
+    Scale: pure per-row projection + one bounded-key agg — the sample
+    predicate evaluates in the scan stage, no shuffle beyond the final
+    partial+final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    threshold = F.lit(0)
+    for t, th in _SAMPLE_THRESHOLDS.items():
+        threshold = F.when(F.col("event_type") == t, F.lit(th)).otherwise(threshold)
+    return (
+        ev.where(h < threshold)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
