@@ -571,3 +571,76 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bi-directional nation-pair volume (TPC-H Q7 shape): the same dimension
+# joined twice under a cross-pair OR predicate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_exact_sum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J", "multi-join"),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-directional trade volume between two nations by ship year
+    (TPC-H Q7 shape): a 6-relation join tree where NATION joins twice
+    (supplier side and customer side) under a cross-pair OR predicate.
+
+    Scale: all three dims (supplier, customer-side nation rows)
+    broadcast; the nation-name predicates push into each nation scan
+    BEFORE the broadcast, so the fact pipeline filters early on both
+    foreign keys; lineitem⋈orders is the only shuffle pair (AQE
+    co-planned)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nations = ("NATION_1", "NATION_2")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))),
+              o["o_custkey"] == c["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(exact_sum(volume).alias("revenue"))
+    )
