@@ -29,6 +29,7 @@ from batch_processing_etl_orchestration_spark.operators.dedup import (
     simhash_pairs,
 )
 from batch_processing_etl_orchestration_spark.operators.similarity import (
+    brute_force_topk,
     cosine_lsh_near_dup_pairs,
     hyperplane_lsh_topk,
     ivf_topk,
@@ -70,33 +71,75 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_ann_lsh_topk", oracle=None, tags=("similarity", "lsh"))
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate cosine top-10 for query vectors
-    vec_id < 5 — scores only bucket-mates (16 tables × 4 bits) instead
-    of the full table. Recall vs q_cosine_topk_bruteforce measured in
-    tests/test_similarity.py."""
+_ANN_ORACLE = """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_floor_met
+    FROM embeddings
+    WHERE vec_id < 5
+"""
+
+
+def _ann_queries_candidates(spark: SparkSession, sf_dir: str):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
-    return hyperplane_lsh_topk(q, c, k=10)
+    return q, c
 
 
-@register("q_ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+def _ann_recall_attestation(ann: DataFrame, q: DataFrame, c: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN result vs the in-query brute-force
+    exact top-10, emitted as a (query_id, n_results, recall_floor_met)
+    row the SQL oracle reproduces from the base table — a hash-checked
+    attestation replacing the former rows-only check (VERDICT r2 #4).
+    The floor (recall ≥ 0.5 per query) is deliberately below the
+    measured minimum (0.7 across sf0.001/0.01/0.1; aggregate ≥ 0.9,
+    asserted in tests/test_similarity.py); both ANN paths are
+    deterministic so the attestation cannot flake on fixed data."""
+    ann_ids = ann.select("query_id", "cand_id")
+    bf = brute_force_topk(q, c, k=10).select("query_id", "cand_id")
+    hits = (
+        ann_ids.join(bf, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ann_ids.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0) >= 0.5).alias(
+                "recall_floor_met"
+            ),
+        )
+    )
+
+
+@register("q_ann_lsh_topk", oracle=_ANN_ORACLE, tags=("similarity", "lsh"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate cosine top-10 for query vectors
+    vec_id < 5 — scores only bucket-mates (16 tables × 4 bits) instead
+    of the full table. The registered result is the per-query recall
+    attestation vs the in-query brute-force baseline (hash-checked by
+    the DuckDB oracle); the raw top-k surface itself is pinned in
+    tests/test_similarity.py and tests/test_determinism.py."""
+    q, c = _ann_queries_candidates(spark, sf_dir)
+    return _ann_recall_attestation(hyperplane_lsh_topk(q, c, k=10), q, c)
+
+
+@register("q_ann_ivf_topk", oracle=_ANN_ORACLE, tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate cosine top-10: corpus binned into 8 centroid
     cells (deterministic seeds + one Lloyd step), queries probe their
     4 nearest cells — the partition-pruning ANN layout (vs the LSH
-    bucket layout above). Recall vs q_cosine_topk_bruteforce measured
-    in tests/test_similarity.py."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
-    return ivf_topk(q, c, k=10, n_cells=8, n_probe=4)
+    bucket layout above). Registered as the same hash-checked recall
+    attestation as q_ann_lsh_topk; raw top-k pinned in tests."""
+    q, c = _ann_queries_candidates(spark, sf_dir)
+    return _ann_recall_attestation(ivf_topk(q, c, k=10, n_cells=8, n_probe=4), q, c)
 
 
 @register("q_embedding_near_dup_lsh", oracle=None, tags=("dedup", "similarity", "lsh"))
@@ -115,14 +158,45 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_approx_count_distinct", oracle=None, tags=("A", "sketch"))
+@register(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS sketch_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A", "sketch"),
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per event_type — the
-    at-scale companion to q_count_distinct_users (exact). rsd 1%."""
+    at-scale companion to q_count_distinct_users (exact). rsd 1%.
+    Emits the exact count plus a sketch_within_bound flag (relative
+    error ≤ 5%, vs ≤ 0.7% measured across all SFs) so the DuckDB
+    oracle hash-checks the sketch instead of the former rows-only pass
+    (VERDICT r2 #4); the HLL++ sketch is deterministic on fixed data.
+    In production only the sketch runs — the exact twin here is the
+    attestation's ground truth."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_within_bound"),
+        )
     )
 
 
@@ -521,19 +595,73 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, spark)
 
 
-@register("q_approx_percentiles", oracle=None, tags=("A", "sketch"))
+@register(
+    "q_approx_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           TRUE AS p25_ok,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A", "sketch"),
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per order priority via the
     percentile_approx sketch (KLL-style, mergeable across partitions) —
     the at-scale companion to q_value_percentiles' exact sort-based
     percentiles, the same exact↔sketch pairing as
-    q_count_distinct_users ↔ q_approx_count_distinct. Rank-error bound
-    vs the exact answer is asserted in tests/test_queries_vs_duckdb.py
-    (accuracy 10000 → error ≤ ~0.01·n ranks)."""
+    q_count_distinct_users ↔ q_approx_count_distinct. The query
+    re-ranks each sketch output against the data (one broadcast join)
+    and emits per-quantile rank-error flags (tolerance 0.01·n + 2,
+    vs the sketch's ≤ n/accuracy guarantee at accuracy 10000) that the
+    DuckDB oracle hash-checks — scalar, sortable columns replacing the
+    array<double> shape that crashed the driver canonicalizer in r2."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.9], 10000).alias("approx_p"),
-        F.count(F.lit(1)).alias("n_orders"),
+    appx = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.9], 10000
+            ).alias("ap"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.element_at("ap", 1).alias("p25"),
+            F.element_at("ap", 2).alias("p50"),
+            F.element_at("ap", 3).alias("p90"),
+        )
+    )
+
+    def rank_le(p_col: str):
+        return F.sum(
+            F.when(F.col("o_totalprice") <= F.col(p_col), 1).otherwise(0)
+        )
+
+    ranked = (
+        o.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(appx), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            rank_le("p25").alias("r25"),
+            rank_le("p50").alias("r50"),
+            rank_le("p90").alias("r90"),
+        )
+    )
+    tol = F.lit(0.01) + F.lit(2.0) / F.col("n_orders")
+
+    def ok(r_col: str, q: float):
+        return (
+            F.abs(F.col(r_col) / F.col("n_orders") - F.lit(q)) <= tol
+        ).alias(f"p{int(q * 100)}_ok")
+
+    return ranked.select(
+        "o_orderpriority", "n_orders", ok("r25", 0.25), ok("r50", 0.5), ok("r90", 0.9)
     )
 
 
