@@ -16,10 +16,18 @@ Bronze derivation (identical in both engines so inputs match bit-wise):
 - ``respondent/fromba`` user_id as string, placed in ``fromba`` for every
                         5th event (schema drift → P14 coalesce)
 - ``respondent-name``   'resp_' || user_id
-- ``type``              event_id%4 → D/DF/NG/TI        — the pivot domain
+- ``type``              every event fans out to ALL FOUR D/DF/NG/TI rows
+                        (posexplode ×4) — the reference's respondents
+                        report all four series per interval, so the A4
+                        complete-respondent pivot is non-vacuous; the
+                        dropna filter's selectivity comes from the
+                        dirty-value rows below
 - ``fueltype``          event_type
-- ``value``             value as string; every 97th event 'N/A' (dirty
-                        numerics → P4 null-on-error coercion)
+- ``value``             value · (1 + type_pos/4) as string (exact
+                        power-of-two scale keeps doubles bit-exact and
+                        the four pivot columns distinct); every 97th
+                        event 'N/A' (dirty numerics → P4 null-on-error
+                        coercion)
 
 The BA dimension is ``nation`` (FIXTURES.md F4: 25 codes, so most
 user_ids fail the semi-join — real selectivity). The retention cutoff
@@ -64,14 +72,15 @@ _SQL_CLEAN = f"""
            CASE WHEN event_id % 5 <> 0 THEN CAST(user_id AS VARCHAR) END
              AS respondent,
            'resp_' || CAST(user_id AS VARCHAR) AS respondent_name,
-           CASE event_id % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'DF'
-                             WHEN 2 THEN 'NG' ELSE 'TI' END AS type,
+           t.type AS type,
            event_type AS fueltype,
            CASE WHEN event_id % 97 = 0 THEN 'N/A'
-                ELSE CAST(value AS VARCHAR) END AS value,
+                ELSE CAST(value * (1.0 + t.pos * 0.25) AS VARCHAR) END AS value,
            CASE WHEN event_id % 5 = 0 THEN CAST(user_id AS VARCHAR) END
              AS fromba
     FROM events
+    CROSS JOIN (VALUES ('D', 0), ('DF', 1), ('NG', 2), ('TI', 3))
+      AS t(type, pos)
   ),
   clean AS (
     SELECT try_strptime(period, '%Y-%m-%dT%H') AS date,
@@ -95,21 +104,34 @@ def _bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bronze_cols(ev: DataFrame) -> DataFrame:
-    """The bronze projection itself — pure per-row expressions, so it
-    applies unchanged to a batch or a streaming events DataFrame."""
+    """The bronze projection itself — per-row expressions plus a ×4
+    typed fan-out (posexplode of the D/DF/NG/TI domain, mirroring the
+    reference feed where every respondent reports all four series per
+    interval), so it applies unchanged to a batch or a streaming
+    events DataFrame. The per-type value scale 1 + pos/4 is a sum of
+    powers of two, so the scaled double (and its shortest-round-trip
+    string) stays bit-exact in both engines."""
     uid = F.col("user_id").cast("string")
     drift = F.col("event_id") % 5 == 0
-    return ev.select(
+    typed = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.posexplode(
+            F.array(F.lit("D"), F.lit("DF"), F.lit("NG"), F.lit("TI"))
+        ).alias("pos", "type"),
+    )
+    scaled = F.col("value") * (F.lit(1.0) + F.col("pos") * F.lit(0.25))
+    return typed.select(
         F.date_format("ts", "yyyy-MM-dd'T'HH").alias("period"),
         F.when(~drift, uid).alias("respondent"),
         F.concat(F.lit("resp_"), uid).alias("respondent-name"),
-        F.element_at(
-            F.array(F.lit("D"), F.lit("DF"), F.lit("NG"), F.lit("TI")),
-            (F.col("event_id") % 4 + 1).cast("int"),
-        ).alias("type"),
+        "type",
         F.col("event_type").alias("fueltype"),
         F.when(F.col("event_id") % 97 == 0, F.lit("N/A"))
-        .otherwise(F.col("value").cast("string"))
+        .otherwise(scaled.cast("string"))
         .alias("value"),
         F.when(drift, uid).alias("fromba"),
     )
