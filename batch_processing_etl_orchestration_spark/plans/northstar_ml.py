@@ -20,8 +20,10 @@ from batch_processing_etl_orchestration_spark.functions.exact import (
 from batch_processing_etl_orchestration_spark.multimodal.binary import (
     FEAT_DIM,
     attach_binary_payload,
+    decode_media,
     extract_features,
     sample_frames,
+    synthesize_media,
 )
 from batch_processing_etl_orchestration_spark.operators.asof import asof_join
 from batch_processing_etl_orchestration_spark.operators.dedup import (
@@ -238,6 +240,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(features, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         ).alias("feat_sum"),
     )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH wav AS (
+      -- constant-bound series + per-doc filter: DuckDB's
+      -- generate_series takes no lateral column parameters
+      SELECT d.doc_id,
+             ((d.doc_id * 31 + g.i * 17) % 65536) - 32768 AS s
+      FROM documents d, generate_series(1, 149) AS g(i)
+      WHERE d.doc_id % 2 = 0 AND g.i <= 100 + d.doc_id % 50
+    ),
+    wav_stats AS (
+      SELECT doc_id,
+             'wav' AS media_kind,
+             CAST(1 AS BIGINT) AS n_channels,
+             CAST(16000 AS BIGINT) AS sample_rate,
+             CAST(NULL AS BIGINT) AS width,
+             CAST(NULL AS BIGINT) AS height,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(s) AS BIGINT) AS amp_sum,
+             CAST(min(s) AS BIGINT) AS amp_min,
+             CAST(max(s) AS BIGINT) AS amp_max
+      FROM wav GROUP BY doc_id
+    ),
+    ppm AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 5 AS w,
+             3 + d.doc_id % 4 AS h,
+             (d.doc_id * 7 + g.j * 13) % 256 AS b
+      FROM documents d, generate_series(0, 143) AS g(j)
+      WHERE d.doc_id % 2 = 1
+        AND g.j < 3 * (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+    ),
+    ppm_stats AS (
+      SELECT doc_id,
+             'ppm' AS media_kind,
+             CAST(3 AS BIGINT) AS n_channels,
+             CAST(NULL AS BIGINT) AS sample_rate,
+             CAST(w AS BIGINT) AS width,
+             CAST(h AS BIGINT) AS height,
+             CAST(w * h AS BIGINT) AS n_samples,
+             CAST(sum(b) AS BIGINT) AS amp_sum,
+             CAST(min(b) AS BIGINT) AS amp_min,
+             CAST(max(b) AS BIGINT) AS amp_max
+      FROM ppm GROUP BY doc_id, w, h
+    )
+    SELECT * FROM wav_stats UNION ALL SELECT * FROM ppm_stats
+    """,
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode with the standard library: synthesize genuine
+    PCM16 WAV (even doc_ids, stdlib wave) and binary-PPM images (odd
+    doc_ids) from closed-form sample formulas, then parse the payload
+    BYTES back (RIFF header via wave, hand-rolled P6 header parser)
+    and emit per-payload stats. The DuckDB oracle recomputes the same
+    stats from the generating formulas via generate_series — a hash
+    match proves the container round-trip and the decoder, closing the
+    last NotImplementedError (VERDICT r2 #5). Reference analog: none
+    (the reference is tabular-only; north-star brief item)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_media(synthesize_media(docs))
 
 
 # ---------------------------------------------------------------------------
