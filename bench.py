@@ -45,7 +45,42 @@ BENCH_QUERIES = [
     # r2 widened-coverage representatives: Expand reshape + broadcast ratio agg
     "q_unpivot_measures",
     "q_promo_revenue",
+    # r3: full-DAG pivot replay (de-vacuated) + stdlib media decode
+    "q_pipeline_eia930_pivot",
+    "q_multimodal_decode",
 ]
+
+# Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
+# (baseline timing no longer comparable). Prune entries when the next
+# round's BENCH file becomes the baseline.
+BASELINE_EXEMPT = {
+    "q_ann_lsh_topk",  # r3: + in-query brute-force recall attestation
+    "q_ann_ivf_topk",  # r3: + in-query brute-force recall attestation
+    "q_pipeline_eia930_net_gen",  # r3: bronze fixture fan-out x4
+}
+
+
+def _baseline(sf: float) -> dict[str, float]:
+    """Per-query seconds from the newest committed BENCH_r*.json whose
+    sf matches (driver artifact shape: {"parsed": {...}, "sf": ...})."""
+    import glob
+    import re
+
+    best: dict[str, float] = {}
+    best_round = -1
+    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") or {}
+        if rec.get("sf") == sf and isinstance(parsed.get("queries"), dict):
+            best, best_round = parsed["queries"], int(m.group(1))
+    return best
 
 
 def main() -> None:
@@ -83,6 +118,22 @@ def main() -> None:
         )
     )
     spark.stop()
+
+    # Regression guard (VERDICT r2 #7): fail if any query runs >1.5x its
+    # newest committed same-sf baseline. The +0.75s absolute slack keeps
+    # sub-second queries from flaking on scheduler noise; real plan
+    # regressions on the expensive queries blow well past it.
+    baseline = _baseline(sf)
+    regressions = [
+        f"{name}: {t:.3f}s vs baseline {baseline[name]:.3f}s"
+        for name, t in per_query.items()
+        if name in baseline
+        and name not in BASELINE_EXEMPT
+        and t > max(1.5 * baseline[name], baseline[name] + 0.75)
+    ]
+    if regressions:
+        print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
