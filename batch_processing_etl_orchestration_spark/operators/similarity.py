@@ -320,7 +320,7 @@ def ivf_topk(
     tests/test_similarity.py."""
     cent = ivf_build_centroids(candidates, c_id, c_vec, n_cells, dim)
     cand_cells = _nearest_cells(candidates, c_id, c_vec, cent, 1).select(c_id, "cell_id")
-    inverted = candidates.join(cand_cells, c_id).repartition("cell_id")
+    inverted = candidates.join(cand_cells, c_id).repartition("cell_id").alias("inv")
     q_cells = _nearest_cells(queries, q_id, q_vec, cent, n_probe).select(q_id, "cell_id")
     probe = q_cells.join(F.broadcast(queries), q_id)
     scored = (
@@ -329,7 +329,13 @@ def ivf_topk(
         .withColumn("cosine_sim", cosine(q_vec, c_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
-    passthrough = [f.name for f in candidates.schema.fields if f.name not in (c_id, c_vec)]
+    # qualify passthrough from the candidates alias: a column name the
+    # query side also carries must not make the final select ambiguous
+    passthrough = [
+        F.col(f"inv.{f.name}").alias(f.name)
+        for f in candidates.schema.fields
+        if f.name not in (c_id, c_vec)
+    ]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -27,8 +27,13 @@ def read_csv_dim(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _column_type(values: list[Any]) -> T.DataType:
-    """Narrowest Spark type covering a column's non-null cells
-    (mirrors pandas' per-column dtype inference on read_excel)."""
+    """Narrowest Spark type covering a column's non-null cells.
+    Homogeneous columns mirror pandas' read_excel dtype inference
+    (bool/int64/float64/object); a genuinely MIXED-type column falls
+    back to StringType with every cell stringified via Python str()
+    (True → 'True', 12.5 → '12.5') — a deliberate divergence from
+    pandas' object dtype, which would keep per-cell Python values
+    Spark columns cannot represent."""
     present = [v for v in values if v is not None]
     if not present:
         return T.StringType()

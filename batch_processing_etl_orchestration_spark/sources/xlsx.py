@@ -206,6 +206,11 @@ _ROOT_RELS = (
 )
 
 
+# XML 1.0 forbids most C0 controls even escaped; strip them rather
+# than emit an unreadable workbook (tab/newline/CR are legal).
+_XML_INVALID = {c: None for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)}
+
+
 def _cell_xml(ref: str, value: Any) -> str:
     if value is None:
         return ""
@@ -213,14 +218,17 @@ def _cell_xml(ref: str, value: Any) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
+    text = escape(str(value).translate(_XML_INVALID))
+    return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 
 
 def write_workbook(path: str, sheets: dict[str, list[list[Any]]]) -> None:
     """Write rows (header row first) as a multi-sheet .xlsx."""
     names = list(sheets)
     sheet_entries = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        # attribute context: double quotes must be escaped too
+        f'<sheet name="{escape(name.translate(_XML_INVALID), {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(names)
     )
     workbook = (

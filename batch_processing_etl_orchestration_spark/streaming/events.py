@@ -22,6 +22,7 @@ which is exactly how the driver's oracle checks them.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,7 +144,10 @@ def _run_update_stream(
     final read keeps the max-batch_id row per key."""
     from pyspark.sql import Window
 
+    # fresh stage dir per run: a reused explicit `name` must not
+    # re-read batches staged by an earlier stream under the same name
     stage = os.path.join(_CHECKPOINT_ROOT, f"{table}_stage")
+    shutil.rmtree(stage, ignore_errors=True)
     out_cols = df.columns
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -160,7 +164,13 @@ def _run_update_stream(
     if not os.path.isdir(stage):
         return spark.createDataFrame([], df.schema)
     staged = spark.read.parquet(stage)
-    w = Window.partitionBy(*update_keys).orderBy(F.col("_batch_id").desc())
+    # deterministic revision pick: batch_id desc, then the remaining
+    # columns as a tiebreak in case a key ever emits more than one row
+    # within a single micro-batch
+    tiebreak = [F.col(c).desc() for c in out_cols if c not in update_keys]
+    w = Window.partitionBy(*update_keys).orderBy(
+        F.col("_batch_id").desc(), *tiebreak
+    )
     return (
         staged.withColumn("_rev", F.row_number().over(w))
         .where(F.col("_rev") == 1)

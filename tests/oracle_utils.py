@@ -63,10 +63,19 @@ def _normalize(rows, columns):
     ]
 
 
-def compare_query(spark, sf_dir: str, fn, sql: str) -> None:
+def compare_query(spark, sf_dir: str, fn, sql: str, allow_empty: bool = False) -> None:
+    """Compare a Spark query to its DuckDB oracle. A 0-row match is a
+    VACUOUS pass (both engines can agree while the dataflow under test
+    never runs), so emptiness fails unless the query is explicitly
+    tagged empty-ok in the registry (allow_empty=True)."""
     sdf = fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
+    assert srows or allow_empty, (
+        "query returned 0 rows — a vacuous oracle match; tag the query "
+        "'empty-ok' in the registry if emptiness is genuinely expected "
+        "at this scale factor"
+    )
 
     con = duckdb_con(sf_dir)
     try:

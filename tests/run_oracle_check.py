@@ -34,7 +34,10 @@ def main() -> None:
                 n = spec.fn(spark, sf).count()
                 print(f"PASS(rows-only) {name}: {n} rows  [{time.perf_counter()-t0:.1f}s]", flush=True)
             else:
-                compare_query(spark, sf, spec.fn, spec.oracle)
+                compare_query(
+                    spark, sf, spec.fn, spec.oracle,
+                    allow_empty="empty-ok" in spec.tags,
+                )
                 print(f"PASS {name}  [{time.perf_counter()-t0:.1f}s]", flush=True)
             n_pass += 1
         except Exception as e:

@@ -17,7 +17,7 @@ ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
-    compare_query(spark, sf_dir, spec.fn, spec.oracle)
+    compare_query(spark, sf_dir, spec.fn, spec.oracle, allow_empty="empty-ok" in spec.tags)
 
 
 def test_rows_only_queries_run(spark, sf_dir):

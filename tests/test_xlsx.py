@@ -59,6 +59,26 @@ def test_missing_sheet_raises(workbook):
         read_workbook(workbook, ["Nope"])
 
 
+def test_quoted_sheet_name_round_trips(tmp_path):
+    """Sheet names land in an XML attribute — a double quote must be
+    escaped as &quot; or workbook.xml is malformed."""
+    path = str(tmp_path / "quoted.xlsx")
+    name = 'My "Q1" & <Final> Sheet'
+    write_workbook(path, {name: [["h"], ["v"]]})
+    grids = read_workbook(path)
+    assert list(grids) == [name]
+    assert grids[name] == [["h"], ["v"]]
+
+
+def test_control_chars_stripped_from_cells(tmp_path):
+    """XML 1.0 cannot represent most C0 controls even escaped; the
+    writer strips them (keeping tab/newline) instead of emitting an
+    unparseable part."""
+    path = str(tmp_path / "ctrl.xlsx")
+    write_workbook(path, {"S": [["a\x00b\x07c\td\ne"]]})
+    assert read_workbook(path)["S"] == [["abc\td\ne"]]
+
+
 def test_shared_strings_and_sparse_cells(tmp_path):
     """Hand-built part set exercising what our writer doesn't emit:
     a sharedStrings table (t="s"), skipped cells, and a skipped row."""
