@@ -241,11 +241,12 @@ def jdbc_writer(
     connections against one Postgres).
 
     Returns the writer unsaved so callers (and tests) can inspect the
-    exact options; call ``.save()`` to execute. Executing requires the
-    target's JDBC driver jar on the classpath (``--jars``/
-    ``spark.jars.packages``) and a reachable database — neither exists
-    in this container, so execution is exercised against real
-    infrastructure, not in tests (documented in COVERAGE.md).
+    exact options; call ``.save()`` to execute. Execution needs the
+    target's JDBC driver on the classpath (``--jars``/
+    ``spark.jars.packages``); tests execute the full path against
+    embedded Apache Derby, whose driver ships inside Spark's own jars
+    (test_warehouse.test_jdbc_round_trip_embedded_derby) — Postgres
+    differs only in URL and driver jar.
     """
     if num_partitions is not None:
         df = df.coalesce(num_partitions)

@@ -58,9 +58,39 @@ def test_merge_idempotent_rerun_no_duplicates(spark):
     truncate_table(spark, t, DB)
 
 
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """K1 executed against a real RDBMS: Apache Derby (embedded, ships
+    in Spark's jars) — write_jdbc creates the table, append mode adds
+    rows connection-per-partition, and a JDBC read returns the exact
+    rows. This is the executed twin of the Postgres option-assembly
+    test below (same writer path; only the URL differs)."""
+    from batch_processing_etl_orchestration_spark.warehouse.catalog import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    df = spark.createDataFrame(
+        [(1, "solar", 1.5), (2, "wind", -2.25)], "id LONG, fuel STRING, mwh DOUBLE"
+    )
+    write_jdbc(df, url, "net_gen", mode="overwrite", batch_size=500, num_partitions=1)
+    write_jdbc(
+        spark.createDataFrame([(3, "coal", 0.125)], "id LONG, fuel STRING, mwh DOUBLE"),
+        url,
+        "net_gen",
+        mode="append",
+        num_partitions=1,
+    )
+    back = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "net_gen").load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "solar", 1.5),
+        (2, "wind", -2.25),
+        (3, "coal", 0.125),
+    ]
+
+
 def test_jdbc_writer_option_assembly(spark):
     """K1 Postgres-parity writer: exact option set and partition
-    coalesce, without executing (no JDBC driver/DB in container)."""
+    coalesce, without executing against a live Postgres."""
     from batch_processing_etl_orchestration_spark.warehouse.catalog import (
         jdbc_options,
         jdbc_writer,
