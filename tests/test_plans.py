@@ -195,3 +195,54 @@ def test_full_outer_pre_aggregates(spark, sf_dir):
     joins = [int(m) for m in re.findall(r"\((\d+)\) SortMergeJoin", plan)]
     if joins:  # agg nodes sit below the join in the formatted tree
         assert sum(1 for a in aggs if a < max(joins)) >= 2
+
+
+def test_multimodal_decode_has_no_shuffle(spark, sf_dir):
+    """synthesize → decode is two chained ArrowEvalPython/mapInPandas
+    stages over the same scan: payload bytes must never cross an
+    exchange — at 100 TB the decode is shuffle-free by construction."""
+    plan = _plan(spark, sf_dir, "q_multimodal_decode")
+    assert "Exchange" not in plan, plan[:800]
+    assert "MapInPandas" in plan
+
+
+def test_brute_force_topk_is_not_cartesian(spark, sf_dir):
+    """The exact ANN baseline ships the query matrix inside the Arrow
+    closure — the physical plan must contain a MapInPandas scoring
+    pass, no CartesianProduct/BroadcastNestedLoopJoin pair blow-up."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "label")
+    df = brute_force_topk(q, c, k=10)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_replay_shuffle_budget(spark, sf_dir):
+    """The de-vacuated A4 replay: bronze fan-out (posexplode/Generate)
+    stays in the scan stage, the BA semi-join broadcasts, and the plan
+    spends exactly Spark's two-phase-pivot shuffle budget — pre-agg on
+    (keys, type), wide agg on keys — plus the output sort. Anything
+    beyond 3 shuffles means the fan-out or join started exchanging
+    payload rows."""
+    plan = _plan(spark, sf_dir, "q_pipeline_eia930_pivot")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Generate" in plan  # the ×4 type fan-out, pre-shuffle
+    assert "CartesianProduct" not in plan
+    assert _n_exchanges(plan) <= 3, plan[:900]
