@@ -271,68 +271,76 @@ def hyperplane_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _centroid_elems(spark, centroids: list[tuple[int, list[float]]]):
-    """Element-wise centroid table (cell_id, pos, w, cnorm) for
-    broadcast joins; cnorm precomputed driver-side (n_cells is tiny)."""
-    rows = []
-    for cell_id, vec in centroids:
-        cnorm = sum(x * x for x in vec) ** 0.5 or 1.0
-        rows.extend((cell_id, p, float(w), cnorm) for p, w in enumerate(vec))
-    return spark.createDataFrame(rows, "cell_id INT, pos INT, w DOUBLE, cnorm DOUBLE")
-
-
 def _nearest_cells(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    centroid_elems: DataFrame,
+    centroids: list[tuple[int, list[float]]],
     n_probe: int,
 ) -> DataFrame:
     """(id, cell_id, cell_rank): the n_probe nearest centroids per
     vector by cosine. Since |v| is constant per vector, ranking by
     dot/|c| equals ranking by cosine — no vector-norm pass needed.
-    Same posexplode→broadcast-join→partial-agg shape as
-    lsh_bucket_ids (primitive codegen; no interpreted lambdas)."""
-    exploded = vectors.select(
-        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("pos", "val")
-    )
-    scores = (
-        exploded.join(F.broadcast(centroid_elems), "pos")
-        .groupBy("_id", "cell_id")
-        .agg(
-            (F.sum(F.col("val").cast("double") * F.col("w")) / F.first("cnorm")).alias(
-                "_score"
+
+    One Arrow pass with the centroid matrix in the closure (n_cells ×
+    dim is index metadata): each batch is a single (n, dim)·(dim,
+    n_cells) matmul plus a stable per-row argsort, so assignment costs
+    one scan with NO exchange — the earlier posexplode → broadcast-join
+    → partial-agg shape pushed n·dim·n_cells rows through an
+    aggregate, three times per ivf_topk call. Ties break toward the
+    lower cell_id (stable argsort over ascending cell columns), and
+    the fixed accumulation order makes scores deterministic under any
+    partitioning — the Spark-agg fold's sum order was not."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    assert (np.diff(cids) > 0).all(), "centroids must be sorted by cell_id"
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    k = min(n_probe, len(cids))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = (vmat @ cmat.T) / cnorm[None, :]
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "cell_id": cids[top.ravel()].astype("int32"),
+                    "cell_rank": np.tile(np.arange(1, k + 1), len(pdf)),
+                }
             )
-        )
-    )
-    w = Window.partitionBy("_id").orderBy(F.col("_score").desc(), F.col("cell_id"))
-    return (
-        scores.withColumn("cell_rank", F.row_number().over(w))
-        .where(F.col("cell_rank") <= n_probe)
-        .select(F.col("_id").alias(id_col), "cell_id", "cell_rank")
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} LONG, cell_id INT, cell_rank INT"
     )
 
 
 def ivf_build_centroids(
     vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, dim: int
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Coarse quantizer: seeds = the n_cells lowest-id vectors
     (deterministic, no RNG), then ONE Lloyd iteration (per-cell mean
     of assigned vectors) to pull centroids toward the data. Returns
-    the broadcast-ready element table.
+    the driver-side centroid list (cell_id, vector) that assignment
+    passes ship inside their Arrow closures.
 
     Driver collects are n_cells and n_cells*dim rows — index
     metadata, not data. At 100 TB the index is built once and reused
     across queries (two passes over the corpus, amortized)."""
-    spark = vectors.sparkSession
     seeds = [
         (i, [float(x) for x in r[1]])
         for i, r in enumerate(
             vectors.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
         )
     ]
-    seed_elems = _centroid_elems(spark, seeds)
-    assign1 = _nearest_cells(vectors, id_col, vec_col, seed_elems, 1)
+    assign1 = _nearest_cells(vectors, id_col, vec_col, seeds, 1)
     exploded = vectors.select(
         F.col(id_col).alias("_vid"), F.posexplode(vec_col).alias("pos", "val")
     )
@@ -345,7 +353,7 @@ def ivf_build_centroids(
     by_cell: dict[int, list[float]] = {}
     for r in means:
         by_cell.setdefault(r["cell_id"], [0.0] * dim)[r["pos"]] = r["w"]
-    return _centroid_elems(spark, sorted(by_cell.items()))
+    return sorted(by_cell.items())
 
 
 def ivf_topk(
