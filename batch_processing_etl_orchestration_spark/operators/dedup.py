@@ -51,44 +51,53 @@ def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, i, minhash) — one row per hash function.
+    """(id, mh_0 … mh_{NUM_HASHES-1}) — the whole signature as one wide
+    row.
 
     The i-th hash family member is xxhash64(base_hash, i) — a fresh
     deterministic 64-bit value per (shingle, i), equivalent to an
-    independent permutation for MinHash purposes. Implemented as a
-    pure explode + map-side partial min: no join at all (an earlier
-    coefficient-table cross join planned as BroadcastNestedLoopJoin
-    and dominated runtime). The groupBy shuffles only the (id, i, min)
-    partials — NUM_HASHES rows per doc.
+    independent permutation for MinHash purposes. All NUM_HASHES mins
+    run as codegen'd aggregates in a SINGLE groupBy over the shingle
+    rows (the same shape as SimHash's 63 bit-votes): one shuffle of
+    |docs| wide partials. The earlier explode-×NUM_HASHES formulation
+    pushed |shingles|·NUM_HASHES rows through a (doc, i) shuffle —
+    ~50M rows at sf0.1 and the operator's dominant stage; a still
+    earlier coefficient-table cross join planned as
+    BroadcastNestedLoopJoin and was worse again.
     """
     hashed = shingles.select(id_col, F.xxhash64("shingle").alias("h0"))
-    fanned = hashed.select(
-        id_col,
-        "h0",
-        F.explode(F.array([F.lit(i) for i in range(_NUM_HASHES)])).alias("i"),
-    )
-    return (
-        fanned.select(id_col, "i", F.xxhash64("h0", "i").alias("h"))
-        .groupBy(id_col, "i")
-        .agg(F.min("h").alias("minhash"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("h0", F.lit(i))).alias(f"mh_{i}")
+            for i in range(_NUM_HASHES)
+        ]
     )
 
 
 def minhash_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_sig): md5 over the band's minhashes in hash-index
-    order (sort_array over (i, h) structs — deterministic under any
-    shuffle order)."""
-    banded = signatures.withColumn("band", (F.col("i") / _ROWS_PER_BAND).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("i", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+    order, computed directly from the wide signature row (pure per-row
+    projection + a ×n_bands explode of tiny structs — no shuffle)."""
+    n_bands = _NUM_HASHES // _ROWS_PER_BAND
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * _ROWS_PER_BAND + j}").cast("string")
+                            for j in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_sig"),
             )
-        ).alias("band_sig")
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(id_col, F.explode(bands).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig")
     )
 
 
