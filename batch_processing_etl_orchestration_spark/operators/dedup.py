@@ -242,17 +242,20 @@ def simhash_signatures(
     words = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.split(text_col, " ")).alias("word")
     )
-    wc = words.groupBy("_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    # vote ±1 per word OCCURRENCE: Σ_occurrences(±1) ≡ Σ_distinct(cnt·±1),
+    # so the per-(doc, word) count shuffle the textbook formulation uses
+    # is pure overhead — one groupBy on id, map-side partials absorb the
+    # volume
     h = F.xxhash64("word")
     votes = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"v{b}")
         for b in range(_SIM_BITS)
     ]
-    voted = wc.groupBy("_id").agg(*votes)
+    voted = words.groupBy("_id").agg(*votes)
     sig = None
     for b in range(_SIM_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
