@@ -308,3 +308,34 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_shared_ngrams) for every training document sharing at
+    least one word-n-gram with the eval set — the standard n-gram
+    decontamination screen a training-data pipeline runs so benchmark
+    passages cannot leak into the corpus (n=8 is the common choice:
+    long enough that chance collisions are negligible, short enough to
+    catch partial quotes).
+
+    Scale: the eval side is small by definition — its distinct gram
+    set broadcasts, so this is one scan of the corpus with a broadcast
+    semi-join shape and a per-doc partial count; nothing about the
+    corpus ever shuffles on the gram. At extreme |eval| the broadcast
+    becomes a bloom filter of gram hashes with this exact join as the
+    exact-verify pass behind it."""
+    train_sh = shingle_sets(train_docs, n, id_col, text_col)
+    eval_grams = shingle_sets(eval_docs, n, id_col, text_col).select(
+        "shingle"
+    ).distinct()
+    return (
+        train_sh.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

@@ -182,6 +182,61 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= 0.1)
 
 
+# 8-gram shingles for decontamination (the 3-gram _SQL_SHINGLES twin)
+_SQL_SHINGLES_8 = """
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                  || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w
+                  || ' ' || lead(word, 5) OVER w || ' ' || lead(word, 6) OVER w
+                  || ' ' || lead(word, 7) OVER w AS shingle,
+             lead(word, 7) OVER w AS _tail
+      FROM words
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shingles8 AS (
+      SELECT DISTINCT doc_id, shingle FROM grams WHERE _tail IS NOT NULL
+    )
+"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=_SQL_SHINGLES_8
+    + """,
+    eval_g AS (
+      SELECT DISTINCT shingle FROM shingles8 WHERE doc_id % 20 = 0
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM shingles8 s
+    JOIN eval_g e ON s.shingle = e.shingle
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares a word-8-gram with the eval split (doc_id % 20 == 0 here) —
+    the screen run before training so eval passages cannot leak into
+    the corpus. Near-dups of eval docs surface with high shared-gram
+    counts; unrelated docs share none (8-gram chance collisions are
+    negligible). Value-level oracle: DuckDB recomputes the same
+    8-gram overlap counts."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return decontaminate(d.where(~is_eval), d.where(is_eval), n=8)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

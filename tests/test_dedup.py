@@ -149,3 +149,24 @@ def test_capped_pairs_exhaustive_below_cap(spark):
     }
     want = {(a, b) for a in range(10) for b in range(10) if a < b}
     assert got == want
+
+
+def test_decontaminate_flags_quotes_not_paraphrases(spark):
+    """A doc quoting 8+ consecutive eval words is flagged with the
+    right gram count; overlap shorter than n never flags."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            # quotes words 1-8 of the eval doc → 8-grams shared: exactly 1
+            (1, "x y alpha beta gamma delta epsilon zeta eta theta"),
+            # only 7 consecutive shared words → no shared 8-gram
+            (2, "alpha beta gamma delta epsilon zeta eta QUOTE break"),
+            (3, "totally unrelated text with nothing shared at all here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in decontaminate(train, ev, n=8).collect()}
+    assert got == {1: 1}
