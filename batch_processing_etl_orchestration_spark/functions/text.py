@@ -112,3 +112,26 @@ def normalized_fingerprint(text_col: Column | str, *salt_cols: Column | str) -> 
     for p in parts[1:]:
         combined = F.concat(combined, sep, p)
     return F.md5(combined)
+
+
+# PII scrubbing — the regexes stay inside the Java/RE2 common subset so
+# the DuckDB oracle applies the IDENTICAL patterns (no lookaround, no
+# possessive quantifiers, no \b differences in scope here).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with emails → [EMAIL] and phone numbers → [PHONE] — the
+    scrub every training corpus runs before anything else sees the
+    bytes. Pure JVM-side regexp_replace (codegen, no UDF)."""
+    emails_gone = F.regexp_replace(_c(col), EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(emails_gone, PHONE_RE, "[PHONE]")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    return (
+        F.size(F.regexp_extract_all(_c(col), F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(_c(col), F.lit(PHONE_RE), F.lit(0))),
+    )

@@ -182,6 +182,79 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= 0.1)
 
 
+@register(
+    "q_pii_redact",
+    oracle=r"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com today'
+                          ELSE ' call 555-'
+                               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                               || '-1234 now' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT)
+             AS n_phones,
+           sha256(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')
+           ) AS redacted_sha
+    FROM salted
+    """,
+    tags=("text", "pii"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction every training corpus runs before
+    any other stage sees the bytes. Deterministic PII is spliced into
+    each document in-query (even ids an email, odd ids a phone number
+    — identical concat in both engines), then counted and redacted
+    with regexes kept inside the Java/RE2 common subset; the DuckDB
+    oracle hash-checks the sha256 of the REDACTED text, so a single
+    leaked or over-redacted byte fails the row. Pure JVM-side
+    regexp_replace — codegen, no UDF, no shuffle."""
+    from batch_processing_etl_orchestration_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com today"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-1234 now"),
+                )
+            ),
+        ).alias("t"),
+    )
+    n_emails, n_phones = pii_counts("t")
+    return salted.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.sha2(redact_pii("t"), 256).alias("redacted_sha"),
+    )
+
+
 # 8-gram shingles for decontamination (the 3-gram _SQL_SHINGLES twin)
 _SQL_SHINGLES_8 = """
     WITH words AS (

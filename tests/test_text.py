@@ -60,3 +60,31 @@ def test_normalized_fingerprint_case_insensitive(spark):
     df = spark.createDataFrame([("en", "Hello"), ("en", "hello")], "lang STRING, text STRING")
     fps = [r["f"] for r in df.select(normalized_fingerprint("text", "lang").alias("f")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk or x@y.io, call 123-456-7890"),
+            (2, "no pii here, 12-34 is not a phone and a@b is not a mail"),
+        ],
+        "id LONG, t STRING",
+    )
+    n_e, n_p = pii_counts("t")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", n_e.alias("e"), n_p.alias("p"), redact_pii("t").alias("red")
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["p"]) == (2, 1)
+    assert rows[1]["red"] == "mail [EMAIL] or [EMAIL], call [PHONE]"
+    assert (rows[2]["e"], rows[2]["p"]) == (0, 0)
+    assert rows[2]["red"] == "no pii here, 12-34 is not a phone and a@b is not a mail"
