@@ -183,6 +183,63 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_repetition_ratio",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+               AS shingle,
+             lead(word, 2) OVER w AS _tail
+      FROM words
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct_grams,
+           1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+    FROM grams WHERE _tail IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("text", "quality"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: the fraction of word-3-grams that
+    are duplicates of an earlier gram in the same document — the
+    Gopher-style repetition quality signal (heavily repeated boiler-
+    plate scores high and gets filtered). Counting needs the
+    NON-distinct gram stream, so this builds grams without the
+    array_distinct the shingle-set path applies; the ratio is an
+    integer quotient → bit-stable division in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    parts = ", ".join(f"_words[i + {k}]" for k in range(3))
+    grams = (
+        "CASE WHEN size(_words) >= 3 THEN "
+        "transform(sequence(0, size(_words) - 3), "
+        f"i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+    g = d.select("doc_id", F.split("text", " ").alias("_words")).select(
+        "doc_id", F.explode(F.expr(grams)).alias("shingle")
+    )
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("shingle").alias("n_distinct_grams"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("shingle").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+@register(
     "q_pii_redact",
     oracle=r"""
     WITH salted AS (
