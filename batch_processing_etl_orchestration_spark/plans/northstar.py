@@ -846,6 +846,61 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_source_mix_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1
+    ),
+    target AS (SELECT MIN(n_total) AS n_min FROM counts),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d
+      JOIN counts c ON c.source = d.source
+      CROSS JOIN target t
+      WHERE CAST('0x' || substring(md5(d.text), 1, 8) AS BIGINT) % 1000000
+            < t.n_min * 1000000 // c.n_total
+      GROUP BY 1
+    )
+    SELECT c.source, c.n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM counts c
+    LEFT JOIN kept k ON k.source = c.source
+    """,
+    tags=("text", "sampling"),
+)
+def q_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: deterministically downsample every
+    source to the size of the smallest one (equal-mix target), the
+    data-mixing step that precedes training-corpus assembly. Keep
+    probability n_min/n_source is applied as an integer threshold on
+    a content-hash bucket (md5 prefix mod 1e6), so the sample is
+    reproducible across runs/engines and integer `div` keeps the
+    threshold bit-exact. Two passes over documents: a per-source
+    count (tiny result, broadcast back) then the filter — at 100 TB
+    the counts side is metadata-sized, so the join never shuffles the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1000000
+    )
+    kept = (
+        d.select("source", bucket.alias("_bucket"))
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .where(F.col("_bucket") < F.expr("n_min * 1000000 div n_total"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return counts.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms (SURVEY §2.10 text-analysis row: TF-IDF)
 # ---------------------------------------------------------------------------
