@@ -1117,3 +1117,144 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("comp_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@register(
+    "q_dedup_keep_canonical",
+    oracle=_SQL_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _SQL_JACCARD_EDGES
+    + """,
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp_id
+      FROM walk GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT comp_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY comp_id
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY comp_id) AS cluster_size
+      FROM labeled
+    )
+    SELECT comp_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+           cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor resolution: the step after near-dup
+    clustering that decides WHICH document each cluster keeps. Rule:
+    highest n_chars wins (keep the most complete copy), doc_id breaks
+    ties; singleton docs (no near-dup edge) survive as their own
+    cluster. Output is one row per surviving document.
+
+    Scale shape: the cluster labels cover only docs that had a
+    near-dup edge (a small fraction of a deduped-in-ingest corpus),
+    so the label table broadcasts; the survivor window shuffles just
+    the (doc_id, comp_id, n_chars) triple — document text never
+    leaves the scan. Reference analog: none (reference drops exact
+    dups only, duckdb row_number pattern); this is the north-star
+    dedup pipeline's keep-rule."""
+    clusters = q_dup_clusters(spark, sf_dir).select("doc_id", "comp_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp_id", "doc_id").alias("comp_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("comp_id")
+    wr = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        labeled.select(
+            "comp_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "comp_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "cluster_size",
+        )
+    )
+
+
+@register(
+    "q_unigram_logprob_quality",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+      SELECT word, COUNT(*) AS wc FROM words GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(wc) AS BIGINT) AS n_corpus FROM freq),
+    contrib AS (
+      SELECT w.doc_id,
+             CAST(ROUND(ln(CAST(f.wc AS DOUBLE)
+                           / CAST(t.n_corpus AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS scaled_ll
+      FROM words w
+      JOIN freq f ON f.word = w.word
+      CROSS JOIN total t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-CAST(SUM(scaled_ll) AS DOUBLE) / 1000000
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS nll_per_token
+    FROM contrib
+    GROUP BY 1
+    """,
+    tags=("text", "quality"),
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean negative log-likelihood per
+    token under the corpus's own unigram distribution — the cheap
+    perplexity proxy (CCNet-style) that flags documents full of rare
+    tokens for review and boilerplate for down-weighting. Per-word
+    log-probs are rounded to 6 dp and summed as scaled longs, so the
+    order-sensitive double sum becomes an exact integer fold (the
+    repo's standard exactness trick); the final divide is a single
+    IEEE op both engines agree on.
+
+    Scale shape: vocabulary (freq) is Zipf-small → broadcast join;
+    the corpus total is one scalar. One wide shuffle: the groupBy
+    doc_id re-aggregation of per-word contributions, carrying only
+    (doc_id, long)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = freq.agg(F.sum("wc").cast("bigint").alias("n_corpus"))
+    scaled_ll = F.round(
+        F.log(F.col("wc").cast("double") / F.col("n_corpus").cast("double"))
+        * 1000000
+    ).cast("bigint")
+    return (
+        words.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", scaled_ll.alias("scaled_ll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum("scaled_ll").cast("double")
+                / 1000000
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("nll_per_token"),
+        )
+    )
