@@ -1258,3 +1258,83 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_per_token"),
         )
     )
+
+
+@register(
+    "q_embedding_quantize_int8",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    scales AS (
+      SELECT vec_id, GREATEST(MAX(abs(x)) / 127, 1e-12) AS s
+      FROM dims GROUP BY 1
+    ),
+    per_dim AS (
+      SELECT d.vec_id, d.label,
+             abs(d.x - round(d.x / sc.s) * sc.s) <= sc.s * 0.500001
+               AS within,
+             CAST(abs(round(d.x / sc.s)) AS BIGINT) AS qabs
+      FROM dims d JOIN scales sc ON sc.vec_id = d.vec_id
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             CAST(COUNT(*) AS BIGINT) AS n_dims,
+             bool_and(within) AS vec_within,
+             MAX(qabs) AS vec_qmax
+      FROM per_dim GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(n_dims) AS BIGINT) AS n_dims_total,
+           bool_and(vec_within) AS all_within_bound,
+           MAX(vec_qmax) AS max_abs_q
+    FROM per_vec GROUP BY 1
+    """,
+    tags=("embedding", "quantization"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (per-vector absmax
+    scale, the standard ANN memory-reduction step: 4x smaller index,
+    reconstruction error bounded by scale/2). The query attests the
+    bound in-query — every dimension's dequantization error must sit
+    within scale/2 (+1ulp slack) and every code within [-127,127] —
+    and reports per-label vector/dim counts; the oracle recomputes
+    the same attestation from the raw embeddings, so a wrong scale,
+    rounding mode, or overflow flips a hash-checked boolean.
+
+    Scale shape: quantize/verify run inside higher-order array
+    functions on the scan (zero shuffle, no explode — 100 TB of
+    vectors never leaves its partition); the only shuffle is the
+    tiny per-label rollup. Bound uses MAX/COUNT/AND aggregates only,
+    so no summation-order nondeterminism exists anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        "embedding",
+        F.size("embedding").alias("n_dims"),
+        F.expr(
+            "GREATEST(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> GREATEST(acc, abs(CAST(x AS DOUBLE)))) / 127, "
+            "CAST(1e-12 AS DOUBLE))"
+        ).alias("s"),
+    ).select(
+        "label",
+        "n_dims",
+        F.expr(
+            "forall(embedding, x -> "
+            "abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / s) * s) "
+            "<= s * 0.500001)"
+        ).alias("vec_within"),
+        F.expr(
+            "aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> "
+            "GREATEST(acc, CAST(abs(round(CAST(x AS DOUBLE) / s)) AS BIGINT)))"
+        ).alias("vec_qmax"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("n_dims").cast("bigint").alias("n_dims_total"),
+        F.bool_and("vec_within").alias("all_within_bound"),
+        F.max("vec_qmax").alias("max_abs_q"),
+    )

@@ -246,3 +246,15 @@ def test_pivot_replay_shuffle_budget(spark, sf_dir):
     assert "Generate" in plan  # the ×4 type fan-out, pre-shuffle
     assert "CartesianProduct" not in plan
     assert _n_exchanges(plan) <= 3, plan[:900]
+
+
+def test_quantize_int8_no_explode_one_rollup(spark, sf_dir):
+    """Int8 quantization must quantize/verify inside higher-order
+    array functions on the scan: no Generate (an explode would
+    shuffle |dims|x the rows) and only the tiny per-label rollup's
+    exchange. A second exchange appears solely if AQE splits the
+    partial/final agg — both sit on the same small rollup."""
+    plan = _plan(spark, sf_dir, "q_embedding_quantize_int8")
+    assert "Generate" not in plan
+    assert "forall" in plan or "aggregate" in plan
+    assert _n_exchanges(plan) <= 2, plan[:900]
