@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     # r3: full-DAG pivot replay (de-vacuated) + stdlib media decode
     "q_pipeline_eia930_pivot",
     "q_multimodal_decode",
+    # r3 training-pipeline breadth: quality scoring over the word stream,
+    # zero-shuffle int8 quantization, cluster-survivor resolution
+    "q_unigram_logprob_quality",
+    "q_embedding_quantize_int8",
+    "q_dedup_keep_canonical",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
