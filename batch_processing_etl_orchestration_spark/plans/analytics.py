@@ -646,3 +646,238 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(exact_sum(volume).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily anomaly detection (round 3): z-score of daily event counts vs
+# the event type's own history — the monitoring query a 100 TB
+# ingest pipeline runs to catch feed outages / replays. All moments
+# derive from exact integer sums (counts, squared counts), so
+# mean/std/z involve no order-sensitive double folds.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+           ROUND((CAST(d.n_events AS DOUBLE)
+                  - CAST(m.s AS DOUBLE) / CAST(m.n_days AS DOUBLE))
+                 / sqrt(CAST(m.n_days * m.q - m.s * m.s AS DOUBLE)
+                        / CAST(m.n_days * (m.n_days - 1) AS DOUBLE)), 6)
+             AS zscore,
+           abs((CAST(d.n_events AS DOUBLE)
+                - CAST(m.s AS DOUBLE) / CAST(m.n_days AS DOUBLE))
+               / sqrt(CAST(m.n_days * m.q - m.s * m.s AS DOUBLE)
+                      / CAST(m.n_days * (m.n_days - 1) AS DOUBLE))) > 2
+             AS is_anomaly
+    FROM daily d JOIN moments m ON m.event_type = d.event_type
+    WHERE m.n_days > 1
+    """,
+    tags=("events", "anomaly"),
+)
+def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume z-scores with |z| > 2 anomaly flags.
+    Sample variance comes from the integer identity
+    (n*Q - S^2) / (n*(n-1)) over bigint count sums — exact in both
+    engines — then one sqrt, one subtract, one divide (each a single
+    IEEE op). Scale shape: the daily rollup is the only wide shuffle;
+    moments is |event_type| rows, broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("q"),
+    )
+    z = (
+        F.col("n_events").cast("double")
+        - F.col("s").cast("double") / F.col("n_days").cast("double")
+    ) / F.sqrt(
+        (F.col("n_days") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n_days") * (F.col("n_days") - F.lit(1))).cast("double")
+    )
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .where(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap interpolation (round 3): linear fill of missing points in a
+# sparse hourly series — the time-series repair step the reference's
+# energy-data domain (hourly EIA-930 feeds with dropped hours) needs
+# before resampling/joining. Anchors = hours that saw a high-value
+# event (value > 180, ~5-50% of hours depending on SF).
+# ---------------------------------------------------------------------------
+
+
+def _interp_sql() -> str:
+    from batch_processing_etl_orchestration_spark.plans.parity import (
+        _TS_START,
+    )
+
+    return f"""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT unnest(generate_series(0, 719)) AS i),
+    grid AS (
+      SELECT t.event_type, s.i,
+             TIMESTAMP '{_TS_START}' + s.i * INTERVAL 1 HOUR AS hour
+      FROM types t CROSS JOIN spine s
+    ),
+    anchors AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_hi,
+             {{exact_sum}} AS v_anchor
+      FROM events WHERE value > 180 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.event_type, g.i, g.hour, a.n_hi, a.v_anchor
+      FROM grid g LEFT JOIN anchors a
+        ON a.event_type = g.event_type AND a.hour = g.hour
+    ),
+    w AS (
+      SELECT *,
+        last_value(v_anchor IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN v_anchor IS NOT NULL THEN i END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+        first_value(v_anchor IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN v_anchor IS NOT NULL THEN i END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+      FROM j
+    )
+    SELECT event_type, {{ts_str}} AS hour,
+           CAST(COALESCE(n_hi, 0) AS BIGINT) AS n_hi,
+           v_anchor,
+           CASE WHEN v_anchor IS NOT NULL THEN v_anchor
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN CAST(ROUND((prev_v + (next_v - prev_v)
+                                 * (CAST(i - prev_i AS DOUBLE)
+                                    / CAST(next_i - prev_i AS DOUBLE)))
+                                * 1000000) AS BIGINT) / 1000000.0
+                END AS v_filled,
+           (v_anchor IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL)
+             AS was_interpolated
+    FROM w
+    """
+
+
+@register(
+    "q_interpolate_gaps",
+    oracle=_interp_sql().format(
+        exact_sum=sql_exact_sum("value"), ts_str=sql_ts_str("hour")
+    ),
+    tags=("events", "timeseries"),
+)
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over gap hours: each missing point gets
+    prev + (next - prev) * frac between its nearest anchors (IGNORE
+    NULLS windows), leading/trailing gaps stay null. The interpolation
+    fraction is a ratio of spine *indices* (exact integers, no
+    timezone arithmetic), anchors are scaled-long exact sums, and the
+    fill expression has the same association in both engines, so one
+    ROUND(...,6) makes it bit-stable.
+
+    Scale shape: the spine is |types| x 720 rows (metadata-sized
+    here; at 100 TB, a year x millions of series — generated, never
+    shuffled wide because the window partitions by series key). The
+    anchor rollup is the only corpus shuffle; each series' fill is
+    one sorted window pass."""
+    from batch_processing_etl_orchestration_spark.plans.parity import (
+        _TS_START,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    spine = spark.range(720).select(
+        F.col("id").alias("i"),
+        F.expr(
+            f"timestampadd(HOUR, id, TIMESTAMP_NTZ '{_TS_START}')"
+        ).alias("hour"),
+    )
+    anchors = (
+        ev.where(F.col("value") > 180)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hi"),
+            exact_sum("value").alias("v_anchor"),
+        )
+    )
+    grid = types.crossJoin(spine)
+    j = grid.join(anchors, ["event_type", "hour"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_i = F.when(F.col("v_anchor").isNotNull(), F.col("i"))
+    wcols = j.select(
+        "event_type",
+        "i",
+        "hour",
+        "n_hi",
+        "v_anchor",
+        F.last("v_anchor", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(anchor_i, ignorenulls=True).over(wp).alias("prev_i"),
+        F.first("v_anchor", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(anchor_i, ignorenulls=True).over(wn).alias("next_i"),
+    )
+    frac = (F.col("i") - F.col("prev_i")).cast("double") / (
+        F.col("next_i") - F.col("prev_i")
+    ).cast("double")
+    # round AFTER scaling to 1e6 so a tie (x.xxxxxx5) is an exactly-
+    # representable .5 both engines round away from zero; rounding the
+    # raw double at scale 6 diverges (Spark goes through the shortest
+    # decimal string, DuckDB through the binary value).
+    fill = F.when(F.col("v_anchor").isNotNull(), F.col("v_anchor")).when(
+        F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+        F.round(
+            (F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+            * 1000000
+        ).cast("bigint")
+        / F.lit(1000000.0),
+    )
+    return wcols.select(
+        "event_type",
+        ts_str(F.col("hour")).alias("hour"),
+        F.coalesce("n_hi", F.lit(0)).cast("bigint").alias("n_hi"),
+        "v_anchor",
+        fill.alias("v_filled"),
+        (
+            F.col("v_anchor").isNull()
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+        ).alias("was_interpolated"),
+    )
