@@ -464,3 +464,72 @@ def cosine_lsh_near_dup_pairs(
             "cosine_sim",
         )
     )
+
+
+def int8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "query_id",
+    c_id: str = "cand_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Cosine top-k against an int8-quantized candidate index
+    (asymmetric search: candidates quantized with per-vector absmax
+    scales — the q_embedding_quantize_int8 codec — queries kept
+    float). The index side is what dominates memory at 100 TB, so
+    this is the standard 4x-smaller serving configuration; scoring
+    runs on the dequantized values inside the same single Arrow pass
+    as brute_force_topk, batch-local top-k, then one global window.
+    Deterministic: numpy round/mul only, same (sim desc, cand_id)
+    tiebreak as the exact path."""
+    import numpy as np
+
+    qrows = queries.select(q_id, q_vec).collect()  # small by contract
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    n_q = len(qids)
+    passthrough = [f for f in candidates.schema.fields if f.name != c_vec]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
+        + f", {q_id} BIGINT, cosine_sim DOUBLE"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
+            scales = np.maximum(np.abs(cmat).max(axis=1) / 127.0, 1e-12)
+            cdq = np.round(cmat / scales[:, None]) * scales[:, None]
+            dot = cdq @ qmat.T  # (n_c, n_q)
+            cnorm = np.sqrt((cdq * cdq).sum(axis=1))
+            sims = dot / (cnorm[:, None] * qnorm[None, :])
+            cids = pdf[c_id].to_numpy()
+            sims[cids[:, None] == qids[None, :]] = -np.inf  # self-exclusion
+            kk = min(k, len(pdf))
+            keep_ci, keep_qi = [], []
+            for j in range(n_q):
+                order = np.lexsort((cids, -sims[:, j]))[:kk]
+                kept = order[np.isfinite(sims[order, j])]
+                keep_ci.append(kept)
+                keep_qi.append(np.full(len(kept), j, dtype=np.int64))
+            ci = np.concatenate(keep_ci)
+            qi = np.concatenate(keep_qi)
+            if len(ci) == 0:
+                continue
+            out = pdf.iloc[ci][[f.name for f in passthrough]].reset_index(drop=True)
+            out[q_id] = qids[qi]
+            out["cosine_sim"] = sims[ci, qi]
+            yield out
+
+    scored = candidates.mapInPandas(score, out_schema)
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
+    cols = [q_id] + [f.name for f in passthrough] + ["cosine_sim", "rank"]
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*cols)
+    )

@@ -34,6 +34,7 @@ from batch_processing_etl_orchestration_spark.operators.similarity import (
     brute_force_topk,
     cosine_lsh_near_dup_pairs,
     hyperplane_lsh_topk,
+    int8_topk,
     ivf_topk,
 )
 from batch_processing_etl_orchestration_spark.operators.similarity import (
@@ -172,6 +173,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py and tests/test_determinism.py."""
     q, c = _ann_queries_candidates(spark, sf_dir)
     return _ann_recall_attestation(hyperplane_lsh_topk(q, c, k=10), q, c)
+
+
+@register("q_ann_int8_topk", oracle=_ANN_ORACLE, tags=("similarity", "ann", "int8"))
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 against the int8-quantized candidate index
+    (asymmetric search; the serving-side pairing of
+    q_embedding_quantize_int8's codec — 4x smaller index, queries
+    stay float). Registered result is the per-query recall
+    attestation vs the in-query float brute force (measured min 0.9
+    at sf0.1, 1.0 below; floor 0.5); top-k surface pinned in
+    tests/test_similarity.py."""
+    q, c = _ann_queries_candidates(spark, sf_dir)
+    return _ann_recall_attestation(int8_topk(q, c, k=10), q, c)
 
 
 @register("q_ann_ivf_topk", oracle=_ANN_ORACLE, tags=("similarity", "ann", "ivf"))
