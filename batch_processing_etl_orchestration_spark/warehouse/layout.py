@@ -47,3 +47,39 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+    cluster_col: str | None = None,
+) -> int:
+    """Rewrite a fragmented parquet dataset into ~target-sized files,
+    optionally range-clustered on cluster_col. Returns the number of
+    output partitions.
+
+    Small-file compaction is the steady-state maintenance job of any
+    streaming/incremental 100 TB table: micro-batches and dynamic
+    partition overwrites leave thousands of KB-sized files whose
+    open/footer costs dominate scans. One pass: count, size the
+    partition count, `repartitionByRange` (when clustering — gives
+    each file a disjoint value range, so min/max footer stats prune
+    like a coarse index) or round-robin `repartition`, and a
+    maxRecordsPerFile cap as the safety net against skewed ranges.
+    """
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_parts = max(1, -(-n // target_rows_per_file))
+    out = (
+        df.repartitionByRange(n_parts, cluster_col)
+        if cluster_col
+        else df.repartition(n_parts)
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_path)
+    )
+    return n_parts
