@@ -881,3 +881,80 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("next_v").isNotNull()
         ).alias("was_interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (round 3): first-view -> first-click-after -> first-
+# purchase-after per user — the sequential conversion query event
+# analytics runs constantly. All three milestones resolve in stacked
+# Window nodes over ONE user_id partitioning (Catalyst reuses the
+# single Exchange), not three self-joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id,
+           {sql_ts_str('v.t')} AS first_view,
+           {sql_ts_str('c.t')} AS first_click,
+           {sql_ts_str('p.t')} AS first_purchase,
+           p.t IS NOT NULL AS converted
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("events", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel: each user's first view, first click strictly
+    after that view, and first purchase strictly after that click
+    (strict ordering, not mere presence — a click that predates every
+    view doesn't convert). The oracle expresses it as chained
+    min-joins; the Spark plan instead stacks three conditional-min
+    Windows on the same user_id partitioning, so the whole funnel
+    costs ONE shuffle regardless of funnel depth — the formulation
+    that matters when the events table is 100 TB and every self-join
+    would reshuffle it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    step1 = ev.withColumn("fv", fv)
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("fc", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    return (
+        step2.withColumn("fp", fp)
+        .where(F.col("fv").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            ts_str(F.min("fv")).alias("first_view"),
+            ts_str(F.min("fc")).alias("first_click"),
+            ts_str(F.min("fp")).alias("first_purchase"),
+            (F.min("fp").isNotNull()).alias("converted"),
+        )
+    )

@@ -1338,3 +1338,87 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("vec_within").alias("all_within_bound"),
         F.max("vec_qmax").alias("max_abs_q"),
     )
+
+
+@register(
+    "q_length_prune",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+    hist AS (
+      SELECT n_tok, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (ORDER BY n_tok) AS cum
+      FROM toks GROUP BY 1
+    ),
+    thresholds AS (
+      SELECT (SELECT MIN(n_tok) FROM hist, n
+              WHERE cum >= (n.n_docs * 5 + 99) // 100) AS lo_tok,
+             (SELECT MIN(n_tok) FROM hist, n
+              WHERE cum >= (n.n_docs * 95) // 100) AS hi_tok
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN t.n_tok BETWEEN th.lo_tok AND th.hi_tok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           th.lo_tok, th.hi_tok
+    FROM toks t CROSS JOIN thresholds th
+    GROUP BY 1, 4, 5
+    """,
+    tags=("text", "quality"),
+)
+def q_length_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-length pruning: drop documents outside the exact
+    [p05, p95] token-count band (k-th smallest = min length whose
+    cumulative histogram count reaches k; k derived with integer
+    ceil/floor division, so thresholds are bit-exact — no double
+    quantile math anywhere). Training pipelines run this to cut
+    truncated fragments and concatenation blobs.
+
+    Scale shape: the percentile comes from the LENGTH HISTOGRAM
+    (compact key: distinct token counts), not a global sort of the
+    corpus — the cumulative window runs over thousands of rows at any
+    corpus size, then two scalar thresholds broadcast back into the
+    keep filter. This is the exact-percentile plan that survives
+    100 TB; a row-level row_number() would global-sort everything."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    n_docs = toks.count()
+    lo_k = (n_docs * 5 + 99) // 100
+    hi_k = (n_docs * 95) // 100
+    hist = (
+        toks.groupBy("n_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("n_tok").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    th = hist.agg(
+        F.min(F.when(F.col("cum") >= lo_k, F.col("n_tok"))).alias("lo_tok"),
+        F.min(F.when(F.col("cum") >= hi_k, F.col("n_tok"))).alias("hi_tok"),
+    )
+    return (
+        toks.crossJoin(F.broadcast(th))
+        .groupBy("source", "lo_tok", "hi_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("n_tok").between(F.col("lo_tok"), F.col("hi_tok")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("source", "n_total", "n_kept", "lo_tok", "hi_tok")
+    )
