@@ -258,3 +258,13 @@ def test_quantize_int8_no_explode_one_rollup(spark, sf_dir):
     assert "Generate" not in plan
     assert "forall" in plan or "aggregate" in plan
     assert _n_exchanges(plan) <= 2, plan[:900]
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The three funnel milestones stack as Window nodes over ONE
+    user_id Exchange, and the final per-user agg reuses that
+    partitioning — funnel depth must not add shuffles (at 100 TB each
+    extra shuffle re-moves the whole events table)."""
+    plan = _plan(spark, sf_dir, "q_events_funnel")
+    assert plan.count("Window") >= 3
+    assert _n_exchanges(plan) == 1, plan[:900]
