@@ -958,3 +958,54 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("fp").isNotNull()).alias("converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (round 3): users grouped by first-activity week,
+# retention = share active k weeks later — the companion report to
+# the funnel. Weeks truncate to Monday in both engines; k is an
+# integer day-diff div 7, so every cell is an exact distinct count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    fw AS (SELECT user_id, MIN(wk) AS cw FROM act GROUP BY 1),
+    r AS (
+      SELECT f.cw, CAST(date_diff('day', f.cw, a.wk) // 7 AS BIGINT) AS k,
+             a.user_id
+      FROM act a JOIN fw f ON f.user_id = a.user_id
+    )
+    SELECT {sql_ts_str('cw')} AS cohort_week, k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("events", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort_week = the user's first
+    active week, k = weeks since, n_active = distinct users from that
+    cohort active in week k (the k=0 row is the cohort size).
+
+    Scale shape: activity first collapses to DISTINCT (user, week) —
+    the retention grain — so everything downstream moves |users|x|weeks|
+    rows, not raw events; the first-week window rides the same user_id
+    partitioning, and the final agg shuffles a (week, k) key domain of
+    a few hundred rows."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    r = act.withColumn("cw", F.min("wk").over(w)).select(
+        "user_id",
+        "cw",
+        F.expr("CAST(datediff(wk, cw) DIV 7 AS BIGINT)").alias("k"),
+    )
+    return r.groupBy(ts_str(F.col("cw")).alias("cohort_week"), "k").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
