@@ -1092,8 +1092,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    # seed with one propagation round fused into the init: comp(v) =
+    # least(v, min neighbor) — identical to running the loop once from
+    # identity labels (edges carry both directions), one fewer
+    # join+checkpoint+action round to the fixpoint.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_md"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_md")).alias("comp"),
+        )
     )
     prev_sum = None
     while True:
