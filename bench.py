@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_unigram_logprob_quality",
     "q_embedding_quantize_int8",
     "q_dedup_keep_canonical",
+    # r3 event analytics: one-shuffle funnel + cohort matrix
+    "q_events_funnel",
+    "q_cohort_retention",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
