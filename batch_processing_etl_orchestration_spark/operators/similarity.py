@@ -65,13 +65,44 @@ def brute_force_topk(
     declarative fold of q_cosine_topk_bruteforce bit-for-bit (replaces
     a crossJoin + interpreted-lambda fold that was ~4× slower at
     sf0.1)."""
+    return _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, _exact_sims)
+
+
+def _exact_sims(cmat, qmat):
+    """Scaled-long-rounded cosine matrix — bit-identical to the
+    declarative fold in q_cosine_topk_bruteforce."""
+    import numpy as np
+
+    scale = float(_SIM_SCALE)
+    dot = np.round(cmat[:, None, :] * qmat[None, :, :] * scale).sum(axis=2) / scale
+    cnorm = np.sqrt(np.round(cmat * cmat * scale).sum(axis=1) / scale)
+    qnorm = np.sqrt(np.round(qmat * qmat * scale).sum(axis=1) / scale)
+    return dot / (cnorm[:, None] * qnorm[None, :])
+
+
+def _int8_sims(cmat, qmat):
+    """Asymmetric int8 cosine: candidates quantized with per-vector
+    absmax scales (the q_embedding_quantize_int8 codec), queries kept
+    float; plain IEEE ops (determinism from numpy, not scaling)."""
+    import numpy as np
+
+    scales = np.maximum(np.abs(cmat).max(axis=1) / 127.0, 1e-12)
+    cdq = np.round(cmat / scales[:, None]) * scales[:, None]
+    dot = cdq @ qmat.T
+    cnorm = np.sqrt((cdq * cdq).sum(axis=1))
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    return dot / (cnorm[:, None] * qnorm[None, :])
+
+
+def _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, sims_fn):
+    """Shared one-Arrow-pass top-k driver: query matrix in the
+    closure, per-batch sims via sims_fn, batch-local top-k under
+    (sim desc, cand_id asc), one global ranking window."""
     import numpy as np
 
     qrows = queries.select(q_id, q_vec).collect()  # small by contract
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    scale = float(_SIM_SCALE)
-    qnorm = np.sqrt(np.round(qmat * qmat * scale).sum(axis=1) / scale)
     n_q = len(qids)
     passthrough = [f for f in candidates.schema.fields if f.name != c_vec]
     out_schema = (
@@ -84,9 +115,7 @@ def brute_force_topk(
             if len(pdf) == 0:
                 continue
             cmat = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
-            dot = np.round(cmat[:, None, :] * qmat[None, :, :] * scale).sum(axis=2) / scale
-            cnorm = np.sqrt(np.round(cmat * cmat * scale).sum(axis=1) / scale)
-            sims = dot / (cnorm[:, None] * qnorm[None, :])  # (n_c, n_q)
+            sims = sims_fn(cmat, qmat)  # (n_c, n_q)
             cids = pdf[c_id].to_numpy()
             sims[cids[:, None] == qids[None, :]] = -np.inf  # self-exclusion
             kk = min(k, len(pdf))
@@ -484,52 +513,4 @@ def int8_topk(
     as brute_force_topk, batch-local top-k, then one global window.
     Deterministic: numpy round/mul only, same (sim desc, cand_id)
     tiebreak as the exact path."""
-    import numpy as np
-
-    qrows = queries.select(q_id, q_vec).collect()  # small by contract
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    n_q = len(qids)
-    passthrough = [f for f in candidates.schema.fields if f.name != c_vec]
-    out_schema = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
-        + f", {q_id} BIGINT, cosine_sim DOUBLE"
-    )
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cmat = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
-            scales = np.maximum(np.abs(cmat).max(axis=1) / 127.0, 1e-12)
-            cdq = np.round(cmat / scales[:, None]) * scales[:, None]
-            dot = cdq @ qmat.T  # (n_c, n_q)
-            cnorm = np.sqrt((cdq * cdq).sum(axis=1))
-            sims = dot / (cnorm[:, None] * qnorm[None, :])
-            cids = pdf[c_id].to_numpy()
-            sims[cids[:, None] == qids[None, :]] = -np.inf  # self-exclusion
-            kk = min(k, len(pdf))
-            keep_ci, keep_qi = [], []
-            for j in range(n_q):
-                order = np.lexsort((cids, -sims[:, j]))[:kk]
-                kept = order[np.isfinite(sims[order, j])]
-                keep_ci.append(kept)
-                keep_qi.append(np.full(len(kept), j, dtype=np.int64))
-            ci = np.concatenate(keep_ci)
-            qi = np.concatenate(keep_qi)
-            if len(ci) == 0:
-                continue
-            out = pdf.iloc[ci][[f.name for f in passthrough]].reset_index(drop=True)
-            out[q_id] = qids[qi]
-            out["cosine_sim"] = sims[ci, qi]
-            yield out
-
-    scored = candidates.mapInPandas(score, out_schema)
-    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
-    cols = [q_id] + [f.name for f in passthrough] + ["cosine_sim", "rank"]
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(*cols)
-    )
+    return _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, _int8_sims)
