@@ -81,3 +81,46 @@ def test_fetch_partitioned(spark):
 
     out = fetch_partitioned(keys, fetch_rows, "key INT, v INT")
     assert {(r["key"], r["v"]) for r in out.collect()} == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_python_datasource_restpages(spark):
+    """Spark 4 Python Data Source: page windows become input
+    partitions (executor-side fetch), rows match the deterministic
+    profile regardless of page size, and the start_offset pushdown
+    trims partitions at planning time."""
+    from batch_processing_etl_orchestration_spark.sources.pyds import (
+        RestPagesDataSource,
+        _fetch_synthetic,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("restpages")
+        .option("n_rows", "1000")
+        .option("page_size", "300")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # ceil(1000/300) page windows
+    assert df.count() == 1000
+    expected = set(_fetch_synthetic(0, 1000, 1000))
+    assert set(map(tuple, df.collect())) == expected
+
+    # page size must not change content, only parallelism
+    df2 = (
+        spark.read.format("restpages")
+        .option("n_rows", "1000")
+        .option("page_size", "1000")
+        .load()
+    )
+    assert set(map(tuple, df2.collect())) == expected
+
+    # start_offset pushdown: later windows only, fewer partitions
+    df3 = (
+        spark.read.format("restpages")
+        .option("n_rows", "1000")
+        .option("page_size", "300")
+        .option("start_offset", "600")
+        .load()
+    )
+    assert df3.rdd.getNumPartitions() == 2
+    assert set(map(tuple, df3.collect())) == set(_fetch_synthetic(600, 400, 1000))
