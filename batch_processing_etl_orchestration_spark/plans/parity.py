@@ -1778,3 +1778,54 @@ def q_grouped_map_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         deltas, "user_id BIGINT, event_id BIGINT, ts_str STRING, us_since_prev BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# S1-S4 scale path: the Spark 4 Python Data Source (sources/pyds.py)
+# exercised end-to-end — page windows planned as input partitions,
+# rows fetched executor-side, then a standard silver aggregation.
+# The synthetic profile is pure modular arithmetic over the row
+# index, so the oracle regenerates the identical dataset with
+# generate_series and the whole path hash-checks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_python_datasource_scan",
+    oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    rows_ AS (
+      SELECT 'BA' || CAST(i % 7 AS VARCHAR) AS respondent,
+             CASE i % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'DF'
+                        WHEN 2 THEN 'NG' ELSE 'TI' END AS type,
+             (i * 37) % 1000 AS v
+      FROM idx
+    )
+    SELECT respondent, type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM rows_ GROUP BY 1, 2
+    """,
+    tags=("S1", "datasource"),
+)
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan 2000 synthetic endpoint rows through the registered
+    restpages data source (4 page windows of 512 → 4 input
+    partitions) and aggregate per (respondent, type) — attesting the
+    executor-side pagination path itself, not a staged copy. String
+    values coerce with try_cast (bronze is all-strings, P4)."""
+    from batch_processing_etl_orchestration_spark.sources.pyds import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("restpages")
+        .option("n_rows", "2000")
+        .option("page_size", "512")
+        .load()
+    )
+    return df.groupBy("respondent", "type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("try_cast(value AS BIGINT)")).alias("sum_value"),
+    )
