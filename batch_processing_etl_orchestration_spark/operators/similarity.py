@@ -514,3 +514,96 @@ def int8_topk(
     Deterministic: numpy round/mul only, same (sim desc, cand_id)
     tiebreak as the exact path."""
     return _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, _int8_sims)
+
+
+class IvfIndex:
+    """Persisted IVF index: inverted lists written as cell_id-
+    partitioned parquet plus a centroid side table — the build-once /
+    probe-many amortization the inline ivf_topk only simulates. A
+    probe ranks its n_probe cells, collects that (tiny: |Q|·n_probe)
+    cell set, and filters the inverted-list read with it, so the scan
+    prunes to probed cells' files (PartitionFilters — asserted in
+    tests/test_similarity.py). At 100 TB this is the difference
+    between re-binning the corpus per query batch and reading a few
+    directories."""
+
+    def __init__(self, spark, path, centroids, c_id="cand_id", c_vec="ce"):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.c_id = c_id
+        self.c_vec = c_vec
+
+    @staticmethod
+    def build(
+        spark,
+        candidates: DataFrame,
+        path: str,
+        n_cells: int = 8,
+        dim: int = 64,
+        c_id: str = "cand_id",
+        c_vec: str = "ce",
+    ) -> "IvfIndex":
+        cent = ivf_build_centroids(candidates, c_id, c_vec, n_cells, dim)
+        cells = _nearest_cells(candidates, c_id, c_vec, cent, 1).select(
+            c_id, "cell_id"
+        )
+        (
+            candidates.join(cells, c_id)
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(f"{path}/inverted")
+        )
+        (
+            spark.createDataFrame(
+                [(int(cid), [float(x) for x in vec]) for cid, vec in cent],
+                "cell_id INT, centroid ARRAY<DOUBLE>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/centroids")
+        )
+        return IvfIndex(spark, path, cent, c_id, c_vec)
+
+    @staticmethod
+    def load(spark, path: str, c_id: str = "cand_id", c_vec: str = "ce") -> "IvfIndex":
+        rows = spark.read.parquet(f"{path}/centroids").collect()
+        cent = sorted((r["cell_id"], list(r["centroid"])) for r in rows)
+        return IvfIndex(spark, path, cent, c_id, c_vec)
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        q_id: str = "query_id",
+        q_vec: str = "qe",
+    ) -> DataFrame:
+        q_cells = _nearest_cells(
+            queries, q_id, q_vec, self.centroids, n_probe
+        ).select(q_id, "cell_id")
+        probed = [r["cell_id"] for r in q_cells.select("cell_id").distinct().collect()]
+        inv = (
+            self.spark.read.parquet(f"{self.path}/inverted")
+            .where(F.col("cell_id").isin(probed))
+            .alias("inv")
+        )
+        scored = (
+            q_cells.join(F.broadcast(queries), q_id)
+            .join(inv, "cell_id")
+            .where(F.col(q_id) != F.col(self.c_id))
+            .withColumn("cosine_sim", cosine(q_vec, self.c_vec))
+        )
+        w = Window.partitionBy(q_id).orderBy(
+            F.col("cosine_sim").desc(), F.col(self.c_id)
+        )
+        passthrough = [
+            F.col(f"inv.{f.name}").alias(f.name)
+            for f in inv.schema.fields
+            if f.name not in (self.c_id, self.c_vec, "cell_id")
+        ]
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, self.c_id, *passthrough, "cosine_sim", "rank")
+        )

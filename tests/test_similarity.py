@@ -152,3 +152,40 @@ def test_int8_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"recall {recall} below documented floor 0.8"
+
+
+def test_ivf_index_persist_and_prune(spark, tmp_path):
+    """Build-once/probe-many IVF: a loaded index's probe returns
+    exactly the inline ivf_topk result (same deterministic centroids,
+    scoring, tiebreaks), and the probe's scan carries a cell_id
+    PartitionFilter — only probed cells' files are read."""
+    import io
+    from contextlib import redirect_stdout
+
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+        ivf_topk,
+    )
+
+    q, c = _qc(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(spark, c, path, n_cells=8, dim=64)
+    idx = IvfIndex.load(spark, path)
+
+    inline = {
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in ivf_topk(q, c, k=K, n_cells=8, n_probe=2).collect()
+    }
+    probed = {
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in idx.probe(q, k=K, n_probe=2).collect()
+    }
+    assert probed == inline and len(probed) > 0
+
+    plan_df = idx.probe(q, k=K, n_probe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters")[1][:300]
