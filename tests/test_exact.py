@@ -61,3 +61,47 @@ def test_exact_stats_partition_invariant(spark):
     )
     assert rows1["a"] == rows8["a"]
     assert rows1["s"] == rows8["s"]
+
+
+class TestExactSumProperty:
+    """Property: exact_sum is partition-count invariant and equals
+    DuckDB's sql_exact_sum twin on arbitrary doubles — the foundation
+    every oracle comparison in the repo stands on."""
+
+    def test_partition_invariance_and_duckdb_parity(self, spark):
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from batch_processing_etl_orchestration_spark.functions.exact import (
+            exact_sum,
+            sql_exact_sum,
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            st.lists(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+            st.integers(min_value=1, max_value=9),
+        )
+        def check(values, n_parts):
+            df = spark.createDataFrame([(v,) for v in values], "x double")
+            one = df.coalesce(1).agg(exact_sum("x").alias("s")).first()["s"]
+            many = (
+                df.repartition(n_parts).agg(exact_sum("x").alias("s")).first()["s"]
+            )
+            duck = duckdb.connect().execute(
+                f"SELECT {sql_exact_sum('x')} AS s FROM (SELECT unnest(?) AS x)",
+                [values],
+            ).fetchone()[0]
+            assert one == many == duck, (one, many, duck, values)
+
+        check()
