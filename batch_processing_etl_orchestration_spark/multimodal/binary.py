@@ -263,3 +263,58 @@ def sample_frames(
 
     out_schema = f"{id_col} LONG, frame_idx LONG, frame_ms LONG, frame_n_bytes LONG"
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+AUDIO_SCHEMA = (
+    "doc_id LONG, n_samples BIGINT, energy_sum BIGINT, "
+    "zero_crossings BIGINT, peak BIGINT"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio feature extraction over decoded PCM16 WAV payloads: total
+    energy (sum of squared samples), zero-crossing count (adjacent
+    sign flips, zero counted as non-negative), and peak amplitude —
+    the front half of any audio quality/VAD filter. Integer-exact by
+    construction (Python bigints in the kernel, BIGINT out), so a SQL
+    oracle can reproduce every value; derived floats (RMS) are left to
+    the caller's engine. Non-WAV payloads are skipped, same batch
+    contract as decode_media."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(buf)
+                if raw[:4] != b"RIFF":
+                    continue
+                with wave.open(io.BytesIO(raw), "rb") as wf:
+                    nf = wf.getnframes()
+                    samples = struct.unpack(
+                        f"<{nf * wf.getnchannels()}h", wf.readframes(nf)
+                    )
+                energy = sum(x * x for x in samples)
+                zc = sum(
+                    1
+                    for a, b in zip(samples, samples[1:])
+                    if (a >= 0) != (b >= 0)
+                )
+                rows.append(
+                    (int(i), len(samples), energy, zc, max(abs(x) for x in samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "energy_sum", "zero_crossings", "peak",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -20,6 +20,7 @@ from batch_processing_etl_orchestration_spark.functions.exact import (
 from batch_processing_etl_orchestration_spark.multimodal.binary import (
     FEAT_DIM,
     attach_binary_payload,
+    audio_features,
     decode_media,
     extract_features,
     sample_frames,
@@ -947,4 +948,59 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             exact_sum("value").alias("total_value"),
         )
+    )
+
+
+@register(
+    "q_audio_features",
+    oracle="""
+    WITH wav AS (
+      SELECT d.doc_id, g.i,
+             ((d.doc_id * 31 + g.i * 17) % 65536) - 32768 AS s
+      FROM documents d, generate_series(1, 149) AS g(i)
+      WHERE d.doc_id % 2 = 0 AND g.i <= 100 + d.doc_id % 50
+    ),
+    flips AS (
+      SELECT doc_id, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM wav
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy_sum,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (s >= 0) != (prev >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)), 6) AS rms
+    FROM flips GROUP BY 1
+    """,
+    tags=("multimodal", "audio"),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features over the synthesized WAV corpus: energy,
+    zero-crossing count, peak, and RMS per clip — decode_media's
+    downstream feature step (the VAD/quality-filter front end). The
+    kernel emits only exact integers; RMS derives in-engine as one
+    sqrt of an integer ratio, so the whole row hash-checks against
+    the sample-formula oracle. Same zero-shuffle posture as decode:
+    synthesize → decode → feature in one MapInPandas chain on the
+    scan, only the tiny feature rows move."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = synthesize_media(d)
+    feats = audio_features(payloads)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "energy_sum",
+        "zero_crossings",
+        "peak",
+        F.round(
+            F.sqrt(
+                F.col("energy_sum").cast("double")
+                / F.col("n_samples").cast("double")
+            ),
+            6,
+        ).alias("rms"),
     )
