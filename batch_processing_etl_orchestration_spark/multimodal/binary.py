@@ -318,3 +318,44 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+IMAGE_SCHEMA = (
+    "doc_id LONG, width BIGINT, height BIGINT, channel BIGINT, "
+    "ch_sum BIGINT, ch_min BIGINT, ch_max BIGINT"
+)
+
+
+def image_channel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel image statistics over binary-PPM payloads: one row
+    per (image, RGB channel) with integer sum/min/max of that
+    channel's bytes — the normalization-constant pass (channel means)
+    an image training pipeline computes corpus-wide. Integer-exact,
+    same skip-non-matching-magic batch contract as audio_features."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(buf)
+                if raw[:2] != b"P6":
+                    continue
+                w, h, _maxval, body = _parse_ppm(raw)
+                for ch in range(3):
+                    vals = body[ch::3]
+                    rows.append(
+                        (int(i), w, h, ch, sum(vals), min(vals), max(vals))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channel",
+                    "ch_sum", "ch_min", "ch_max",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_SCHEMA)

@@ -21,6 +21,7 @@ from batch_processing_etl_orchestration_spark.multimodal.binary import (
     FEAT_DIM,
     attach_binary_payload,
     audio_features,
+    image_channel_stats,
     decode_media,
     extract_features,
     sample_frames,
@@ -1004,3 +1005,38 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rms"),
     )
+
+
+@register(
+    "q_image_channel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 5 AS w,
+             3 + d.doc_id % 4 AS h,
+             g.j % 3 AS channel,
+             (d.doc_id * 7 + g.j * 13) % 256 AS b
+      FROM documents d, generate_series(0, 143) AS g(j)
+      WHERE d.doc_id % 2 = 1
+        AND g.j < 3 * (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(channel AS BIGINT) AS channel,
+           CAST(SUM(b) AS BIGINT) AS ch_sum,
+           CAST(MIN(b) AS BIGINT) AS ch_min,
+           CAST(MAX(b) AS BIGINT) AS ch_max
+    FROM px GROUP BY 1, 2, 3, 4
+    """,
+    tags=("multimodal", "image"),
+)
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel RGB statistics over the synthesized PPM corpus —
+    the channel-mean normalization pass, image twin of
+    q_audio_features. The P6 body interleaves RGB, so channel =
+    byte_index % 3; the oracle regenerates the same bytes and the
+    integer stats hash-check. Zero-shuffle synthesize → parse →
+    per-channel fold inside one MapInPandas chain."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_channel_stats(synthesize_media(d))
