@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     # r3 event analytics: one-shuffle funnel + cohort matrix
     "q_events_funnel",
     "q_cohort_retention",
+    # r3 multimodal feature chain
+    "q_audio_features",
+    "q_image_channel_stats",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
