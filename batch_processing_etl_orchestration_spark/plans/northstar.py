@@ -1431,3 +1431,109 @@ def q_length_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_total", "n_kept", "lo_tok", "hi_tok")
     )
+
+
+@register(
+    "q_pmi_collocations",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM words GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tok FROM uni),
+    bi AS (
+      SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM words
+    ),
+    bic AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bi WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bi FROM bic),
+    scored AS (
+      SELECT bc.a, bc.b, bc.n_ab,
+             CAST(ROUND(ln((CAST(bc.n_ab AS DOUBLE)
+                            * CAST(n.n_tok AS DOUBLE)
+                            * CAST(n.n_tok AS DOUBLE))
+                           / (CAST(bt.n_bi AS DOUBLE)
+                              * CAST(ua.n_w AS DOUBLE)
+                              * CAST(ub.n_w AS DOUBLE)))
+                        * 1000000) AS BIGINT) / 1000000.0 AS pmi
+      FROM bic bc
+      JOIN uni ua ON ua.w = bc.a
+      JOIN uni ub ON ub.w = bc.b
+      CROSS JOIN n CROSS JOIN btot bt
+      WHERE bc.n_ab >= 5
+    )
+    SELECT a, b, n_ab, pmi FROM scored
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+    tags=("text", "collocations"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word collocations by pointwise mutual information
+    (bigram count >= 5) — the corpus-analysis op that surfaces
+    multiword expressions worth treating as single tokens. PMI =
+    ln(p(ab) / (p(a)p(b))) computed as one ln of an integer-derived
+    quotient with the SAME association both engines, then
+    scale-then-rounded; no log is ever summed, so no fold-order
+    nondeterminism exists.
+
+    Scale shape: bigrams generate array-locally in the scan (no
+    per-word window shuffle); the two unigram joins broadcast the
+    Zipf-small vocab; the final top-20 sorts only the >=5-count
+    bigram table with a full (pmi, a, b) tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(0, size(_w) - 2), "
+        "i -> struct(_w[i] AS a, _w[i + 1] AS b)) "
+        "ELSE array() END"
+    )
+    bi = (
+        d.select(F.split("text", " ").alias("_w"))
+        .select(F.explode(F.expr(bigrams)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_tok = uni.agg(F.sum("n_w").cast("bigint").alias("n_tok"))
+    bic = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_bi = bic.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
+    ua = uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b"))
+    pmi_raw = F.log(
+        (
+            F.col("n_ab").cast("double")
+            * F.col("n_tok").cast("double")
+            * F.col("n_tok").cast("double")
+        )
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+    )
+    return (
+        bic.where(F.col("n_ab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (F.round(pmi_raw * 1000000).cast("bigint") / F.lit(1000000.0)).alias(
+                "pmi"
+            ),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
