@@ -1537,3 +1537,82 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM words GROUP BY 1),
+    ranked AS (
+      SELECT n_w, row_number() OVER (ORDER BY n_w DESC, w) AS rk FROM freq
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(n_w AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y // 1000000) AS BIGINT) AS sxy,
+             CAST(SUM(x * x // 1000000) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_types,
+           CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000))
+                      * 1000000) AS BIGINT) / 1000000.0 AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "corpus-stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope: least-squares fit of ln(freq) vs
+    ln(rank) over the vocabulary — the corpus-health scalar quality
+    reports track (natural text sits near -1; template/boilerplate
+    corpora flatten). Every ln is rounded to a scaled long BEFORE any
+    sum and the cross terms integer-divide back to the same scale, so
+    all four regression sums are exact integers; the slope is then a
+    fixed expression tree over exact inputs, scale-then-rounded.
+
+    Scale shape: vocabulary-sized data only (Zipf-small); the global
+    rank window sorts the vocab table, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("n_w").desc(), "w"))
+    pts = freq.select(
+        F.round(F.log(rk.cast("double")) * 1000000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("n_w").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y div 1000000")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x div 1000000")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / 1000000
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / 1000000
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        (F.round(slope * 1000000).cast("bigint") / F.lit(1000000.0)).alias(
+            "zipf_slope"
+        ),
+    )
