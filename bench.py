@@ -68,6 +68,7 @@ BASELINE_EXEMPT = {
     "q_ann_lsh_topk",  # r3: + in-query brute-force recall attestation
     "q_ann_ivf_topk",  # r3: + in-query brute-force recall attestation
     "q_pipeline_eia930_net_gen",  # r3: bronze fixture fan-out x4
+    "q_simhash_pairs",  # r3: + exact-jaccard recall attestation (last rows-only query upgraded)
 }
 
 
