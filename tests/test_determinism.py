@@ -20,9 +20,10 @@ from batch_processing_etl_orchestration_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# Since r3 all but q_simhash_pairs also carry self-verifying DuckDB
-# oracles (in-query recall/error attestations); determinism remains a
-# separate contract — two runs must agree bit-for-bit regardless.
+# Since r3 every hash-seeded query (q_simhash_pairs included) carries
+# a self-verifying DuckDB oracle (in-query recall/error attestations);
+# determinism remains a separate contract — two runs must agree
+# bit-for-bit regardless.
 HASH_SEEDED_QUERIES = [
     "q_minhash_lsh_pairs",
     "q_simhash_pairs",
