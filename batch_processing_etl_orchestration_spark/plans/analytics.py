@@ -1009,3 +1009,128 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy(ts_str(F.col("cw")).alias("cohort_week"), "k").agg(
         F.countDistinct("user_id").alias("n_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped sessionization (round 3): sessions split on a 6h inactivity
+# gap OR when they would exceed 24h total — the max-duration rule
+# every analytics warehouse adds to plain gap sessionization (bot
+# sessions otherwise run for weeks). The cap depends on the RUNNING
+# session start, a sequential recurrence no window function
+# expresses; Spark-side it's a grouped-map applyInPandas per user,
+# oracle-side a DuckDB recursive CTE — both walk the same ordered
+# event stream.
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 6 * 3600 * 1_000_000
+_SESS_CAP_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "q_sessionize_capped",
+    oracle=f"""
+    WITH RECURSIVE numbered AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk(user_id, rn, ts, sid, sess_start, by_cap) AS (
+      SELECT user_id, rn, ts, 1, ts, 0
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.ts,
+             w.sid + CASE WHEN date_diff('microsecond', w.ts, n.ts)
+                               > {_SESS_GAP_US}
+                           OR date_diff('microsecond', w.sess_start, n.ts)
+                               > {_SESS_CAP_US}
+                          THEN 1 ELSE 0 END,
+             CASE WHEN date_diff('microsecond', w.ts, n.ts)
+                       > {_SESS_GAP_US}
+                   OR date_diff('microsecond', w.sess_start, n.ts)
+                       > {_SESS_CAP_US}
+                  THEN n.ts ELSE w.sess_start END,
+             CASE WHEN date_diff('microsecond', w.ts, n.ts)
+                       <= {_SESS_GAP_US}
+                   AND date_diff('microsecond', w.sess_start, n.ts)
+                       > {_SESS_CAP_US}
+                  THEN 1 ELSE 0 END
+      FROM walk w
+      JOIN numbered n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_ev,
+             date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us,
+             MAX(by_cap) AS started_by_cap
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(started_by_cap) AS BIGINT) AS n_cap_splits,
+           CAST(MAX(dur_us) AS BIGINT) AS longest_dur_us
+    FROM per_session GROUP BY 1
+    """,
+    tags=("events", "session", "grouped-map"),
+)
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary under gap-6h + cap-24h rules. The cap
+    comparison uses the running session start, so assignment is a
+    true recurrence — computed by one ordered pass per user inside
+    applyInPandas (integer-microsecond arithmetic end to end, so the
+    oracle's date_diff('microsecond') walk is bit-identical). The cap
+    binds on the fixture (4 splits at sf0.01), so a cap-logic bug
+    changes the hash.
+
+    Scale shape: ONE shuffle (groupBy user_id into the grouped map);
+    each group walks its events once in Arrow. Skewed users cost one
+    long task, not a reshuffle — same posture as any per-entity
+    sequential scan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        raw = pdf["ts"].astype("int64")
+        # Arrow hands timestamps as datetime64[ns] or [us] depending on
+        # pandas version — normalize to integer microseconds explicitly
+        us = raw // 1000 if str(pdf["ts"].dtype).endswith("[ns]") else raw
+        n_sessions = 0
+        n_cap = 0
+        n_events = len(pdf)
+        longest = 0
+        sess_start = None
+        sess_first = None
+        prev = None
+        for t in us:
+            gap_break = prev is not None and t - prev > _SESS_GAP_US
+            cap_break = (
+                prev is not None
+                and not gap_break
+                and t - sess_start > _SESS_CAP_US
+            )
+            if prev is None or gap_break or cap_break:
+                if sess_start is not None:
+                    longest = max(longest, prev - sess_first)
+                n_sessions += 1
+                n_cap += int(cap_break)
+                sess_start = t
+                sess_first = t
+            prev = t
+        longest = max(longest, prev - sess_first)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "n_cap_splits": [n_cap],
+                "longest_dur_us": [int(longest)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        walk,
+        "user_id LONG, n_sessions BIGINT, n_events BIGINT, "
+        "n_cap_splits BIGINT, longest_dur_us BIGINT",
+    )
