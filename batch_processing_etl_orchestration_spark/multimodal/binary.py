@@ -121,6 +121,10 @@ def _parse_ppm(raw: bytes) -> tuple[int, int, int, bytes]:
         fields.append(int(raw[start:pos]))
     pos += 1  # exactly one whitespace byte before pixel data
     w, h, maxval = fields
+    if maxval != 255:
+        # a maxval > 255 P6 stores 2 bytes per sample — silently
+        # truncated stats otherwise; only 1-byte samples are supported
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
     body = raw[pos : pos + 3 * w * h]
     if len(body) != 3 * w * h:
         raise ValueError(f"truncated PPM: want {3 * w * h} bytes, got {len(body)}")

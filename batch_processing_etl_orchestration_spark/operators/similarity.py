@@ -68,15 +68,26 @@ def brute_force_topk(
     return _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, _exact_sims)
 
 
+def _round_half_away(x):
+    """Round half away from zero — matches Spark/DuckDB ROUND.
+    np.round rounds half to even, so a product landing exactly on .5
+    at the scale boundary would diverge from the declarative fold and
+    could reorder batch-local top-k."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
 def _exact_sims(cmat, qmat):
     """Scaled-long-rounded cosine matrix — bit-identical to the
-    declarative fold in q_cosine_topk_bruteforce."""
+    declarative fold in q_cosine_topk_bruteforce (half-away-from-zero
+    rounding, same as Spark/DuckDB ROUND)."""
     import numpy as np
 
     scale = float(_SIM_SCALE)
-    dot = np.round(cmat[:, None, :] * qmat[None, :, :] * scale).sum(axis=2) / scale
-    cnorm = np.sqrt(np.round(cmat * cmat * scale).sum(axis=1) / scale)
-    qnorm = np.sqrt(np.round(qmat * qmat * scale).sum(axis=1) / scale)
+    dot = _round_half_away(cmat[:, None, :] * qmat[None, :, :] * scale).sum(axis=2) / scale
+    cnorm = np.sqrt(_round_half_away(cmat * cmat * scale).sum(axis=1) / scale)
+    qnorm = np.sqrt(_round_half_away(qmat * qmat * scale).sum(axis=1) / scale)
     return dot / (cnorm[:, None] * qnorm[None, :])
 
 
@@ -101,14 +112,22 @@ def _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, sims_fn):
     import numpy as np
 
     qrows = queries.select(q_id, q_vec).collect()  # small by contract
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    n_q = len(qids)
     passthrough = [f for f in candidates.schema.fields if f.name != c_vec]
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
         + f", {q_id} BIGINT, cosine_sim DOUBLE"
     )
+    if not qrows:
+        # an empty query side would otherwise give qmat shape (0,) and
+        # raise an opaque broadcasting error inside executors
+        cols = [q_id] + [f.name for f in passthrough] + ["cosine_sim", "rank"]
+        empty = candidates.sparkSession.createDataFrame(
+            [], out_schema + ", rank INT"
+        )
+        return empty.select(*cols)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    n_q = len(qids)
 
     def score(batches):
         for pdf in batches:

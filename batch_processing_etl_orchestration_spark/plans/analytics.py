@@ -673,10 +673,11 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     )
     SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
-           ROUND((CAST(d.n_events AS DOUBLE)
+           CAST(ROUND((CAST(d.n_events AS DOUBLE)
                   - CAST(m.s AS DOUBLE) / CAST(m.n_days AS DOUBLE))
                  / sqrt(CAST(m.n_days * m.q - m.s * m.s AS DOUBLE)
-                        / CAST(m.n_days * (m.n_days - 1) AS DOUBLE)), 6)
+                        / CAST(m.n_days * (m.n_days - 1) AS DOUBLE))
+                 * 1000000) AS BIGINT) / 1000000.0
              AS zscore,
            abs((CAST(d.n_events AS DOUBLE)
                 - CAST(m.s AS DOUBLE) / CAST(m.n_days AS DOUBLE))
@@ -718,7 +719,12 @@ def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_events",
-            F.round(z, 6).alias("zscore"),
+            # round AFTER scaling to 1e6 (repo convention, see
+            # q_interpolate_gaps): rounding the raw double at scale 6
+            # diverges between Spark and DuckDB on boundary values.
+            (F.round(z * 1000000).cast("bigint") / F.lit(1000000.0)).alias(
+                "zscore"
+            ),
             (F.abs(z) > 2).alias("is_anomaly"),
         )
     )

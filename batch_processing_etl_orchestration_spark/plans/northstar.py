@@ -1221,8 +1221,9 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(-CAST(SUM(scaled_ll) AS DOUBLE) / 1000000
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS nll_per_token
+           CAST(ROUND(-CAST(SUM(scaled_ll) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) / 1000000.0
+             AS nll_per_token
     FROM contrib
     GROUP BY 1
     """,
@@ -1259,11 +1260,16 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                -F.sum("scaled_ll").cast("double")
-                / 1000000
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            # round at the 1e6 scale (repo convention): the scaled-long
+            # sum divided by the count rounds to an integer micro-nll,
+            # exact in both engines; rounding the raw double at scale 6
+            # diverges on boundary values.
+            (
+                F.round(
+                    -F.sum("scaled_ll").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("bigint")
+                / F.lit(1000000.0)
             ).alias("nll_per_token"),
         )
     )

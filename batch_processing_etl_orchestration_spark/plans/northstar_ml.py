@@ -1024,8 +1024,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND (s >= 0) != (prev >= 0)
                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
            CAST(MAX(abs(s)) AS BIGINT) AS peak,
-           ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE)), 6) AS rms
+           CAST(ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE)) * 1000000)
+                AS BIGINT) / 1000000.0 AS rms
     FROM flips GROUP BY 1
     """,
     tags=("multimodal", "audio"),
@@ -1048,12 +1049,17 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "energy_sum",
         "zero_crossings",
         "peak",
-        F.round(
-            F.sqrt(
-                F.col("energy_sum").cast("double")
-                / F.col("n_samples").cast("double")
-            ),
-            6,
+        # round AFTER scaling to 1e6 (repo convention): rounding the
+        # raw double at scale 6 diverges between engines on boundaries.
+        (
+            F.round(
+                F.sqrt(
+                    F.col("energy_sum").cast("double")
+                    / F.col("n_samples").cast("double")
+                )
+                * 1000000
+            ).cast("bigint")
+            / F.lit(1000000.0)
         ).alias("rms"),
     )
 

@@ -120,3 +120,16 @@ def test_sample_frames_geometry(spark):
     assert [r["frame_idx"] for r in f4] == [0, 3, 6, 9]
     assert all(r["frame_n_bytes"] == FRAME_BYTES for r in f4)
     assert all(r["frame_ms"] == r["frame_idx"] * 40 for r in rows)
+
+
+def test_decode_media_rejects_wide_ppm_maxval(spark):
+    """P6 with maxval > 255 stores 2 bytes/sample — must raise, not
+    silently return truncated stats."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    body = bytes(12)  # 2x1 image at 2 bytes/sample would need 12 bytes
+    raw = b"P6\n2 1\n65535\n" + body
+    df = spark.createDataFrame([(9, raw)], "doc_id LONG, payload BINARY")
+    with pytest.raises((PythonException, Py4JJavaError)):
+        decode_media(df).collect()

@@ -189,3 +189,29 @@ def test_ivf_index_persist_and_prune(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "cell_id" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_topk_empty_query_side_returns_empty(spark):
+    """An empty query DataFrame must yield an empty, correctly-shaped
+    result instead of an executor-side broadcasting error."""
+    q, c = _qc(spark)
+    out = brute_force_topk(q.where(F.lit(False)), c, k=K)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields[:1]] == ["query_id"]
+    assert {"cand_id", "cosine_sim", "rank"} <= {f.name for f in out.schema.fields}
+
+
+def test_round_half_away_matches_engine_round():
+    """numpy round-half-to-even diverges from Spark/DuckDB ROUND on
+    exact .5 — the helper must round half away from zero, both signs."""
+    import numpy as np
+
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        _round_half_away,
+    )
+
+    x = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49999, -0.49999])
+    want = np.array([1.0, 2.0, 3.0, -1.0, -2.0, -3.0, 0.0, -0.0])
+    assert (_round_half_away(x) == want).all()
+    # np.round would give [0, 2, 2, -0, -2, -2, ...] — proves divergence
+    assert not (np.round(x) == want).all()
