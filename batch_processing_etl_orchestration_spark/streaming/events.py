@@ -50,7 +50,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # legacy testdata: INT64 TIMESTAMP(NANOS) read as epoch-nanos long
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] testdata: NTZ (or tz-aware) micros; with the session
+    # timezone pinned to UTC this cast is a pure reinterpretation, so
+    # windows/watermarks line up with the naive wall time oracles read.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:

@@ -40,11 +40,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters/projections applied by callers reach the scan via Catalyst
     pushdown (verify with df.explain: PushedFilters/ReadSchema).
 
-    ``events.ts`` is written as parquet INT64 TIMESTAMP(NANOS) which
-    Spark does not map to a timestamp type; we read it as epoch-nanos
-    long (legacy conf, runtime-settable) and rebuild a TIMESTAMP_NTZ
-    with pure integer arithmetic — no session-timezone dependence, so
-    results compare cleanly against any oracle reading the same file.
+    ``events.ts`` has been written two ways across testdata
+    generations: parquet INT64 TIMESTAMP(NANOS) (which Spark reads as
+    epoch-nanos long under the legacy conf) and plain TIMESTAMP(MICROS)
+    (which Spark maps to TIMESTAMP_NTZ directly). The loader adapts to
+    whichever encoding the file carries and always yields TIMESTAMP_NTZ
+    rebuilt with pure integer arithmetic — no session-timezone
+    dependence, so results compare cleanly against any oracle reading
+    the same file.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -57,13 +60,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # not go through get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        if ts_type == "timestamp":
+            # tz-aware micros: reinterpret the stored instant as naive
+            # UTC wall time, independent of session timezone.
+            return df.withColumn(
+                "ts", F.expr("convert_timezone('UTC', ts)")
+            )
+        return df  # already TIMESTAMP_NTZ
     return spark.read.parquet(path)
 
 
