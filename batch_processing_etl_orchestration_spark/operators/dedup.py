@@ -339,3 +339,49 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+class DedupLabels:
+    """Persisted duplicate-cluster labels: the connected-components
+    fixpoint is a build-once artifact exactly like an ANN index — at
+    scale you label the corpus once per ingest batch, then every
+    downstream consumer (canonical-survivor resolution, cluster-size
+    pruning, dedup reporting) reads the label table instead of
+    re-running label propagation. Mirrors similarity.IvfIndex's
+    build/load shape.
+
+    Layout: ``{path}/labels`` parquet with (doc_id, comp_id,
+    cluster_size) — compact longs, written repartitioned on comp_id so
+    per-cluster consumers (the survivor window) shuffle-align for
+    free. Labels are a small fraction of corpus bytes (three longs per
+    edge-touched doc), so this is metadata-sized relative to 100 TB.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    @staticmethod
+    def build(spark, labels: DataFrame, path: str) -> "DedupLabels":
+        """Materialize a (doc_id, comp_id, cluster_size) label table
+        (e.g. q_dup_clusters' output) to parquet."""
+        (
+            labels.select("doc_id", "comp_id", "cluster_size")
+            .repartition("comp_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/labels")
+        )
+        return DedupLabels(spark, path)
+
+    @staticmethod
+    def load(spark, path: str) -> "DedupLabels":
+        return DedupLabels(spark, path)
+
+    def labels(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/labels")
+
+    @staticmethod
+    def exists(spark, path: str) -> bool:
+        import os
+
+        return os.path.isdir(f"{path}/labels")

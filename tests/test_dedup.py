@@ -170,3 +170,52 @@ def test_decontaminate_flags_quotes_not_paraphrases(spark):
     ev = spark.createDataFrame([(100, eval_text)], "doc_id LONG, text STRING")
     got = {r["doc_id"]: r["n_shared_ngrams"] for r in decontaminate(train, ev, n=8).collect()}
     assert got == {1: 1}
+
+
+def test_dedup_labels_persisted_bit_equals_inline(spark, sf_dir, tmp_path):
+    """DedupLabels.build/load round-trips the q_dup_clusters output
+    bit-exactly, and the cached-label q_dedup_keep_canonical equals a
+    survivor resolution computed from the inline fixpoint — mirroring
+    the IvfIndex probe-vs-inline equality test."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.operators.dedup import DedupLabels
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        q_dedup_keep_canonical,
+        q_dup_clusters,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    inline = q_dup_clusters(spark, sf_dir)
+    path = str(tmp_path / "labels")
+    DedupLabels.build(spark, inline, path)
+    assert DedupLabels.exists(spark, path)
+    persisted = DedupLabels.load(spark, path).labels()
+    key = lambda r: (r["doc_id"], r["comp_id"], r["cluster_size"])
+    assert sorted(map(key, persisted.collect())) == sorted(map(key, inline.collect()))
+
+    # survivor resolution from the persisted labels == from the inline
+    # fixpoint (the registered query uses the cached path; recompute
+    # its logic here directly against the inline labels)
+    clusters = inline.select("doc_id", "comp_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id", F.coalesce("comp_id", "doc_id").alias("comp_id"), "n_chars"
+    )
+    w = Window.partitionBy("comp_id")
+    wr = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    expected = (
+        labeled.select(
+            "comp_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .where(F.col("rk") == 1)
+        .select("comp_id", "doc_id", "n_chars", "cluster_size")
+    )
+    got = q_dedup_keep_canonical(spark, sf_dir)
+    gkey = lambda r: tuple(r)
+    assert sorted(map(gkey, got.collect())) == sorted(map(gkey, expected.collect()))
