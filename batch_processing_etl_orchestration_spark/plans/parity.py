@@ -1795,7 +1795,7 @@ def q_grouped_map_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH idx AS (SELECT unnest(generate_series(0, 1999)) AS i),
     rows_ AS (
-      SELECT 'BA' || CAST(i % 7 AS VARCHAR) AS respondent,
+      SELECT 'BA' || CAST((i % 28) // 4 AS VARCHAR) AS respondent,
              CASE i % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'DF'
                         WHEN 2 THEN 'NG' ELSE 'TI' END AS type,
              (i * 37) % 1000 AS v
@@ -1818,6 +1818,7 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         RestPagesDataSource,
     )
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(RestPagesDataSource)
     df = (
         spark.read.format("restpages")
@@ -1826,6 +1827,55 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.groupBy("respondent", "type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("try_cast(value AS BIGINT)")).alias("sum_value"),
+    )
+
+
+@register(
+    "q_python_datasource_pushdown",
+    oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    rows_ AS (
+      SELECT '2024-01-' || lpad(CAST((i // 28) // 24 + 1 AS VARCHAR), 2, '0')
+               || 'T' || lpad(CAST((i // 28) % 24 AS VARCHAR), 2, '0') AS period,
+             'BA' || CAST((i % 28) // 4 AS VARCHAR) AS respondent,
+             (i * 37) % 1000 AS v
+      FROM idx
+    )
+    SELECT period, respondent,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM rows_
+    WHERE period >= '2024-01-02T12' AND period < '2024-01-03T00'
+    GROUP BY 1, 2
+    """,
+    tags=("S1", "datasource", "pushdown"),
+)
+def q_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 server-side range predicate as a plain WHERE clause:
+    pushFilters translates the period bounds to an offset range at
+    planning time, so only the 6 in-range page windows are planned
+    (reference analog: the start/end params the page loop sends at
+    EIA930PipelineHourlyData.py:51-53). The oracle regenerates the
+    same rows and applies the same range; a pushdown bug that
+    mis-prunes a boundary block hash-mismatches immediately."""
+    from batch_processing_etl_orchestration_spark.sources.pyds import (
+        RestPagesDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("restpages")
+        .option("n_rows", "2000")
+        .option("page_size", "56")
+        .load()
+        .where(
+            (F.col("period") >= "2024-01-02T12") & (F.col("period") < "2024-01-03T00")
+        )
+    )
+    return df.groupBy("period", "respondent").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.expr("try_cast(value AS BIGINT)")).alias("sum_value"),
     )

@@ -8,31 +8,64 @@ ONE InputPartition PER PAGE WINDOW, so executors fetch pages in
 parallel and rows enter Spark already distributed — no driver
 materialization, no createDataFrame of a giant list.
 
+Filter pushdown (reference S1: the server-side period-range params at
+EIA930PipelineHourlyData.py:51-53): the endpoint is period-ordered —
+the invariant every time-series API this source models provides — so
+a ``WHERE period >= X`` / ``< Y`` range translates to an offset range
+at PLANNING time via ``DataSourceReader.pushFilters``. Page windows
+outside the range are never planned, let alone fetched; an explicit
+``start_offset`` option remains as a manual override, but a plain
+``.where()`` now prunes identically (asserted in test_sources).
+
 The fetch itself is a module-level function keyed by the `profile`
 option (data sources must be picklable; callables can't ride in
 options). The "synthetic" profile generates the deterministic
 fixture rows used in tests; a production profile would issue the
 HTTP GET with the partition's offset/length — the partition planning,
-option plumbing, and executor-side execution are identical.
+option plumbing, pushdown translation, and executor-side execution
+are identical.
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+import re
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 SCHEMA = "period string, respondent string, type string, value string"
+
+# rows per period block: 7 respondents × 4 types, period advances one
+# hour per block — monotone nondecreasing in the row index, as a
+# period-ordered time-series endpoint serves it
+_ROWS_PER_PERIOD = 28
+
+
+def _period_of(i: int) -> str:
+    block = i // _ROWS_PER_PERIOD
+    return f"2024-01-{block // 24 + 1:02d}T{block % 24:02d}"
 
 
 def _fetch_synthetic(offset: int, length: int, n_rows: int) -> list[tuple]:
     """Deterministic stand-in for the HTTP GET: row i of the endpoint
     is a function of i alone, so any partitioning of the offset space
-    yields the same dataset (asserted in tests)."""
+    yields the same dataset (asserted in tests). Periods are monotone
+    in i (time-ordered endpoint)."""
     rows = []
     for i in range(offset, min(offset + length, n_rows)):
+        within = i % _ROWS_PER_PERIOD
         rows.append(
             (
-                f"2024-01-{(i % 28) + 1:02d}T{i % 24:02d}",
-                f"BA{i % 7}",
+                _period_of(i),
+                f"BA{within // 4}",
                 ("D", "DF", "NG", "TI")[i % 4],
                 str((i * 37) % 1000),
             )
@@ -41,6 +74,20 @@ def _fetch_synthetic(offset: int, length: int, n_rows: int) -> list[tuple]:
 
 
 _PROFILES = {"synthetic": _fetch_synthetic}
+
+_PERIOD_RE = re.compile(r"^2024-01-(\d{2})T(\d{2})$")
+
+
+def _hour_index(period: str) -> int | None:
+    """Canonical period string → hour block index, None if unparseable
+    (unparseable comparisons stay Spark-side, never mis-pruned)."""
+    m = _PERIOD_RE.match(period)
+    if not m:
+        return None
+    day, hour = int(m.group(1)), int(m.group(2))
+    if not (1 <= day <= 28 and 0 <= hour <= 23):
+        return None
+    return (day - 1) * 24 + hour
 
 
 class _PageWindow(InputPartition):
@@ -54,14 +101,56 @@ class RestPagesReader(DataSourceReader):
         self.profile = options.get("profile", "synthetic")
         self.n_rows = int(options.get("n_rows", "0"))
         self.page_size = int(options.get("page_size", "5000"))
-        # server-side pushdown params (S1): a start offset predicate
-        # trims page windows at PLANNING time, before any fetch
+        # server-side pushdown params (S1): a start offset trims page
+        # windows at PLANNING time, before any fetch. Settable as an
+        # option, and raised automatically by pushFilters.
         self.start_offset = int(options.get("start_offset", "0"))
+        self.end_offset = self.n_rows
+
+    def pushFilters(self, filters):
+        """Translate period-range predicates to the offset range.
+
+        The endpoint is period-ordered, so ``period >= X`` means
+        "rows from the first block whose period >= X" and ``period <
+        Y`` bounds the end. Block boundaries align exactly with
+        period values, so handled filters are consumed fully (not
+        re-evaluated by Spark); anything else — other columns,
+        unparseable literals — is returned for Spark to apply."""
+        for f in filters:
+            handled = False
+            if getattr(f, "attribute", None) == ("period",) and isinstance(
+                getattr(f, "value", None), str
+            ):
+                h = _hour_index(f.value)
+                if h is not None:
+                    if isinstance(f, (GreaterThanOrEqual, EqualTo)):
+                        self.start_offset = max(
+                            self.start_offset, h * _ROWS_PER_PERIOD
+                        )
+                        handled = isinstance(f, GreaterThanOrEqual)
+                    if isinstance(f, GreaterThan):
+                        self.start_offset = max(
+                            self.start_offset, (h + 1) * _ROWS_PER_PERIOD
+                        )
+                        handled = True
+                    if isinstance(f, LessThan):
+                        # period < Y keeps blocks strictly before Y's
+                        self.end_offset = min(self.end_offset, h * _ROWS_PER_PERIOD)
+                        handled = True
+                    if isinstance(f, (LessThanOrEqual, EqualTo)):
+                        self.end_offset = min(self.end_offset, (h + 1) * _ROWS_PER_PERIOD)
+                        handled = handled or isinstance(f, LessThanOrEqual)
+                    if isinstance(f, EqualTo):
+                        # both bounds set above; the equality itself is
+                        # exact at block granularity, so fully handled
+                        handled = True
+            if not handled:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
         return [
-            _PageWindow(off, self.page_size)
-            for off in range(self.start_offset, self.n_rows, self.page_size)
+            _PageWindow(off, min(self.page_size, self.end_offset - off))
+            for off in range(self.start_offset, self.end_offset, self.page_size)
         ]
 
     def read(self, partition: _PageWindow):
@@ -72,7 +161,8 @@ class RestPagesReader(DataSourceReader):
 class RestPagesDataSource(DataSource):
     """spark.read.format("restpages").option("n_rows", N)
     .option("page_size", P).load() — each page window is fetched on
-    an executor."""
+    an executor; period-range WHERE clauses prune page windows at
+    planning time via pushFilters."""
 
     @classmethod
     def name(cls) -> str:

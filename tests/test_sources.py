@@ -124,3 +124,60 @@ def test_python_datasource_restpages(spark):
     )
     assert df3.rdd.getNumPartitions() == 2
     assert set(map(tuple, df3.collect())) == set(_fetch_synthetic(600, 400, 1000))
+
+
+def test_python_datasource_pushfilters_prunes_partitions(spark):
+    """A plain WHERE on period reaches pushFilters and trims page
+    windows at planning time — no start_offset option needed. The
+    endpoint is period-ordered (28 rows per hourly block), so
+    period >= X maps exactly to an offset boundary."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.sources.pyds import (
+        RestPagesDataSource,
+        _ROWS_PER_PERIOD,
+        _fetch_synthetic,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RestPagesDataSource)
+
+    def scan():
+        return (
+            spark.read.format("restpages")
+            .option("n_rows", "2000")
+            .option("page_size", str(2 * _ROWS_PER_PERIOD))
+            .load()
+        )
+
+    full = scan()
+    assert full.rdd.getNumPartitions() == 36  # ceil(2000/56)
+
+    # period >= hour-block 36 (offset 1008): planning should keep only
+    # the windows at/after the boundary
+    lo = scan().where(F.col("period") >= "2024-01-02T12")
+    assert lo.rdd.getNumPartitions() == 18  # (2000-1008)/56 → 17.7 → 18
+    expected = [t for t in _fetch_synthetic(0, 2000, 2000) if t[0] >= "2024-01-02T12"]
+    assert sorted(map(tuple, lo.collect())) == sorted(expected)
+
+    # a two-sided range prunes both ends
+    rng = scan().where(
+        (F.col("period") >= "2024-01-02T12") & (F.col("period") < "2024-01-03T00")
+    )
+    assert rng.rdd.getNumPartitions() == 6  # (1344-1008)/56
+    expected_rng = [t for t in expected if t[0] < "2024-01-03T00"]
+    assert sorted(map(tuple, rng.collect())) == sorted(expected_rng)
+
+    # equality on one period value → a single window
+    eq = scan().where(F.col("period") == "2024-01-02T12")
+    assert eq.rdd.getNumPartitions() == 1
+    assert all(r["period"] == "2024-01-02T12" for r in eq.collect())
+    assert eq.count() == _ROWS_PER_PERIOD
+
+    # a filter pushdown must compose with residual Spark-side filters
+    mixed = scan().where(
+        (F.col("period") >= "2024-01-02T12") & (F.col("respondent") == "BA3")
+    )
+    assert sorted(map(tuple, mixed.collect())) == sorted(
+        t for t in expected if t[1] == "BA3"
+    )
