@@ -363,3 +363,64 @@ def image_channel_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pointer-style media: payloads live as FILES; Spark carries only paths
+# until decode. This is the 100 TB posture the payload-column functions
+# above simulate — media bytes never enter a shuffle, the scan is
+# spark.read.format("binaryFile"), and metadata predicates (path glob,
+# length) prune before any byte reaches Python.
+# ---------------------------------------------------------------------------
+
+
+def write_media_files(docs: DataFrame, out_dir: str, id_col: str = "doc_id") -> int:
+    """Materialize each doc's synthesized payload as an individual
+    media file ``{doc_id:08d}.wav|.ppm`` under ``out_dir`` — written
+    EXECUTOR-side (mapInPandas), the way a 1000-executor ingest would
+    land object-store media, not a driver loop. Returns files written.
+    Idempotent: same formulas, same bytes, same names."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            written = []
+            for i in pdf[id_col]:
+                did = int(i)
+                raw = _synth_payload(did)
+                ext = "wav" if did % 2 == 0 else "ppm"
+                path = os.path.join(out_dir, f"{did:08d}.{ext}")
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(raw)
+                os.replace(tmp, path)  # atomic publish, safe on rerun
+                written.append((did, path, len(raw)))
+            yield pd.DataFrame(written, columns=[id_col, "path", "n_bytes"])
+
+    out = docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} LONG, path STRING, n_bytes LONG"
+    )
+    return out.count()
+
+
+def read_media_binaryfile(spark, media_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """Lazy pointer-path scan: ``binaryFile`` yields (path,
+    modificationTime, length, content) with one split per file and
+    pushes path-glob/length predicates into the file listing. The
+    doc id is recovered from the file name; content feeds the same
+    decode_media kernel as the payload-column path, so both paths are
+    bit-comparable."""
+    df = spark.read.format("binaryFile").load(media_dir)
+    return df.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)\.", 1
+        )
+        .cast("long")
+        .alias(id_col),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+    )

@@ -10,6 +10,7 @@ from batch_processing_etl_orchestration_spark.multimodal import (
     extract_features,
 )
 from batch_processing_etl_orchestration_spark.multimodal.binary import FEAT_DIM
+from pyspark.sql import functions as F
 
 
 def test_payload_and_metadata(spark):
@@ -133,3 +134,35 @@ def test_decode_media_rejects_wide_ppm_maxval(spark):
     df = spark.createDataFrame([(9, raw)], "doc_id LONG, payload BINARY")
     with pytest.raises((PythonException, Py4JJavaError)):
         decode_media(df).collect()
+
+
+def test_binaryfile_pointer_path_bit_equals_payload_path(spark, tmp_path):
+    """write_media_files (executor-side) + binaryFile scan + decode
+    must bit-equal the in-query synthesize→decode path: same stats,
+    recovered doc_ids, real bytes on disk."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.multimodal.binary import (
+        read_media_binaryfile,
+        synthesize_media,
+        write_media_files,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id LONG")
+    media_dir = str(tmp_path / "media")
+    n = write_media_files(docs, media_dir)
+    assert n == 40
+    files = sorted(os.listdir(media_dir))
+    assert len(files) == 40
+    assert files[0] == "00000000.wav" and files[1] == "00000001.ppm"
+
+    ptr = read_media_binaryfile(spark, media_dir)
+    got = {tuple(r) for r in decode_media(ptr).collect()}
+    expected = {tuple(r) for r in decode_media(synthesize_media(docs)).collect()}
+    assert got == expected
+
+    # a length predicate prunes at the file listing: nothing larger
+    # than the smallest file should reach Python
+    raw = spark.read.format("binaryFile").load(media_dir)
+    small = raw.where(F.col("length") < 100)
+    assert small.count() == len([f for f in files if os.path.getsize(os.path.join(media_dir, f)) < 100])
