@@ -3,6 +3,18 @@ API (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
 successor surface to applyInPandasWithState (streaming/stateful.py
 keeps the classic twin; both are SURVEY §2.10 scale-posture rows).
 
+.. warning:: UNVERIFIED — NEVER EXECUTED. transformWithStateInPandas'
+   Python worker deserializes state over protobuf
+   (pyspark/sql/streaming/proto/StateMessage_pb2.py), and the
+   ``google.protobuf`` runtime is not installed in this container and
+   cannot be (no network, installs out of scope), so this module has
+   never run end-to-end: tests/test_streaming_sink.py carries the one
+   permanent env-gated skip in the suite. The semantics it promises
+   ARE covered by the executed applyInPandasWithState twin
+   (streaming/stateful.py, q_stream_stateful_totals, driver-green);
+   treat this module as the migration target written against the
+   documented API, not as verified code.
+
 What the new API adds over applyInPandasWithState: named, independently
 typed state variables (value/list/map) instead of one monolithic state
 struct, per-key timers, TTL, and initial-state bootstrap. Here a single
