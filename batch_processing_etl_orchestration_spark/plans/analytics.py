@@ -1032,9 +1032,7 @@ _SESS_GAP_US = 6 * 3600 * 1_000_000
 _SESS_CAP_US = 24 * 3600 * 1_000_000
 
 
-@register(
-    "q_sessionize_capped",
-    oracle=f"""
+SESS_CAPPED_ORACLE = f"""
     WITH RECURSIVE numbered AS (
       SELECT user_id, ts,
              row_number() OVER (PARTITION BY user_id
@@ -1076,7 +1074,12 @@ _SESS_CAP_US = 24 * 3600 * 1_000_000
            CAST(SUM(started_by_cap) AS BIGINT) AS n_cap_splits,
            CAST(MAX(dur_us) AS BIGINT) AS longest_dur_us
     FROM per_session GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "q_sessionize_capped",
+    oracle=SESS_CAPPED_ORACLE,
     tags=("events", "session", "grouped-map"),
 )
 def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -713,6 +713,43 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sess_capped_oracle() -> str:
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        SESS_CAPPED_ORACLE,
+    )
+
+    return SESS_CAPPED_ORACLE
+
+
+@register(
+    "q_stream_sessionize_capped",
+    oracle=_sess_capped_oracle(),
+    tags=("streaming", "stateful", "session"),
+)
+def q_stream_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped sessionization as a STREAM: the gap-6h + cap-24h
+    recurrence maintained in applyInPandasWithState per-user state
+    across micro-batches (streaming/stateful.py
+    stateful_capped_sessions) — session_window covers only the
+    gap-only rule, so the cap recurrence is the canonical custom
+    stateful operator. Executed availableNow over the static fixture,
+    the drained per-user summaries equal the batch grouped-map
+    (q_sessionize_capped) bit-for-bit, and the oracle is the same
+    recursive-CTE walk. Multi-batch state carry-over is pinned by the
+    chunked-replay equivalence test in test_streaming_sink.py."""
+    from batch_processing_etl_orchestration_spark.streaming.stateful import (
+        stateful_capped_sessions,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        stateful_capped_sessions(events.select("user_id", "event_id", "ts")),
+        spark,
+        output_mode="update",
+        update_keys=["user_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stream-static join, streaming dedup, frame sampling
 # ---------------------------------------------------------------------------

@@ -62,3 +62,98 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESS_GAP_US = 6 * 3600 * 1_000_000
+_SESS_CAP_US = 24 * 3600 * 1_000_000
+
+
+def stateful_capped_sessions(
+    events: DataFrame,
+    gap_us: int = _SESS_GAP_US,
+    cap_us: int = _SESS_CAP_US,
+) -> DataFrame:
+    """Streaming twin of the capped-sessionization recurrence
+    (plans/analytics.q_sessionize_capped): sessions split on an
+    inactivity gap OR when they would exceed a max duration measured
+    from the RUNNING session start — a sequential per-user recurrence
+    session_window's gap-only semantics can't express, so the state
+    (open session start, last event ts, totals) lives in
+    applyInPandasWithState and the walk resumes across micro-batches.
+
+    In-order contract: correctness across batches requires each
+    user's events to arrive in (ts, event_id) order batch-to-batch —
+    the property a replayed time-ordered log (or a watermarked
+    pre-sort) provides; within a batch the walk sorts. With
+    trigger(availableNow) over a static source the drained totals
+    equal the batch grouped-map bit-for-bit, which is how the oracle
+    checks it (integer-microsecond arithmetic end to end).
+
+    Scale: same posture as stateful_user_totals — each micro-batch
+    shuffles only its own rows on user_id; state is a six-long struct
+    per user in the state store, never rebroadcast.
+
+    The event time crosses the Python boundary as BIGINT microseconds
+    (unix_micros, JVM-side): a TimestampType data column breaks the
+    applyInPandasWithState arrow transport on multi-batch runs —
+    state-only rows pad data columns with Long.MAX, which overflows
+    the us→ns pandas conversion — and the walk is integer arithmetic
+    anyway."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            n_sessions, n_cap, n_events, longest, sess_first, prev = state.get
+        else:
+            n_sessions, n_cap, n_events, longest, sess_first, prev = 0, 0, 0, 0, -1, -1
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            us = pdf["ts_us"].astype("int64")
+            n_events += len(pdf)
+            for t in us:
+                gap_break = prev != -1 and t - prev > gap_us
+                cap_break = (
+                    prev != -1 and not gap_break and t - sess_first > cap_us
+                )
+                if prev == -1 or gap_break or cap_break:
+                    if sess_first != -1:
+                        longest = max(longest, prev - sess_first)
+                    n_sessions += 1
+                    n_cap += int(cap_break)
+                    sess_first = int(t)
+                prev = int(t)
+            state.update(
+                (n_sessions, n_cap, n_events, longest, sess_first, prev)
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "n_cap_splits": [n_cap],
+                "longest_dur_us": [max(longest, prev - sess_first)],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id LONG, n_sessions BIGINT, n_events BIGINT, "
+            "n_cap_splits BIGINT, longest_dur_us BIGINT"
+        ),
+        stateStructType=(
+            "n_sessions LONG, n_cap LONG, n_events LONG, "
+            "longest LONG, sess_first LONG, prev LONG"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
