@@ -1879,3 +1879,132 @@ def q_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.expr("try_cast(value AS BIGINT)")).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension maintenance (warehouse/scd.py): the attribute-
+# history merge the reference's current-state-only warehouse lacks.
+# Update batch is deterministic (key-modulo selections, fixed
+# effective date) so the full post-apply history hash-checks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_customer_update",
+    oracle="""
+    WITH off AS (SELECT MAX(c_custkey) + 1 AS o FROM customer),
+    passthrough AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             '1970-01-01' AS valid_from, '9999-12-31' AS valid_to,
+             TRUE AS is_current
+      FROM customer WHERE c_custkey % 7 <> 3
+    ),
+    closed AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             '1970-01-01', '2024-06-01', FALSE
+      FROM customer WHERE c_custkey % 7 = 3
+    ),
+    reopened AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100, c_mktsegment,
+             '2024-06-01', '9999-12-31', TRUE
+      FROM customer WHERE c_custkey % 7 = 3
+    ),
+    inserted AS (
+      SELECT c.c_custkey + off.o, CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), CAST(c.c_custkey % 1000 AS DOUBLE),
+             CAST(NULL AS VARCHAR), '2024-06-01', '9999-12-31', TRUE
+      FROM customer c, off WHERE c.c_custkey % 50 = 1
+    )
+    SELECT * FROM passthrough UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM reopened UNION ALL SELECT * FROM inserted
+    """,
+    tags=("warehouse", "scd2"),
+)
+def q_scd2_customer_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply on the customer dimension: accounts with
+    c_custkey % 7 == 3 receive a balance update (close + reopen at
+    the effective date), keys shifted past the current max insert as
+    brand-new open versions, everything else passes through. The
+    oracle regenerates all four branches; matching hashes pin the
+    close/reopen/insert logic and untracked-attribute inheritance.
+
+    Scale: one key-shuffle full-outer join against the (small by
+    construction) update batch plus unions — no window, no UDF; see
+    warehouse/scd.py."""
+    from batch_processing_etl_orchestration_spark.warehouse.scd import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    hist = scd2_init(cust)
+    max_key = cust.agg(F.max("c_custkey")).first()[0] + 1
+    changes = cust.where(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    news = cust.where(F.col("c_custkey") % 50 == 1).select(
+        (F.col("c_custkey") + max_key).alias("c_custkey"),
+        (F.col("c_custkey") % 1000).cast("double").alias("c_acctbal"),
+    )
+    out = scd2_apply(
+        hist,
+        changes.unionByName(news),
+        key_cols=["c_custkey"],
+        tracked_cols=["c_acctbal"],
+        effective_date="2024-06-01",
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "q_scd2_point_in_time",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           '1970-01-01' AS valid_from
+    FROM customer
+    """,
+    tags=("warehouse", "scd2"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of the versioned dimension: as of a date
+    BEFORE the update batch's effective date, every original key
+    resolves to its original version and the inserted keys don't
+    exist yet — the join shape every fact-vs-versioned-dim query
+    runs. Oracle = the untouched dimension."""
+    from batch_processing_etl_orchestration_spark.warehouse.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    hist = scd2_init(cust)
+    max_key = cust.agg(F.max("c_custkey")).first()[0] + 1
+    changes = cust.where(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    news = cust.where(F.col("c_custkey") % 50 == 1).select(
+        (F.col("c_custkey") + max_key).alias("c_custkey"),
+        (F.col("c_custkey") % 1000).cast("double").alias("c_acctbal"),
+    )
+    applied = scd2_apply(
+        hist,
+        changes.unionByName(news),
+        key_cols=["c_custkey"],
+        tracked_cols=["c_acctbal"],
+        effective_date="2024-06-01",
+    )
+    return scd2_as_of(applied, "2024-01-01").select(
+        "c_custkey",
+        "c_acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+    )

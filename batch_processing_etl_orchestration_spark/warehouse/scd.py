@@ -1,0 +1,130 @@
+"""Slowly-changing-dimension maintenance (SCD type 2).
+
+The reference's warehouse keeps dimensions current-state-only
+(databaseOperations.py's CREATE TABLE dict has no history columns;
+re-runs overwrite). A production warehouse tracks attribute history:
+when a staged update changes a tracked attribute, the current version
+row is CLOSED (valid_to = effective date, is_current = false) and a
+new version OPENED. This module is the batch formulation of that
+merge.
+
+Spark shape: one shuffle on the business key (a full-outer update
+join) plus column-level branch selects unioned back together — no
+driver-side row handling, no window, no UDFs. At 100 TB the
+dimension is the small side of the
+pipeline by construction (dims ≪ facts) and the whole apply is a
+key-partitioned join + window; re-partitioning the dim table by the
+business key on write keeps successive applies shuffle-aligned.
+
+Determinism: version ordering is (valid_from, version source) with
+updates sorting after the rows they close; no timestamps are
+generated — effective dates come from the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HIGH_DATE = "9999-12-31"
+
+
+def scd2_init(dim: DataFrame, valid_from: str = "1970-01-01") -> DataFrame:
+    """Bootstrap a current-state dimension into SCD2 shape: every row
+    becomes the open version (valid_from → HIGH_DATE, is_current)."""
+    return (
+        dim.withColumn("valid_from", F.to_date(F.lit(valid_from)))
+        .withColumn("valid_to", F.to_date(F.lit(HIGH_DATE)))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def scd2_apply(
+    dim_hist: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply a staged update batch to an SCD2 dimension history.
+
+    - rows whose tracked attributes are UNCHANGED pass through;
+    - a changed key's open version closes at ``effective_date``;
+    - the update opens a new version [effective_date, HIGH_DATE);
+    - keys new to the dimension insert as open versions;
+    - update rows carry the key + tracked columns; untracked
+      attribute columns are inherited from the closed version.
+
+    Returns the full new history (closed + open + passthrough rows).
+    """
+    eff = F.to_date(F.lit(effective_date))
+    untracked = [
+        c
+        for c in dim_hist.columns
+        if c not in set(key_cols) | set(tracked_cols)
+        | {"valid_from", "valid_to", "is_current"}
+    ]
+
+    cur = dim_hist.where(F.col("is_current"))
+    hist = dim_hist.where(~F.col("is_current"))
+
+    upd = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_new_{c}") for c in tracked_cols],
+        F.lit(True).alias("_has_upd"),  # marker: NULL-valued tracked
+        # updates must still count as updates
+    )
+    joined = cur.join(upd, key_cols, "full_outer")
+
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+    has_update = F.col("_has_upd").isNotNull()
+    # a key present in updates but absent from cur: brand-new insert
+    is_new_key = F.col("valid_from").isNull()
+
+    # 1. unchanged current rows (no update, or update equal on all
+    #    tracked attributes) pass through open
+    unchanged = joined.where(~is_new_key & (~has_update | ~changed)).select(
+        dim_hist.columns
+    )
+    # 2. changed current rows close at the effective date
+    closed = joined.where(~is_new_key & has_update & changed).select(
+        *key_cols,
+        *tracked_cols,
+        *untracked,
+        "valid_from",
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    ).select(dim_hist.columns)
+    # 3. their replacement versions open at the effective date,
+    #    inheriting untracked attributes from the closed row
+    reopened = joined.where(~is_new_key & has_update & changed).select(
+        *key_cols,
+        *[F.col(f"_new_{c}").alias(c) for c in tracked_cols],
+        *untracked,
+        eff.alias("valid_from"),
+        F.to_date(F.lit(HIGH_DATE)).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).select(dim_hist.columns)
+    # 4. never-seen keys insert as open versions (untracked cols null)
+    inserted = joined.where(is_new_key).select(
+        *key_cols,
+        *[F.col(f"_new_{c}").alias(c) for c in tracked_cols],
+        *[F.lit(None).cast(dict(dim_hist.dtypes)[c]).alias(c) for c in untracked],
+        eff.alias("valid_from"),
+        F.to_date(F.lit(HIGH_DATE)).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).select(dim_hist.columns)
+
+    return hist.unionByName(unchanged).unionByName(closed).unionByName(
+        reopened
+    ).unionByName(inserted)
+
+
+def scd2_as_of(dim_hist: DataFrame, as_of_date: str) -> DataFrame:
+    """Point-in-time view: the version of each key valid on a date —
+    the query every fact-table join against a versioned dimension
+    runs (valid_from <= d < valid_to)."""
+    d = F.to_date(F.lit(as_of_date))
+    return dim_hist.where((F.col("valid_from") <= d) & (d < F.col("valid_to")))

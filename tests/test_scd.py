@@ -1,0 +1,95 @@
+"""SCD2 semantics on constructed dimensions: close/reopen, inserts,
+NULL-valued tracked updates, untracked-attribute inheritance, and
+version chaining across successive applies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.warehouse.scd import (
+    HIGH_DATE,
+    scd2_apply,
+    scd2_as_of,
+    scd2_init,
+)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 200.0), (3, "carol", 300.0)],
+        "id LONG, name STRING, bal DOUBLE",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scd2_close_reopen_insert_passthrough(spark):
+    hist = scd2_init(_dim(spark))
+    upd = spark.createDataFrame(
+        [(1, 150.0), (4, 400.0)], "id LONG, bal DOUBLE"
+    )
+    out = scd2_apply(hist, upd, ["id"], ["bal"], "2024-06-01")
+    got = {
+        (r["id"], r["bal"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    }
+    assert (1, 100.0, "1970-01-01", "2024-06-01", False) in got  # closed
+    assert (1, 150.0, "2024-06-01", HIGH_DATE, True) in got  # reopened
+    assert (2, 200.0, "1970-01-01", HIGH_DATE, True) in got  # passthrough
+    assert (4, 400.0, "2024-06-01", HIGH_DATE, True) in got  # inserted
+    assert len(got) == 5
+    # untracked attribute inherited onto the reopened version
+    reopened = out.where((F.col("id") == 1) & F.col("is_current")).first()
+    assert reopened["name"] == "alice"
+    # inserted key has no inherited attributes
+    assert out.where(F.col("id") == 4).first()["name"] is None
+
+
+def test_scd2_unchanged_update_is_noop(spark):
+    hist = scd2_init(_dim(spark))
+    upd = spark.createDataFrame([(2, 200.0)], "id LONG, bal DOUBLE")
+    out = scd2_apply(hist, upd, ["id"], ["bal"], "2024-06-01")
+    assert _rows(out) == _rows(hist)
+
+
+def test_scd2_null_tracked_update_counts_as_change(spark):
+    hist = scd2_init(_dim(spark))
+    upd = spark.createDataFrame([(3, None)], "id LONG, bal DOUBLE")
+    out = scd2_apply(hist, upd, ["id"], ["bal"], "2024-06-01")
+    vers = out.where(F.col("id") == 3).collect()
+    assert len(vers) == 2
+    open_v = [r for r in vers if r["is_current"]][0]
+    assert open_v["bal"] is None and str(open_v["valid_from"]) == "2024-06-01"
+
+
+def test_scd2_successive_applies_chain_versions(spark):
+    hist = scd2_init(_dim(spark))
+    h1 = scd2_apply(
+        hist,
+        spark.createDataFrame([(1, 150.0)], "id LONG, bal DOUBLE"),
+        ["id"],
+        ["bal"],
+        "2024-06-01",
+    )
+    h2 = scd2_apply(
+        h1,
+        spark.createDataFrame([(1, 175.0)], "id LONG, bal DOUBLE"),
+        ["id"],
+        ["bal"],
+        "2024-09-01",
+    )
+    vers = sorted(
+        (str(r["valid_from"]), str(r["valid_to"]), r["bal"], r["is_current"])
+        for r in h2.where(F.col("id") == 1).collect()
+    )
+    assert vers == [
+        ("1970-01-01", "2024-06-01", 100.0, False),
+        ("2024-06-01", "2024-09-01", 150.0, False),
+        ("2024-09-01", HIGH_DATE, 175.0, True),
+    ]
+    # point-in-time resolves each era to its version
+    assert scd2_as_of(h2, "2024-07-15").where(F.col("id") == 1).first()["bal"] == 150.0
+    assert scd2_as_of(h2, "2020-01-01").where(F.col("id") == 1).first()["bal"] == 100.0
+    assert scd2_as_of(h2, "2025-01-01").where(F.col("id") == 1).first()["bal"] == 175.0
