@@ -1,5 +1,7 @@
 """Standalone oracle-check runner: times each catalog query on Spark
-and DuckDB at sf0.01, prints one line per query. Usage:
+and DuckDB at sf0.01 (override the fixture dir with
+SPARK_GRAFT_SF_DIR, e.g. the sf1 scale-up fixture), prints one line
+per query. Usage:
     python tests/run_oracle_check.py [name_filter ...]
 """
 
@@ -23,7 +25,9 @@ def main() -> None:
         "spark.driver.memory": "6g",
     })
     spark.sparkContext.setLogLevel("ERROR")
-    sf = "/root/testdata/sf0.01"
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     n_pass = n_fail = 0
     for name, spec in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
