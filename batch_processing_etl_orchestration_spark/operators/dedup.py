@@ -385,3 +385,119 @@ class DedupLabels:
         import os
 
         return os.path.isdir(f"{path}/labels")
+
+
+def bloom_filter_table(
+    items: DataFrame,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a string column as a (chunk, bits)
+    TABLE — m_bits of filter packed into m_bits/64 int64 rows — built
+    with one aggregation (bit_or of shifted bits per chunk), entirely
+    JVM-side. The result is broadcast-join-sized by construction
+    (m_bits/64 rows regardless of |items|), which is the point: a
+    bloom TABLE broadcast survives eval sets far past the point where
+    broadcasting the distinct grams themselves would OOM.
+
+    Hash family: xxhash64(value, seed) for seed 0..k-1, positions mod
+    m_bits (sign-safe). Deterministic — no RNG."""
+    n_chunks = m_bits // 64
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits)).alias(f"p{seed}")
+        for seed in range(k)
+    ]
+    pos = (
+        items.select(*pos_cols)
+        .select(F.explode(F.array(*[F.col(f"p{s}") for s in range(k)])).alias("p"))
+    )
+    return (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("chunk"),
+            # shiftleft's python wrapper takes only literal shift
+            # amounts; the SQL function accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("chunk")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Keep only probe rows whose ``col`` value is (possibly) in the
+    bloom filter: all k probed bits must be set. False positives pass
+    (an exact join behind this removes them); true members always
+    pass — so composing bloom_prefilter with an exact verify is
+    RESULT-IDENTICAL to the exact join alone, just cheaper, because
+    the overwhelming share of non-members never reaches the
+    wide-key exact join. The k probes are a broadcast join on the
+    chunk id against the m_bits/64-row filter table."""
+    probes = probe.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits))
+                    for seed in range(k)
+                ]
+            )
+        ).alias("_seed", "_p"),
+    ).withColumn("_chunk", (F.col("_p") / 64).cast("int"))
+    hit = (
+        probes.join(F.broadcast(bloom), probes["_chunk"] == bloom["chunk"], "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("shiftright(bits, CAST(_p % 64 AS INT)) & CAST(1 AS BIGINT)")
+                    == 1
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    group_cols = probe.columns
+    return (
+        hit.groupBy(*group_cols)
+        .agg(F.sum("_hit").alias("_hits"))
+        .where(F.col("_hits") == k)
+        .drop("_hits")
+    )
+
+
+def decontaminate_bloom(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """decontaminate's large-eval-set formulation, closing the bloom
+    promise in its docstring: eval grams fold into an m_bits bloom
+    TABLE (size independent of |eval|), the corpus pre-filters
+    against it with k broadcast bit probes, and only the surviving
+    sliver reaches the exact gram join that removes bloom false
+    positives. Result-identical to decontaminate (bloom passes all
+    true members; the exact join drops the false ones) — asserted in
+    tests and by sharing q_decontaminate's oracle."""
+    train_sh = shingle_sets(train_docs, n, id_col, text_col)
+    eval_grams = shingle_sets(eval_docs, n, id_col, text_col).select(
+        "shingle"
+    ).distinct()
+    bloom = bloom_filter_table(eval_grams, "shingle", m_bits, k)
+    survivors = bloom_prefilter(train_sh, bloom, "shingle", m_bits, k)
+    return (
+        survivors.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

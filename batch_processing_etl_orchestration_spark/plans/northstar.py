@@ -367,6 +367,39 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d.where(~is_eval), d.where(is_eval), n=8)
 
 
+@register(
+    "q_decontaminate_bloom",
+    oracle=_SQL_SHINGLES_8
+    + """,
+    eval_g AS (
+      SELECT DISTINCT shingle FROM shingles8 WHERE doc_id % 20 = 0
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM shingles8 s
+    JOIN eval_g e ON s.shingle = e.shingle
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "decontamination", "bloom"),
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via the bloom-prefilter scale path: eval grams
+    fold into a 2^17-bit bloom TABLE (m/64 int64 rows — broadcastable
+    no matter how large the eval set grows), the corpus probes it with
+    four broadcast bit-checks, and only survivors reach the exact gram
+    join. Oracle is IDENTICAL to q_decontaminate — bloom false
+    positives must be removed by the exact verify, so any divergence
+    from the exact path hash-mismatches."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        decontaminate_bloom,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return decontaminate_bloom(d.where(~is_eval), d.where(is_eval), n=8)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

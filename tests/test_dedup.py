@@ -219,3 +219,41 @@ def test_dedup_labels_persisted_bit_equals_inline(spark, sf_dir, tmp_path):
     got = q_dedup_keep_canonical(spark, sf_dir)
     gkey = lambda r: tuple(r)
     assert sorted(map(gkey, got.collect())) == sorted(map(gkey, expected.collect()))
+
+
+def test_bloom_prefilter_equals_exact_and_prunes(spark, sf_dir):
+    """decontaminate_bloom must be result-identical to the exact path
+    (bloom passes all true members; the exact verify drops false
+    positives), and the prefilter must actually prune: the surviving
+    gram rows are a small fraction of the corpus gram rows."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        bloom_filter_table,
+        bloom_prefilter,
+        decontaminate,
+        decontaminate_bloom,
+        shingle_sets,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    train, evald = d.where(~is_eval), d.where(is_eval)
+
+    exact = {tuple(r) for r in decontaminate(train, evald, n=8).collect()}
+    bloomed = {tuple(r) for r in decontaminate_bloom(train, evald, n=8).collect()}
+    assert bloomed == exact and len(exact) > 0
+
+    train_sh = shingle_sets(train, 8)
+    eval_grams = shingle_sets(evald, 8).select("shingle").distinct()
+    bloom = bloom_filter_table(eval_grams, "shingle")
+    survivors = bloom_prefilter(train_sh, bloom, "shingle")
+    n_all, n_surv = train_sh.count(), survivors.count()
+    # eval overlap is sparse on the fixture; the bloom must reflect
+    # that instead of passing everything through
+    assert n_surv < 0.2 * n_all, (n_surv, n_all)
+    # no true member may be dropped: every exact-join gram survives
+    n_true = train_sh.join(F.broadcast(eval_grams), "shingle").count()
+    n_surv_true = survivors.join(F.broadcast(eval_grams), "shingle").count()
+    assert n_surv_true == n_true
