@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     # r3 multimodal feature chain
     "q_audio_features",
     "q_image_channel_stats",
+    # r5: SCD2 dimension merge, bloom-prefiltered decontamination,
+    # streaming capped-session recurrence (applyInPandasWithState)
+    "q_scd2_customer_update",
+    "q_decontaminate_bloom",
+    "q_stream_sessionize_capped",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -62,3 +62,119 @@ def test_keep_canonical_length_tiebreak(spark, tmp_path):
     rows = {r["comp_id"]: r for r in q_dedup_keep_canonical(spark, sf).collect()}
     assert rows[1]["keep_doc_id"] == 1 and rows[1]["cluster_size"] == 2
     assert rows[3]["keep_doc_id"] == 3 and rows[3]["cluster_size"] == 1
+
+
+def test_grouped_map_ops_survive_hot_key_skew(spark):
+    """One user with 50k events among 100 ordinary users: the
+    grouped-map sessionization walk and the stateful streaming twin
+    must complete and agree — 'skewed users cost one long task, not a
+    reshuffle' (analytics.q_sessionize_capped docstring), pinned on
+    data that would break an assumption of balanced groups."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        _SESS_CAP_US,
+        _SESS_GAP_US,
+    )
+    from batch_processing_etl_orchestration_spark.streaming.stateful import (
+        stateful_capped_sessions,
+    )
+
+    # hot user 0: 50k events 90s apart (gap never binds, cap splits
+    # every 960 events); users 1..100: 5 events each, 7h apart (every
+    # gap binds)
+    hot = pd.DataFrame(
+        {
+            "user_id": 0,
+            "event_id": range(50_000),
+            "ts_us": [i * 90_000_000 for i in range(50_000)],
+        }
+    )
+    cold = pd.DataFrame(
+        [
+            (u, 100_000 + u * 10 + i, (u * 10 + i) * 7 * 3600 * 1_000_000)
+            for u in range(1, 101)
+            for i in range(5)
+        ],
+        columns=["user_id", "event_id", "ts_us"],
+    )
+    pdf = pd.concat([hot, cold])
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+    def batch_walk(ev):
+        # the q_sessionize_capped grouped-map, inlined on this df
+        def walk(g):
+            g = g.sort_values(["ts", "event_id"])
+            raw = g["ts"].astype("int64")
+            us = raw // 1000 if str(g["ts"].dtype).endswith("[ns]") else raw
+            n_sessions = n_cap = longest = 0
+            sess_first = prev = None
+            for t in us:
+                gap_break = prev is not None and t - prev > _SESS_GAP_US
+                cap_break = (
+                    prev is not None
+                    and not gap_break
+                    and t - sess_first > _SESS_CAP_US
+                )
+                if prev is None or gap_break or cap_break:
+                    if sess_first is not None:
+                        longest = max(longest, prev - sess_first)
+                    n_sessions += 1
+                    n_cap += int(cap_break)
+                    sess_first = t
+                prev = t
+            longest = max(longest, prev - sess_first)
+            return pd.DataFrame(
+                {
+                    "user_id": [int(g["user_id"].iloc[0])],
+                    "n_sessions": [n_sessions],
+                    "n_events": [len(g)],
+                    "n_cap_splits": [n_cap],
+                    "longest_dur_us": [int(longest)],
+                }
+            )
+
+        return ev.groupBy("user_id").applyInPandas(
+            walk,
+            "user_id LONG, n_sessions BIGINT, n_events BIGINT, "
+            "n_cap_splits BIGINT, longest_dur_us BIGINT",
+        )
+
+    batch = {tuple(r) for r in batch_walk(df.select("user_id", "event_id", "ts")).collect()}
+    hot_row = [r for r in batch if r[0] == 0][0]
+    # 50k events at 90s spacing: a session holds 961 events (the
+    # 962nd is >24h past the session start) → ceil(50000/961) = 53
+    # sessions, 52 opened by the cap
+    assert hot_row[1] == 53 and hot_row[3] == 52 and hot_row[2] == 50_000
+    cold_rows = [r for r in batch if r[0] != 0]
+    assert all(r[1] == 5 and r[3] == 0 for r in cold_rows)  # every gap binds
+
+    # streaming twin agrees on the same skewed data (single batch)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    pdf.to_parquet(f"{d}/0.parquet", index=False)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("user_id", "event_id", "ts")
+    )
+    from batch_processing_etl_orchestration_spark.streaming.events import (
+        run_stream_to_table,
+    )
+
+    streamed = {
+        tuple(r)
+        for r in run_stream_to_table(
+            stateful_capped_sessions(stream),
+            spark,
+            output_mode="update",
+            update_keys=["user_id"],
+        ).collect()
+    }
+    assert streamed == batch
