@@ -1105,54 +1105,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster" primitive a training-data pipeline runs after pairwise
     near-dup detection.
 
-    Implementation: iterative min-label propagation (comp := least of
-    own comp and neighbors' comps) until a fixpoint; each round is one
-    shuffle join + partial agg on the compact (long, long) edge list,
-    and ``localCheckpoint`` truncates the growing lineage so round N
-    doesn't replay rounds 1..N-1. Convergence in O(component
-    diameter) rounds — near-dup graphs are overwhelmingly tiny
-    cliques, so 2-3 rounds in practice; the driver-side loop only
-    inspects a monotone scalar (sum of labels), never the data. At
-    100 TB this is the standard large-star/small-star regime: edges
-    pre-partitioned by src so every round reuses one partitioning.
-    The oracle is a DuckDB recursive CTE over the same edge set — a
-    genuinely iterative operator that still hash-checks.
+    Implementation: operators/dedup.connected_components — min-label
+    propagation with per-round pointer jumping (comp := min(comp,
+    comp(comp))), so convergence is O(log diameter) rounds even on
+    the chain graphs capped LSH buckets emit for over-cap duplicate
+    clusters; each round is two key-partitioned joins on the compact
+    (long, long) edge list with localCheckpoint lineage truncation.
+    The driver-side loop only inspects a monotone scalar (sum of
+    labels), never the data. The oracle is a DuckDB recursive CTE
+    over the same edge set — a genuinely iterative operator that
+    still hash-checks.
     """
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        connected_components,
+    )
+
     pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
-    # seed with one propagation round fused into the init: comp(v) =
-    # least(v, min neighbor) — identical to running the loop once from
-    # identity labels (edges carry both directions), one fewer
-    # join+checkpoint+action round to the fixpoint.
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("_md"))
-        .select(
-            F.col("src").alias("id"),
-            F.least(F.col("src"), F.col("_md")).alias("comp"),
-        )
-    )
-    prev_sum = None
-    while True:
-        nbr_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-            .select("id", F.least("comp", "nbr_comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = connected_components(pairs)
     w = Window.partitionBy("comp")
     return labels.select(
         F.col("id").alias("doc_id"),

@@ -257,3 +257,33 @@ def test_bloom_prefilter_equals_exact_and_prunes(spark, sf_dir):
     n_true = train_sh.join(F.broadcast(eval_grams), "shingle").count()
     n_surv_true = survivors.join(F.broadcast(eval_grams), "shingle").count()
     assert n_surv_true == n_true
+
+
+def test_connected_components_chain_graph_converges_fast(spark):
+    """A 4096-node path — the exact shape capped_bucket_pairs emits
+    for an over-cap duplicate bucket. Plain min-label propagation
+    needs ~4096 rounds here (one shuffle + driver action each); the
+    pointer-jumping fixpoint must label it correctly inside the
+    64-round divergence guard (it takes ~13)."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 4096
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    labels = connected_components(pairs)  # raises if >64 rounds
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["comp"] == 0 for r in rows)  # one component, min id 0
+
+    # two disjoint chains stay separate
+    pairs2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)]
+        + [(1000 + i, 1001 + i) for i in range(100)],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {(r["id"], r["comp"]) for r in connected_components(pairs2).collect()}
+    assert all(c == 0 for i, c in got if i <= 100)
+    assert all(c == 1000 for i, c in got if i >= 1000)
