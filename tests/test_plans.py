@@ -268,3 +268,29 @@ def test_funnel_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_events_funnel")
     assert plan.count("Window") >= 3
     assert _n_exchanges(plan) == 1, plan[:900]
+
+
+def test_scd2_apply_no_cartesian_single_key_shuffle(spark, sf_dir):
+    """The SCD2 merge is one full-outer key join plus column branch
+    selects — no cartesian product, no window exchange storm."""
+    plan = _plan(spark, sf_dir, "q_scd2_customer_update")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_bloom_prefilter_broadcasts_chunk_table(spark, sf_dir):
+    """The bloom probes must be a BROADCAST join on the chunk id (the
+    m/64-row filter table), never a shuffled join of the gram stream
+    against it."""
+    plan = _plan(spark, sf_dir, "q_decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binaryfile_scan_lists_files_not_payloads(spark, sf_dir):
+    """Pointer-path scan: the binaryFile source appears as a file scan
+    (one split per file); decode is a single mapInPandas with no
+    shuffle between scan and Python."""
+    plan = _plan(spark, sf_dir, "q_multimodal_binaryfile")
+    assert "Exchange" not in plan  # scan → project → mapInPandas, no shuffle
