@@ -1644,3 +1644,103 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: bin documents into fixed token budgets — the step
+# that turns a filtered corpus into training batches (packing short
+# docs together instead of padding each to the context length). The
+# bin assignment depends on the RUNNING bin fill, a sequential
+# next-fit recurrence (same family as the capped-session walk); it
+# parallelizes across independent packer groups.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per bin (whitespace tokens here)
+_N_PACKERS = 8
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             doc_id % {_N_PACKERS} AS packer,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % {_N_PACKERS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(packer, rn, doc_id, n_tokens, bin_idx, bin_fill) AS (
+      SELECT packer, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.packer, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.bin_fill + t.n_tokens > {_PACK_BUDGET}
+                  THEN w.bin_idx + 1 ELSE w.bin_idx END,
+             CASE WHEN w.bin_fill + t.n_tokens > {_PACK_BUDGET}
+                  THEN t.n_tokens ELSE w.bin_fill + t.n_tokens END
+      FROM walk w
+      JOIN toks t ON t.packer = w.packer AND t.rn = w.rn + 1
+    )
+    SELECT packer, bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM walk GROUP BY 1, 2
+    """,
+    tags=("text", "packing", "grouped-map"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing: docs partition into {_N_PACKERS}
+    independent packer groups (doc_id mod — deterministic and
+    SQL-reproducible), and each group walks its docs in doc_id order,
+    closing the open bin whenever the next doc would overflow the
+    token budget. A doc longer than the budget occupies its own
+    (overflowing) bin — flagged downstream by total_tokens > budget,
+    never silently truncated here. Output is per-bin stats, so a
+    packing bug (wrong split point, lost doc) changes counts/sums and
+    the hash.
+
+    Scale: ONE shuffle (groupBy packer into the grouped map), each
+    group a single ordered Arrow walk — the capped-session shape. At
+    100 TB the packer count scales with the cluster (packer =
+    hash(doc) % N), bins stay independent across groups by
+    construction, and the walk streams: state is one (bin_idx,
+    bin_fill) pair regardless of group size. Reference analog: none
+    (north-star LLM-pipeline brief)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _N_PACKERS).alias("packer"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        bin_idx, bin_fill = -1, _PACK_BUDGET + 1  # first doc opens bin 0
+        for nt in pdf["n_tokens"]:
+            if bin_fill + nt > _PACK_BUDGET:
+                bin_idx += 1
+                bin_fill = int(nt)
+            else:
+                bin_fill += int(nt)
+            bins.append(bin_idx)
+        out = pdf.assign(bin_idx=bins)
+        return (
+            out.groupby("bin_idx", as_index=False)
+            .agg(
+                packer=("packer", "first"),
+                n_docs=("doc_id", "size"),
+                total_tokens=("n_tokens", "sum"),
+                first_doc_id=("doc_id", "min"),
+            )
+            .loc[:, ["packer", "bin_idx", "n_docs", "total_tokens", "first_doc_id"]]
+        )
+
+    return d.groupBy("packer").applyInPandas(
+        pack,
+        "packer BIGINT, bin_idx BIGINT, n_docs BIGINT, "
+        "total_tokens BIGINT, first_doc_id BIGINT",
+    )

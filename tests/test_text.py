@@ -88,3 +88,36 @@ def test_redact_pii_replaces_and_counts(spark):
     assert rows[1]["red"] == "mail [EMAIL] or [EMAIL], call [PHONE]"
     assert (rows[2]["e"], rows[2]["p"]) == (0, 0)
     assert rows[2]["red"] == "no pii here, 12-34 is not a phone and a@b is not a mail"
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants: every doc lands in exactly one bin, bins
+    never exceed the budget except single-doc oversized bins, and
+    bin indexes are dense per packer."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _PACK_BUDGET,
+        q_pack_sequences,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    bins = q_pack_sequences(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    n_docs = d.count()
+    total_tokens = d.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r["n_docs"] for r in bins) == n_docs  # nothing lost
+    assert sum(r["total_tokens"] for r in bins) == total_tokens
+    for r in bins:
+        if r["total_tokens"] > _PACK_BUDGET:
+            assert r["n_docs"] == 1  # only an oversized doc may overflow
+    by_packer = {}
+    for r in bins:
+        by_packer.setdefault(r["packer"], []).append(r["bin_idx"])
+    for packer, idxs in by_packer.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0..k-1
+    # packing is worthwhile: bins are mostly full (waste < 50%)
+    n_bins = len(bins)
+    assert n_bins * _PACK_BUDGET < 2 * total_tokens + n_bins  # avg fill > 50%
