@@ -93,3 +93,66 @@ def test_scd2_successive_applies_chain_versions(spark):
     assert scd2_as_of(h2, "2024-07-15").where(F.col("id") == 1).first()["bal"] == 150.0
     assert scd2_as_of(h2, "2020-01-01").where(F.col("id") == 1).first()["bal"] == 100.0
     assert scd2_as_of(h2, "2025-01-01").where(F.col("id") == 1).first()["bal"] == 175.0
+
+
+def test_scd2_matches_reference_model_random_batches(spark):
+    """Property: two successive random update batches applied through
+    scd2_apply equal a dict-based reference SCD2 model — full history,
+    not just current state."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=1, max_value=8)
+    bals = st.integers(min_value=0, max_value=3)  # small domain → collisions
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        base=st.dictionaries(keys, bals, min_size=1, max_size=6),
+        upd1=st.dictionaries(keys, bals, max_size=6),
+        upd2=st.dictionaries(keys, bals, max_size=6),
+    )
+    def run(base, upd1, upd2):
+        hist = scd2_init(
+            spark.createDataFrame(
+                [(k, float(v)) for k, v in sorted(base.items())],
+                "id LONG, bal DOUBLE",
+            )
+        )
+        # reference model: key -> list of [bal, valid_from, valid_to, current]
+        model = {
+            k: [[float(v), "1970-01-01", HIGH_DATE, True]] for k, v in base.items()
+        }
+        for eff, upd in (("2024-06-01", upd1), ("2024-09-01", upd2)):
+            if not upd:
+                continue
+            hist = scd2_apply(
+                hist,
+                spark.createDataFrame(
+                    [(k, float(v)) for k, v in sorted(upd.items())],
+                    "id LONG, bal DOUBLE",
+                ),
+                ["id"],
+                ["bal"],
+                eff,
+            )
+            for k, v in upd.items():
+                v = float(v)
+                if k in model:
+                    cur = model[k][-1]
+                    if cur[0] != v:
+                        cur[2], cur[3] = eff, False
+                        model[k].append([v, eff, HIGH_DATE, True])
+                else:
+                    model[k] = [[v, eff, HIGH_DATE, True]]
+        got = sorted(
+            (r["id"], r["bal"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in hist.collect()
+        )
+        want = sorted(
+            (k, ver[0], ver[1], ver[2], ver[3])
+            for k, vers in model.items()
+            for ver in vers
+        )
+        assert got == want
+
+    run()
