@@ -1221,3 +1221,58 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel fold inside one MapInPandas chain."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return image_channel_stats(synthesize_media(d))
+
+
+@register(
+    "q_image_resize_thumb",
+    oracle="""
+    WITH px AS (
+      -- 8x8x3 thumbnail positions: t enumerates (ty, tx, c);
+      -- nearest-neighbor source pixel via integer division
+      SELECT d.doc_id,
+             4 + d.doc_id % 5 AS w,
+             3 + d.doc_id % 4 AS h,
+             g.t // 24 AS ty,
+             (g.t // 3) % 8 AS tx,
+             g.t % 3 AS c
+      FROM documents d, generate_series(0, 191) AS g(t)
+      WHERE d.doc_id % 2 = 1
+    ),
+    b AS (
+      SELECT doc_id,
+             (doc_id * 7
+              + (3 * (((ty * h) // 8) * w + ((tx * w) // 8)) + c) * 13)
+             % 256 AS v
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS out_w,
+           CAST(8 AS BIGINT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS thumb_sum,
+           CAST(MIN(v) AS BIGINT) AS thumb_min,
+           CAST(MAX(v) AS BIGINT) AS thumb_max
+    FROM b GROUP BY 1
+    """,
+    tags=("multimodal", "resize"),
+)
+def q_image_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every synthesized P6 image to an
+    8×8 thumbnail (multimodal/binary.image_resize_stats — a real
+    numpy gather over decoded RGB, not a stub), emitting thumbnail
+    channel stats. The resize mapping is closed-form
+    (src = floor(dst·src_dim/8)), so the oracle recomputes the exact
+    thumbnail bytes from the payload-generating formula: an
+    off-by-one in the index math or a wrong-axis gather
+    hash-mismatches. Completes the decode / feature-extract / resize
+    / frame-sample multimodal set."""
+    from batch_processing_etl_orchestration_spark.multimodal.binary import (
+        image_resize_stats,
+        synthesize_media,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    return image_resize_stats(synthesize_media(docs))

@@ -166,3 +166,28 @@ def test_binaryfile_pointer_path_bit_equals_payload_path(spark, tmp_path):
     raw = spark.read.format("binaryFile").load(media_dir)
     small = raw.where(F.col("length") < 100)
     assert small.count() == len([f for f in files if os.path.getsize(os.path.join(media_dir, f)) < 100])
+
+
+def test_image_resize_nearest_neighbor_exact(spark):
+    """Resize a 2x2 P6 image to 4x4: nearest-neighbor must replicate
+    each source pixel into a 2x2 block — checked per-byte, not just
+    stats."""
+    import numpy as np
+
+    from batch_processing_etl_orchestration_spark.multimodal.binary import (
+        image_resize_stats,
+    )
+
+    # 2x2 RGB: pixels (r,g,b) = 10..21
+    body = bytes(range(10, 22))
+    raw = b"P6\n2 2\n255\n" + body
+    df = spark.createDataFrame([(1, raw)], "doc_id LONG, payload BINARY")
+    row = image_resize_stats(df, out_w=4, out_h=4).first()
+    img = np.frombuffer(body, dtype=np.uint8).reshape(2, 2, 3)
+    ys = (np.arange(4) * 2) // 4
+    xs = (np.arange(4) * 2) // 4
+    thumb = img[ys][:, xs, :].astype(int)
+    assert row["thumb_sum"] == int(thumb.sum())
+    assert row["thumb_min"] == 10 and row["thumb_max"] == 21
+    # 4x4 from 2x2 doubles every pixel: sum is exactly 4x the source
+    assert row["thumb_sum"] == 4 * sum(range(10, 22))
