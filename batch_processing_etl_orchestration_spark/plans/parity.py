@@ -2008,3 +2008,41 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
     )
+
+
+@register(
+    "q_corpus_snapshot_diff",
+    oracle="""
+    SELECT doc_id, 'added' AS change_status
+    FROM documents WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT doc_id, 'removed' FROM documents WHERE doc_id % 10 = 9
+    UNION ALL
+    SELECT doc_id, 'changed' FROM documents WHERE doc_id % 10 = 3
+    """,
+    tags=("warehouse", "cdc"),
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two corpus snapshots
+    (warehouse/scd.snapshot_diff): the old snapshot lacks doc_ids
+    ending in 7 (they're 'added'), the new one drops ids ending in 9
+    ('removed') and revises the text of ids ending in 3 ('changed');
+    everything else is unchanged and MUST NOT appear — the diff is
+    the incremental pipeline's work queue, and a phantom row means
+    reprocessing. Statuses derive from sha2 fingerprints of
+    (text, lang, source, n_chars), so wide content never meets the
+    join; the oracle enumerates the expected statuses closed-form."""
+    from batch_processing_etl_orchestration_spark.warehouse.scd import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    last = F.col("doc_id") % 10
+    old = d.where(last != 7)
+    new = d.where(last != 9).withColumn(
+        "text",
+        F.when(last == 3, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(
+        old, new, ["doc_id"], ["text", "lang", "source", "n_chars"]
+    )

@@ -156,3 +156,24 @@ def test_scd2_matches_reference_model_random_batches(spark):
         assert got == want
 
     run()
+
+
+def test_snapshot_diff_null_and_boundary_semantics(spark):
+    """Fingerprint edge cases: NULL→value is a change, NULL→NULL is
+    not, and values shifting across a column boundary ('ab','c' vs
+    'a','bc') must not collide."""
+    from batch_processing_etl_orchestration_spark.warehouse.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None), (3, "ab", "c")],
+        "id LONG, a STRING, b STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "v", "x"), (2, None, None), (3, "a", "bc")],
+        "id LONG, a STRING, b STRING",
+    )
+    got = {
+        (r["id"], r["change_status"])
+        for r in snapshot_diff(old, new, ["id"], ["a", "b"]).collect()
+    }
+    assert got == {(1, "changed"), (3, "changed")}  # id 2 unchanged
