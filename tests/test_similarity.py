@@ -216,3 +216,47 @@ def test_round_half_away_matches_engine_round():
     assert (_round_half_away(x) == want).all()
     # np.round would give [0, 2, 2, -0, -2, -2, ...] — proves divergence
     assert not (np.round(x) == want).all()
+
+
+def test_pq_recall_and_rerank(spark):
+    """PQ floors: code-only top-k must clear 0.6 aggregate recall,
+    and the shortlist-50 + exact-re-rank composition must clear 0.9
+    (measured 1.0); re-ranked sims are bit-equal to brute force's for
+    shared pairs (same scaled-long cosine)."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    q, c = _qc(spark)
+    exact_rows = brute_force_topk(q, c, k=K).collect()
+    exact = {(r["query_id"], r["cand_id"]) for r in exact_rows}
+    pq = {(r["query_id"], r["cand_id"]) for r in pq_topk(q, c, k=K).collect()}
+    assert len(exact & pq) / len(exact) >= 0.6
+    rr_rows = pq_rerank_topk(q, c, k=K, shortlist=50).collect()
+    rr = {(r["query_id"], r["cand_id"]) for r in rr_rows}
+    assert len(exact & rr) / len(exact) >= 0.9
+    exact_sims = {(r["query_id"], r["cand_id"]): r["cosine_sim"] for r in exact_rows}
+    for r in rr_rows:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_sims:
+            assert r["cosine_sim"] == exact_sims[key]  # bit-equal
+
+
+def test_pq_codec_deterministic(spark):
+    """Two independent train+encode runs produce identical codes —
+    hash-spread sampling and argmin tiebreaks leave no RNG."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    _, c = _qc(spark)
+    e = c.select(F.col("cand_id").alias("vec_id"), F.col("ce").alias("embedding"))
+    runs = []
+    for _ in range(2):
+        cb = pq_train(c)
+        runs.append(
+            {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(e, cb).collect()}
+        )
+    assert runs[0] == runs[1]
