@@ -27,6 +27,7 @@ from batch_processing_etl_orchestration_spark.operators.similarity import (
     hyperplane_lsh_topk,
     int8_topk,
     ivf_topk,
+    pq_rerank_topk,
 )
 from batch_processing_etl_orchestration_spark.plans.registry import QueryFn
 from batch_processing_etl_orchestration_spark.tables import load_table
@@ -73,9 +74,17 @@ def q_ann_int8_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(q, c, k=10)
 
 
+def q_ann_pq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production PQ serving shape alone: code-only shortlist-50 +
+    exact re-rank (no in-query brute-force attestation twin)."""
+    q, c = _ann_qc(spark, sf_dir)
+    return pq_rerank_topk(q, c, k=10, shortlist=50)
+
+
 KERNEL_BENCH: dict[str, QueryFn] = {
     "q_simhash_pairs_raw": q_simhash_pairs_raw,
     "q_ann_lsh_topk_raw": q_ann_lsh_topk_raw,
     "q_ann_ivf_topk_raw": q_ann_ivf_topk_raw,
     "q_ann_int8_topk_raw": q_ann_int8_topk_raw,
+    "q_ann_pq_topk_raw": q_ann_pq_topk_raw,
 }

@@ -67,10 +67,15 @@ BENCH_QUERIES = [
     "q_audio_features",
     "q_image_channel_stats",
     # r5: SCD2 dimension merge, bloom-prefiltered decontamination,
-    # streaming capped-session recurrence (applyInPandasWithState)
+    # streaming capped-session recurrence, PQ shortlist+rerank kernel,
+    # sequence packing, image resize, snapshot CDC
     "q_scd2_customer_update",
     "q_decontaminate_bloom",
     "q_stream_sessionize_capped",
+    "q_ann_pq_topk_raw",
+    "q_pack_sequences",
+    "q_image_resize_thumb",
+    "q_corpus_snapshot_diff",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
