@@ -1744,3 +1744,74 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "packer BIGINT, bin_idx BIGINT, n_docs BIGINT, "
         "total_tokens BIGINT, first_doc_id BIGINT",
     )
+
+
+@register(
+    "q_source_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM documents GROUP BY 1
+    ),
+    mn AS (SELECT MIN(n_total) AS n_min FROM counts),
+    thresholds AS (
+      SELECT c.source, c.n_total,
+             CAST(FLOOR(1000000 * SQRT(CAST(m.n_min AS DOUBLE)
+                                       / CAST(c.n_total AS DOUBLE)))
+                  AS BIGINT) AS keep_threshold
+      FROM counts c, mn m
+    ),
+    kept AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d
+      JOIN thresholds t ON t.source = d.source
+      WHERE CAST('0x' || substring(md5(d.text), 1, 8) AS BIGINT) % 1000000
+            < t.keep_threshold
+      GROUP BY 1
+    )
+    SELECT t.source, t.n_total, t.keep_threshold,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM thresholds t LEFT JOIN kept k ON k.source = t.source
+    """,
+    tags=("text", "sampling", "mixing"),
+)
+def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (τ = 0.5): keep probability
+    p_s = sqrt(n_min / n_s), the standard flattening between equal-mix
+    (τ→0, q_source_mix_rebalance) and natural proportions (τ = 1) —
+    big sources are downsampled, small ones kept whole, so no source
+    dominates pretraining without discarding the long tail entirely.
+    Same deterministic md5-bucket thresholding as the equal-mix query;
+    IEEE sqrt is correctly rounded in both engines, so the integer
+    thresholds agree exactly and the sample is reproducible
+    across runs, engines, and re-shards. Counts are metadata-sized and
+    broadcast; the corpus is filtered in place, never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_total",
+        F.floor(
+            1000000
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_total").cast("double"))
+        )
+        .cast("bigint")
+        .alias("keep_threshold"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1000000
+    )
+    kept = (
+        d.select("source", bucket.alias("_bucket"))
+        .join(F.broadcast(thresholds), "source")
+        .where(F.col("_bucket") < F.col("keep_threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return thresholds.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        "keep_threshold",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
