@@ -512,11 +512,13 @@ def connected_components(
     """(id, comp) labels for the connected components of an undirected
     pair graph, comp = the component's minimum id.
 
-    Min-label propagation PLUS pointer jumping each round: after
-    pulling the min over neighbors, every label shortcuts through its
-    current root (comp := min(comp, comp(comp))), so label distance
-    halves per round and convergence is O(log diameter) instead of
-    O(diameter). The distinction is load-bearing for capped LSH
+    Min-label propagation PLUS pointer jumping: after pulling the min
+    over neighbors, every label shortcuts through its current root
+    (comp := min(comp, comp(comp))), so label distance halves per
+    round and convergence is O(log diameter) instead of O(diameter).
+    The jump join engages from round 3 — tiny-clique graphs (the
+    common near-dup case) converge in 2 plain rounds and never pay
+    it. The distinction is load-bearing for capped LSH
     buckets: capped_bucket_pairs turns an over-cap near-dup bucket
     into a CHAIN, and a 10⁴-doc chain under plain propagation needs
     ~10⁴ rounds (each a shuffle + driver action) — with jumping, 14.
@@ -544,7 +546,7 @@ def connected_components(
         )
     )
     prev_sum = None
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
@@ -553,16 +555,21 @@ def connected_components(
         stepped = labels.join(nbr_min, labels.id == nbr_min.dst, "left").select(
             "id", F.least("comp", "nbr_comp").alias("comp")
         )
-        # pointer jump: comp values are node ids, so resolve each
-        # label against its root's label and take the lesser
-        roots = stepped.select(
-            F.col("id").alias("_rid"), F.col("comp").alias("_rcomp")
-        )
-        labels = (
-            stepped.join(roots, stepped.comp == roots._rid, "left")
-            .select("id", F.least("comp", "_rcomp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
+        if round_no >= 2:
+            # pointer jump: comp values are node ids, so resolve each
+            # label against its root's label and take the lesser.
+            # Engaged only once plain propagation hasn't converged in
+            # its usual 2 rounds (near-dup graphs are tiny cliques, so
+            # the common case never pays the extra join); from round 3
+            # the jump halves label distance per round, keeping chain
+            # graphs O(log n) overall.
+            roots = stepped.select(
+                F.col("id").alias("_rid"), F.col("comp").alias("_rcomp")
+            )
+            stepped = stepped.join(
+                roots, stepped.comp == roots._rid, "left"
+            ).select("id", F.least("comp", "_rcomp").alias("comp"))
+        labels = stepped.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             return labels
