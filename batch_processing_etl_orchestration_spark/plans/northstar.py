@@ -1713,6 +1713,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _N_PACKERS).alias("packer"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+    return _next_fit_bins(d)
+
+
+def _next_fit_bins(d: DataFrame) -> DataFrame:
+    """Shared next-fit packing walk over (doc_id, packer, n_tokens):
+    one shuffle into per-packer grouped maps, O(1) state per group.
+    Used by q_pack_sequences and the corpus-assembly pipeline."""
 
     def pack(pdf):
         import pandas as pd
@@ -1815,3 +1822,139 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_threshold",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: the north-star stages CHAINED as one DAG — exact
+# dedup → benchmark decontamination → length filter → temperature
+# source mixing → sequence packing. Each stage is the registered
+# standalone operator; this query attests they compose (the oracle
+# mirrors every stage, so a bug anywhere in the chain hash-mismatches
+# the final bins).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_assembly",
+    oracle=_SQL_SHINGLES_8.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    train AS (
+      SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 20 <> 0
+    ),
+    deduped AS (
+      SELECT doc_id, text, lang, n_chars FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rk
+        FROM train t
+      ) WHERE rk = 1
+    ),
+    eval_g AS (
+      SELECT DISTINCT shingle FROM shingles8 WHERE doc_id % 20 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingles8 s JOIN eval_g e ON s.shingle = e.shingle
+    ),
+    clean AS (
+      SELECT d.* FROM deduped d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND d.n_chars BETWEEN 100 AND 520
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM clean GROUP BY 1
+    ),
+    mn AS (SELECT MIN(n_l) AS n_min FROM counts),
+    kept AS (
+      SELECT c.doc_id, c.text
+      FROM clean c JOIN counts ct ON ct.lang = c.lang, mn
+      WHERE CAST('0x' || substring(md5(c.text), 1, 8) AS BIGINT) % 1000000
+            < CAST(FLOOR(1000000 * SQRT(CAST(mn.n_min AS DOUBLE)
+                                        / CAST(ct.n_l AS DOUBLE))) AS BIGINT)
+    ),
+    toks AS (
+      SELECT doc_id,
+             doc_id % 8 AS packer,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS rn
+      FROM kept
+    ),
+    walk(packer, rn, doc_id, n_tokens, bin_idx, bin_fill) AS (
+      SELECT packer, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.packer, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.bin_fill + t.n_tokens > 512
+                  THEN w.bin_idx + 1 ELSE w.bin_idx END,
+             CASE WHEN w.bin_fill + t.n_tokens > 512
+                  THEN t.n_tokens ELSE w.bin_fill + t.n_tokens END
+      FROM walk w
+      JOIN toks t ON t.packer = w.packer AND t.rn = w.rn + 1
+    )
+    SELECT packer, bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM walk GROUP BY 1, 2
+    """,
+    tags=("text", "pipeline", "assembly", "grouped-map"),
+)
+def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus assembly end-to-end, every stage the registered
+    standalone operator:
+
+    1. exact dedup — keep the lowest doc_id per md5(text) group;
+    2. decontamination — drop survivors sharing any word-8-gram with
+       the eval split (doc_id % 20 == 0), operators/dedup.decontaminate;
+    3. length filter — n_chars in [100, 520];
+    4. temperature mixing (τ = 0.5) BY LANGUAGE — en dominates the
+       fixture ~3:1, so the sqrt(n_min/n_l) thresholds genuinely bind;
+    5. next-fit sequence packing into 512-token bins per packer group.
+
+    The composed oracle mirrors all five stages, so the final bins
+    hash-match only if every stage and every stage BOUNDARY is right —
+    the integration attestation the per-operator queries can't give.
+
+    Scale: the chain is exactly the per-operator plans back to back —
+    no extra shuffles appear from composition (dedup window on the
+    hash, broadcast decontamination semi-join, metadata-sized count
+    joins, one grouped-map shuffle at the end)."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    train = d.where(~is_eval)
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        train.withColumn("_rk", F.row_number().over(wdup))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    contaminated = decontaminate(deduped, d.where(is_eval), n=8).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti").where(
+        F.col("n_chars").between(100, 520)
+    )
+    counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            1000000
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+        )
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1000000
+    )
+    kept = (
+        clean.join(F.broadcast(thresholds), "lang")
+        .where(bucket < F.col("_thr"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _N_PACKERS).alias("packer"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    return _next_fit_bins(kept)

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_image_resize_thumb",
     "q_corpus_snapshot_diff",
+    "q_corpus_assembly",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -121,3 +121,28 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # packing is worthwhile: bins are mostly full (waste < 50%)
     n_bins = len(bins)
     assert n_bins * _PACK_BUDGET < 2 * total_tokens + n_bins  # avg fill > 50%
+
+
+def test_corpus_assembly_stages_bind(spark, sf_dir):
+    """The assembly pipeline must be non-vacuous at every stage:
+    dedup, decontamination, the length band, and the temperature mix
+    each remove something on the fixture, and the final bins respect
+    the budget invariants."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _PACK_BUDGET,
+        q_corpus_assembly,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_train = d.where(F.col("doc_id") % 20 != 0).count()
+    bins = q_corpus_assembly(spark, sf_dir).collect()
+    assert len(bins) > 0
+    n_packed = sum(r["n_docs"] for r in bins)
+    # every stage binds: the assembled corpus is a strict subset
+    assert 0 < n_packed < n_train
+    for r in bins:
+        if r["total_tokens"] > _PACK_BUDGET:
+            assert r["n_docs"] == 1
