@@ -294,3 +294,17 @@ def test_binaryfile_scan_lists_files_not_payloads(spark, sf_dir):
     shuffle between scan and Python."""
     plan = _plan(spark, sf_dir, "q_multimodal_binaryfile")
     assert "Exchange" not in plan  # scan → project → mapInPandas, no shuffle
+
+
+def test_corpus_assembly_composition_plan(spark, sf_dir):
+    """Composing the five assembly stages must not introduce a
+    cartesian product or a nested-loop join; the decontamination
+    anti-join and the mix-threshold join stay broadcast."""
+    plan = _plan(spark, sf_dir, "q_corpus_assembly")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only BroadcastNestedLoopJoin allowed is the 1-row n_min
+    # scalar crossJoin (metadata-sized); anything larger is a bug.
+    # Count tree nodes ("... Cross BuildRight"), not the formatted
+    # plan's detail-section repeats.
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
