@@ -287,3 +287,21 @@ def test_connected_components_chain_graph_converges_fast(spark):
     got = {(r["id"], r["comp"]) for r in connected_components(pairs2).collect()}
     assert all(c == 0 for i, c in got if i <= 100)
     assert all(c == 1000 for i, c in got if i >= 1000)
+
+
+def test_bloom_decontaminate_empty_eval(spark):
+    """An empty eval set must yield an empty result from both the
+    exact and bloom paths (no spurious bloom hits from an empty
+    filter table)."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id LONG, text STRING",
+    )
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert decontaminate(train, empty, n=8).count() == 0
+    assert decontaminate_bloom(train, empty, n=8).count() == 0
