@@ -2046,3 +2046,72 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["doc_id"], ["text", "lang", "source", "n_chars"]
     )
+
+
+@register(
+    "q_python_datasource_stream",
+    oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    rows_ AS (
+      SELECT 'BA' || CAST((i % 28) // 4 AS VARCHAR) AS respondent,
+             (i * 37) % 1000 AS v
+      FROM idx
+    )
+    SELECT respondent,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM rows_ GROUP BY 1
+    """,
+    tags=("S1", "datasource", "streaming"),
+)
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated endpoint consumed as a STREAM: the restpages
+    simple stream reader advances one page window per micro-batch
+    (the reference's cron-tick page fetch, with the checkpoint as the
+    high-water mark), executed availableNow — 2000 rows over 512-row
+    pages = 4+ micro-batches whose drained aggregate must equal the
+    batch scan's, which is exactly what the oracle recomputes. A
+    lost/duplicated page window changes counts and hash-mismatches."""
+    import time
+    import uuid as _uuid
+
+    from batch_processing_etl_orchestration_spark.sources.pyds import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    stream = (
+        spark.readStream.format("restpages")
+        .option("n_rows", "2000")
+        .option("page_size", "512")
+        .load()
+    )
+    agg = stream.groupBy("respondent").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("try_cast(value AS BIGINT)")).alias("sum_value"),
+    )
+    # availableNow snapshots only the first read() of a simple stream
+    # reader, so drive the stream continuously and stop at the
+    # high-water mark: complete-mode totals reach exactly n_rows once
+    # every page window has landed (a lost or duplicated page can
+    # never sum to 2000).
+    table = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table(table).agg(F.sum("n_rows")).first()[0]
+            if got == 2000:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("restpages stream never drained 2000 rows")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(table)

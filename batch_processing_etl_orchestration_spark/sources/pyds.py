@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA = "period string, respondent string, type string, value string"
@@ -158,11 +159,42 @@ class RestPagesReader(DataSourceReader):
         yield from fetch(partition.offset, partition.length, self.n_rows)
 
 
+class RestPagesStreamReader(SimpleDataSourceStreamReader):
+    """Incremental formulation of the page loop: the stream offset IS
+    the row offset into the period-ordered endpoint, and each
+    micro-batch advances by exactly one page window — the cron-cadence
+    ingest the reference schedules (one page fetch per tick), with
+    Spark's checkpoint tracking the high-water mark instead of a
+    hand-rolled state table. ``readBetweenOffsets`` replays any
+    window deterministically (row i is a function of i alone), which
+    is what makes checkpoint recovery exactly-once."""
+
+    def __init__(self, options: dict):
+        self.profile = options.get("profile", "synthetic")
+        self.n_rows = int(options.get("n_rows", "0"))
+        self.page_size = int(options.get("page_size", "5000"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = start["offset"]
+        e = min(s + self.page_size, self.n_rows)
+        fetch = _PROFILES[self.profile]
+        return iter(fetch(s, e - s, self.n_rows)), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        fetch = _PROFILES[self.profile]
+        return iter(fetch(start["offset"], end["offset"] - start["offset"], self.n_rows))
+
+
 class RestPagesDataSource(DataSource):
     """spark.read.format("restpages").option("n_rows", N)
     .option("page_size", P).load() — each page window is fetched on
     an executor; period-range WHERE clauses prune page windows at
-    planning time via pushFilters."""
+    planning time via pushFilters. ``spark.readStream`` on the same
+    format yields one micro-batch per page window
+    (RestPagesStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -173,3 +205,6 @@ class RestPagesDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return RestPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return RestPagesStreamReader(self.options)
