@@ -1701,13 +1701,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing bug (wrong split point, lost doc) changes counts/sums and
     the hash.
 
-    Scale: ONE shuffle (groupBy packer into the grouped map), each
-    group a single ordered Arrow walk — the capped-session shape. At
-    100 TB the packer count scales with the cluster (packer =
-    hash(doc) % N), bins stay independent across groups by
-    construction, and the walk streams: state is one (bin_idx,
-    bin_fill) pair regardless of group size. Reference analog: none
-    (north-star LLM-pipeline brief)."""
+    Scale: ONE shuffle (repartition on packer), then a sorted
+    STREAMING walk — `sortWithinPartitions(packer, doc_id)` makes each
+    packer's rows contiguous and ordered inside its partition, and
+    `mapInPandas` consumes them one Arrow batch at a time. Unlike a
+    `groupBy().applyInPandas` (which materializes a whole group as one
+    pandas frame — corpus/N_packers rows in a single heap at 100 TB),
+    resident state here is one open-bin tuple per in-flight packer
+    plus the current Arrow batch, regardless of group size. The packer
+    count scales with the cluster (packer = hash(doc) % N) without
+    touching memory. Reference analog: none (north-star LLM-pipeline
+    brief)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % _N_PACKERS).alias("packer"),
@@ -1716,40 +1720,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _next_fit_bins(d)
 
 
+_PACK_SCHEMA = (
+    "packer BIGINT, bin_idx BIGINT, n_docs BIGINT, "
+    "total_tokens BIGINT, first_doc_id BIGINT"
+)
+
+
 def _next_fit_bins(d: DataFrame) -> DataFrame:
     """Shared next-fit packing walk over (doc_id, packer, n_tokens):
-    one shuffle into per-packer grouped maps, O(1) state per group.
-    Used by q_pack_sequences and the corpus-assembly pipeline."""
+    one hash shuffle on packer, an in-partition sort, then a streaming
+    `mapInPandas` pass. Rows for a packer arrive contiguous and
+    doc_id-ordered, so the walk carries only the open bin's
+    (bin_idx, bin_fill, n_docs, total_tokens, first_doc_id) across
+    batch boundaries and emits a bin the moment it closes — no group
+    is ever materialized whole, so a packer group larger than executor
+    memory still streams. Used by q_pack_sequences and the
+    corpus-assembly pipeline."""
 
-    def pack(pdf):
+    def walk(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values("doc_id")
-        bins = []
-        bin_idx, bin_fill = -1, _PACK_BUDGET + 1  # first doc opens bin 0
-        for nt in pdf["n_tokens"]:
-            if bin_fill + nt > _PACK_BUDGET:
-                bin_idx += 1
-                bin_fill = int(nt)
-            else:
-                bin_fill += int(nt)
-            bins.append(bin_idx)
-        out = pdf.assign(bin_idx=bins)
-        return (
-            out.groupby("bin_idx", as_index=False)
-            .agg(
-                packer=("packer", "first"),
-                n_docs=("doc_id", "size"),
-                total_tokens=("n_tokens", "sum"),
-                first_doc_id=("doc_id", "min"),
+        cols = ["packer", "bin_idx", "n_docs", "total_tokens", "first_doc_id"]
+        packer = None  # packer of the open bin, None = no open bin
+        bin_idx = n_docs = total = first = 0
+        bin_fill = 0
+        for pdf in batches:
+            closed = []
+            for p, nt, did in zip(
+                pdf["packer"].to_numpy(),
+                pdf["n_tokens"].to_numpy(),
+                pdf["doc_id"].to_numpy(),
+            ):
+                p, nt, did = int(p), int(nt), int(did)
+                if p != packer:  # new packer group starts
+                    if packer is not None:
+                        closed.append((packer, bin_idx, n_docs, total, first))
+                    packer, bin_idx = p, 0
+                    bin_fill, n_docs, total, first = nt, 1, nt, did
+                elif bin_fill + nt > _PACK_BUDGET:  # close bin, open next
+                    closed.append((packer, bin_idx, n_docs, total, first))
+                    bin_idx += 1
+                    bin_fill, n_docs, total, first = nt, 1, nt, did
+                else:  # doc fits the open bin
+                    bin_fill += nt
+                    n_docs += 1
+                    total += nt
+            if closed:
+                yield pd.DataFrame(closed, columns=cols)
+        if packer is not None:  # flush the last open bin
+            yield pd.DataFrame(
+                [(packer, bin_idx, n_docs, total, first)], columns=cols
             )
-            .loc[:, ["packer", "bin_idx", "n_docs", "total_tokens", "first_doc_id"]]
-        )
 
-    return d.groupBy("packer").applyInPandas(
-        pack,
-        "packer BIGINT, bin_idx BIGINT, n_docs BIGINT, "
-        "total_tokens BIGINT, first_doc_id BIGINT",
+    return (
+        d.repartition("packer")
+        .sortWithinPartitions("packer", "doc_id")
+        .mapInPandas(walk, _PACK_SCHEMA)
     )
 
 

@@ -146,3 +146,42 @@ def test_corpus_assembly_stages_bind(spark, sf_dir):
     for r in bins:
         if r["total_tokens"] > _PACK_BUDGET:
             assert r["n_docs"] == 1
+
+
+def test_pack_sequences_streams_across_batches(spark, sf_dir):
+    """The packing walk must be a TRUE stream: results identical when
+    every packer group is split across many tiny Arrow batches (so the
+    walk's carry-over state crosses batch boundaries constantly) and
+    when the shuffle partition count changes. This is the pin against
+    re-introducing a full-group materialization — with
+    maxRecordsPerBatch=7 a ~600-doc fixture group arrives in ~90
+    separate batches, and only O(1) open-bin state can survive that."""
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        q_pack_sequences,
+    )
+
+    def snapshot():
+        rows = q_pack_sequences(spark, sf_dir).collect()
+        return sorted(
+            (
+                r["packer"],
+                r["bin_idx"],
+                r["n_docs"],
+                r["total_tokens"],
+                r["first_doc_id"],
+            )
+            for r in rows
+        )
+
+    baseline = snapshot()
+    assert len(baseline) > 10
+    conf = spark.conf
+    old_batch = conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        conf.set("spark.sql.shuffle.partitions", "3")
+        assert snapshot() == baseline
+    finally:
+        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
