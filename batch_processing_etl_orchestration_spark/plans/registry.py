@@ -61,14 +61,22 @@ def _latest_round() -> int:
     return latest
 
 
-def _attested_names() -> set[str]:
-    """Query names with a fully-green row in any prior round's
-    CORRECTNESS_r*.json (driver artifact at the repo root). The driver's
-    correctness gate records only a prefix of the registry, so ordering
-    un-attested queries first rotates coverage until every operator has
-    a green row."""
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+def _latest_status() -> dict[str, bool]:
+    """Per query name, whether its NEWEST row in any CORRECTNESS_r*.json
+    driver artifact is fully green (rows+schema+hash, no err). Rounds
+    are walked in ascending round-number order so a later round's row
+    overwrites an earlier one's — a query green in r1 but red in r4
+    reports False (VERDICT r5 Missing #1: union-across-rounds stranded
+    regressed queries in the attested tail)."""
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")]
+        try:
+            rounds.append((int(stem), path))
+        except ValueError:
+            continue
+    status: dict[str, bool] = {}
+    for _, path in sorted(rounds):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -79,36 +87,38 @@ def _attested_names() -> set[str]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            if (
+            status[name] = (
                 rec.get("err") is None
                 and rec.get("rows_match", False)
                 and rec.get("schema_match", True)
                 and rec.get("hash_match", True)
-            ):
-                green.add(name)
-    return green
+            )
+    return status
 
 
 def ordered_names() -> list[str]:
-    """Registry names, queries without a green driver attestation first,
-    then the attested tail ROTATED by the upcoming round number so the
-    driver's fixed-size prefix re-attests a different green subset each
-    round (VERDICT r2 #3 / ADVICE: a regressed green must periodically
-    re-enter the checked window). NOTE: iteration order therefore
-    depends on the CORRECTNESS_r*.json artifacts at the repo root —
-    callers needing a stable order should sort; correctness tests
-    iterate QUERIES directly, which stays in registration order."""
-    green = _attested_names()
+    """Registry names ordered for the driver's fixed-size correctness
+    window: (1) queries whose LATEST driver row is red — a regression
+    or a healed break that must re-attest — then (2) queries never
+    attested at all, then (3) the latest-green tail ROTATED by the
+    upcoming round number so consecutive rounds re-check a different
+    green subset (VERDICT r2 #3 + r5 #2). NOTE: iteration order
+    therefore depends on the CORRECTNESS_r*.json artifacts at the repo
+    root — callers needing a stable order should sort; correctness
+    tests iterate QUERIES directly, which stays in registration
+    order."""
+    status = _latest_status()
     names = list(QUERIES)
-    pending = [n for n in names if n not in green]
-    tail = [n for n in names if n in green]
+    latest_red = [n for n in names if status.get(n) is False]
+    pending = [n for n in names if n not in status]
+    tail = [n for n in names if status.get(n) is True]
     if tail:
         # Stride by the slots the green tail gets inside the driver's
         # 50-row window so consecutive rounds tile the whole catalog.
-        stride = max(1, 50 - len(pending))
+        stride = max(1, 50 - len(latest_red) - len(pending))
         k = ((_latest_round() + 1) * stride) % len(tail)
         tail = tail[k:] + tail[:k]
-    return pending + tail
+    return latest_red + pending + tail
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,35 +1,59 @@
-"""Registry ordering contract: un-attested queries lead, and the
-attested green tail rotates with the round number so the driver's
+"""Registry ordering contract: queries whose LATEST driver row is red
+lead (they must re-attest), then never-attested queries, then the
+latest-green tail rotates with the round number so the driver's
 fixed-size correctness window re-attests every query periodically
-(VERDICT r2 #3 / ADVICE r2)."""
+(VERDICT r2 #3 / r5 #2)."""
 
 from __future__ import annotations
 
 from batch_processing_etl_orchestration_spark.plans import registry as R
 
 
-def test_unattested_queries_lead():
-    green = R._attested_names()
+def test_latest_red_then_pending_lead():
+    status = R._latest_status()
     names = R.ordered_names()
-    n_pending = sum(1 for n in names if n not in green)
-    assert all(n not in green for n in names[:n_pending])
+    n_red = sum(1 for n in names if status.get(n) is False)
+    n_pending = sum(1 for n in names if n not in status)
+    assert all(status.get(n) is False for n in names[:n_red])
+    assert all(n not in status for n in names[n_red : n_red + n_pending])
     assert set(names) == set(R.QUERIES)
+
+
+def test_regressed_green_reenters_window(tmp_path, monkeypatch):
+    """A query green in an early round but red in the newest round must
+    sort to the very front — the r4→r5 encoding break stranded 22 such
+    queries in the green tail under the old union-across-rounds rule."""
+    import json
+
+    names = list(R.QUERIES)
+    assert len(names) >= 3
+    early = {n: {"err": None, "rows_match": True, "schema_match": True,
+                 "hash_match": True} for n in names}
+    late = dict(early)
+    regressed = names[-1]  # last in registration order
+    late = {regressed: {"err": None, "rows_match": False,
+                        "schema_match": True, "hash_match": False}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(early))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(late))
+    monkeypatch.setattr(R, "_repo_root", lambda: str(tmp_path))
+    assert R.ordered_names()[0] == regressed
 
 
 def test_green_tail_rotation_tiles_catalog():
     """Simulated successive rounds must push every registered query
     through a 50-row prefix within a bounded number of rounds."""
-    green = R._attested_names()
+    status = R._latest_status()
+    green = {n for n, ok in status.items() if ok}
     if len(green) < 10:
         return  # nothing meaningful to rotate yet
     names = list(R.QUERIES)
-    pending = [n for n in names if n not in green]
+    head = [n for n in names if n not in green]
     tail = [n for n in names if n in green]
-    stride = max(1, 50 - len(pending))
+    stride = max(1, 50 - len(head))
     seen: set[str] = set()
-    for rnd in range(1, 6):
+    for rnd in range(1, 8):
         k = (rnd * stride) % len(tail)
-        window = (pending + tail[k:] + tail[:k])[:50]
+        window = (head + tail[k:] + tail[:k])[:50]
         seen |= set(window)
     assert seen == set(names), sorted(set(names) - seen)
 
