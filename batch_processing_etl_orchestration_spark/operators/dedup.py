@@ -384,7 +384,10 @@ class DedupLabels:
     def exists(spark, path: str) -> bool:
         import os
 
-        return os.path.isdir(f"{path}/labels")
+        # _SUCCESS, not isdir: a run killed mid-write leaves a partial
+        # parquet directory that must read as "no cache", not as a
+        # silently incomplete label set.
+        return os.path.isfile(f"{path}/labels/_SUCCESS")
 
 
 def bloom_filter_table(
@@ -438,38 +441,47 @@ def bloom_prefilter(
     RESULT-IDENTICAL to the exact join alone, just cheaper, because
     the overwhelming share of non-members never reaches the
     wide-key exact join. The k probes are a broadcast join on the
-    chunk id against the m_bits/64-row filter table."""
-    probes = probe.select(
-        "*",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits))
-                    for seed in range(k)
-                ]
-            )
-        ).alias("_seed", "_p"),
-    ).withColumn("_chunk", (F.col("_p") / 64).cast("int"))
-    hit = (
-        probes.join(F.broadcast(bloom), probes["_chunk"] == bloom["chunk"], "left")
-        .withColumn(
-            "_hit",
-            F.when(
-                F.col("bits").isNotNull()
-                & (
-                    F.expr("shiftright(bits, CAST(_p % 64 AS INT)) & CAST(1 AS BIGINT)")
-                    == 1
-                ),
-                1,
-            ).otherwise(0),
-        )
-    )
+    chunk id against the m_bits/64-row filter table.
+
+    Duplicate probe rows are preserved with their multiplicity: the
+    k per-row probes regroup on a synthetic row id (not the value
+    columns, which would both collapse duplicates and — under a
+    sum==k test — misread 2k hits as a miss), and membership is
+    min(_hit) == 1, i.e. every one of the row's k probes hit."""
     group_cols = probe.columns
+    probes = (
+        probe.withColumn("_rid", F.monotonically_increasing_id())
+        .select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits))
+                        for seed in range(k)
+                    ]
+                )
+            ).alias("_seed", "_p"),
+        )
+        .withColumn("_chunk", (F.col("_p") / 64).cast("int"))
+    )
+    hit = probes.join(
+        F.broadcast(bloom), probes["_chunk"] == bloom["chunk"], "left"
+    ).withColumn(
+        "_hit",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.expr("shiftright(bits, CAST(_p % 64 AS INT)) & CAST(1 AS BIGINT)")
+                == 1
+            ),
+            1,
+        ).otherwise(0),
+    )
     return (
-        hit.groupBy(*group_cols)
-        .agg(F.sum("_hit").alias("_hits"))
-        .where(F.col("_hits") == k)
-        .drop("_hits")
+        hit.groupBy("_rid", *group_cols)
+        .agg(F.min("_hit").alias("_all_hit"))
+        .where(F.col("_all_hit") == 1)
+        .select(*group_cols)
     )
 
 
@@ -496,8 +508,12 @@ def decontaminate_bloom(
     ).distinct()
     bloom = bloom_filter_table(eval_grams, "shingle", m_bits, k)
     survivors = bloom_prefilter(train_sh, bloom, "shingle", m_bits, k)
+    # No broadcast hint on the verify join: at the eval-set scale this
+    # path exists for, broadcasting the distinct grams would reintroduce
+    # exactly the OOM the bloom table avoids. AQE picks broadcast when
+    # the gram set happens to be small, shuffle join otherwise.
     return (
-        survivors.join(F.broadcast(eval_grams), "shingle")
+        survivors.join(eval_grams, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )

@@ -23,7 +23,7 @@ generated — effective dates come from the caller.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HIGH_DATE = "9999-12-31"
@@ -55,6 +55,14 @@ def scd2_apply(
     - update rows carry the key + tracked columns; untracked
       attribute columns are inherited from the closed version.
 
+    PRECONDITION: at most ONE update row per business key — a staged
+    batch with duplicate keys has no well-defined "the" new version,
+    and letting duplicates fan out through the full-outer join would
+    silently emit duplicated closed/reopened history rows. Enforced at
+    execution time (a per-key count check rides the update batch and
+    raises on the first duplicate); callers staging multi-change
+    batches must collapse to last-change-per-key first.
+
     Returns the full new history (closed + open + passthrough rows).
     """
     eff = F.to_date(F.lit(effective_date))
@@ -68,10 +76,25 @@ def scd2_apply(
     cur = dim_hist.where(F.col("is_current"))
     hist = dim_hist.where(~F.col("is_current"))
 
-    upd = updates.select(
-        *key_cols,
-        *[F.col(c).alias(f"_new_{c}") for c in tracked_cols],
-        F.lit(True).alias("_has_upd"),  # marker: NULL-valued tracked
+    # The duplicate-key guard rides the marker column: a hash
+    # aggregation on the business key (map-side partial combine, no
+    # sort/window) counts rows per key, and assert_true raises mid-job
+    # on the first duplicate — lazy-safe, and the key shuffle is the
+    # same partitioning the full-outer join needs anyway. first() is
+    # exact because the assert guarantees singleton groups.
+    upd = updates.groupBy(*key_cols).agg(
+        *[F.first(c).alias(f"_new_{c}") for c in tracked_cols],
+        F.coalesce(
+            F.assert_true(
+                F.count(F.lit(1)) == 1,
+                F.concat_ws(
+                    "",
+                    F.lit("scd2_apply: duplicate business key in updates batch: "),
+                    *[F.col(c).cast("string") for c in key_cols],
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        ).alias("_has_upd"),  # marker: NULL-valued tracked
         # updates must still count as updates
     )
     joined = cur.join(upd, key_cols, "full_outer")

@@ -94,13 +94,16 @@ BENCH_QUERIES = [
 BASELINE_EXEMPT: set[str] = {"q_dup_clusters", "q_dedup_keep_canonical"}
 
 
-def _baseline(sf: float) -> dict[str, float]:
-    """Per-query seconds from the newest committed BENCH_r*.json whose
-    sf matches (driver artifact shape: {"parsed": {...}, "sf": ...})."""
+def _baseline(sf: float) -> tuple[dict[str, float], float | None]:
+    """(per-query seconds, calibration-probe seconds or None) from the
+    newest committed BENCH_r*.json whose sf matches (driver artifact
+    shape: {"parsed": {...}, "sf": ...}). Rounds before r6 predate the
+    probe and return None for it."""
     import glob
     import re
 
     best: dict[str, float] = {}
+    best_probe: float | None = None
     best_round = -1
     for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -114,7 +117,31 @@ def _baseline(sf: float) -> dict[str, float]:
         parsed = rec.get("parsed") or {}
         if rec.get("sf") == sf and isinstance(parsed.get("queries"), dict):
             best, best_round = parsed["queries"], int(m.group(1))
-    return best
+            p = parsed.get("probe_sec")
+            best_probe = float(p) if isinstance(p, (int, float)) and p > 0 else None
+    return best, best_probe
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed-work host-speed probe (VERDICT r5 #3): a pinned-size
+    JVM-side aggregation (xxhash64 over 2e8 longs, 32 splits) whose
+    cost depends only on host CPU throughput, never on query plans or
+    data. The guard calibrates by probe_now / probe_baseline, which
+    separates machine drift from plan regressions MECHANICALLY: a
+    loaded host slows probe and queries alike (ratio cancels), while a
+    bad session config or plan change slows queries but not the probe
+    and trips the guard. Best-of-3 discards transient scheduler
+    noise."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).agg(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 4)
 
 
 def main() -> None:
@@ -130,6 +157,8 @@ def main() -> None:
         QUERIES["q_hourly_net_by_type"].fn(spark, warm_dir).write.mode(
             "overwrite"
         ).format("noop").save()
+
+    probe_sec = _calibration_probe(spark)
 
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -152,6 +181,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "probe_sec": probe_sec,
             }
         )
     )
@@ -161,22 +191,35 @@ def main() -> None:
     # newest committed same-sf baseline AFTER normalizing for machine-
     # speed drift. The baseline was recorded under that run's host
     # conditions; comparing absolute seconds across different load makes
-    # every query flake together, so the threshold scales by the MEDIAN
-    # slowdown ratio across all guarded queries — uniform environment
-    # drift moves the median and trips nothing, while a genuine plan
-    # regression is an outlier against its peers and still fails. The
-    # +0.75s absolute slack keeps sub-second queries from flaking on
-    # scheduler noise.
-    baseline = _baseline(sf)
-    ratios = sorted(
-        t / baseline[name]
-        for name, t in per_query.items()
-        if name in baseline and baseline[name] > 0
-    )
-    med = ratios[len(ratios) // 2] if ratios else 1.0
+    # every query flake together.
+    #
+    # Primary calibration (VERDICT r5 #3): the FIXED-WORK probe ratio
+    # probe_now / probe_baseline. Unlike the query-median fallback, the
+    # probe cannot be moved by the code under test, so a genuine
+    # everything-slower change (bad session config) still trips the
+    # guard while true host drift cancels. Fallback when the baseline
+    # round predates the probe: the median slowdown across guarded
+    # NON-EXEMPT queries (exempt ones changed workload by definition —
+    # including them would inflate the median and loosen the guard for
+    # everyone). The +0.75s absolute slack keeps sub-second queries
+    # from flaking on scheduler noise.
+    baseline, base_probe = _baseline(sf)
+    if base_probe:
+        med = probe_sec / base_probe
+        how = f"probe x{med:.2f}"
+    else:
+        ratios = sorted(
+            t / baseline[name]
+            for name, t in per_query.items()
+            if name in baseline
+            and name not in BASELINE_EXEMPT
+            and baseline[name] > 0
+        )
+        med = ratios[len(ratios) // 2] if ratios else 1.0
+        how = f"env median x{med:.2f}"
     calib = max(1.0, med)  # a faster machine must not loosen the guard
     regressions = [
-        f"{name}: {t:.3f}s vs baseline {baseline[name]:.3f}s (env median x{med:.2f})"
+        f"{name}: {t:.3f}s vs baseline {baseline[name]:.3f}s ({how})"
         for name, t in per_query.items()
         if name in baseline
         and name not in BASELINE_EXEMPT

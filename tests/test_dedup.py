@@ -305,3 +305,24 @@ def test_bloom_decontaminate_empty_eval(spark):
     empty = spark.createDataFrame([], "doc_id LONG, text STRING")
     assert decontaminate(train, empty, n=8).count() == 0
     assert decontaminate_bloom(train, empty, n=8).count() == 0
+
+
+def test_bloom_prefilter_preserves_duplicate_rows(spark):
+    """ADVICE r5: duplicate probe rows are TRUE bloom members twice
+    over — the old sum(_hit)==k test read their 2k combined hits as a
+    miss and dropped them, and the value-column groupBy collapsed
+    multiplicity even for rows it kept. Both row copies must survive,
+    and a non-member must still be pruned."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        bloom_filter_table,
+        bloom_prefilter,
+    )
+
+    members = spark.createDataFrame([("alpha",), ("beta",)], "g STRING")
+    bloom = bloom_filter_table(members, "g")
+    probe = spark.createDataFrame(
+        [("alpha", 1), ("alpha", 1), ("beta", 2), ("zzz-not-member", 3)],
+        "g STRING, payload INT",
+    )
+    got = sorted(tuple(r) for r in bloom_prefilter(probe, bloom, "g").collect())
+    assert got == [("alpha", 1), ("alpha", 1), ("beta", 2)]

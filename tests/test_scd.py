@@ -177,3 +177,24 @@ def test_snapshot_diff_null_and_boundary_semantics(spark):
         for r in snapshot_diff(old, new, ["id"], ["a", "b"]).collect()
     }
     assert got == {(1, "changed"), (3, "changed")}  # id 2 unchanged
+
+
+def test_scd2_duplicate_update_key_raises(spark):
+    """ADVICE r5: a staged batch with two rows for one business key
+    has no well-defined result — the apply must fail loudly at
+    execution instead of silently emitting duplicated history rows."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    hist = scd2_init(_dim(spark))
+    dup = spark.createDataFrame(
+        [(1, "alice2", 111.0), (1, "alice3", 112.0)],
+        "id LONG, name STRING, bal DOUBLE",
+    )
+    out = scd2_apply(hist, dup, ["id"], ["name", "bal"], "2024-01-01")
+    with pytest.raises(PySparkException):
+        out.collect()
+    # and a clean batch still applies
+    ok = spark.createDataFrame([(1, "alice2", 111.0)], "id LONG, name STRING, bal DOUBLE")
+    rows = _rows(scd2_apply(hist, ok, ["id"], ["name", "bal"], "2024-01-01"))
+    assert len(rows) == 4  # 2 passthrough + closed + reopened
