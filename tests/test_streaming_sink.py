@@ -51,56 +51,6 @@ def test_stream_merge_rerun_no_duplicates(spark):
     assert spark.table(f"{DB}.{TABLE}").count() == expected
 
 
-def test_transform_with_state_v2(spark):
-    """transformWithStateInPandas per-user stats must equal the batch
-    groupBy (same exactness scheme). Skips where the API's protobuf
-    dependency is absent (this container) — the implementation is
-    complete and runs wherever pyspark's optional deps are installed."""
-    import pytest
-
-    from batch_processing_etl_orchestration_spark.streaming.stateful_v2 import (
-        ROCKSDB_PROVIDER,
-        stateful_user_stats_v2,
-        transform_with_state_available,
-    )
-
-    if not transform_with_state_available():
-        pytest.skip("google.protobuf not installed; transformWithState runner needs it")
-
-    from pyspark.sql import functions as F
-
-    from batch_processing_etl_orchestration_spark.functions.exact import exact_sum
-    from batch_processing_etl_orchestration_spark.streaming.events import (
-        read_events_stream,
-        run_stream_to_table,
-    )
-    from batch_processing_etl_orchestration_spark.tables import load_table
-
-    sf = "/root/testdata/sf0.001"
-    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        events = read_events_stream(spark, sf)
-        out = run_stream_to_table(
-            stateful_user_stats_v2(events.select("user_id", "value")),
-            spark,
-            output_mode="update",
-            update_keys=["user_id"],
-        )
-        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
-    finally:
-        if prior is not None:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
-    want = {
-        r["user_id"]: (r["n"], r["t"])
-        for r in load_table(spark, sf, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("t"))
-        .collect()
-    }
-    assert got == want
-
-
 def test_stream_capped_sessions_chunked_replay_equals_batch(spark, tmp_path):
     """The capped-session recurrence must survive micro-batch
     boundaries: replay the events log as three chronological files
