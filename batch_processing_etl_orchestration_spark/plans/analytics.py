@@ -1080,66 +1080,79 @@ SESS_CAPPED_ORACLE = f"""
 @register(
     "q_sessionize_capped",
     oracle=SESS_CAPPED_ORACLE,
-    tags=("events", "session", "grouped-map"),
+    tags=("events", "session", "streaming-walk"),
 )
 def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session summary under gap-6h + cap-24h rules. The cap
     comparison uses the running session start, so assignment is a
-    true recurrence — computed by one ordered pass per user inside
-    applyInPandas (integer-microsecond arithmetic end to end, so the
-    oracle's date_diff('microsecond') walk is bit-identical). The cap
-    binds on the fixture (4 splits at sf0.01), so a cap-logic bug
-    changes the hash.
-
-    Scale shape: ONE shuffle (groupBy user_id into the grouped map);
-    each group walks its events once in Arrow. Skewed users cost one
-    long task, not a reshuffle — same posture as any per-entity
-    sequential scan."""
+    true recurrence — computed by one ordered streaming pass
+    (integer-microsecond arithmetic end to end, so the oracle's
+    date_diff('microsecond') walk is bit-identical). The cap binds on
+    the fixture (4 splits at sf0.01), so a cap-logic bug changes the
+    hash. See capped_session_summaries for the scale posture."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return capped_session_summaries(ev)
 
-    def walk(pdf):
+
+def capped_session_summaries(ev: DataFrame) -> DataFrame:
+    """Gap+cap session walk over (user_id, event_id, ts) rows.
+
+    Scale shape: ONE shuffle (repartition on user_id), then a sorted
+    STREAMING walk — `sortWithinPartitions(user_id, ts, event_id)`
+    makes each user's events contiguous and ordered, and `mapInPandas`
+    consumes them one Arrow batch at a time, carrying only the open
+    session's counters across batch boundaries. Unlike a grouped map
+    (which materializes a user's FULL history as one pandas frame — a
+    degenerate bot key with 10⁸ events would OOM an executor), resident
+    state here is O(1) per in-flight user plus the current batch —
+    the same posture as the streaming applyInPandasWithState twin."""
+
+    def walk(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"])
-        raw = pdf["ts"].astype("int64")
-        # Arrow hands timestamps as datetime64[ns] or [us] depending on
-        # pandas version — normalize to integer microseconds explicitly
-        us = raw // 1000 if str(pdf["ts"].dtype).endswith("[ns]") else raw
-        n_sessions = 0
-        n_cap = 0
-        n_events = len(pdf)
-        longest = 0
-        sess_start = None
-        sess_first = None
-        prev = None
-        for t in us:
-            gap_break = prev is not None and t - prev > _SESS_GAP_US
-            cap_break = (
-                prev is not None
-                and not gap_break
-                and t - sess_start > _SESS_CAP_US
-            )
-            if prev is None or gap_break or cap_break:
-                if sess_start is not None:
-                    longest = max(longest, prev - sess_first)
-                n_sessions += 1
-                n_cap += int(cap_break)
-                sess_start = t
-                sess_first = t
-            prev = t
-        longest = max(longest, prev - sess_first)
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_sessions": [n_sessions],
-                "n_events": [n_events],
-                "n_cap_splits": [n_cap],
-                "longest_dur_us": [int(longest)],
-            }
-        )
+        cols = ["user_id", "n_sessions", "n_events", "n_cap_splits", "longest_dur_us"]
+        uid = None  # user of the open summary, None = none in flight
+        n_sessions = n_cap = n_events = longest = 0
+        sess_start = sess_first = prev = 0
 
-    return ev.groupBy("user_id").applyInPandas(
-        walk,
-        "user_id LONG, n_sessions BIGINT, n_events BIGINT, "
-        "n_cap_splits BIGINT, longest_dur_us BIGINT",
+        def summary():
+            return (uid, n_sessions, n_events, n_cap, max(longest, prev - sess_first))
+
+        for pdf in batches:
+            raw = pdf["ts"].astype("int64")
+            # Arrow hands timestamps as datetime64[ns] or [us] depending
+            # on pandas version — normalize to integer microseconds
+            us = raw // 1000 if str(pdf["ts"].dtype).endswith("[ns]") else raw
+            closed = []
+            for u, t in zip(pdf["user_id"].to_numpy(), us.to_numpy()):
+                u, t = int(u), int(t)
+                if u != uid:  # next user's history starts
+                    if uid is not None:
+                        closed.append(summary())
+                    uid = u
+                    n_sessions, n_cap, n_events, longest = 1, 0, 1, 0
+                    sess_start = sess_first = prev = t
+                    continue
+                n_events += 1
+                gap_break = t - prev > _SESS_GAP_US
+                cap_break = not gap_break and t - sess_start > _SESS_CAP_US
+                if gap_break or cap_break:
+                    longest = max(longest, prev - sess_first)
+                    n_sessions += 1
+                    n_cap += int(cap_break)
+                    sess_start = sess_first = t
+                prev = t
+            if closed:
+                yield pd.DataFrame(closed, columns=cols)
+        if uid is not None:  # flush the last user
+            yield pd.DataFrame([summary()], columns=cols)
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            walk,
+            "user_id LONG, n_sessions BIGINT, n_events BIGINT, "
+            "n_cap_splits BIGINT, longest_dur_us BIGINT",
+        )
     )

@@ -66,16 +66,17 @@ def test_keep_canonical_length_tiebreak(spark, tmp_path):
 
 def test_grouped_map_ops_survive_hot_key_skew(spark):
     """One user with 50k events among 100 ordinary users: the
-    grouped-map sessionization walk and the stateful streaming twin
+    streaming sessionization walk and the stateful streaming twin
     must complete and agree — 'skewed users cost one long task, not a
-    reshuffle' (analytics.q_sessionize_capped docstring), pinned on
-    data that would break an assumption of balanced groups."""
+    reshuffle', pinned on data that would break an assumption of
+    balanced groups. Exercises the PRODUCTION walk
+    (capped_session_summaries), including with tiny Arrow batches so
+    the hot user's history crosses thousands of batch boundaries."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from batch_processing_etl_orchestration_spark.plans.analytics import (
-        _SESS_CAP_US,
-        _SESS_GAP_US,
+        capped_session_summaries,
     )
     from batch_processing_etl_orchestration_spark.streaming.stateful import (
         stateful_capped_sessions,
@@ -104,46 +105,26 @@ def test_grouped_map_ops_survive_hot_key_skew(spark):
         "ts", F.timestamp_micros(F.col("ts_us"))
     )
 
-    def batch_walk(ev):
-        # the q_sessionize_capped grouped-map, inlined on this df
-        def walk(g):
-            g = g.sort_values(["ts", "event_id"])
-            raw = g["ts"].astype("int64")
-            us = raw // 1000 if str(g["ts"].dtype).endswith("[ns]") else raw
-            n_sessions = n_cap = longest = 0
-            sess_first = prev = None
-            for t in us:
-                gap_break = prev is not None and t - prev > _SESS_GAP_US
-                cap_break = (
-                    prev is not None
-                    and not gap_break
-                    and t - sess_first > _SESS_CAP_US
-                )
-                if prev is None or gap_break or cap_break:
-                    if sess_first is not None:
-                        longest = max(longest, prev - sess_first)
-                    n_sessions += 1
-                    n_cap += int(cap_break)
-                    sess_first = t
-                prev = t
-            longest = max(longest, prev - sess_first)
-            return pd.DataFrame(
-                {
-                    "user_id": [int(g["user_id"].iloc[0])],
-                    "n_sessions": [n_sessions],
-                    "n_events": [len(g)],
-                    "n_cap_splits": [n_cap],
-                    "longest_dur_us": [int(longest)],
-                }
-            )
-
-        return ev.groupBy("user_id").applyInPandas(
-            walk,
-            "user_id LONG, n_sessions BIGINT, n_events BIGINT, "
-            "n_cap_splits BIGINT, longest_dur_us BIGINT",
-        )
-
-    batch = {tuple(r) for r in batch_walk(df.select("user_id", "event_id", "ts")).collect()}
+    batch = {
+        tuple(r)
+        for r in capped_session_summaries(
+            df.select("user_id", "event_id", "ts")
+        ).collect()
+    }
+    # batch-boundary invariance: the same walk over ~64-row Arrow
+    # batches (the hot user spans ~780 of them) must be bit-identical
+    old_batchsz = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        tiny = {
+            tuple(r)
+            for r in capped_session_summaries(
+                df.select("user_id", "event_id", "ts")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batchsz)
+    assert tiny == batch
     hot_row = [r for r in batch if r[0] == 0][0]
     # 50k events at 90s spacing: a session holds 961 events (the
     # 962nd is >24h past the session start) → ceil(50000/961) = 53
@@ -178,3 +159,28 @@ def test_grouped_map_ops_survive_hot_key_skew(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_sessionize_degenerate_million_event_key(spark):
+    """VERDICT r5 #6: one bot key with 10⁶ events must stream through
+    the session walk — under the old grouped map this materialized the
+    whole history in one pandas frame; the streaming walk carries one
+    open-session tuple. Events 90s apart: the 24h cap holds exactly
+    961 events per session (961st offset = 960*90s = 24h, inclusive),
+    so ceil(1e6/961) = 1041 sessions, 1040 opened by the cap."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        capped_session_summaries,
+    )
+
+    ev = spark.range(1_000_000).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 90_000_000).alias("ts"),
+    )
+    rows = capped_session_summaries(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_sessions"], r["n_events"], r["n_cap_splits"]) == (1041, 1_000_000, 1040)
+    assert r["longest_dur_us"] == 960 * 90_000_000
