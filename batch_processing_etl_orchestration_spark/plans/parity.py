@@ -1881,6 +1881,52 @@ def q_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_python_datasource_project",
+    oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    rows_ AS (
+      SELECT 'BA' || CAST((i % 28) // 4 AS VARCHAR) AS respondent,
+             (i * 37) % 1000 AS v
+      FROM idx
+    )
+    SELECT respondent,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM rows_ GROUP BY 1
+    """,
+    tags=("S1", "datasource", "projection"),
+)
+def q_python_datasource_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 measure projection (reference: data[0]=value at
+    EIA930PipelineHourlyData.py:52) through the restpages source's
+    ``columns`` option: the source schema narrows to
+    (respondent, value) at PLANNING time, so period/type are never
+    materialized on any executor — the Python-source equivalent of a
+    parquet scan whose ReadSchema lists two columns (PySpark 4.1's
+    DataSourceReader has no pushColumns hook, so the option is the
+    projection path). The oracle regenerates the same rows from the
+    row-index function; a projection bug that shifts or drops a field
+    hash-mismatches."""
+    from batch_processing_etl_orchestration_spark.sources.pyds import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("restpages")
+        .option("n_rows", "2000")
+        .option("page_size", "512")
+        .option("columns", "respondent,value")
+        .load()
+    )
+    assert df.columns == ["respondent", "value"]  # planning-time narrowing
+    return df.groupBy("respondent").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("try_cast(value AS BIGINT)")).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 dimension maintenance (warehouse/scd.py): the attribute-
 # history merge the reference's current-state-only warehouse lacks.

@@ -8,6 +8,13 @@ ONE InputPartition PER PAGE WINDOW, so executors fetch pages in
 parallel and rows enter Spark already distributed — no driver
 materialization, no createDataFrame of a giant list.
 
+Column projection (reference S1: the measure-selection params at
+EIA930PipelineHourlyData.py:52, data[0]=value): the ``columns`` option
+narrows the source schema at planning time, so only the requested
+fields are materialized per page — PySpark 4.1's DataSourceReader has
+no pushColumns hook, making the option the projection path, exactly as
+the reference names its measures inside the request.
+
 Filter pushdown (reference S1: the server-side period-range params at
 EIA930PipelineHourlyData.py:51-53): the endpoint is period-ordered —
 the invariant every time-series API this source models provides — so
@@ -43,6 +50,7 @@ from pyspark.sql.datasource import (
 )
 
 SCHEMA = "period string, respondent string, type string, value string"
+_ALL_COLUMNS = ("period", "respondent", "type", "value")
 
 # rows per period block: 7 respondents × 4 types, period advances one
 # hour per block — monotone nondecreasing in the row index, as a
@@ -55,23 +63,54 @@ def _period_of(i: int) -> str:
     return f"2024-01-{block // 24 + 1:02d}T{block % 24:02d}"
 
 
-def _fetch_synthetic(offset: int, length: int, n_rows: int) -> list[tuple]:
+def _field(col: str, i: int) -> str:
+    """Value of endpoint column ``col`` at row index i (each column a
+    pure function of i — what makes per-column materialization and
+    offset re-partitioning both exact)."""
+    if col == "period":
+        return _period_of(i)
+    if col == "respondent":
+        return f"BA{(i % _ROWS_PER_PERIOD) // 4}"
+    if col == "type":
+        return ("D", "DF", "NG", "TI")[i % 4]
+    return str((i * 37) % 1000)
+
+
+def _fetch_synthetic(
+    offset: int, length: int, n_rows: int, cols: tuple[str, ...] = _ALL_COLUMNS
+) -> list[tuple]:
     """Deterministic stand-in for the HTTP GET: row i of the endpoint
     is a function of i alone, so any partitioning of the offset space
     yields the same dataset (asserted in tests). Periods are monotone
-    in i (time-ordered endpoint)."""
-    rows = []
-    for i in range(offset, min(offset + length, n_rows)):
-        within = i % _ROWS_PER_PERIOD
-        rows.append(
-            (
-                _period_of(i),
-                f"BA{within // 4}",
-                ("D", "DF", "NG", "TI")[i % 4],
-                str((i * 37) % 1000),
-            )
+    in i (time-ordered endpoint). ``cols`` is the server-side
+    projection — only the requested fields are materialized, the way a
+    production profile would put them in the request's data[] params
+    (reference S1: EIA930PipelineHourlyData.py:52's data[0]=value)."""
+    return [
+        tuple(_field(c, i) for c in cols)
+        for i in range(offset, min(offset + length, n_rows))
+    ]
+
+
+def _parse_columns(options: dict) -> tuple[str, ...]:
+    """The ``columns`` option: comma-separated subset of the endpoint
+    columns, emitted in the requested order. PySpark 4.1's
+    DataSourceReader has no pushColumns hook (projection pushdown for
+    Python Data Sources is not in this release), so a plain .select()
+    cannot reach the reader — the option IS the projection path,
+    mirroring how the reference names its measures in the request
+    itself. Unknown or duplicate names fail at planning time."""
+    spec = options.get("columns")
+    if not spec:
+        return _ALL_COLUMNS
+    cols = tuple(c.strip() for c in spec.split(",") if c.strip())
+    unknown = [c for c in cols if c not in _ALL_COLUMNS]
+    if unknown or len(set(cols)) != len(cols) or not cols:
+        raise ValueError(
+            f"restpages 'columns' must be a distinct subset of "
+            f"{_ALL_COLUMNS}, got {spec!r}"
         )
-    return rows
+    return cols
 
 
 _PROFILES = {"synthetic": _fetch_synthetic}
@@ -102,6 +141,7 @@ class RestPagesReader(DataSourceReader):
         self.profile = options.get("profile", "synthetic")
         self.n_rows = int(options.get("n_rows", "0"))
         self.page_size = int(options.get("page_size", "5000"))
+        self.columns = _parse_columns(options)
         # server-side pushdown params (S1): a start offset trims page
         # windows at PLANNING time, before any fetch. Settable as an
         # option, and raised automatically by pushFilters.
@@ -156,7 +196,9 @@ class RestPagesReader(DataSourceReader):
 
     def read(self, partition: _PageWindow):
         fetch = _PROFILES[self.profile]
-        yield from fetch(partition.offset, partition.length, self.n_rows)
+        yield from fetch(
+            partition.offset, partition.length, self.n_rows, self.columns
+        )
 
 
 class RestPagesStreamReader(SimpleDataSourceStreamReader):
@@ -173,6 +215,7 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
         self.profile = options.get("profile", "synthetic")
         self.n_rows = int(options.get("n_rows", "0"))
         self.page_size = int(options.get("page_size", "5000"))
+        self.columns = _parse_columns(options)
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
@@ -181,11 +224,18 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
         s = start["offset"]
         e = min(s + self.page_size, self.n_rows)
         fetch = _PROFILES[self.profile]
-        return iter(fetch(s, e - s, self.n_rows)), {"offset": e}
+        return iter(fetch(s, e - s, self.n_rows, self.columns)), {"offset": e}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         fetch = _PROFILES[self.profile]
-        return iter(fetch(start["offset"], end["offset"] - start["offset"], self.n_rows))
+        return iter(
+            fetch(
+                start["offset"],
+                end["offset"] - start["offset"],
+                self.n_rows,
+                self.columns,
+            )
+        )
 
 
 class RestPagesDataSource(DataSource):
@@ -201,7 +251,10 @@ class RestPagesDataSource(DataSource):
         return "restpages"
 
     def schema(self) -> str:
-        return SCHEMA
+        # the 'columns' option narrows the source schema itself, so the
+        # scan's ReadSchema carries only the requested fields and the
+        # un-requested ones are never materialized on any executor
+        return ", ".join(f"{c} string" for c in _parse_columns(self.options))
 
     def reader(self, schema) -> DataSourceReader:
         return RestPagesReader(self.options)
