@@ -1,0 +1,284 @@
+"""sf1 correctness for the near-dup family via per-replica DuckDB
+oracles (VERDICT r5 #4).
+
+The DuckDB oracles for q_dup_clusters / q_minhash_lsh_pairs /
+q_corpus_assembly are too slow serially at sf1: the word-3-gram
+self-join is quadratic-ish in corpus size and the recursive CTE walk
+compounds it. make_sf1's replication structure makes the FULL oracle
+decomposable instead of approximating it:
+
+- Replica r suffixes every third word with a replica token, so every
+  3-gram window contains at least one suffixed word → the shingle
+  vocabularies of different replicas are EXACTLY disjoint (asserted
+  below in DuckDB, not assumed), so no candidate pair, edge, or
+  cluster can span replicas in any engine.
+- Therefore oracle(sf1) = ⋃_r oracle(replica r), and each per-replica
+  run is an sf0.1-sized problem DuckDB finishes in seconds.
+
+This tool runs the REAL DuckDB oracles per replica band (the same SQL
+the driver's gate runs at sf0.01) and compares the engine's full-sf1
+output against their union — a true independent sf1 oracle, not a
+structural approximation. Survivor resolution (q_dedup_keep_canonical)
+is re-derived in plain Python from the per-replica oracle labels plus
+the raw n_chars column; corpus assembly gets a hybrid oracle: DuckDB
+runs the four non-recursive stages on the full sf1 table and the
+stage-5 next-fit walk is recomputed in plain Python.
+
+Also prints (informational) the delta against naive base-replication:
+the suffix transform preserves pair KEYS at θ=0.3 but perturbs ~13
+jaccard values per replica (repeated shingles at different mod-3
+alignments change set cardinality) and dissolves 2 borderline θ=0.1
+edges per replica — which is exactly why the per-replica oracle, not
+replication, is the correctness instrument.
+
+Usage: python tools/verify_sf1_structural.py [--sf1 DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.session import get_spark
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+SF1 = "/root/repo/.tmp/sf1"
+
+_FAILURES: list[str] = []
+
+
+def _check(name: str, ok: bool, detail: str = "") -> None:
+    print(f"{'PASS' if ok else 'FAIL'} {name}" + (f"  [{detail}]" if detail else ""))
+    if not ok:
+        _FAILURES.append(name)
+
+
+def _parquet_pattern(sf_dir: str, table: str) -> str:
+    path = f"{sf_dir}/{table}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
+def _pack_walk(rows: list[tuple[int, int, int]], budget: int) -> set[tuple]:
+    """Reference next-fit walk over (doc_id, packer, n_tokens), plain
+    Python — the independent recomputation of the stage the DuckDB
+    recursive CTE can't reach at sf1 scale."""
+    bins: dict[tuple[int, int], list[int]] = {}
+    state: dict[int, tuple[int, int]] = {}
+    for doc_id, packer, nt in sorted(rows, key=lambda t: (t[1], t[0])):
+        bin_idx, fill = state.get(packer, (-1, budget + 1))
+        if fill + nt > budget:
+            bin_idx, fill = bin_idx + 1, nt
+        else:
+            fill += nt
+        state[packer] = (bin_idx, fill)
+        agg = bins.setdefault((packer, bin_idx), [0, 0, 1 << 62])
+        agg[0] += 1
+        agg[1] += nt
+        agg[2] = min(agg[2], doc_id)
+    return {(p, b, n, t, first) for (p, b), (n, t, first) in bins.items()}
+
+
+def main() -> None:
+    sf1 = SF1
+    if "--sf1" in sys.argv:
+        sf1 = sys.argv[sys.argv.index("--sf1") + 1]
+
+    import duckdb
+
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        q_corpus_assembly,
+        q_dedup_keep_canonical,
+        q_dup_clusters,
+    )
+    from batch_processing_etl_orchestration_spark.plans.northstar_ml import (
+        q_minhash_lsh_pairs,
+    )
+    from batch_processing_etl_orchestration_spark.plans.registry import QUERIES
+
+    spark = get_spark(
+        "sf1-structural",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_docs = load_table(spark, SRC, "documents")
+    off = base_docs.agg(F.max("doc_id")).first()[0] + 1
+    n_sf1 = load_table(spark, sf1, "documents").count()
+    reps = n_sf1 // base_docs.count()
+    print(f"replicas={reps} doc_offset={off} sf1_docs={n_sf1}")
+    t0 = time.perf_counter()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW sf1_documents AS SELECT * FROM "
+        f"parquet_scan('{_parquet_pattern(sf1, 'documents')}')"
+    )
+
+    # -- decomposition premise: replica shingle vocabularies are
+    #    exactly disjoint (so NO engine can emit a cross-replica pair)
+    t1 = time.perf_counter()
+    n_shared = con.execute(
+        f"""
+        WITH words AS (
+          SELECT doc_id // {off} AS band,
+                 string_split(text, ' ') AS ws
+          FROM sf1_documents
+        ),
+        shingles AS (
+          SELECT DISTINCT band,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        )
+        SELECT COUNT(*) FROM (
+          SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) > 1
+        )
+        """
+    ).fetchone()[0]
+    _check(
+        "sf1:replica_shingle_vocabularies_disjoint",
+        n_shared == 0,
+        f"{n_shared} shared 3-grams, {time.perf_counter()-t1:.0f}s",
+    )
+
+    # -- per-replica DuckDB oracles (the driver-gate SQL, band by band)
+    pairs_sql = QUERIES["q_minhash_lsh_pairs"].oracle
+    clusters_sql = QUERIES["q_dup_clusters"].oracle
+    want_pairs: set[tuple] = set()
+    want_labels: set[tuple] = set()
+    t1 = time.perf_counter()
+    for r in range(reps):
+        con.execute("DROP VIEW IF EXISTS documents")
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM sf1_documents "
+            f"WHERE doc_id >= {r * off} AND doc_id < {(r + 1) * off}"
+        )
+        want_pairs |= {
+            (int(a), int(b), float(j))
+            for a, b, j in con.execute(pairs_sql).fetchall()
+        }
+        want_labels |= {
+            (int(d), int(c), int(s))
+            for d, c, s in con.execute(clusters_sql).fetchall()
+        }
+    oracle_s = time.perf_counter() - t1
+    print(
+        f"per-replica duckdb oracles: {len(want_pairs)} pairs, "
+        f"{len(want_labels)} labels [{oracle_s:.0f}s for {reps} bands]"
+    )
+
+    # -- engine vs oracle union ---------------------------------------
+    t1 = time.perf_counter()
+    got_pairs = {
+        (r_["doc_a"], r_["doc_b"], r_["jaccard"])
+        for r_ in q_minhash_lsh_pairs(spark, sf1).collect()
+    }
+    cross = [p for p in got_pairs if p[0] // off != p[1] // off]
+    _check(
+        "sf1:minhash_lsh_pairs==per_replica_oracle",
+        got_pairs == want_pairs,
+        f"{len(got_pairs)} pairs, {time.perf_counter()-t1:.1f}s",
+    )
+    _check("sf1:minhash_pairs_no_cross_replica", not cross, f"{len(cross)} cross")
+
+    t1 = time.perf_counter()
+    got_labels = {
+        (r_["doc_id"], r_["comp_id"], r_["cluster_size"])
+        for r_ in q_dup_clusters(spark, sf1).collect()
+    }
+    _check(
+        "sf1:dup_clusters==per_replica_oracle",
+        got_labels == want_labels,
+        f"{len(got_labels)} labels, {time.perf_counter()-t1:.1f}s",
+    )
+
+    # informational: delta vs naive base replication (why replication
+    # is NOT the oracle — borderline/repeated-shingle sensitivity)
+    base_pairs = {
+        (r_["doc_a"], r_["doc_b"], r_["jaccard"])
+        for r_ in q_minhash_lsh_pairs(spark, SRC).collect()
+    }
+    repl = {
+        (a + r * off, b + r * off, j)
+        for r in range(reps)
+        for a, b, j in base_pairs
+    }
+    print(
+        f"info: naive replication would mispredict "
+        f"{len(want_pairs ^ repl)} pair rows (jaccard shifts on "
+        f"repeated-shingle docs); per-replica oracle has none"
+    )
+
+    # -- q_dedup_keep_canonical: independent Python re-derivation -----
+    t1 = time.perf_counter()
+    comp_of = {d: c for d, c, _ in want_labels}
+    nchars = {
+        r_["doc_id"]: r_["n_chars"]
+        for r_ in load_table(spark, sf1, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for d in nchars:
+        clusters.setdefault(comp_of.get(d, d), []).append(d)
+    expected_surv = set()
+    for c, members in clusters.items():
+        keep = min(members, key=lambda d: (-nchars[d], d))
+        expected_surv.add((c, keep, nchars[keep], len(members)))
+    got_surv = {
+        (r_["comp_id"], r_["keep_doc_id"], r_["keep_n_chars"], r_["cluster_size"])
+        for r_ in q_dedup_keep_canonical(spark, sf1).collect()
+    }
+    _check(
+        "sf1:keep_canonical==oracle_labels+python_argmax",
+        got_surv == expected_surv,
+        f"{len(got_surv)} survivors, {time.perf_counter()-t1:.1f}s",
+    )
+
+    # -- q_corpus_assembly: DuckDB stages 1-4 + Python stage-5 walk ---
+    t1 = time.perf_counter()
+    asm_sql = QUERIES["q_corpus_assembly"].oracle
+    prefix = asm_sql[: asm_sql.index("toks AS")].rstrip().rstrip(",")
+    kept_sql = (
+        prefix
+        + """
+    SELECT doc_id,
+           doc_id % 8 AS packer,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM kept
+    """
+    )
+    con.execute("DROP VIEW IF EXISTS documents")
+    con.execute("CREATE VIEW documents AS SELECT * FROM sf1_documents")
+    kept_rows = [
+        (int(d), int(p), int(n)) for d, p, n in con.execute(kept_sql).fetchall()
+    ]
+    expected_bins = _pack_walk(kept_rows, budget=512)
+    dd_s = time.perf_counter() - t1
+    got_bins = {
+        (r_["packer"], r_["bin_idx"], r_["n_docs"], r_["total_tokens"],
+         r_["first_doc_id"])
+        for r_ in q_corpus_assembly(spark, sf1).collect()
+    }
+    _check(
+        "sf1:corpus_assembly==duckdb_stages+python_walk",
+        got_bins == expected_bins,
+        f"{len(got_bins)} bins over {len(kept_rows)} kept docs, "
+        f"duckdb {dd_s:.0f}s, total {time.perf_counter()-t1:.1f}s",
+    )
+
+    print(
+        f"== {'OK' if not _FAILURES else 'FAILED: ' + ', '.join(_FAILURES)} "
+        f"[{time.perf_counter()-t0:.1f}s total]"
+    )
+    spark.stop()
+    sys.exit(1 if _FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
