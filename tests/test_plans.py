@@ -308,3 +308,66 @@ def test_corpus_assembly_composition_plan(spark, sf_dir):
     # Count tree nodes ("... Cross BuildRight"), not the formatted
     # plan's detail-section repeats.
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_aqe_skew_join_split_engages_on_hot_key(spark):
+    """SCALE.md claims AQE skew-join splitting covers hot-key joins
+    (the join-side complement of the salted-agg pattern). Close the
+    loop LIVE: a join where one key holds 75% of the rows must (a)
+    return exact results and (b) show AQE actually split the skewed
+    partition in the executed adaptive plan — SortMergeJoin(skew=true)
+    with an 'AQEShuffleRead ... skewed' child — under thresholds
+    scaled down to fixture size (at production scale the defaults
+    [256MB advisory, factor 5] fire the same mechanism)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        # hot key 0: 300k of 400k rows; keys 1..1000 get ~100 each
+        left = spark.range(400_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0))
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        [row] = j.collect()
+        # every left row matches exactly one right row
+        assert row["n"] == 400_000
+        # sum(v) over all ids + sum(3k per matched row)
+        want_s = sum(range(400_000)) + sum(
+            3 * ((i % 1000) + 1) for i in range(300_000, 400_000)
+        )
+        assert row["s"] == want_s
+
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
