@@ -1,0 +1,192 @@
+"""Incremental materialized-aggregate maintenance.
+
+The reference recomputes every gold aggregate from the full silver
+table on each DAG run (EIA930PipelineHourlyData.py:111-118 re-reads
+and re-groups everything); at 100 TB that is a full-corpus shuffle per
+refresh. This module maintains a date-partitioned aggregate table
+("MV") whose refresh cost is O(|delta| + |MV slice touched|) and —
+for algebraically mergeable aggregates — entirely independent of the
+fact table's size: new rows are aggregated alone and MERGED into the
+stored partials, so history is never re-read.
+
+Two refresh strategies:
+
+- ``delta_refresh`` (the fast path): for SUM / COUNT / MIN / MAX,
+  which are commutative monoids. The MV stores *partials* — scaled-
+  long sums (exact, order-insensitive; see functions/exact.py) and
+  int64 counts — so merge = integer addition, bit-equal no matter how
+  arrivals are batched. Late data for old partitions just merges in.
+- ``recompute_refresh`` (the general path): for non-mergeable
+  aggregates (exact distinct counts, medians), recomputes ONLY the
+  partitions present in the delta from fact ∪ delta, a
+  partition-pruned scan of the fact.
+
+Both write with dynamic partition overwrite
+(``partitionOverwriteMode=dynamic``): only partitions present in the
+refresh output are replaced; every other partition's files are
+untouched (pinned in tests/test_incremental.py by inode+mtime).
+
+Scale posture: the collected partition list is one value per touched
+partition (days, not rows). The MV slice read back for merging is
+aggregated rows for touched partitions only — partition-pruned. The
+localCheckpoint before the self-overwrite materializes that slice
+(required: Spark cannot overwrite files an active plan still reads);
+its size is O(groups per touched partition), not O(fact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.functions.exact import SCALE
+
+
+@dataclass(frozen=True)
+class MergeableSpec:
+    """Declares a mergeable aggregate MV.
+
+    partition_col: the MV's partition column (already present on the
+        fact rows fed in — derive it upstream, e.g. date_trunc).
+    group_cols: additional grouping keys inside each partition.
+    sum_cols: {output_name: input_column} summed exactly via
+        scaled-long (functions/exact.py; same overflow bounds).
+    min_cols / max_cols: {output_name: input_column} (exact for any
+        orderable type — no FP-order sensitivity).
+    count_name: output name for COUNT(*).
+    """
+
+    partition_col: str
+    group_cols: tuple[str, ...]
+    sum_cols: dict[str, str] = field(default_factory=dict)
+    min_cols: dict[str, str] = field(default_factory=dict)
+    max_cols: dict[str, str] = field(default_factory=dict)
+    count_name: str = "n_rows"
+    scale: int = SCALE
+
+    def _keys(self) -> list[str]:
+        return [self.partition_col, *self.group_cols]
+
+    def _partial_aggs(self) -> list[F.Column]:
+        """Aggregations producing the stored partial columns."""
+        aggs = [
+            F.sum(F.round(F.col(src) * F.lit(self.scale)).cast("long")).alias(
+                f"{name}__slong"
+            )
+            for name, src in self.sum_cols.items()
+        ]
+        aggs += [F.min(src).alias(name) for name, src in self.min_cols.items()]
+        aggs += [F.max(src).alias(name) for name, src in self.max_cols.items()]
+        aggs.append(F.count(F.lit(1)).alias(self.count_name))
+        return aggs
+
+    def _merge_aggs(self) -> list[F.Column]:
+        """Aggregations that merge two sets of partials (monoid ops:
+        long + long, min of mins, max of maxes, count + count)."""
+        aggs = [
+            F.sum(f"{name}__slong").alias(f"{name}__slong")
+            for name in self.sum_cols
+        ]
+        aggs += [F.min(name).alias(name) for name in self.min_cols]
+        aggs += [F.max(name).alias(name) for name in self.max_cols]
+        aggs.append(F.sum(self.count_name).alias(self.count_name))
+        return aggs
+
+    def aggregate(self, rows: DataFrame) -> DataFrame:
+        """Fact/delta rows → partial rows (one per group)."""
+        return rows.groupBy(*self._keys()).agg(*self._partial_aggs())
+
+    def merge(self, partials: DataFrame) -> DataFrame:
+        """Union of partial rows → one merged partial row per group."""
+        return partials.groupBy(*self._keys()).agg(*self._merge_aggs())
+
+    def finalize(self, partials: DataFrame) -> DataFrame:
+        """Partials → user-facing values (scaled-long sums ÷ scale)."""
+        cols = [F.col(c) for c in self._keys()]
+        cols += [
+            (F.col(f"{name}__slong") / F.lit(float(self.scale))).alias(name)
+            for name in self.sum_cols
+        ]
+        cols += [F.col(name) for name in self.min_cols]
+        cols += [F.col(name) for name in self.max_cols]
+        cols.append(F.col(self.count_name))
+        return partials.select(*cols)
+
+
+def _write_partitioned(df: DataFrame, spec: MergeableSpec, mv_path: str) -> None:
+    (
+        df.repartition(F.col(spec.partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(spec.partition_col)
+        .parquet(mv_path)
+    )
+
+
+def build_mv(fact: DataFrame, spec: MergeableSpec, mv_path: str) -> None:
+    """Full build: aggregate the fact once, store partials partitioned
+    by spec.partition_col. (Dynamic mode on a fresh path behaves like
+    a plain overwrite.)"""
+    _write_partitioned(spec.aggregate(fact), spec, mv_path)
+
+
+def affected_partitions(delta: DataFrame, partition_col: str) -> list:
+    """Distinct partition values in the delta. Collected to the driver
+    by design: one value per touched partition (e.g. days), bounded by
+    the delta's time span, never by row count."""
+    return [
+        r[0] for r in delta.select(partition_col).distinct().collect()
+    ]
+
+
+def delta_refresh(
+    spark: SparkSession, delta: DataFrame, spec: MergeableSpec, mv_path: str
+) -> list:
+    """Merge a batch of new fact rows into the MV without touching the
+    fact table. Handles late data transparently — a delta row for an
+    old partition merges into that partition's stored partials.
+    Returns the partition values refreshed."""
+    parts = affected_partitions(delta, spec.partition_col)
+    if not parts:
+        return parts
+    old = (
+        spark.read.parquet(mv_path)
+        .where(F.col(spec.partition_col).isin(parts))  # partition-pruned
+        .localCheckpoint(eager=True)  # break lineage: overwriting below
+    )
+    inc = spec.aggregate(delta)
+    merged = spec.merge(old.unionByName(inc))
+    _write_partitioned(merged, spec, mv_path)
+    return parts
+
+
+def recompute_refresh(
+    spark: SparkSession,
+    fact: DataFrame,
+    delta: DataFrame,
+    spec: MergeableSpec,
+    mv_path: str,
+    agg_fn=None,
+) -> list:
+    """General-aggregate path: recompute the touched partitions from
+    fact ∪ delta (a partition-pruned fact scan), dynamic-overwrite
+    them. agg_fn(rows) -> partial rows defaults to spec.aggregate —
+    pass a custom one for non-mergeable aggregates; its output must be
+    partitioned by spec.partition_col."""
+    parts = affected_partitions(delta, spec.partition_col)
+    if not parts:
+        return parts
+    scoped = (
+        fact.unionByName(delta)
+        .where(F.col(spec.partition_col).isin(parts))
+    )
+    out = (agg_fn or spec.aggregate)(scoped)
+    _write_partitioned(out, spec, mv_path)
+    return parts
+
+
+def read_mv(spark: SparkSession, spec: MergeableSpec, mv_path: str) -> DataFrame:
+    """User-facing view of the MV (partials finalized to values)."""
+    return spec.finalize(spark.read.parquet(mv_path))
