@@ -55,6 +55,14 @@ class MergeableSpec:
         scaled-long (functions/exact.py; same overflow bounds).
     min_cols / max_cols: {output_name: input_column} (exact for any
         orderable type — no FP-order sensitivity).
+    hll_cols: {output_name: input_column} distinct-count estimates via
+        HyperLogLog++ sketches (Spark's hll_sketch_agg, Apache
+        DataSketches). COUNT(DISTINCT) is not a monoid over scalars —
+        but it IS over sketches: registers merge by max, so
+        union-of-partials ≡ sketch-of-union bit-for-bit (pinned in
+        tests). This is what makes distinct-count MVs refreshable
+        without the recompute path. finalize() emits the estimate
+        (lgConfigK=14 ⇒ ~0.8% relative standard error, 16 KiB/group).
     count_name: output name for COUNT(*).
     """
 
@@ -63,8 +71,10 @@ class MergeableSpec:
     sum_cols: dict[str, str] = field(default_factory=dict)
     min_cols: dict[str, str] = field(default_factory=dict)
     max_cols: dict[str, str] = field(default_factory=dict)
+    hll_cols: dict[str, str] = field(default_factory=dict)
     count_name: str = "n_rows"
     scale: int = SCALE
+    lg_config_k: int = 14
 
     def _keys(self) -> list[str]:
         return [self.partition_col, *self.group_cols]
@@ -79,6 +89,10 @@ class MergeableSpec:
         ]
         aggs += [F.min(src).alias(name) for name, src in self.min_cols.items()]
         aggs += [F.max(src).alias(name) for name, src in self.max_cols.items()]
+        aggs += [
+            F.hll_sketch_agg(src, self.lg_config_k).alias(f"{name}__hll")
+            for name, src in self.hll_cols.items()
+        ]
         aggs.append(F.count(F.lit(1)).alias(self.count_name))
         return aggs
 
@@ -91,6 +105,10 @@ class MergeableSpec:
         ]
         aggs += [F.min(name).alias(name) for name in self.min_cols]
         aggs += [F.max(name).alias(name) for name in self.max_cols]
+        aggs += [
+            F.hll_union_agg(f"{name}__hll").alias(f"{name}__hll")
+            for name in self.hll_cols
+        ]
         aggs.append(F.sum(self.count_name).alias(self.count_name))
         return aggs
 
@@ -98,19 +116,26 @@ class MergeableSpec:
         """Fact/delta rows → partial rows (one per group)."""
         return rows.groupBy(*self._keys()).agg(*self._partial_aggs())
 
-    def merge(self, partials: DataFrame) -> DataFrame:
-        """Union of partial rows → one merged partial row per group."""
-        return partials.groupBy(*self._keys()).agg(*self._merge_aggs())
+    def merge(self, partials: DataFrame, keys: list[str] | None = None) -> DataFrame:
+        """Union of partial rows → one merged partial row per group.
+        Pass a key subset to ROLL UP across the dropped dimensions
+        (e.g. merge daily partials over a date range: monoid partials
+        make any coarser grain free — no fact re-read)."""
+        return partials.groupBy(*(keys or self._keys())).agg(*self._merge_aggs())
 
-    def finalize(self, partials: DataFrame) -> DataFrame:
+    def finalize(self, partials: DataFrame, keys: list[str] | None = None) -> DataFrame:
         """Partials → user-facing values (scaled-long sums ÷ scale)."""
-        cols = [F.col(c) for c in self._keys()]
+        cols = [F.col(c) for c in (keys or self._keys())]
         cols += [
             (F.col(f"{name}__slong") / F.lit(float(self.scale))).alias(name)
             for name in self.sum_cols
         ]
         cols += [F.col(name) for name in self.min_cols]
         cols += [F.col(name) for name in self.max_cols]
+        cols += [
+            F.hll_sketch_estimate(f"{name}__hll").alias(name)
+            for name in self.hll_cols
+        ]
         cols.append(F.col(self.count_name))
         return partials.select(*cols)
 
@@ -190,3 +215,22 @@ def recompute_refresh(
 def read_mv(spark: SparkSession, spec: MergeableSpec, mv_path: str) -> DataFrame:
     """User-facing view of the MV (partials finalized to values)."""
     return spec.finalize(spark.read.parquet(mv_path))
+
+
+def rollup_mv(
+    spark: SparkSession,
+    spec: MergeableSpec,
+    mv_path: str,
+    by: list[str],
+    where=None,
+) -> DataFrame:
+    """Answer a coarser-grain query from stored partials alone: filter
+    partitions (partition-pruned when `where` hits partition_col),
+    merge the monoid partials grouped by `by`, finalize. A
+    distinct-users-last-quarter query touches ~90 partials per group —
+    never the fact table. (HLL register-max merge makes even distinct
+    counts roll up; pinned equal to a single-shot sketch in tests.)"""
+    p = spark.read.parquet(mv_path)
+    if where is not None:
+        p = p.where(where)
+    return spec.finalize(spec.merge(p, keys=by), keys=by)

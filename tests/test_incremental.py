@@ -189,3 +189,64 @@ def _events_with_users(spark, ev_cached):
         .withColumn("p_date", F.to_date("ts"))
         .select("p_date", "event_type", "user_id")
     )
+
+
+HLL_SPEC = MergeableSpec(
+    partition_col="p_date",
+    group_cols=("event_type",),
+    hll_cols={"n_users": "user_id"},
+)
+
+
+def test_hll_partials_merge_exactly(spark, tmp_path_factory):
+    """Sketch mergeability: base build + two delta refreshes produce
+    byte-identical estimates to a single full rebuild — HLL registers
+    merge by max, so union-of-partials ≡ sketch-of-union. This is the
+    property that lets distinct-count MVs skip the recompute path."""
+    ev = _events_with_users(spark, _events(spark, "/root/testdata/sf0.01"))
+
+    inc = str(tmp_path_factory.mktemp("mv") / "hll")
+    build_mv(ev.where(F.dayofmonth("p_date") <= 10), HLL_SPEC, inc)
+    delta_refresh(
+        spark, ev.where(F.dayofmonth("p_date").between(11, 20)), HLL_SPEC, inc
+    )
+    delta_refresh(spark, ev.where(F.dayofmonth("p_date") > 20), HLL_SPEC, inc)
+
+    full = str(tmp_path_factory.mktemp("mv") / "full")
+    build_mv(ev, HLL_SPEC, full)
+
+    cols = ["p_date", "event_type", "n_users", "n_rows"]
+    got = sorted(tuple(r) for r in read_mv(spark, HLL_SPEC, inc).select(*cols).collect())
+    want = sorted(tuple(r) for r in read_mv(spark, HLL_SPEC, full).select(*cols).collect())
+    assert got == want
+
+
+def test_hll_rollup_within_bound_of_exact(spark, tmp_path_factory):
+    """Range rollup from daily partials (days 5..25, grouped by type)
+    estimates within 2% of the exact distinct count — answered from
+    ~21 partial rows per group, no fact scan."""
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        rollup_mv,
+    )
+
+    ev = _events_with_users(spark, _events(spark, "/root/testdata/sf0.01"))
+    mv = str(tmp_path_factory.mktemp("mv") / "hll")
+    build_mv(ev, HLL_SPEC, mv)
+
+    est = {
+        r["event_type"]: r["n_users"]
+        for r in rollup_mv(
+            spark, HLL_SPEC, mv, by=["event_type"],
+            where=F.dayofmonth("p_date").between(5, 25),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.where(F.dayofmonth("p_date").between(5, 25))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] <= 0.02, (k, est[k], exact[k])
