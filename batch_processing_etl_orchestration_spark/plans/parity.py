@@ -2324,3 +2324,69 @@ def q_hll_mv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("sketch_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def _profile_oracle_col(name: str, kind: str) -> str:
+    """One UNION ALL branch of the profiling oracle: the same metrics
+    profile_table computes, spelled per-column in ANSI SQL."""
+    base = (
+        f"SELECT '{name}' AS column, COUNT(*) AS n_rows, "
+        f"SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+        f"COUNT(DISTINCT {name}) AS n_distinct, "
+    )
+    if kind == "num":
+        avg = (
+            f"(CAST(SUM(CAST(ROUND(CAST({name} AS DOUBLE) * {SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {float(SCALE)}) / COUNT({name})"
+        )
+        return base + (
+            f"CAST(MIN({name}) AS DOUBLE) AS min_num, "
+            f"CAST(MAX({name}) AS DOUBLE) AS max_num, "
+            f"{avg} AS avg_value, "
+            f"CAST(NULL AS VARCHAR) AS min_str, "
+            f"CAST(NULL AS VARCHAR) AS max_str FROM events"
+        )
+    rendered = sql_ts_str(name) if kind == "ts" else name
+    return base + (
+        "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+        "CAST(NULL AS DOUBLE) AS avg_value, "
+        f"MIN({rendered}) AS min_str, MAX({rendered}) AS max_str FROM events"
+    )
+
+
+@register(
+    "q_profile_events",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_col(n, k)
+        for n, k in [
+            ("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+            ("event_type", "str"), ("value", "num"), ("props", "str"),
+        ]
+    ),
+    tags=("profile", "quality"),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of every events column — null counts,
+    exact distinct counts, min/max, exact means — from ONE aggregation
+    (operators/profile.py). The reference eyeballs frames driver-side;
+    here the scan happens once, metrics are map-side partials, and the
+    1-row result explodes into a tidy per-column table without
+    touching the driver.
+
+    Exact-distinct mode (oracle-reproducible) plans multiple distincts
+    with a single Expand shuffle; at 100 TB pass approx_distinct=True
+    for HLL partials — same scan, no expand. Numeric min/max/mean stay
+    DOUBLE end-to-end (engines disagree on float → string rendering,
+    never on values); the mean uses scaled-long exact sums
+    (functions/exact.py overflow bounds: |x|·1e6·rows < 2^63 holds
+    for every events column through sf1)."""
+    from batch_processing_etl_orchestration_spark.operators.profile import (
+        profile_table,
+    )
+
+    return profile_table(load_table(spark, sf_dir, "events"))
