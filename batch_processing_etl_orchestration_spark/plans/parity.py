@@ -2390,3 +2390,45 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return profile_table(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_zorder_pointlookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 20 AND value BETWEEN 100 AND 130
+    """,
+    tags=("layout", "zorder"),
+)
+def q_zorder_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective two-dimensional lookup against a Z-ORDERED copy of
+    events (warehouse/layout.py zorder_by: equi-depth bucket ranks,
+    Morton bit-interleave, repartitionByRange — all JVM expressions).
+    The oracle filters the original table; a hash match pins that
+    clustering is a pure reorder (no row lost, duplicated, or
+    mutated).
+
+    The speed claim is audited separately (tests/test_layout.py): a
+    value-only predicate overlaps 16/16 linear-sorted files but ≤ 8/16
+    z-ordered ones, and this query's 7%×6% box touches ≤ 4/16 — the
+    same footer min/max that parquet row-group pruning and
+    Delta/Iceberg file skipping consult at 100 TB, where a linear sort
+    can serve only its leading column."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.layout import zorder_by
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    zpath = os.path.join("/root/repo/.tmp/zorder_events", tag)
+    if not os.path.isfile(os.path.join(zpath, "_SUCCESS")):
+        zorder_by(ev, ["user_id", "value"], 16, bits_per_dim=4).write.mode(
+            "overwrite"
+        ).parquet(zpath)
+    return spark.read.parquet(zpath).where(
+        F.col("user_id").between(10, 20) & F.col("value").between(100, 130)
+    ).select("event_id", "user_id", "event_type", "value")

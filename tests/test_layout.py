@@ -88,3 +88,87 @@ def test_compaction_bounds_files_and_clusters_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} vs {lo2}"
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) footer stats of `col` per parquet file."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def _n_overlapping(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
+    """(#files whose footer ranges overlap ALL predicates, #files) —
+    exactly the skip decision stats-based pruning (parquet row groups,
+    Delta/Iceberg file skipping) makes from min/max."""
+    per_col = {c: _file_ranges(path, c) for c in preds}
+    n_files = len(next(iter(per_col.values())))
+    n_hit = 0
+    for i in range(n_files):
+        if all(
+            per_col[c][i][0] <= hi and per_col[c][i][1] >= lo
+            for c, (lo, hi) in preds.items()
+        ):
+            n_hit += 1
+    return n_hit, n_files
+
+
+def test_zorder_prunes_both_dims(spark, tmp_path):
+    """Z-order vs linear sort on (user_id, value): the linear layout
+    prunes only its leading column — a value predicate overlaps every
+    file — while the Z-order layout keeps BOTH columns' per-file
+    ranges tight enough that either predicate alone skips most files.
+    The audit reads the same footer min/max that row-group pruning
+    and table-format file skipping consult."""
+    from batch_processing_etl_orchestration_spark.warehouse.layout import zorder_by
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    linear = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(16, "user_id")
+        .write.mode("overwrite").parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_by(ev, ["user_id", "value"], 16, bits_per_dim=4).write.mode(
+        "overwrite"
+    ).parquet(zpath)
+
+    # round-trip correctness: clustering must not lose or change rows
+    assert (
+        spark.read.parquet(zpath).select(F.sum("event_id")).first()[0]
+        == ev.select(F.sum("event_id")).first()[0]
+    )
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+    # value-only predicate: linear layout can't prune (every file
+    # spans nearly the full value range); z-order skips most
+    val_pred = {"value": (100.0, 130.0)}
+    lin_hit, lin_total = _n_overlapping(linear, val_pred)
+    z_hit, z_total = _n_overlapping(zpath, val_pred)
+    assert lin_hit == lin_total, "leading-col sort should NOT prune value"
+    assert z_hit <= z_total // 2, f"z-order pruned too little: {z_hit}/{z_total}"
+
+    # conjunctive predicate on both dims: z-order prunes to a corner
+    both = {"user_id": (10, 20), "value": (100.0, 130.0)}
+    zb_hit, _ = _n_overlapping(zpath, both)
+    lb_hit, _ = _n_overlapping(linear, both)
+    assert zb_hit <= lb_hit
+    assert zb_hit <= z_total // 4, f"{zb_hit}/{z_total} files for a 7%x6% box"
