@@ -1984,3 +1984,46 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _next_fit_bins(kept)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact top-k without shuffling the key space
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_heavy_hitters_words",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word)
+    SELECT word, n, TRUE AS certified
+    FROM counts ORDER BY n DESC, word LIMIT 10
+    """,
+    tags=("northstar", "text", "sketch"),
+)
+def q_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus words via two-phase Misra-Gries
+    (operators/frequent.py): per-partition O(capacity) summaries emit
+    candidate keys, then ONE exact recount of candidates only —
+    counts are exact, and the emitted `certified` flag proves it
+    in-query (10th count 840 ≫ n/capacity ≈ 425 at sf0.01), which the
+    oracle's full GROUP BY hash-checks.
+
+    Scale: a plain groupBy shuffles one record per distinct key — at
+    100 TB, billions of keys for a top-100 question. Here the shuffle
+    holds ≤ capacity×partitions candidate keys. This fixture's 31-word
+    vocabulary fits inside capacity (summaries never evict); the
+    eviction path and its superset guarantee are pinned on a synthetic
+    Zipf stream and an adversarial hot key in
+    tests/test_frequent.py."""
+    from batch_processing_etl_orchestration_spark.operators.frequent import (
+        top_k_certified,
+    )
+
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    top, certified = top_k_certified(words, "word", 10, capacity=64)
+    return top.select("word", "n", F.lit(bool(certified)).alias("certified"))
