@@ -1338,3 +1338,98 @@ def q_embedding_pq_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_in_range"),
         (F.col("recon_cos") >= 0.85).alias("recon_floor_met"),
     )
+
+
+@register(
+    "q_stream_incremental_mv",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           {sql_exact_sum('value')} AS total_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    tags=("streaming", "warehouse", "incremental"),
+)
+def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the incremental MV: events arrive as 6
+    micro-batches (maxFilesPerTrigger=1 over a 6-file copy of the
+    fixture), each foreachBatch merging its delta into the
+    date-partitioned partial store (warehouse/incremental.py). After
+    the availableNow drain the MV must equal ONE batch aggregation
+    over everything — the oracle — because scaled-long partials form a
+    commutative monoid: no batching of arrivals can change the result.
+
+    Idempotence: each batch stamps a marker after its merge and is
+    skipped on redelivery, so a foreachBatch retry cannot double-count
+    (at 100 TB the marker becomes a transactional commit — Delta/
+    Iceberg — but the merge algebra is identical). Micro-batch size is
+    bounded by the trigger; MV I/O per batch is O(touched partitions),
+    so steady-state maintenance cost tracks arrival rate, not history
+    size — the streaming twin of q_incremental_mv_refresh."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        MergeableSpec,
+        delta_refresh,
+        read_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+    )
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    src = os.path.join("/root/repo/.tmp/stream_mv_src", tag)
+    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
+        # 6 range files over the month → 6 ordered micro-batches
+        (
+            ev.withColumn("p_date", F.to_date("ts"))
+            .repartitionByRange(6, "p_date")
+            .drop("p_date")
+            .write.mode("overwrite").parquet(src)
+        )
+
+    run = os.path.join("/root/repo/.tmp/stream_mv_run", tag)
+    mv, ckpt = os.path.join(run, "mv"), os.path.join(run, "ckpt")
+    shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
+
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+
+    def merge(batch_df, batch_id: int) -> None:
+        marker = os.path.join(run, f"_batch_{batch_id}")
+        if os.path.exists(marker):  # redelivered batch: already merged
+            return
+        delta = batch_df.select(
+            F.to_date("ts").alias("p_date"), "event_type", "value"
+        )
+        delta_refresh(spark, delta, spec, mv)
+        open(marker, "w").close()
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return read_mv(spark, spec, mv).select(
+        F.date_format("p_date", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "total_value",
+        "n_rows",
+    )

@@ -2305,8 +2305,14 @@ def q_hll_mv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
     mv = os.path.join("/root/repo/.tmp/hll_mv", tag)
-    # build-once cache (DedupLabels pattern): the MV is read-only here
-    if not os.path.isfile(os.path.join(mv, "_SUCCESS")):
+    # build-once cache: the MV is read-only here (_MV_READY is the
+    # module's completed-build marker — dynamic-overwrite commits
+    # leave no root _SUCCESS)
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _READY,
+    )
+
+    if not os.path.isfile(os.path.join(mv, _READY)):
         build_mv(ev, spec, mv)
     in_range = F.dayofmonth("p_date").between(5, 25)
     est = rollup_mv(spark, spec, mv, by=["event_type"], where=in_range)

@@ -140,6 +140,9 @@ class MergeableSpec:
         return partials.select(*cols)
 
 
+_READY = "_MV_READY"
+
+
 def _write_partitioned(df: DataFrame, spec: MergeableSpec, mv_path: str) -> None:
     (
         df.repartition(F.col(spec.partition_col))
@@ -148,6 +151,12 @@ def _write_partitioned(df: DataFrame, spec: MergeableSpec, mv_path: str) -> None
         .partitionBy(spec.partition_col)
         .parquet(mv_path)
     )
+    # dynamic-overwrite commits do NOT leave a root _SUCCESS, so the MV
+    # carries its own ready marker: its absence means "never completed
+    # a build" and delta_refresh must bootstrap, not merge
+    import os
+
+    open(os.path.join(mv_path, _READY), "w").close()
 
 
 def build_mv(fact: DataFrame, spec: MergeableSpec, mv_path: str) -> None:
@@ -173,8 +182,18 @@ def delta_refresh(
     fact table. Handles late data transparently — a delta row for an
     old partition merges into that partition's stored partials.
     Returns the partition values refreshed."""
+    import os
+    import shutil
+
     parts = affected_partitions(delta, spec.partition_col)
     if not parts:
+        return parts
+    if not os.path.isfile(os.path.join(mv_path, _READY)):
+        # bootstrap: first delta IS the MV. A dir without the ready
+        # marker is an aborted build — clear it so stale partial
+        # partitions can't survive next to the fresh ones.
+        shutil.rmtree(mv_path, ignore_errors=True)
+        build_mv(delta, spec, mv_path)
         return parts
     old = (
         spark.read.parquet(mv_path)

