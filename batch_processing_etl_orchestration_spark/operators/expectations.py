@@ -1,0 +1,105 @@
+"""Declarative data-quality expectations: per-rule violation counts in
+one scan, plus a dead-letter split for quarantine pipelines.
+
+The reference trusts its feeds (no validation between fetch and
+INSERT; a malformed EIA payload lands in Postgres as-is). A 100 TB
+ingest needs the opposite: every batch audited against a rule set,
+bad rows quarantined with WHICH rules they broke, good rows flowing
+on — without scanning the data once per rule.
+
+Mechanics:
+- ``check_expectations``: all rules become ``sum(when(violated, 1))``
+  expressions in ONE aggregation (map-side partials, single scan —
+  same shape as operators/profile.py), exploded to a tidy
+  (rule, n_rows, n_violations, pass_rate) table.
+- ``split_expectations``: adds a ``violated_rules`` array column
+  (array_compact over per-rule names — pure projection, no shuffle)
+  and returns (good, bad) DataFrames. Both derive from one plan;
+  Spark scans the source once per materialization, so a pipeline
+  writing both pays two scans — or persist the stamped frame once.
+
+Null semantics are strict: a rule evaluating to NULL (e.g. comparing
+a NULL date) counts as a VIOLATION — silence must not pass an audit.
+Express "nullable is fine" inside the rule (isNull() | pred).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violated(pred: Column) -> Column:
+    """True where the rule fails — NULL predicate counts as failure."""
+    return ~F.coalesce(pred, F.lit(False))
+
+
+def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One row per rule: (rule, n_rows, n_violations, pass_rate).
+    pass_rate is a deterministic double (single IEEE division)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [
+        F.sum(_violated(pred).cast("long")).alias(f"__v_{name}")
+        for name, pred in rules.items()
+    ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            (
+                (F.col("__n") - F.col(f"__v_{name}")) / F.col("__n")
+            ).alias("pass_rate"),
+        )
+        for name in rules
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def stamp_violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Add `violated_rules: array<string>` (empty = clean row). Pure
+    projection — evaluates every rule JVM-side in the same pass as
+    whatever reads the frame next."""
+    marks = F.array(
+        *[
+            F.when(_violated(pred), F.lit(name))
+            for name, pred in rules.items()
+        ]
+    )
+    return df.withColumn("violated_rules", F.array_compact(marks))
+
+
+def split_expectations(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): bad rows carry the names of every rule they broke
+    — the dead-letter/quarantine pattern. good keeps the original
+    schema."""
+    stamped = stamp_violations(df, rules)
+    good = stamped.where(F.size("violated_rules") == 0).drop("violated_rules")
+    bad = stamped.where(F.size("violated_rules") > 0)
+    return good, bad
+
+
+def fk_orphans(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    fk_name: str,
+) -> DataFrame:
+    """One row: (fk, n_rows, n_orphans) — child rows whose key has no
+    parent. One left join against the DISTINCT parent keys (a
+    key-only projection; broadcast-sized for dims, AQE picks the
+    strategy otherwise) and a conditional count: no second scan, no
+    driver round-trip. NULL child keys count as orphans — an audit
+    must surface them, not skip them."""
+    pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    joined = child.select(F.col(child_key).alias("__ck")).join(
+        pk, F.col("__ck") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__pk").isNull().cast("long")).alias("n_orphans"),
+    ).select(F.lit(fk_name).alias("fk"), "n_rows", "n_orphans")

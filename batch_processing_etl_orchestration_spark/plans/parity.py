@@ -2438,3 +2438,136 @@ def q_zorder_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(zpath).where(
         F.col("user_id").between(10, 20) & F.col("value").between(100, 130)
     ).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations + referential integrity
+# (operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+
+_DQ_RULES_SQL = [
+    ("quantity_positive", "l_quantity > 0"),
+    ("discount_in_range", "l_discount BETWEEN 0 AND 0.1"),
+    ("tax_in_range", "l_tax BETWEEN 0 AND 0.08"),
+    ("returnflag_domain", "l_returnflag IN ('A','N','R')"),
+    ("discount_small", "l_discount <= 0.05"),
+    ("shipped_before_1998", "l_shipdate < DATE '1998-01-01'"),
+]
+
+
+@register(
+    "q_dq_expectations",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{name}' AS rule, COUNT(*) AS n_rows, "
+        f"SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) "
+        f"AS n_violations, "
+        f"(COUNT(*) - SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 "
+        f"ELSE 0 END)) / COUNT(*) AS pass_rate FROM lineitem"
+        for name, pred in _DQ_RULES_SQL
+    ),
+    tags=("quality", "expectations"),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six declarative rules audited over lineitem in ONE scan
+    (operators/expectations.py): every rule is a conditional-sum
+    expression in the same aggregation, so rule count never multiplies
+    I/O. Four rules hold on the fixture; 'discount_small' and
+    'shipped_before_1998' are deliberately violated so nonzero counts
+    flow through the oracle hash. NULL rule results count as
+    violations (strict audit semantics, mirrored by the oracle's
+    COALESCE).
+
+    The reference has no validation between fetch and INSERT
+    (databaseOperations.py writes payloads as-is) — this is the audit
+    a 100 TB ingest puts in front of the warehouse, with
+    split_expectations quarantining the rows rule-by-rule (tested in
+    tests/test_expectations.py)."""
+    from batch_processing_etl_orchestration_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "quantity_positive": F.col("l_quantity") > 0,
+        "discount_in_range": F.col("l_discount").between(0, 0.1),
+        "tax_in_range": F.col("l_tax").between(0, 0.08),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "discount_small": F.col("l_discount") <= 0.05,
+        "shipped_before_1998": F.col("l_shipdate") < F.lit("1998-01-01").cast("date"),
+    }
+    return check_expectations(li, rules)
+
+
+@register(
+    "q_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    tags=("quality", "integrity"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide foreign-key audit: per FK, one left join against
+    the DISTINCT parent keys and a conditional orphan count
+    (operators/expectations.py fk_orphans) — the star schema's five
+    edges in five key-only joins, dims broadcast, fact keys never
+    leaving the JVM. NULL child keys count as orphans.
+
+    The reference's schema declares no FK constraints
+    (databaseOperations.py DDL) and Postgres-scale checking wouldn't
+    survive 100 TB anyway; distributed key-projection joins are how
+    integrity gets audited at that scale."""
+    from batch_processing_etl_orchestration_spark.operators.expectations import (
+        fk_orphans,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    checks = [
+        fk_orphans(li, "l_orderkey", orders, "o_orderkey",
+                   "lineitem.l_orderkey->orders"),
+        fk_orphans(li, "l_partkey", part, "p_partkey",
+                   "lineitem.l_partkey->part"),
+        fk_orphans(li, "l_suppkey", supplier, "s_suppkey",
+                   "lineitem.l_suppkey->supplier"),
+        fk_orphans(orders, "o_custkey", customer, "c_custkey",
+                   "orders.o_custkey->customer"),
+        fk_orphans(customer, "c_nationkey", nation, "n_nationkey",
+                   "customer.c_nationkey->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
