@@ -440,49 +440,38 @@ def bloom_prefilter(
     pass — so composing bloom_prefilter with an exact verify is
     RESULT-IDENTICAL to the exact join alone, just cheaper, because
     the overwhelming share of non-members never reaches the
-    wide-key exact join. The k probes are a broadcast join on the
-    chunk id against the m_bits/64-row filter table.
+    wide-key exact join.
 
-    Duplicate probe rows are preserved with their multiplicity: the
-    k per-row probes regroup on a synthetic row id (not the value
-    columns, which would both collapse duplicates and — under a
-    sum==k test — misread 2k hits as a miss), and membership is
-    min(_hit) == 1, i.e. every one of the row's k probes hit."""
-    group_cols = probe.columns
-    probes = (
-        probe.withColumn("_rid", F.monotonically_increasing_id())
-        .select(
-            "*",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits))
-                        for seed in range(k)
-                    ]
-                )
-            ).alias("_seed", "_p"),
-        )
-        .withColumn("_chunk", (F.col("_p") / 64).cast("int"))
-    )
-    hit = probes.join(
-        F.broadcast(bloom), probes["_chunk"] == bloom["chunk"], "left"
-    ).withColumn(
-        "_hit",
-        F.when(
-            F.col("bits").isNotNull()
-            & (
-                F.expr("shiftright(bits, CAST(_p % 64 AS INT)) & CAST(1 AS BIGINT)")
-                == 1
-            ),
-            1,
-        ).otherwise(0),
-    )
-    return (
-        hit.groupBy("_rid", *group_cols)
-        .agg(F.min("_hit").alias("_all_hit"))
-        .where(F.col("_all_hit") == 1)
-        .select(*group_cols)
-    )
+    Membership is a PURE FILTER — no explode, no join, no regroup.
+    The filter table is m_bits/64 int64 rows BY CONSTRUCTION (16 KiB
+    at the default m_bits, independent of how many values were
+    inserted), i.e. driver-side index metadata like IVF centroids and
+    PQ codebooks; it collects into a literal array the k bit tests
+    index with element_at, all inside whole-stage codegen. Duplicate
+    probe rows trivially keep their multiplicity (row-local predicate
+    — the r5-advice hazard where a grouped sum==k misread duplicated
+    rows as misses cannot arise), and an empty/None filter keeps
+    nothing (no inserted value ⇒ no member)."""
+    rows = bloom.collect()  # ≤ m_bits/64 rows by construction
+    chunks = [0] * (m_bits // 64)
+    for r in rows:
+        chunks[r["chunk"]] = r["bits"]
+    # one ArrayType LITERAL (not CreateArray, which codegen would
+    # re-evaluate per row); int("...") keeps words int64 so an
+    # all-zero (empty) filter can't infer array<int>, whose getbit
+    # would reject positions ≥ 32
+    import numpy as np
+
+    arr = F.lit(np.array(chunks, dtype=np.int64))
+    tests = []
+    for seed in range(k):
+        p = F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        tests.append(F.getbit(word, p % 64) == 1)
+    pred = tests[0]
+    for t in tests[1:]:
+        pred = pred & t
+    return probe.where(pred)
 
 
 def decontaminate_bloom(
@@ -497,7 +486,8 @@ def decontaminate_bloom(
     """decontaminate's large-eval-set formulation, closing the bloom
     promise in its docstring: eval grams fold into an m_bits bloom
     TABLE (size independent of |eval|), the corpus pre-filters
-    against it with k broadcast bit probes, and only the surviving
+    against it with k codegen'd bit probes of the collected filter
+    literal (16 KiB of index metadata), and only the surviving
     sliver reaches the exact gram join that removes bloom false
     positives. Result-identical to decontaminate (bloom passes all
     true members; the exact join drops the false ones) — asserted in
