@@ -1,0 +1,194 @@
+"""Inverted-index text retrieval: posting lists, boolean AND search,
+and BM25 ranking — the query side of a training-data corpus.
+
+A corpus pipeline doesn't just build datasets, it has to FIND things
+in them (audit leaked eval docs, pull topical slices, rank
+candidates). Grepping 100 TB per query is not a plan; the classic
+answer is an inverted index built once and probed cheaply:
+
+- ``build_postings``: one explode + one groupBy → (word, doc_id, tf)
+  posting rows. Document lengths fall out of the same word stream.
+- ``PostingsIndex``: persists postings RANGE-CLUSTERED on word
+  (repartitionByRange + sortWithinPartitions), so a term lookup scans
+  only the files whose [min,max] word range covers the term —
+  parquet row-group pruning / table-format file skipping, the same
+  mechanism audited for zorder_by in tests/test_layout.py. Build
+  once; every query after is a pruned scan of a few posting files,
+  never the corpus.
+- ``search_all_terms``: conjunctive (AND) term search = one pruned
+  posting scan + one groupBy counting matched terms == len(terms).
+  No joins between per-term sets — intersection via count.
+- ``bm25_topk``: Robertson/Spärck Jones BM25 (the Okapi form with
+  idf = ln(1 + (N - df + ½)/(df + ½)), k1=1.2, b=0.75). Per-term df
+  and the corpus constants (N, avgdl) are tiny aggregates broadcast
+  into a pure projection over the pruned postings; one groupBy sums
+  per-doc scores; top-k with a doc_id tie-break. Scores are rounded
+  (default 6 dp) because ln()'s last ulp is libm-specific — every
+  input to the formula is integer-exact, so rounded scores agree
+  across engines (oracle-hash-checked in q_bm25_topk).
+
+Scale posture: the only corpus-sized pass is the build. Queries touch
+O(df) posting rows per term; df tables and corpus constants are
+index metadata. Nothing here shuffles text.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, doc_id, tf) — term frequency per document."""
+    return (
+        _words(docs, id_col, text_col)
+        .groupBy("word", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl) token counts — array-local, no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
+    )
+
+
+class PostingsIndex:
+    """Build-once persisted posting lists, range-clustered on word.
+
+    Layout: postings/ (repartitionByRange(word) + sorted, so each
+    file owns a compact word range → term scans prune to ~1 file) and
+    doclens/ (doc_id → dl). _SUCCESS-gated like DedupLabels."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark, self.path = spark, path
+
+    @staticmethod
+    def exists(spark: SparkSession, path: str) -> bool:
+        return os.path.isfile(
+            os.path.join(path, "postings", "_SUCCESS")
+        ) and os.path.isfile(os.path.join(path, "doclens", "_SUCCESS"))
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        n_files: int = 16,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "PostingsIndex":
+        (
+            build_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "postings"))
+        )
+        doc_lengths(docs, id_col, text_col).write.mode("overwrite").parquet(
+            os.path.join(path, "doclens")
+        )
+        return PostingsIndex(spark, path)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def doclens(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+
+
+def search_all_terms(
+    postings: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs containing EVERY term: (doc_id, total_tf). One pruned scan
+    (word IN (...) reaches the parquet footer), one groupBy — the
+    k-way posting intersection expressed as a match count."""
+    n = len(set(terms))
+    return (
+        postings.where(F.col("word").isin(list(set(terms))))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .where(F.col("_n_matched") == n)
+        .select(id_col, "total_tf")
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k docs by BM25 over `terms` (OR semantics — standard BM25).
+    Returns (doc_id, n_terms_matched, score) ordered score desc,
+    doc_id asc. Scores rounded to `round_to` dp (ln ulp portability).
+    """
+    terms = list(set(terms))
+    hits = postings.where(F.col("word").isin(terms))
+
+    # corpus constants: one row, broadcast by construction
+    consts = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).select(
+        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
+    )
+    # per-term document frequency: ≤ |terms| rows
+    dfreq = hits.groupBy("word").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+
+    scored = (
+        hits.join(F.broadcast(dfreq), "word")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    # per-doc sum via scaled-long (functions/exact.py convention):
+    # float addition order across a doc's terms must not change the
+    # hash; term scores are O(10), so 1e9 scaling is far from overflow
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(
+                F.sum(F.round(F.col("term_score") * 1e9).cast("long")) / 1e9,
+                round_to,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

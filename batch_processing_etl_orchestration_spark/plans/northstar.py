@@ -2027,3 +2027,122 @@ def q_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top, certified = top_k_certified(words, "word", 10, capacity=64)
     return top.select("word", "n", F.lit(bool(certified)).alias("certified"))
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ["join", "hash"]
+_BM25_TERMS = ["join", "hash", "scan"]
+
+
+@register(
+    "q_index_search_and",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM words WHERE word IN ('join', 'hash')
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id, SUM(tf) AS total_tf
+    FROM tf GROUP BY doc_id HAVING COUNT(*) = 2
+    """,
+    tags=("northstar", "retrieval"),
+)
+def q_index_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search answered from the PERSISTED inverted
+    index (operators/retrieval.py PostingsIndex): docs containing both
+    'join' AND 'hash', with their summed term frequency. The k-way
+    posting intersection is ONE pruned scan + ONE groupBy (match
+    count == k), never a join of per-term sets.
+
+    Scale: the index is built once, range-clustered on word, so a
+    term lookup reads only the posting files whose [min,max] word
+    range covers it (same footer-stats pruning audited for zorder_by);
+    the corpus itself is never rescanned at query time. The oracle
+    recomputes from raw text."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+        search_all_terms,
+    )
+
+    idx = _postings_index(spark, sf_dir)
+    return search_all_terms(idx.postings(), _SEARCH_TERMS)
+
+
+def _postings_index(spark: SparkSession, sf_dir: str):
+    import os
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/postings_index", tag)
+    if PostingsIndex.exists(spark, path):
+        return PostingsIndex(spark, path)
+    docs = load_table(spark, sf_dir, "documents")
+    return PostingsIndex.build(spark, docs, path)
+
+
+@register(
+    "q_bm25_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM words WHERE word IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             (ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * 2.2))
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)) AS term_score
+      FROM tf t
+      JOIN dfreq d USING (word)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN consts c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_matched,
+           ROUND(CAST(SUM(CAST(ROUND(term_score * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9, 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    tags=("northstar", "retrieval"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a three-term query over the persisted posting
+    index (Okapi form, k1=1.2, b=0.75, idf = ln(1 + (N−df+½)/(df+½))).
+    Per-term df and corpus constants (N, avgdl) are broadcast
+    metadata; scoring is a projection over O(df) pruned posting rows;
+    ONE groupBy sums per-doc scores via the scaled-long fold so float
+    addition order can't move the hash, and scores round to 6 dp
+    (ln's last ulp is libm-specific; every formula input is
+    integer-exact, so rounded scores agree across engines). The
+    oracle mirrors the exact expression tree, parenthesis for
+    parenthesis."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    idx = _postings_index(spark, sf_dir)
+    return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)

@@ -1,0 +1,106 @@
+"""operators/retrieval.py — inverted index, AND search, BM25."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.operators.retrieval import (
+    PostingsIndex,
+    bm25_topk,
+    build_postings,
+    doc_lengths,
+    search_all_terms,
+)
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir, tmp_path_factory):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path_factory.mktemp("idx") / "postings")
+    return PostingsIndex.build(spark, docs, path), docs
+
+
+def test_and_search_matches_bruteforce(spark, idx):
+    index, docs = idx
+    got = {
+        r["doc_id"]: r["total_tf"]
+        for r in search_all_terms(index.postings(), ["join", "hash"]).collect()
+    }
+    # brute force: docs whose token set contains both words
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
+        "doc_id",
+        F.array_contains("t", "join").alias("a"),
+        F.array_contains("t", "hash").alias("b"),
+        (
+            F.size(F.filter("t", lambda w: w == "join"))
+            + F.size(F.filter("t", lambda w: w == "hash"))
+        ).alias("tf"),
+    )
+    want = {
+        r["doc_id"]: r["tf"]
+        for r in toks.where(F.col("a") & F.col("b")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_term_lookup_prunes_posting_files(spark, idx):
+    """Range clustering gives each posting file a compact word range;
+    a single-term lookup's [term, term] interval overlaps ~1 of 16
+    files — the same footer-stats skip decision as zorder_by's audit."""
+    import pyarrow.parquet as pq
+
+    index, _ = idx
+    pdir = os.path.join(index.path, "postings")
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(files) > 4
+    hit = 0
+    for f in files:
+        md = pq.read_metadata(os.path.join(pdir, f))
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "word"
+            )
+            if c.statistics.min <= "join" <= c.statistics.max:
+                hit += 1
+                break
+    assert hit <= max(2, len(files) // 4), (hit, len(files))
+
+
+def test_bm25_sane_and_deterministic(spark, idx):
+    index, docs = idx
+    top = bm25_topk(index.postings(), index.doclens(), ["join", "hash", "scan"], k=10)
+    rows = top.collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_matched"] <= 3 for r in rows)
+    # rare terms outrank common ones: a doc matching all 3 terms with
+    # high tf should beat a doc matching 1 — spot-check monotonicity
+    one = bm25_topk(index.postings(), index.doclens(), ["join"], k=5).collect()
+    assert all(r["n_terms_matched"] == 1 for r in one)
+    # determinism across rebuilds
+    rows2 = bm25_topk(
+        index.postings(), index.doclens(), ["join", "hash", "scan"], k=10
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_doc_lengths_no_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = doc_lengths(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_postings_tf_sums_to_doc_length(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total_tf = build_postings(docs).agg(F.sum("tf")).first()[0]
+    total_dl = doc_lengths(docs).agg(F.sum("dl")).first()[0]
+    assert total_tf == total_dl
