@@ -2146,3 +2146,138 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _postings_index(spark, sf_dir)
     return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)
+
+
+@register(
+    "q_hybrid_search_rrf",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM words WHERE word IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               ((ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2))
+                / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))) * 1e9
+             ) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS score
+      FROM tf t JOIN dfreq d USING (word) JOIN dl l USING (doc_id)
+      CROSS JOIN consts c
+      GROUP BY doc_id
+    ),
+    text_rank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
+      FROM bm25 QUALIFY r_text <= 50
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    elems AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(ROUND(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS p,
+             CAST(ROUND(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS qq,
+             CAST(ROUND(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS cc
+      FROM q, embeddings c, range(1, 65) r(i)
+      WHERE c.vec_id <> 0
+    ),
+    sims AS (
+      SELECT doc_id,
+             (CAST(SUM(p) AS DOUBLE) / {float(_SIM_SCALE)})
+               / (SQRT(CAST(SUM(qq) AS DOUBLE) / {float(_SIM_SCALE)})
+                  * SQRT(CAST(SUM(cc) AS DOUBLE) / {float(_SIM_SCALE)}))
+               AS cosine_sim
+      FROM elems GROUP BY 1
+    ),
+    vec_rank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS r_vec
+      FROM sims QUALIFY r_vec <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + t.r_text), 0.0)
+               + COALESCE(1.0 / (60 + v.r_vec), 0.0) AS rrf_score,
+             t.r_text, v.r_vec
+      FROM text_rank t FULL OUTER JOIN vec_rank v USING (doc_id)
+    )
+    SELECT doc_id, rrf_score, r_text, r_vec
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    tags=("northstar", "retrieval", "similarity"),
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with embedding
+    cosine ranking by Reciprocal Rank Fusion (Cormack et al., SIGIR
+    '09: score = Σ 1/(60 + rank), over each list's top-50). The text
+    leg runs on the persisted posting index; the vector leg broadcasts
+    the single query vector over the embedding table with the
+    scaled-long dot/norm kernels; both legs are top-50 lists (small by
+    construction), so the fusion join is broadcast-sized no matter the
+    corpus.
+
+    RRF needs only integer ranks — no score normalization across
+    modalities — which is what makes it portable: the oracle
+    recomputes both rankings and fuses with the same rational
+    arithmetic, so the hash pins list membership, both rank columns,
+    and the fused order. This is the serving pattern the corpus
+    pipeline's dedup/ANN indexes exist to feed."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    idx = _postings_index(spark, sf_dir)
+    text = bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=50)
+    w_text = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    text_rank = text.select(
+        "doc_id", F.row_number().over(w_text).alias("r_text")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(e.where(F.col("vec_id") != 0))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot_dec("qe", "embedding")
+                / (_norm_dec("qe") * _norm_dec("embedding"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w_vec = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    vec_rank = (
+        sims.select("doc_id", F.row_number().over(w_vec).alias("r_vec"))
+        .where(F.col("r_vec") <= 50)
+    )
+
+    fused = (
+        text_rank.where(F.col("r_text") <= 50)
+        .join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("r_text")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0))
+            ).alias("rrf_score"),
+            "r_text",
+            "r_vec",
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)

@@ -2571,3 +2571,72 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "q_lambda_serving",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           {sql_exact_sum('value')} AS total_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    tags=("warehouse", "incremental", "serving"),
+)
+def q_lambda_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving view = MV history ∪ live tail: days ≤ 25 come from the
+    materialized partial store (finalized, zero fact I/O), days > 25
+    from a date-pruned aggregation of the raw events — the
+    batch/speed-layer split every dashboard over a 100 TB fact table
+    runs. The oracle aggregates everything from raw facts; a hash
+    match proves the seam is invisible: no day double-served, none
+    dropped, and MV partials finalize to exactly what a fresh
+    aggregation of their days would produce.
+
+    Scale: the MV leg reads aggregated partials (partition-pruned to
+    its day range); the live leg scans only the tail days' partitions
+    of the fact. Query cost is O(tail) + O(served groups), however
+    deep the history grows."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _READY,
+        MergeableSpec,
+        build_mv,
+        read_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("p_date", F.to_date("ts"))
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    mv = os.path.join("/root/repo/.tmp/lambda_mv", tag)
+    if not os.path.isfile(os.path.join(mv, _READY)):
+        # history ingested through day 25 — build-once, deterministic
+        build_mv(ev.where(F.dayofmonth("p_date") <= 25), spec, mv)
+
+    history = read_mv(spark, spec, mv)
+    live = (
+        ev.where(F.dayofmonth("p_date") > 25)
+        .groupBy("p_date", "event_type")
+        .agg(
+            exact_sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return history.unionByName(live).select(
+        F.date_format("p_date", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "total_value",
+        "n_rows",
+    )
