@@ -2640,3 +2640,93 @@ def q_lambda_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         "n_rows",
     )
+
+
+@register(
+    "q_histogram_mv_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 51
+                  ELSE 1 + CAST(FLOOR((value - 0.0) * 50 / 500.0) AS INT)
+             END AS cell
+      FROM events
+    ),
+    c AS (SELECT event_type, cell, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(cnt) AS total FROM c GROUP BY 1),
+    cum AS (
+      SELECT c.event_type, c.cell, t.total,
+             SUM(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.cell)
+               AS cum
+      FROM c JOIN tot t USING (event_type)
+    ),
+    cells AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= CAST(CEIL(total * 0.5) AS BIGINT)
+                      THEN cell END) AS c50,
+             MIN(CASE WHEN cum >= CAST(CEIL(total * 0.9) AS BIGINT)
+                      THEN cell END) AS c90,
+             ANY_VALUE(total) AS n_rows
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN c50 <= 0 THEN 0.0 WHEN c50 >= 51 THEN 500.0
+                ELSE c50 * 10.0 END AS est_p50,
+           CASE WHEN c90 <= 0 THEN 0.0 WHEN c90 >= 51 THEN 500.0
+                ELSE c90 * 10.0 END AS est_p90,
+           n_rows
+    FROM cells
+    """,
+    tags=("warehouse", "incremental", "sketch"),
+)
+def q_histogram_mv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served from STORED histogram partials: the MV keeps
+    one 52-cell int64 count-histogram of `value` per (day, type)
+    (warehouse/incremental.py hist_cols); the query merges daily
+    arrays element-wise per type (exact integer addition — rollup ≡
+    direct build, pinned in tests) and walks the merged histogram
+    with two JVM higher-order aggregates to the p50/p90 cell upper
+    edges. Everything after the build is integer arithmetic, so the
+    oracle reproduces the estimates EXACTLY from its own SQL
+    histogram — no attestation flag needed; the containment bound
+    (the chosen cell holds the rank-⌈q·n⌉ value) is pinned in
+    test_incremental.py.
+
+    This is the mergeable answer to percentile queries at 100 TB: a
+    median-over-any-date-range touches a few hundred stored longs per
+    group, never the fact table; error is bounded by bucket width
+    (here 10 over [0, 500]), a knob, not a gamble."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _READY,
+        MergeableSpec,
+        build_mv,
+        hist_quantile,
+        rollup_mv,
+    )
+
+    lo, hi, n = 0.0, 500.0, 50
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("p_date", F.to_date("ts"))
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        hist_cols={"value_hist": ("value", lo, hi, n)},
+    )
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    mv = os.path.join("/root/repo/.tmp/hist_mv", tag)
+    if not os.path.isfile(os.path.join(mv, _READY)):
+        build_mv(ev, spec, mv)
+
+    return rollup_mv(spark, spec, mv, by=["event_type"]).select(
+        "event_type",
+        hist_quantile("value_hist", 0.5, lo, hi, n).alias("est_p50"),
+        hist_quantile("value_hist", 0.9, lo, hi, n).alias("est_p90"),
+        "n_rows",
+    )

@@ -63,6 +63,15 @@ class MergeableSpec:
         tests). This is what makes distinct-count MVs refreshable
         without the recompute path. finalize() emits the estimate
         (lgConfigK=14 ⇒ ~0.8% relative standard error, 16 KiB/group).
+    hist_cols: {output_name: (input_column, lo, hi, n_buckets)} —
+        equi-width COUNT HISTOGRAMS, the mergeable answer to
+        percentiles (another non-monoid scalar). The partial is an
+        int64 count array of n_buckets+2 cells (underflow, buckets,
+        overflow); merge = element-wise addition — exact, so a rollup
+        histogram equals a direct build bit-for-bit, and any quantile
+        estimated from it (hist_quantile) is engine-portable integer
+        arithmetic with error ≤ one bucket width for in-range data.
+        finalize() emits the array as `<name>`.
     count_name: output name for COUNT(*).
     """
 
@@ -72,9 +81,21 @@ class MergeableSpec:
     min_cols: dict[str, str] = field(default_factory=dict)
     max_cols: dict[str, str] = field(default_factory=dict)
     hll_cols: dict[str, str] = field(default_factory=dict)
+    hist_cols: dict[str, tuple] = field(default_factory=dict)
     count_name: str = "n_rows"
     scale: int = SCALE
     lg_config_k: int = 14
+
+    def _hist_bucket(self, src: str, lo: float, hi: float, n: int) -> F.Column:
+        """Cell index 0..n+1: 0 = underflow (x < lo), n+1 = overflow
+        (x ≥ hi), else 1 + floor((x−lo)·n/(hi−lo))."""
+        x = F.col(src).cast("double")
+        raw = F.floor((x - F.lit(lo)) * n / F.lit(hi - lo)).cast("int")
+        return (
+            F.when(x < lo, F.lit(0))
+            .when(x >= hi, F.lit(n + 1))
+            .otherwise(raw + 1)
+        )
 
     def _keys(self) -> list[str]:
         return [self.partition_col, *self.group_cols]
@@ -93,6 +114,16 @@ class MergeableSpec:
             F.hll_sketch_agg(src, self.lg_config_k).alias(f"{name}__hll")
             for name, src in self.hll_cols.items()
         ]
+        for name, (src, lo, hi, n) in self.hist_cols.items():
+            idx = self._hist_bucket(src, lo, hi, n)
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum((idx == i).cast("long")).alias(f"c{i}")
+                        for i in range(n + 2)
+                    ]
+                ).alias(f"{name}__hist")
+            )
         aggs.append(F.count(F.lit(1)).alias(self.count_name))
         return aggs
 
@@ -109,6 +140,16 @@ class MergeableSpec:
             F.hll_union_agg(f"{name}__hll").alias(f"{name}__hll")
             for name in self.hll_cols
         ]
+        for name, (_, _, _, n) in self.hist_cols.items():
+            # element-wise sum of count arrays (exact integer merge)
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum(F.element_at(f"{name}__hist", i + 1))
+                        for i in range(n + 2)
+                    ]
+                ).alias(f"{name}__hist")
+            )
         aggs.append(F.sum(self.count_name).alias(self.count_name))
         return aggs
 
@@ -136,6 +177,7 @@ class MergeableSpec:
             F.hll_sketch_estimate(f"{name}__hll").alias(name)
             for name in self.hll_cols
         ]
+        cols += [F.col(f"{name}__hist").alias(name) for name in self.hist_cols]
         cols.append(F.col(self.count_name))
         return partials.select(*cols)
 
@@ -253,3 +295,45 @@ def rollup_mv(
     if where is not None:
         p = p.where(where)
     return spec.finalize(spec.merge(p, keys=by), keys=by)
+
+
+def hist_quantile(
+    hist_col: str, q: float, lo: float, hi: float, n_buckets: int
+) -> F.Column:
+    """Quantile estimate from an equi-width count-histogram array
+    (the hist_cols partial): find the first cell whose cumulative
+    count reaches ceil(q·total) and return its UPPER edge. Pure
+    integer walk over the array (two JVM higher-order aggregates —
+    no UDF, no shuffle), so the estimate is bit-identical across
+    engines; for in-range data it is within one bucket width of the
+    exact quantile (the true value lies inside the chosen cell).
+    Underflow reports lo, overflow hi."""
+    width = (hi - lo) / n_buckets
+    total = F.aggregate(
+        F.col(hist_col), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    target = F.ceil(total * F.lit(q)).cast("long")
+    # walk: acc = (cum, idx, found) — found = first cell reaching target
+    found = F.aggregate(
+        F.col(hist_col),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(0).cast("int").alias("idx"),
+            F.lit(-1).cast("int").alias("found"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            (acc["idx"] + 1).alias("idx"),
+            F.when(acc["found"] >= 0, acc["found"])
+            .when(acc["cum"] + x >= target, acc["idx"])
+            .otherwise(F.lit(-1))
+            .alias("found"),
+        ),
+        lambda acc: acc["found"],
+    )
+    # cell 0 = underflow → lo; cells 1..n → lo + cell·width; n+1 → hi
+    return (
+        F.when(found <= 0, F.lit(lo))
+        .when(found >= n_buckets + 1, F.lit(hi))
+        .otherwise(F.lit(lo) + found.cast("double") * F.lit(width))
+    )

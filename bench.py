@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "q_heavy_hitters_words",
     "q_dq_expectations",
     "q_referential_integrity",
+    "q_bm25_topk",
+    "q_hybrid_search_rrf",
+    "q_lambda_serving",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -268,3 +268,87 @@ def test_stream_mv_processes_multiple_microbatches(spark):
     # determinism across full re-runs (fresh MV + checkpoint each call)
     out2 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect()}
     assert out1 == out2
+
+
+def test_hist_partials_merge_exactly(spark, tmp_path_factory):
+    """Count-histogram partials merge element-wise: split build +
+    refresh == direct build, array-for-array."""
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        hist_cols={"value_hist": ("value", 0.0, 500.0, 50)},
+    )
+    ev = _events(spark, "/root/testdata/sf0.01").localCheckpoint(eager=True)
+
+    inc = str(tmp_path_factory.mktemp("mv") / "hist")
+    build_mv(ev.where(F.dayofmonth("p_date") <= 12), spec, inc)
+    delta_refresh(spark, ev.where(F.dayofmonth("p_date") > 12), spec, inc)
+    full = str(tmp_path_factory.mktemp("mv") / "histfull")
+    build_mv(ev, spec, full)
+
+    cols = ["p_date", "event_type", "value_hist", "n_rows"]
+    got = sorted(
+        (r["p_date"], r["event_type"], tuple(r["value_hist"]), r["n_rows"])
+        for r in read_mv(spark, spec, inc).select(*cols).collect()
+    )
+    want = sorted(
+        (r["p_date"], r["event_type"], tuple(r["value_hist"]), r["n_rows"])
+        for r in read_mv(spark, spec, full).select(*cols).collect()
+    )
+    assert got == want
+
+
+def test_hist_quantile_within_bucket_width(spark, tmp_path_factory):
+    """Quantiles estimated from the rolled-up histogram are within one
+    bucket width of Spark's exact percentile, per event_type, for
+    p in {0.25, 0.5, 0.9, 0.99}; out-of-range data clamps to [lo, hi]."""
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        hist_quantile,
+        rollup_mv,
+    )
+
+    lo, hi, n = 0.0, 500.0, 50
+    width = (hi - lo) / n
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        hist_cols={"value_hist": ("value", lo, hi, n)},
+    )
+    ev = _events(spark, "/root/testdata/sf0.01").localCheckpoint(eager=True)
+    mv = str(tmp_path_factory.mktemp("mv") / "hq")
+    build_mv(ev, spec, mv)
+
+    qs = [0.25, 0.5, 0.9, 0.99]
+    est = {
+        r["event_type"]: [r[f"q{i}"] for i in range(len(qs))]
+        for r in rollup_mv(spark, spec, mv, by=["event_type"])
+        .select(
+            "event_type",
+            *[
+                hist_quantile("value_hist", q, lo, hi, n).alias(f"q{i}")
+                for i, q in enumerate(qs)
+            ],
+        )
+        .collect()
+    }
+    # the rigorous claim: the chosen cell CONTAINS the value at
+    # discrete rank ceil(q·n) — i.e. est − width < v_rank ≤ est
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    for i, q in enumerate(qs):
+        ranks = {
+            r["event_type"]: r["value"]
+            for r in ranked.where(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(q))
+            ).collect()
+        }
+        for t, v_rank in ranks.items():
+            e = est[t][i]
+            assert e - width - 1e-9 < v_rank <= e + 1e-9, (t, q, e, v_rank)
