@@ -2281,3 +2281,52 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "q_udtf_ngrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS p,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 40
+    ),
+    grams AS (
+      SELECT doc_id, p - 1 AS pos,
+             word || ' ' || lead(word, 1) OVER w || ' '
+                  || lead(word, 2) OVER w AS gram,
+             lead(word, 2) OVER w AS _tail
+      FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    )
+    SELECT doc_id, pos, gram FROM grams WHERE _tail IS NOT NULL
+    """,
+    tags=("northstar", "text", "udtf"),
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional word trigrams via a Python UDTF in SQL LATERAL
+    position (functions/udtf.py NgramsUDTF) — the Spark-4 API for
+    custom row-to-rows exploders callable from pure SQL. The oracle
+    derives the same (doc_id, pos, gram) rows with window functions;
+    a hash match pins the UDTF's expansion semantics (0-based
+    positions, duplicates preserved, short docs yield nothing) to the
+    declarative formulation.
+
+    Scale: the UDTF runs Arrow-batched in the Python worker pool like
+    any pandas UDF; the JVM higher-order twin
+    (operators/dedup.shingle_sets) remains the hot-path kernel — this
+    is the SQL-surface convenience, capped here to 40 docs because
+    its purpose is API parity, not throughput."""
+    from batch_processing_etl_orchestration_spark.functions.udtf import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.gram
+        FROM udtf_docs d, LATERAL ngrams(d.text, 3) t
+        """
+    )

@@ -2730,3 +2730,46 @@ def q_histogram_mv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_quantile("value_hist", 0.9, lo, hi, n).alias("est_p90"),
         "n_rows",
     )
+
+
+@register(
+    "q_fixed_width_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("S", "source", "fixedwidth"),
+)
+def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text record scan: the nation dim is rendered to
+    8/20/4-byte fields (sources/files.render_fixed_width — concat of
+    rpads, JVM-side), written once with the text writer, and parsed
+    back by byte range (read_fixed_width: substring + trim +
+    try_cast projections, whole-stage codegen — no UDF). The oracle
+    is the original table; a hash match proves the render → write →
+    scan → parse loop is lossless, exercising the mainframe-style
+    format family (COBOL copybook exports, bank/telco feeds) the
+    reference's CSV/Excel scans don't cover.
+
+    Scale: parsing is a projection over spark.read.text — splittable,
+    pushdown-friendly (ReadSchema carries only `value`), and each
+    field costs one substring, so a 100 TB fixed-width feed scans at
+    text-source throughput."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.sources.files import (
+        read_fixed_width,
+        render_fixed_width,
+    )
+
+    nat = load_table(spark, sf_dir, "nation")
+    st = os.stat(os.path.join(sf_dir, "nation.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/fixed_width", tag)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        render_fixed_width(
+            nat, [("n_nationkey", 8), ("n_name", 20), ("n_regionkey", 4)]
+        ).coalesce(1).write.mode("overwrite").text(path)
+    return read_fixed_width(
+        spark,
+        path,
+        [("n_nationkey", 8, "int"), ("n_name", 20, "string"),
+         ("n_regionkey", 4, "int")],
+    )

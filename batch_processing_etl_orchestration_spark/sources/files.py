@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from batch_processing_etl_orchestration_spark.sources.xlsx import (
@@ -83,3 +84,50 @@ def read_excel_sheets(
         ]
         out[name] = spark.createDataFrame(coerced, schema=schema)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width text records
+# ---------------------------------------------------------------------------
+
+
+def render_fixed_width(
+    df: DataFrame, fields: list[tuple[str, int]]
+) -> DataFrame:
+    """One 'value' string column: each field right-padded to its
+    width (rpad truncates over-width values — the format's contract).
+    All JVM-side (concat of rpads); writable with the text writer."""
+    parts = [
+        F.rpad(F.coalesce(F.col(name).cast("string"), F.lit("")), width, " ")
+        for name, width in fields
+    ]
+    return df.select(F.concat(*parts).alias("value"))
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int, str]],
+) -> DataFrame:
+    """Parse fixed-width text records: `fields` is
+    [(name, width, spark_type), ...]; each column is a substring
+    projection (1-based offsets) + trim + try-safe cast — pure
+    whole-stage-codegen expressions over spark.read.text, so the
+    format costs a scan, not a UDF. The mainframe-ish sibling of the
+    reference's CSV dim scan (OpenMeteoWeatherPipelineHourlyData.py:47
+    reads a typed coordinate table; here the type recovery is
+    explicit per byte range)."""
+    lines = spark.read.text(path)
+    cols, start = [], 1
+    for name, width, typ in fields:
+        raw = F.trim(F.substring(F.col("value"), start, width))
+        col = (
+            F.when(raw == "", F.lit(None)).otherwise(raw)
+            if typ == "string"
+            else F.expr(
+                f"try_cast(trim(substring(value, {start}, {width})) AS {typ})"
+            )
+        )
+        cols.append(col.alias(name))
+        start += width
+    return lines.select(*cols)

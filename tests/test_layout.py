@@ -172,3 +172,48 @@ def test_zorder_prunes_both_dims(spark, tmp_path):
     lb_hit, _ = _n_overlapping(linear, both)
     assert zb_hit <= lb_hit
     assert zb_hit <= z_total // 4, f"{zb_hit}/{z_total} files for a 7%x6% box"
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: joining the date-partitioned fact to
+    a FILTERED dim prunes fact partitions at RUNTIME from the dim's
+    join keys — the partition filter is a dynamicpruning subquery, not
+    a static literal. This is the optimizer mechanism that makes
+    'fact JOIN dim WHERE dim.attr = x' scan only matching days at
+    100 TB; results must equal the unpartitioned join."""
+    import io
+    from contextlib import redirect_stdout
+
+    fact_path = str(tmp_path / "fact_part")
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    write_date_partitioned(ev, fact_path, "ts")
+    fact = read_date_partitioned(spark, fact_path)
+
+    # dim: one row per day with an attribute; filter selects 3 days
+    dim = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("p_date"))
+        .distinct()
+        .withColumn("day_kind", F.when(F.dayofmonth("p_date") <= 3, "early").otherwise("late"))
+    ).localCheckpoint(eager=True)
+
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(dim.where(F.col("day_kind") == "early"), "p_date")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+        got = joined.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+        ).first()
+        want = ev.where(
+            F.dayofmonth(F.date_trunc("day", "ts")) <= 3
+        ).agg(F.count(F.lit(1)), F.sum("event_id")).first()
+        assert (got["n"], got["s"]) == (want[0], want[1])
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", old
+        )
