@@ -2773,3 +2773,58 @@ def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("n_nationkey", 8, "int"), ("n_name", 20, "string"),
          ("n_regionkey", 4, "int")],
     )
+
+
+@register(
+    "q_fuzzy_join_names",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_key,
+             substr(c_name, 1, c_custkey % 18)
+               || 'x'
+               || substr(c_name, c_custkey % 18 + 2) AS probe_name
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT p.probe_key,
+           c.c_custkey AS matched_key,
+           levenshtein(p.probe_name, c.c_name) AS dist
+    FROM probes p, customer c
+    WHERE levenshtein(p.probe_name, c.c_name) <= 1
+    """,
+    tags=("J", "fuzzy", "resolution"),
+)
+def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: every 10th customer name gets one
+    deterministic character substitution ('x' at position
+    custkey % 18), then the corrupted probes are matched back to the
+    dimension at edit distance ≤ 1 via pigeonhole segment blocking
+    (operators/fuzzy.py) — candidates share an exact half, verify is
+    JVM levenshtein on candidates only. The oracle does the honest
+    quadratic thing (150×1500 levenshtein at sf0.01); a hash match
+    proves blocking lost no pair — the PassJoin pigeonhole is
+    complete for substitutions by construction.
+
+    Scale: the shuffle carries (segment, key) rows — never the cross
+    product; candidate volume tracks segment selectivity like LSH
+    band buckets track Jaccard density. The quadratic oracle is the
+    reason this operator exists: at 100 TB nobody can run it."""
+    from batch_processing_etl_orchestration_spark.operators.fuzzy import (
+        blocked_fuzzy_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, c_custkey % 18)"),
+            F.lit("x"),
+            F.expr("substr(c_name, c_custkey % 18 + 2)"),
+        ).alias("name"),
+    )
+    cands = cust.select(
+        F.col("c_custkey").alias("matched_key"), F.col("c_name").alias("name")
+    )
+    return blocked_fuzzy_join(
+        probes, cands, "name", max_dist=1,
+        left_keep=["probe_key"], right_keep=["matched_key"],
+    )

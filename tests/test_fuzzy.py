@@ -1,0 +1,71 @@
+"""operators/fuzzy.py — pigeonhole-blocked edit-distance join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.operators.fuzzy import (
+    blocked_fuzzy_join,
+)
+
+
+def _pairs(df):
+    return sorted((r["lid"], r["rid"], r["dist"]) for r in df.collect())
+
+
+def test_substitutions_complete_vs_bruteforce(spark):
+    """Every pair within distance 2 (substitutions) is found — the
+    pigeonhole guarantee — and nothing below the bar leaks in."""
+    base = ["abcdefgh", "abcdefgx", "abxdefgx", "xxxxefgh", "zzzzzzzz"]
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(base)], "lid int, s string"
+    )
+    right = spark.createDataFrame(
+        [(i + 100, s) for i, s in enumerate(base)], "rid int, s string"
+    )
+    got = _pairs(
+        blocked_fuzzy_join(
+            left, right, "s", max_dist=2,
+            left_keep=["lid"], right_keep=["rid"],
+        )
+    )
+    brute = (
+        left.crossJoin(right)
+        .withColumn("dist", F.levenshtein(left["s"], right["s"]))
+        .where(F.col("dist") <= 2)
+    )
+    want = sorted((r["lid"], r["rid"], r["dist"]) for r in brute.collect())
+    assert got == want
+    assert (0, 101, 1) in got and (0, 104, 8) not in got
+
+
+def test_single_indel_caught_same_ceiling(spark):
+    """max_dist=1 with an end-anchored suffix segment catches a
+    deletion when both lengths share ⌈len/2⌉ (9 for 17 and 18)."""
+    left = spark.createDataFrame([(1, "abcdefghijklmnopqr")], "lid int, s string")
+    right = spark.createDataFrame(
+        [(2, "acdefghijklmnopqr"), (3, "abcdefghijklmnopqr")],
+        "rid int, s string",
+    )  # rid=2 drops 'b' (len 17): head edit, tail-9 intact
+    got = _pairs(
+        blocked_fuzzy_join(
+            left, right, "s", max_dist=1,
+            left_keep=["lid"], right_keep=["rid"],
+        )
+    )
+    assert got == [(1, 2, 1), (1, 3, 0)]
+
+
+def test_no_cross_product_shuffle(spark):
+    """Blocking joins on (segment idx, text): the join keys in the
+    plan are segment columns, not a Cartesian product."""
+    left = spark.createDataFrame([(1, "abcdef")], "lid int, s string")
+    right = spark.createDataFrame([(2, "abcdeg")], "rid int, s string")
+    plan = (
+        blocked_fuzzy_join(
+            left, right, "s", max_dist=1,
+            left_keep=["lid"], right_keep=["rid"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
