@@ -1,0 +1,125 @@
+"""Iterative graph algorithms as DataFrame fixpoints: weighted
+PageRank.
+
+Connected components (operators/dedup.py) covers the union-find
+family; PageRank covers the other canonical iterative shape — a
+stationary-distribution power iteration where every round is one
+key-partitioned join + one aggregation. That pair (CC + PR) is the
+usual litmus for "can this engine iterate over a graph without
+leaving its planner", and both here are pure DataFrame programs: no
+RDDs, no driver-side adjacency.
+
+Determinism across engines and partitionings (the oracle contract):
+every floating-point reduction is a scaled-long fold at 1e12
+(functions/exact.py scheme), every rank is re-snapped to the 1e-12
+grid after each iteration, and the update expression is written so an
+SQL mirror can reproduce it operation-for-operation — which is
+exactly what q_pagerank_orders' stage-unrolled DuckDB oracle does.
+With ranks on a fixed grid and sums order-insensitive, 10 iterations
+stay bit-identical however Spark schedules them.
+
+Scale: per iteration the edge table joins the rank table on src (a
+key-partitioned shuffle of (src, pr) pairs — ranks, never adjacency
+payloads) and aggregates contributions by dst. Transition
+probabilities are precomputed once. localCheckpoint every few rounds
+truncates lineage the same way the CC fixpoint does. Dangling mass
+(nodes with no out-edges) is a 1-row aggregate redistributed
+uniformly — the standard correction, not a silent drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRID = 1e12
+
+
+def _snap(col: F.Column) -> F.Column:
+    """Round to the 1e-12 grid: CAST(ROUND(x·1e12) AS BIGINT)/1e12."""
+    return F.round(col * F.lit(_GRID)).cast("long") / F.lit(_GRID)
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, pr) after n_iter weighted-PageRank power iterations.
+    `edges` is (src, dst, weight); multi-edges should be pre-summed.
+    Ranks live on the 1e-12 grid (see module docstring)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    consts = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
+    # transition probability per edge — computed once, reused each round
+    trans = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col(weight) / F.col("outw")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dangling_nodes = nodes.join(
+        outw.select(F.col(src).alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    pr = (
+        nodes.crossJoin(F.broadcast(consts))
+        .select("node", _snap(F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(n_iter):
+        contrib = (
+            trans.join(pr, trans["e_src"] == pr["node"])
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("pr") * F.col("p") * F.lit(_GRID)).cast("long")
+                ).alias("c_long")
+            )
+        )
+        dang = dangling_nodes.join(pr, "node").agg(
+            F.coalesce(
+                F.sum(F.round(F.col("pr") * F.lit(_GRID)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("d_long")
+        )
+        new_pr = (
+            nodes.crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                _snap(
+                    (F.lit(1.0) - F.lit(alpha)) / F.col("n_nodes")
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("c_long"), F.lit(0).cast("long")).cast(
+                            "double"
+                        )
+                        / F.lit(_GRID)
+                    )
+                    + (
+                        F.lit(alpha)
+                        * (F.col("d_long").cast("double") / F.lit(_GRID))
+                    )
+                    / F.col("n_nodes")
+                ).alias("pr"),
+            )
+        )
+        # truncate lineage so the plan doesn't deepen linearly
+        pr = (
+            new_pr.localCheckpoint(eager=True)
+            if (i + 1) % 3 == 0 or i == n_iter - 1
+            else new_pr
+        )
+    return pr

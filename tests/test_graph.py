@@ -1,0 +1,49 @@
+"""operators/graph.py — weighted PageRank fixpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.operators.graph import pagerank
+
+
+def _pr(spark, rows, **kw):
+    edges = spark.createDataFrame(rows, "src int, dst int, w bigint")
+    return {r["node"]: r["pr"] for r in pagerank(edges, **kw).collect()}
+
+
+def test_symmetric_cycle_stays_uniform(spark):
+    """A 2-cycle's stationary distribution is uniform; the iteration
+    must hold it exactly (grid arithmetic, no drift)."""
+    got = _pr(spark, [(1, 2, 1), (2, 1, 1)], n_iter=5)
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_mass_conserved_with_dangling(spark):
+    """a→b with b dangling: redistribution keeps Σpr = 1 (up to the
+    1e-12 grid) and b outranks a (it receives a's mass)."""
+    got = _pr(spark, [(1, 2, 1)], n_iter=10)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1] > 0
+
+
+def test_weighted_split(spark):
+    """hub→{b w=3, c w=1}: after one iteration b's rank exceeds c's
+    by exactly alpha·(pr_hub)·(3/4 − 1/4)."""
+    got = _pr(spark, [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)], n_iter=1)
+    diff = got[2] - got[3]
+    expected = 0.85 * (1.0 / 3.0) * (0.75 - 0.25)
+    assert abs(diff - expected) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_hub_attracts_rank(spark):
+    """Everyone links node 0; node 0 links back to 1 only: {0, 1}
+    must hold the top-2 ranks (the 0↔1 cycle ping-pongs with
+    amplitude α^k, so relative order inside the pair needs more
+    iterations than the test spends — the stable claim is the set)."""
+    edges = [(i, 0, 1) for i in range(1, 6)] + [(0, 1, 1)]
+    got = _pr(spark, edges, n_iter=10)
+    ranked = sorted(got, key=got.get, reverse=True)
+    assert set(ranked[:2]) == {0, 1}
+    assert min(got[0], got[1]) > max(got[i] for i in range(2, 6))
