@@ -33,15 +33,26 @@ from pyspark.sql import functions as F
 
 
 def _segments(col: str, n_seg: int, alias_prefix: str) -> list[F.Column]:
-    """n_seg (idx, text) segment structs; the LAST segment is taken
-    from the string's END (substr with negative start) so single
-    insert/delete edits ahead of it cannot shift it."""
+    """n_seg (idx, text) segment structs.
+
+    Two-segment mode (the max_dist=1 default) END-ANCHORS the last
+    segment (negative substr start) so a single insert/delete ahead
+    of it cannot shift it — the prefix-or-suffix guarantee.
+
+    Multi-segment mode partitions the string WITHOUT overlap (the
+    last segment is the remainder): overlapping a tail anchor with
+    its neighbor would let ONE substitution damage TWO segments,
+    breaking the ≥ n_seg − d intact-count the degenerate-index drop
+    relies on (caught by the oracle as lost pairs)."""
     length = F.length(F.col(col))
     seg_len = F.ceil(length / n_seg).cast("int")
     out = []
     for i in range(n_seg):
         if i == n_seg - 1:
-            text = F.col(col).substr(-seg_len, seg_len)
+            if n_seg == 2:
+                text = F.col(col).substr(-seg_len, seg_len)
+            else:
+                text = F.col(col).substr(F.lit(i) * seg_len + 1, length)
         else:
             text = F.col(col).substr(F.lit(i) * seg_len + 1, seg_len)
         out.append(
@@ -59,12 +70,31 @@ def blocked_fuzzy_join(
     max_dist: int = 1,
     left_keep: list[str] | None = None,
     right_keep: list[str] | None = None,
+    n_segments: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (left_keep..., right_keep..., dist) with
     levenshtein(left.col, right.col) ≤ max_dist, found via pigeonhole
     segment blocking + exact verify. Column names must not collide
-    between left_keep and right_keep (alias upstream)."""
-    n_seg = max_dist + 1
+    between left_keep and right_keep (alias upstream).
+
+    Low-entropy keys (shared prefixes — 'Customer#…', URLs, file
+    paths) make some segment a single giant bucket and the blocking
+    join quadratic. The remedy keeps the pigeonhole sound: block on
+    ``n_segments > max_dist + 1`` segments (≤ max_dist edits leave
+    ≥ n_segments − max_dist intact, so a within-bound pair still
+    shares a segment after DROPPING up to n_segments − max_dist − 1
+    segment INDEXES globally), then drop the indexes whose largest
+    right-side bucket exceeds ``max_bucket`` — worst (most
+    degenerate) first — while at least max_dist + 1 indexes remain.
+    Bucket stats cost one count over the right side's segments;
+    dropping is a planning decision, not a correctness trade (unlike
+    LSH candidate capping). Selectivity of the kept segments — i.e.
+    key entropy — still bounds candidate volume, exactly as Jaccard
+    density bounds LSH bucket load."""
+    n_seg = n_segments or (max_dist + 1)
+    if n_seg < max_dist + 1:
+        raise ValueError("n_segments must be ≥ max_dist + 1")
     lk = left_keep or [c for c in left.columns if c != col]
     rk = right_keep or [c for c in right.columns if c != col]
 
@@ -77,6 +107,27 @@ def blocked_fuzzy_join(
 
     lx = explode_segs(left, lk, "__l_val")
     rx = explode_segs(right, rk, "__r_val")
+
+    if max_bucket is not None and n_seg > max_dist + 1:
+        # per segment index, the largest (idx, txt) bucket on the
+        # probe-target side — tiny aggregate (n_seg rows)
+        stats = (
+            rx.groupBy("idx", "txt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("idx")
+            .agg(F.max("n").alias("max_n"))
+            .collect()
+        )
+        droppable = n_seg - (max_dist + 1)
+        drop = [
+            r["idx"]
+            for r in sorted(stats, key=lambda r: -r["max_n"])
+            if r["max_n"] > max_bucket
+        ][:droppable]
+        if drop:
+            lx = lx.where(~F.col("idx").isin(drop))
+            rx = rx.where(~F.col("idx").isin(drop))
+
     cands = (
         lx.join(rx, ["idx", "txt"])
         .drop("idx", "txt")

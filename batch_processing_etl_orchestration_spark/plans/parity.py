@@ -2824,7 +2824,16 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = cust.select(
         F.col("c_custkey").alias("matched_key"), F.col("c_name").alias("name")
     )
+    # n_segments=4 + max_bucket: every c_name shares the 'Customer#'
+    # prefix, so the head segments are single giant buckets; dropping
+    # the two most degenerate indexes keeps the pigeonhole complete
+    # (3 of 4 segments survive one edit; 2 kept => >=1 intact kept)
+    # and blocks only on the digit-bearing tails. The quadratic
+    # DuckDB oracle is the reason this query stays out of the sf1
+    # verification sweep (22.5M serial levenshtein) - same category
+    # as the recursive-CTE near-dup oracles.
     return blocked_fuzzy_join(
         probes, cands, "name", max_dist=1,
         left_keep=["probe_key"], right_keep=["matched_key"],
+        n_segments=4, max_bucket=1000,
     )

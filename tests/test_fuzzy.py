@@ -69,3 +69,46 @@ def test_no_cross_product_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_degenerate_prefix_dropping_keeps_completeness(spark):
+    """Shared-prefix keys ('ID#...'): with n_segments=4 the prefix
+    segments are one giant bucket each; max_bucket drops the worst
+    two indexes (completeness holds — a single substitution leaves 3
+    of 4 intact, and 2 kept ⇒ ≥1 intact kept), the found pairs still
+    equal brute force, and candidate volume collapses."""
+    n = 300
+    left = spark.range(n).select(
+        F.col("id").alias("lid"),
+        F.concat(F.lit("ID#"), F.lpad(F.col("id").cast("string"), 9, "0")).alias("s"),
+    )
+    # corrupt one char near the tail for every 3rd row
+    right = spark.range(n).select(
+        (F.col("id") + 1000).alias("rid"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(
+                F.lit("ID#"),
+                F.lpad(F.col("id").cast("string"), 8, "0"),
+                F.lit("x"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("ID#"), F.lpad(F.col("id").cast("string"), 9, "0"))
+        )
+        .alias("s"),
+    )
+    got = _pairs(
+        blocked_fuzzy_join(
+            left, right, "s", max_dist=1,
+            left_keep=["lid"], right_keep=["rid"],
+            n_segments=4, max_bucket=50,
+        )
+    )
+    brute = (
+        left.crossJoin(right)
+        .withColumn("dist", F.levenshtein(left["s"], right["s"]))
+        .where(F.col("dist") <= 1)
+    )
+    want = sorted((r["lid"], r["rid"], r["dist"]) for r in brute.collect())
+    assert got == want and len(got) >= n // 3
