@@ -2837,3 +2837,88 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_keep=["probe_key"], right_keep=["matched_key"],
         n_segments=4, max_bucket=1000,
     )
+
+
+def _versioned_events(spark: SparkSession, sf_dir: str):
+    """Build-once deterministic version history over events:
+    v0 = days ≤ 20, v1 = + days > 20 (append), v2 = GDPR erasure of
+    user_id % 37 == 5. Returns the VersionedTable."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTable,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/versioned_events", tag)
+    t = VersionedTable(spark, path)
+    if t.versions() == [0, 1, 2]:
+        return t
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("d")
+    )
+    t = VersionedTable.create(
+        spark, path, ev.where(F.dayofmonth("d") <= 20).repartition(4)
+    )
+    t.append(ev.where(F.dayofmonth("d") > 20).repartition(2))
+    t.erase(F.col("user_id") % 37 == 5)
+    return t
+
+
+@register(
+    "q_time_travel_read",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows, SUM(event_id) AS sum_event_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("warehouse", "snapshot", "timetravel"),
+)
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the manifest-versioned table
+    (warehouse/snapshots.py): the table's LATEST version (v2) has a
+    user erased, but reading v1 — pinned by its immutable manifest —
+    still yields every event, which the oracle checks against the raw
+    fixture. Data files are never mutated; a version is a file list,
+    so historical reads cost the same plan as current ones and cannot
+    be disturbed by later commits (append + erase both happen before
+    this read).
+
+    At 100 TB this is the audit/reproducibility primitive: training
+    run N pins manifest v_k and re-reads byte-identical input forever
+    (Delta/Iceberg's model; built here on plain parquet + atomic
+    manifest renames)."""
+    t = _versioned_events(spark, sf_dir)
+    return t.read(1).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+@register(
+    "q_gdpr_erase_versioned",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows, SUM(event_id) AS sum_event_id
+    FROM events WHERE user_id % 37 <> 5 GROUP BY event_type
+    """,
+    tags=("warehouse", "snapshot", "erasure"),
+)
+def q_gdpr_erase_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the versioned table: v2 erased
+    user_id % 37 == 5 by rewriting ONLY the data files that contained
+    their rows (matching-file discovery via input_file_name over a
+    predicate-pushed scan; untouched files carry over by reference —
+    inode-pinned in tests/test_snapshots.py). The latest read must
+    equal the fixture minus the erased user — the oracle says so.
+
+    Erasure cost at 100 TB = the few files the user's rows land in,
+    not the table; clustering the table by user (zorder_by) shrinks
+    exactly this rewrite set."""
+    t = _versioned_events(spark, sf_dir)
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+    )

@@ -1,0 +1,162 @@
+"""Versioned parquet tables: manifests, time travel, and file-level
+erasure — the lakehouse mechanism (Delta/Iceberg) in its minimal
+honest form.
+
+A table version is a MANIFEST: an immutable JSON file listing exactly
+which data files belong to that version. Data files are never
+mutated; commits add a new manifest. That one idea buys:
+
+- **Snapshot isolation / time travel**: ``read(version=k)`` plans
+  only v_k's files — a later append or erasure cannot disturb it.
+- **Appends without read disruption**: new files + a new manifest;
+  old manifests still describe consistent tables.
+- **Right-to-be-forgotten erasure at partition-rewrite cost**:
+  ``erase(predicate)`` scans WITH ``input_file_name()`` to find the
+  files that actually contain matching rows (parquet row-group stats
+  prune the scan), rewrites ONLY those files without the matching
+  rows, and commits untouched files by reference. At 100 TB, erasing
+  one user touches the few files their rows land in — not the table.
+  (Deletion-vector formats defer even that rewrite; the manifest
+  model here is the rewrite flavor, stated plainly.)
+- **Atomic commits**: the manifest is written to a temp name and
+  ``os.rename``d into place — readers see the old or the new table,
+  never half. A crashed commit leaves a temp file and no new
+  version. Concurrent committers race on the rename; the loser's
+  version file already exists and the commit raises instead of
+  silently overwriting (optimistic concurrency, single-writer
+  assumption documented).
+
+The reference has no versioning story at all — its Postgres sink is
+INSERT-append with duplicates on re-run (SURVEY K1); this module is
+what that sink grows into when audits and erasure requests arrive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class VersionedTable:
+    """Manifest-versioned parquet table rooted at `path`."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._mdir = os.path.join(path, "_manifests")
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._mdir, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._mdir):
+            return []
+        out = []
+        for f in os.listdir(self._mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no versions at {self.path}")
+        return vs[-1]
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, version: int, files: list[str], op: str, meta: dict) -> None:
+        """Atomic: temp write + rename. An existing target version
+        means a concurrent commit won — raise, never overwrite."""
+        os.makedirs(self._mdir, exist_ok=True)
+        target = self._manifest_path(version)
+        if os.path.exists(target):
+            raise RuntimeError(
+                f"version {version} already committed (concurrent writer?)"
+            )
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "files": sorted(files), "op": op,
+                 "meta": meta},
+                f,
+            )
+        os.rename(tmp, target)
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as new immutable data files; return their names."""
+        subdir = f"data-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, subdir)
+        df.write.mode("errorifexists").parquet(out)
+        return [
+            f"{subdir}/{f}"
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    # -- operations --------------------------------------------------------
+
+    @staticmethod
+    def create(spark: SparkSession, path: str, df: DataFrame) -> "VersionedTable":
+        t = VersionedTable(spark, path)
+        files = t._write_files(df)
+        t._commit(0, files, "create", {})
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        base = self.latest_version()
+        files = self._read_manifest(base)["files"] + self._write_files(df)
+        v = base + 1
+        self._commit(v, files, "append", {"base": base})
+        return v
+
+    def erase(self, predicate: F.Column) -> int:
+        """New version WITHOUT rows matching `predicate`. Only files
+        that actually contain matching rows are rewritten; the rest
+        carry over by reference (inode-pinned in tests). The match
+        scan pushes the predicate to parquet, so row-group stats
+        prune files that can't contain matches before any I/O."""
+        base = self.latest_version()
+        files = self._read_manifest(base)["files"]
+        df = self._read_files(files)
+        hit = (
+            df.where(predicate)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()  # one row per file containing matches — tiny
+        )
+        hit_files = {
+            os.path.relpath(r["f"].replace("file://", ""), self.path)
+            for r in hit
+        }
+        keep = [f for f in files if f not in hit_files]
+        new_files = []
+        if hit_files:
+            survivors = self._read_files(sorted(hit_files)).where(~predicate)
+            new_files = self._write_files(survivors)
+        v = base + 1
+        self._commit(
+            v, keep + new_files, "erase",
+            {"base": base, "rewritten": len(hit_files)},
+        )
+        return v
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        return self._read_files(self._read_manifest(v)["files"])
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in self.versions()]

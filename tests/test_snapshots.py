@@ -1,0 +1,95 @@
+"""warehouse/snapshots.py — manifest-versioned tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.tables import load_table
+from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "vt"),
+        ev.where(F.col("event_id") % 3 == 0).repartition(4),
+    )
+    return t, ev
+
+
+def test_time_travel_is_immutable(spark, table):
+    t, ev = table
+    v0_sum = t.read(0).agg(F.sum("event_id")).first()[0]
+    t.append(ev.where(F.col("event_id") % 3 == 1).repartition(2))
+    t.erase(F.col("user_id") % 7 == 2)
+    # v0 still reads exactly its original content
+    assert t.read(0).agg(F.sum("event_id")).first()[0] == v0_sum
+    assert t.versions() == [0, 1, 2]
+    # latest has no erased users, v1 still does
+    assert t.read().where(F.col("user_id") % 7 == 2).count() == 0
+    assert t.read(1).where(F.col("user_id") % 7 == 2).count() > 0
+
+
+def test_append_then_latest_matches_union(spark, table):
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1))
+    got = t.read().agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    want = ev.where(F.col("event_id") % 3 != 2).agg(
+        F.count(F.lit(1)), F.sum("event_id")
+    ).first()
+    assert tuple(got) == tuple(want)
+
+
+def test_erase_rewrites_only_hit_files(spark, table):
+    """Files without matching rows carry over by reference: same
+    relative path, same inode. Only hit files disappear from the
+    manifest, replaced by rewritten survivors."""
+    t, ev = table
+    before = {
+        f: os.stat(os.path.join(t.path, f)).st_ino
+        for f in t._read_manifest(t.latest_version())["files"]
+    }
+    # erase a single event: at most a few of the 4 files contain it
+    t.erase(F.col("event_id") == 9)
+    after_files = t._read_manifest(t.latest_version())["files"]
+    carried = [f for f in after_files if f in before]
+    assert carried, "untouched files must carry over by reference"
+    for f in carried:
+        assert os.stat(os.path.join(t.path, f)).st_ino == before[f]
+    hist = t.history()
+    assert hist[-1]["op"] == "erase" and hist[-1]["meta"]["rewritten"] >= 1
+    # erased row gone, everything else intact
+    assert t.read().where(F.col("event_id") == 9).count() == 0
+    assert (
+        t.read().count()
+        == ev.where(F.col("event_id") % 3 == 0).count() - 1
+    )
+
+
+def test_commit_conflict_raises(spark, table):
+    t, _ = table
+    with pytest.raises(RuntimeError, match="already committed"):
+        t._commit(0, [], "create", {})
+
+
+def test_erase_predicate_prunes_scan(spark, table):
+    """The match scan pushes the predicate into the parquet source
+    (PushedFilters), so files whose row-group stats exclude the value
+    are skipped before I/O."""
+    t, _ = table
+    plan = (
+        t.read()
+        .where(F.col("event_id") == 9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "event_id" in plan.split(
+        "PushedFilters"
+    )[1][:120]
