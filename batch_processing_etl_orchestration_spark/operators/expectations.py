@@ -103,3 +103,25 @@ def fk_orphans(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("__pk").isNull().cast("long")).alias("n_orphans"),
     ).select(F.lit(fk_name).alias("fk"), "n_rows", "n_orphans")
+
+
+def observe_expectations(df: DataFrame, rules: dict[str, Column], name: str):
+    """(observed_df, Observation): rule violation counts collected
+    DURING whatever job consumes observed_df — a CollectMetrics node
+    rides the existing scan, so the audit costs zero extra passes
+    (check_expectations, by contrast, is its own aggregation job).
+    After the consuming action finishes, ``observation.get`` returns
+    {'n_rows': ..., '<rule>__violations': ...}.
+
+    This is the production shape at 100 TB: the bronze→silver write
+    happens exactly once, and the DQ counters fall out of that same
+    pass; alert on them after the commit instead of re-scanning."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.sum(_violated(pred).cast("long")).alias(f"{rule}__violations")
+        for rule, pred in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs

@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "q_bm25_topk",
     "q_hybrid_search_rrf",
     "q_lambda_serving",
+    "q_histogram_mv_quantiles",
+    "q_fuzzy_join_names",
+    "q_pagerank_orders",
+    "q_time_travel_read",
+    "q_gdpr_erase_versioned",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -76,3 +76,25 @@ def test_fk_orphans_counts_null_and_missing(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
     row = fk_orphans(child, "k", parent, "pk", "c->p").collect()[0]
     assert (row["fk"], row["n_rows"], row["n_orphans"]) == ("c->p", 4, 2)
+
+
+def test_observe_expectations_free_ride(spark):
+    """Violation counts ride the consuming job (CollectMetrics in the
+    plan, no second scan) and equal the standalone audit."""
+    from batch_processing_etl_orchestration_spark.operators.expectations import (
+        observe_expectations,
+    )
+
+    df = _frame(spark)
+    observed, obs = observe_expectations(df, _rules(), "dq")
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan and plan.count("Scan ") == 1
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    want = {
+        r["rule"]: r["n_violations"]
+        for r in check_expectations(df, _rules()).collect()
+    }
+    assert got["n_rows"] == 5
+    assert got["positive__violations"] == want["positive"] == 3
+    assert got["domain__violations"] == want["domain"] == 2
