@@ -160,3 +160,58 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
+
+
+class VersionedTableMaintenance:
+    """OPTIMIZE/VACUUM for VersionedTable — kept separate so the
+    read/write surface stays minimal.
+
+    compact(): the small-files problem is version-management's own
+    side effect (every append adds files; erasure rewrites slivers).
+    Compaction is just another commit: read latest, rewrite into
+    ~target-sized files, commit the new list. Rows are untouched —
+    old versions still read their old files.
+
+    vacuum(): data files are immutable and shared across manifests,
+    so deletion must be REFERENCE-COUNTED: only files referenced by
+    NO kept manifest may go. Pruned versions' manifests are removed
+    with their now-unreferenced files; kept versions keep reading
+    byte-identical. This is the retention trade Delta's VACUUM makes
+    (time travel ends where retention begins), stated explicitly.
+    """
+
+    def __init__(self, table: VersionedTable):
+        self.t = table
+
+    def compact(self, target_rows_per_file: int) -> int:
+        t = self.t
+        base = t.latest_version()
+        df = t.read(base)
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        files = t._write_files(
+            df.repartition(n_files)
+        )
+        v = base + 1
+        t._commit(v, files, "compact", {"base": base, "n_files": n_files})
+        return v
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest `keep_last` versions and delete
+        data files no kept manifest references. Returns counts."""
+        t = self.t
+        vs = t.versions()
+        kept, pruned = vs[-keep_last:], vs[:-keep_last]
+        referenced: set[str] = set()
+        for v in kept:
+            referenced.update(t._read_manifest(v)["files"])
+        removed_files = 0
+        for v in pruned:
+            for f in t._read_manifest(v)["files"]:
+                if f not in referenced:
+                    p = os.path.join(t.path, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed_files += 1
+            os.remove(t._manifest_path(v))
+        return {"pruned_versions": len(pruned), "removed_files": removed_files}

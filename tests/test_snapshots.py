@@ -93,3 +93,44 @@ def test_erase_predicate_prunes_scan(spark, table):
     assert "PushedFilters: [" in plan and "event_id" in plan.split(
         "PushedFilters"
     )[1][:120]
+
+
+def test_compact_preserves_rows_and_history(spark, table):
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTableMaintenance,
+    )
+
+    t, ev = table
+    before = sorted(tuple(r) for r in t.read().collect())
+    maint = VersionedTableMaintenance(t)
+    v = maint.compact(target_rows_per_file=10_000)
+    files = t._read_manifest(v)["files"]
+    assert len(files) == 1  # ~3.3k rows → one target-sized file
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # pre-compaction version still reads its own (multi-file) layout
+    assert sorted(tuple(r) for r in t.read(v - 1).collect()) == before
+
+
+def test_vacuum_is_reference_counted(spark, table):
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTableMaintenance,
+    )
+
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1).repartition(2))
+    latest = sorted(tuple(r) for r in t.read().collect())
+    maint = VersionedTableMaintenance(t)
+    stats = maint.vacuum(keep_last=1)
+    assert stats["pruned_versions"] == 1
+    # v0's files are SHARED with v1 (append carries them by
+    # reference) — vacuum must not remove them
+    assert stats["removed_files"] == 0
+    assert t.versions() == [1]
+    assert sorted(tuple(r) for r in t.read().collect()) == latest
+
+    # now erase (rewrites some files), vacuum again: the rewritten
+    # originals become unreferenced and ARE removed
+    t.erase(F.col("user_id") % 5 == 0)
+    stats2 = maint.vacuum(keep_last=1)
+    assert stats2["removed_files"] > 0
+    assert t.read().where(F.col("user_id") % 5 == 0).count() == 0
