@@ -621,6 +621,30 @@ class IvfIndex:
         cent = sorted((r["cell_id"], list(r["centroid"])) for r in rows)
         return IvfIndex(spark, path, cent, c_id, c_vec)
 
+    def add(self, new_candidates: DataFrame, n_assign: int = 2) -> None:
+        """Incremental index maintenance: assign new vectors to the
+        EXISTING centroids and append to the partitioned inverted
+        lists — no retrain, no rewrite of resident cells. Because
+        assignment depends only on the (frozen) centroids, an index
+        after add() is BIT-IDENTICAL to one rebuilt from scratch over
+        the union with the same centroids (pinned in
+        tests/test_similarity.py), so probes need no special casing.
+
+        The trade every IVF serving system makes: as the corpus
+        drifts from the centroids' training distribution, cells
+        imbalance and recall decays — monitor cell-size skew and
+        retrain (a fresh build()) when it crosses a bound; adds are
+        cheap between retrains."""
+        cells = _nearest_cells(
+            new_candidates, self.c_id, self.c_vec, self.centroids, n_assign
+        ).select(self.c_id, "cell_id")
+        (
+            new_candidates.join(cells, self.c_id)
+            .write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(f"{self.path}/inverted")
+        )
+
     def probe(
         self,
         queries: DataFrame,

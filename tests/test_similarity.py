@@ -260,3 +260,49 @@ def test_pq_codec_deterministic(spark):
             {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(e, cb).collect()}
         )
     assert runs[0] == runs[1]
+
+
+def test_ivf_incremental_add_equals_rebuild(spark, tmp_path):
+    """add() assigns against the FROZEN centroids and appends to the
+    inverted lists, so an index after adds is equivalent to one
+    rebuilt over the union with the same centroids — probes agree
+    pair-for-pair. New vectors are immediately findable."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+        _nearest_cells,
+    )
+
+    q, c = _qc(spark)
+    base = c.where(F.col("cand_id") < 400)
+    extra = c.where(F.col("cand_id") >= 400)
+
+    p1 = str(tmp_path / "ivf_inc")
+    IvfIndex.build(spark, base, p1, n_cells=8, dim=64)
+    idx1 = IvfIndex.load(spark, p1)
+    idx1.add(extra)
+
+    # rebuild-with-same-centroids reference: write the union assigned
+    # against idx1's centroids using the same layout
+    p2 = str(tmp_path / "ivf_ref")
+    cells = _nearest_cells(c, "cand_id", "ce", idx1.centroids, 2).select(
+        "cand_id", "cell_id"
+    )
+    c.join(cells, "cand_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{p2}/inverted")
+    spark.read.parquet(f"{p1}/centroids").write.mode("overwrite").parquet(
+        f"{p2}/centroids"
+    )
+    idx2 = IvfIndex.load(spark, p2)
+
+    got = {
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in idx1.probe(q, k=K, n_probe=3).collect()
+    }
+    ref = {
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in idx2.probe(q, k=K, n_probe=3).collect()
+    }
+    assert got == ref and len(got) > 0
+    # at least one added vector surfaces in some top-k
+    assert any(cand >= 400 for (_, cand, _, _) in got)
