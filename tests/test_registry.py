@@ -41,20 +41,26 @@ def test_regressed_green_reenters_window(tmp_path, monkeypatch):
 
 def test_green_tail_rotation_tiles_catalog():
     """Simulated successive rounds must push every registered query
-    through a 50-row prefix within a bounded number of rounds."""
+    through a 50-row prefix within a bounded number of rounds. The
+    simulation mirrors the driver dynamic: a window's queries ATTEST
+    (turn green and join the rotating tail next round) — a static
+    head model deadlocks as soon as >47 queries are pending, which is
+    the normal state right after a round that lands many operators."""
     status = R._latest_status()
     green = {n for n, ok in status.items() if ok}
     if len(green) < 10:
         return  # nothing meaningful to rotate yet
     names = list(R.QUERIES)
-    head = [n for n in names if n not in green]
-    tail = [n for n in names if n in green]
-    stride = max(1, 50 - len(head))
     seen: set[str] = set()
-    for rnd in range(1, 8):
+    bound = -(-len(names) // 50) + 4  # drain rounds + one tail lap
+    for rnd in range(1, bound + 1):
+        head = [n for n in names if n not in green]
+        tail = [n for n in names if n in green]
+        stride = max(1, 50 - len(head))
         k = (rnd * stride) % len(tail)
         window = (head + tail[k:] + tail[:k])[:50]
         seen |= set(window)
+        green |= set(window)  # the driver attests the window
     assert seen == set(names), sorted(set(names) - seen)
 
 
