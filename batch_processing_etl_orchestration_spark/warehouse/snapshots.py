@@ -215,3 +215,28 @@ class VersionedTableMaintenance:
                         removed_files += 1
             os.remove(t._manifest_path(v))
         return {"pruned_versions": len(pruned), "removed_files": removed_files}
+
+
+def idempotent_stream_append(table: VersionedTable, df: DataFrame, batch_id: int) -> bool:
+    """foreachBatch sink for a VersionedTable with EXACTLY-ONCE
+    semantics: the micro-batch id is recorded in the commit's
+    metadata, and a redelivered batch (foreachBatch is at-least-once
+    on failure) finds its id in the history and becomes a no-op —
+    no marker files, the MANIFEST is the ledger. Returns True if the
+    batch was appended, False if it was a duplicate delivery.
+
+    This is the same idempotence the incremental-MV stream gets from
+    marker files (q_stream_incremental_mv), upgraded to ride the
+    table's own atomic commit: the data files and the batch-id record
+    land in one rename, so there is no window where data exists
+    without its ledger entry or vice versa."""
+    for m in table.history():
+        if m["op"] == "stream-append" and m["meta"].get("batch_id") == batch_id:
+            return False
+    base = table.latest_version()
+    files = table._read_manifest(base)["files"] + table._write_files(df)
+    table._commit(
+        base + 1, files, "stream-append",
+        {"base": base, "batch_id": batch_id},
+    )
+    return True

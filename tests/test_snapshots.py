@@ -134,3 +134,46 @@ def test_vacuum_is_reference_counted(spark, table):
     stats2 = maint.vacuum(keep_last=1)
     assert stats2["removed_files"] > 0
     assert t.read().where(F.col("user_id") % 5 == 0).count() == 0
+
+
+def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
+    """A file-source stream drains into the versioned table one
+    micro-batch per file; redelivering a batch is a no-op (the
+    manifest is the ledger); the final table equals the source."""
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        idempotent_stream_append,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartitionByRange(4, "event_id").write.parquet(src)
+
+    t = VersionedTable.create(spark, str(tmp_path / "vt"), ev.limit(0))
+    delivered = []
+
+    def sink(batch_df, batch_id):
+        appended = idempotent_stream_append(t, batch_df, batch_id)
+        delivered.append((batch_id, appended))
+        # simulate at-least-once: redeliver every batch immediately
+        assert not idempotent_stream_append(t, batch_df, batch_id)
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(delivered) == 4 and all(ok for _, ok in delivered)
+    got = t.read().agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    want = ev.agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    assert tuple(got) == tuple(want)
+    ops = [m["op"] for m in t.history()]
+    assert ops == ["create"] + ["stream-append"] * 4
