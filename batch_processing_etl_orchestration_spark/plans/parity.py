@@ -2922,3 +2922,110 @@ def q_gdpr_erase_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("sum_event_id"),
     )
+
+
+def _merged_customers(spark: SparkSession, sf_dir: str):
+    """Build-once MERGE scenario on a versioned customer table:
+    v0 = the customer fixture; v1 = one MERGE applying a CDC batch
+    derived deterministically from the fixture itself —
+      - UPDATE:  c_custkey % 19 == 3  → acctbal + 100
+      - DELETE:  c_custkey % 19 == 7  → row removed (flagged by the
+                 sentinel acctbal the delete_condition matches)
+      - INSERT:  c_custkey % 19 == 11 → new key -c_custkey, bal 50
+    Returns the VersionedTable."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTable,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/merged_customers", tag)
+    t = VersionedTable(spark, path)
+    if t.versions() == [0, 1] and t.history()[-1]["op"] == "merge":
+        return t
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    t = VersionedTable.create(spark, path, cust.repartition(8))
+    k = F.col("c_custkey")
+    src = (
+        cust.where(k % 19 == 3)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .unionByName(
+            cust.where(k % 19 == 7).withColumn("c_acctbal", F.lit(-99999.0))
+        )
+        .unionByName(
+            cust.where(k % 19 == 11)
+            .withColumn("c_custkey", -k)
+            .withColumn("c_acctbal", F.lit(50.0))
+        )
+    )
+    t.merge(src, ["c_custkey"], delete_condition=F.col("c_acctbal") == -99999.0)
+    return t
+
+
+@register(
+    "q_merge_versioned",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    ),
+    src AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             ROUND(c_acctbal + 100, 2) AS c_acctbal, FALSE AS is_del
+      FROM base WHERE c_custkey % 19 = 3
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, -99999.0, TRUE
+      FROM base WHERE c_custkey % 19 = 7
+      UNION ALL
+      SELECT -c_custkey, c_name, c_mktsegment, 50.0, FALSE
+      FROM base WHERE c_custkey % 19 = 11
+    ),
+    merged AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM src
+      WHERE NOT is_del
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS n_inserted,
+           {sql_exact_sum('c_acctbal')} AS total_bal
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+    tags=("warehouse", "snapshot", "merge"),
+)
+def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the manifest-versioned table
+    (warehouse/snapshots.py VersionedTable.merge): one CDC batch
+    carrying updates, deletes, and inserts lands as ONE copy-on-write
+    commit, and the post-merge read must equal the oracle's set
+    algebra (base minus touched keys, plus surviving source rows).
+
+    The scale story is Delta/Iceberg's: discovery scans only the key
+    column + input_file_name under a broadcast semi-join to name the
+    files containing matched keys; untouched files carry into the new
+    version BY REFERENCE (inode-pinned in tests/test_snapshots.py);
+    the rewrite reads only the hit files and replaces matched rows via
+    a broadcast anti-join — no full-outer join, no window. At 100 TB,
+    MERGE cost tracks the CDC batch (hit files ≈ touched keys when
+    the table is clustered on the merge key), not the table size.
+
+    Reference: the Postgres sink re-runs with duplicates (SURVEY K1,
+    databaseOperations.py:383-407); this is that ingestion made
+    idempotent at warehouse scale."""
+    t = _merged_customers(spark, sf_dir)
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_custkey") < 0, 1).otherwise(0)).alias(
+            "n_inserted"
+        ),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )

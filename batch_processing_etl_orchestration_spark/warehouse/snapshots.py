@@ -149,6 +149,129 @@ class VersionedTable:
         )
         return v
 
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        delete_condition: F.Column | None = None,
+    ) -> int:
+        """MERGE INTO, copy-on-write: upsert `source` into the table by
+        `key_cols` — matched target rows are REPLACED by their source
+        row, unmatched source rows are INSERTED, and source rows
+        satisfying `delete_condition` are DELETES (their matched target
+        rows vanish; unmatched delete rows are no-ops). This is Delta's
+        ``whenMatchedUpdateAll / whenNotMatchedInsertAll`` plus a
+        delete clause, built on the same manifest commit as append/
+        erase.
+
+        The cost model is the point. A CDC batch touches few keys, so:
+
+        1. **Discovery** scans the current version's KEY COLUMNS only
+           (column-pruned parquet read) with ``input_file_name()``,
+           left-semi against the BROADCAST source keys — one pass that
+           names the files actually containing matched keys.
+        2. **Rewrite** reads only those hit files; every other file
+           carries into the new version BY REFERENCE (same inode —
+           pinned in tests). The new files hold the hit files'
+           unmatched rows plus every surviving source row. Matched old
+           rows disappear via a broadcast anti-join; replacements and
+           inserts are just the source batch itself — no full-outer
+           join, no window, one narrow scan of the rewrite set.
+
+        At 100 TB with the table clustered on the merge key
+        (layout.zorder_by), parquet footer stats shrink the discovery
+        scan and the hit set approaches the true number of touched
+        files — MERGE cost tracks the CDC batch, not the table.
+
+        Precondition (same contract as scd2_apply): at most one source
+        row per key. Enforced lazily — an assert_true rides a per-key
+        count aggregation and fails the job on the first duplicate,
+        because a batch with duplicate keys has no well-defined "the"
+        replacement row and would silently double rows in the new
+        version.
+
+        Reference: the Postgres sink's re-run story (SURVEY K1,
+        databaseOperations.py) is append-with-duplicates; idempotent
+        re-ingestion at warehouse scale is exactly this MERGE.
+        """
+        base = self.latest_version()
+        files = self._read_manifest(base)["files"]
+        cols = self._read_files(files).columns
+        if set(source.columns) != set(cols):
+            raise ValueError(
+                f"merge: source columns {sorted(source.columns)} != "
+                f"table columns {sorted(cols)}"
+            )
+
+        # Duplicate-key guard riding a marker column (scd2_apply's
+        # pattern): hash-agg per key, assert_true raises mid-job on the
+        # first duplicate; first() is exact because the assert proves
+        # singleton groups.
+        src = source.groupBy(*key_cols).agg(
+            *[
+                F.first(c, ignorenulls=False).alias(c)
+                for c in cols
+                if c not in key_cols
+            ],
+            F.coalesce(
+                F.assert_true(
+                    F.count(F.lit(1)) == 1,
+                    F.concat_ws(
+                        "",
+                        F.lit("merge: duplicate key in source batch: "),
+                        *[F.col(c).cast("string") for c in key_cols],
+                    ),
+                ).cast("boolean"),
+                F.lit(True),
+            ).alias("_ok"),
+        )
+        # The marker must stay REFERENCED or column pruning deletes the
+        # assert with it: route the first key column through the
+        # (always-true) marker — when(_ok, k) ≡ k, but keeps the
+        # aggregation's assert_true alive in the plan.
+        k0 = key_cols[0]
+        src = src.select(
+            *[
+                F.when(F.col("_ok"), F.col(c)).alias(c) if c == k0 else F.col(c)
+                for c in cols
+            ]
+        )
+
+        src_keys = src.select(*key_cols)
+        hit = (
+            self._read_files(files)
+            .select(*key_cols, F.input_file_name().alias("_f"))
+            .join(F.broadcast(src_keys), key_cols, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()  # one row per file containing matches — tiny
+        )
+        hit_files = sorted(
+            os.path.relpath(r["_f"].replace("file://", ""), self.path)
+            for r in hit
+        )
+        keep = [f for f in files if f not in set(hit_files)]
+
+        # Surviving source rows: deletes drop out here; their matched
+        # target copies drop out via the anti-join below.
+        upserts = (
+            src.where(~delete_condition) if delete_condition is not None else src
+        )
+        if hit_files:
+            survivors = self._read_files(hit_files).join(
+                F.broadcast(src_keys), key_cols, "left_anti"
+            )
+            rewrite = survivors.unionByName(upserts)
+        else:
+            rewrite = upserts
+        new_files = self._write_files(rewrite.select(*cols))
+        v = base + 1
+        self._commit(
+            v, keep + new_files, "merge",
+            {"base": base, "rewritten": len(hit_files)},
+        )
+        return v
+
     def _read_files(self, files: list[str]) -> DataFrame:
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in files]

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q_pagerank_orders",
     "q_time_travel_read",
     "q_gdpr_erase_versioned",
+    # r6 (cont.): copy-on-write MERGE commit (build + merge, cold)
+    "q_merge_versioned",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -136,6 +136,83 @@ def test_vacuum_is_reference_counted(spark, table):
     assert t.read().where(F.col("user_id") % 5 == 0).count() == 0
 
 
+def test_merge_upsert_insert_delete(spark, table):
+    """MERGE semantics against a hand-derived expectation: matched
+    rows replaced, unmatched source rows inserted, delete-flagged
+    source rows removed from the table (or ignored when unmatched)."""
+    t, ev = table
+    base = t.read()
+    # source: update event 9's value to -1, insert a brand-new id -5,
+    # delete event 12, and a delete for an id not in the table (-7)
+    src = spark.createDataFrame(
+        [
+            (9, 999, "upd", -1.0),
+            (-5, 999, "new", -5.0),
+            (12, 0, "del", 0.0),
+            (-7, 0, "del", 0.0),
+        ],
+        base.schema,
+    )
+    t.merge(src, ["event_id"], delete_condition=F.col("event_type") == "del")
+    got = t.read()
+    assert got.where(F.col("event_id") == 9).collect()[0]["value"] == -1.0
+    assert got.where(F.col("event_id") == -5).count() == 1
+    assert got.where(F.col("event_id").isin(12, -7)).count() == 0
+    # row count: -1 (deleted 12) +1 (inserted -5)
+    assert got.count() == base.count()
+    # everything untouched is byte-identical
+    untouched = sorted(
+        tuple(r)
+        for r in base.where(~F.col("event_id").isin(9, 12, -5, -7)).collect()
+    )
+    assert (
+        sorted(
+            tuple(r)
+            for r in got.where(~F.col("event_id").isin(9, 12, -5, -7)).collect()
+        )
+        == untouched
+    )
+    assert t.history()[-1]["op"] == "merge"
+
+
+def test_merge_rewrites_only_hit_files(spark, table):
+    """Copy-on-write: files without matched keys carry over by
+    reference (same inode); pre-merge versions are undisturbed."""
+    t, ev = table
+    before = {
+        f: os.stat(os.path.join(t.path, f)).st_ino
+        for f in t._read_manifest(t.latest_version())["files"]
+    }
+    pre_sum = t.read().agg(F.sum("value")).first()[0]
+    src = t.read().where(F.col("event_id") == 9).withColumn(
+        "value", F.lit(123.0)
+    )
+    v = t.merge(src, ["event_id"])
+    m = t._read_manifest(v)
+    carried = [f for f in m["files"] if f in before]
+    assert carried, "untouched files must carry over by reference"
+    for f in carried:
+        assert os.stat(os.path.join(t.path, f)).st_ino == before[f]
+    assert 1 <= m["meta"]["rewritten"] < len(before)
+    # time travel to the pre-merge version still sees the old value
+    assert t.read(v - 1).agg(F.sum("value")).first()[0] == pre_sum
+
+
+def test_merge_duplicate_source_key_raises(spark, table):
+    t, _ = table
+    src = spark.createDataFrame(
+        [(9, 1, "a", 1.0), (9, 2, "b", 2.0)], t.read().schema
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        t.merge(src, ["event_id"])
+
+
+def test_merge_schema_mismatch_raises(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="source columns"):
+        t.merge(t.read().drop("value"), ["event_id"])
+
+
 def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
     """A file-source stream drains into the versioned table one
     micro-batch per file; redelivering a batch is a no-op (the
