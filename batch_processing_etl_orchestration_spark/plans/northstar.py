@@ -2434,3 +2434,184 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank(edges, alpha=0.85, n_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking — the context-window preprocessing
+# step between cleaning and packing in an LLM data pipeline
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(floor((n - 1) / {_CHUNK_STRIDE}) AS BIGINT))) AS chunk_id,
+             t
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                               chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}))
+                AS INT) AS n_chunk_tokens,
+           sha256(array_to_string(
+             list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' '))
+             AS chunk_sha
+    FROM chunks
+    """,
+    tags=("northstar", "text", "chunking"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split every document into overlapping
+    {LEN}-token windows on a {STRIDE}-token stride (chunk k covers
+    tokens [k*stride, k*stride+len)), the step that turns cleaned
+    documents into context-window-sized training units; the overlap
+    preserves cross-boundary n-grams for the model. Each chunk's
+    content is pinned by sha256 over its joined tokens, so the oracle
+    checks the exact token spans, not just counts.
+
+    Scale: ZERO shuffles — split/sequence/explode/slice/sha2 are all
+    codegen'd narrow ops, so the plan is a single scan→project stage
+    whose fan-out is bounded by doc_len/stride. Chunk rows inherit the
+    scan's partitioning; downstream packing (q_pack_sequences) can
+    consume them without a repartition. A 100 TB corpus chunks in one
+    embarrassingly-parallel pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    df = (
+        d.select("doc_id", t.alias("_t"), F.size(t).alias("_n"))
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("_n") - 1) / _CHUNK_STRIDE).cast("bigint"),
+                )
+            ).alias("chunk_id"),
+        )
+    )
+    chunk = F.slice(
+        "_t", F.col("chunk_id").cast("int") * _CHUNK_STRIDE + 1, _CHUNK_LEN
+    )
+    return df.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha"),
+    )
+
+
+q_chunk_documents.__doc__ = q_chunk_documents.__doc__.replace(
+    "{LEN}", str(_CHUNK_LEN)
+).replace("{STRIDE}", str(_CHUNK_STRIDE))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling — fill a per-source token budget in
+# deterministic hash order (two-phase distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 3000
+
+
+@register(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    run AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM docs
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM run WHERE cum <= {_BUDGET_TOKENS}
+    GROUP BY source
+    """,
+    tags=("northstar", "sampling", "prefix-sum"),
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: walk each source's documents in
+    deterministic content-hash order and keep docs while the running
+    token total stays within the budget — how a mixing recipe's
+    "N billion tokens from source X" clause is materialized
+    reproducibly (same hash order ⇒ same sample on any engine or
+    shard layout).
+
+    The running sum is computed as a TWO-PHASE DISTRIBUTED PREFIX SUM,
+    not one window over each whole source: docs bucket by their hash
+    prefix (256 range-consistent buckets), phase 1 computes per-bucket
+    token subtotals (tiny: sources x 256 rows), a window over that
+    metadata table turns subtotals into per-bucket starting offsets,
+    and phase 2 adds offset + within-bucket running sum. A source with
+    10^9 documents therefore never sorts in one partition — the
+    per-partition window covers ~1/256th of a source, while the
+    offset table stays broadcast-sized. The oracle states the same
+    semantics as one plain window, which DuckDB can afford at sf0.01.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        h.alias("h"),
+        # bucket = first two hex chars: ordering by (bucket, h) == by h
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    offsets = (
+        docs.groupBy("source", "b")
+        .agg(F.sum("n_tokens").alias("_bucket_tokens"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("_bucket_tokens").over(
+                    Window.partitionBy("source")
+                    .orderBy("b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_bucket_tokens")
+    )
+    run = docs.join(F.broadcast(offsets), ["source", "b"]).withColumn(
+        "cum",
+        F.col("offset")
+        + F.sum("n_tokens").over(
+            Window.partitionBy("source", "b")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        run.where(F.col("cum") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )

@@ -97,8 +97,12 @@ BENCH_QUERIES = [
     "q_pagerank_orders",
     "q_time_travel_read",
     "q_gdpr_erase_versioned",
-    # r6 (cont.): copy-on-write MERGE commit (build + merge, cold)
+    # r6 (cont.): copy-on-write MERGE commit (build + merge, cold),
+    # shuffle-free sliding-window chunking, two-phase prefix-sum
+    # token-budget sampling
     "q_merge_versioned",
+    "q_chunk_documents",
+    "q_token_budget_sample",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

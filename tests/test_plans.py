@@ -371,3 +371,26 @@ def test_aqe_skew_join_split_engages_on_hot_key(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking must plan as a single narrow
+    scan→project→explode stage: zero Exchanges, and the scan reads
+    only doc_id + text."""
+    plan = _plan(spark, sf_dir, "q_chunk_documents")
+    assert _n_exchanges(plan) == 0, plan[:800]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_token_budget_prefix_sum_windows_on_buckets(spark, sf_dir):
+    """The two-phase prefix sum must never sort a whole source in one
+    partition: the corpus-side Window partitions on (source, bucket),
+    and the offset table joins back via broadcast."""
+    plan = _plan(spark, sf_dir, "q_token_budget_sample")
+    # corpus-side running-sum window keyed by source AND bucket
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("source" in w and "b#" in w for w in win_specs), win_specs
+    assert "BroadcastHashJoin" in plan
