@@ -1,0 +1,114 @@
+"""Exact-deterministic distributed k-means over embedding columns.
+
+Semantic clustering is the curation primitive behind semantic dedup
+("keep one doc per meaning-cluster"), topic-balanced mixing, and IVF
+coarse quantization. ``ivf_build_centroids`` (similarity.py:373)
+already runs float Lloyd iterations for the ANN index; this module is
+the ORACLE-GRADE twin: every quantity lives on an integer grid so the
+full fixpoint — seeds, assignments, centroid updates, inertia — is
+bit-identical across engines, partitionings, and schedulings, which
+lets a DuckDB oracle hash-check the whole iteration, not just row
+counts.
+
+Determinism contract:
+- vector elements are scaled to longs once (``ROUND(x * scale)``,
+  half-away-from-zero in both Spark and DuckDB);
+- distances are exact long sums of squared scaled diffs (|x| ≤ ~5e6
+  scaled ⇒ 64-dim sums ≤ ~6e15, inside int64);
+- argmin ties break on the lowest cluster id via lexicographic
+  ``min(struct(dist, c))``;
+- centroid means use exact integer floor division
+  ``(s - pmod(s, n)) DIV n`` — no float division anywhere, so a
+  reordered sum can never flip a boundary assignment;
+- a cluster that captures no members keeps its previous centroid
+  (cluster ids stay dense and stable).
+
+Scale: per iteration, assignment is a crossJoin against the BROADCAST
+k-row centroid table folded entirely in codegen (zip_with/aggregate —
+no UDF, no element explosion: n·k rows, not n·k·dim), and the update
+is one key join + one (cluster, dim) aggregation with map-side
+partials into k·dim groups. Iteration count is fixed and small (LLM
+curation runs 2-5 Lloyd rounds on a sample); nothing is collected to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KMEANS_SCALE = 1_000_000
+
+
+def exact_kmeans_assign(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int = 2,
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations and return the FINAL assignment:
+    one row per vector with ``(id_col, cluster, dist_scaled2)`` where
+    ``cluster`` is the nearest centroid after the last update and
+    ``dist_scaled2`` the exact squared distance on the scaled-long
+    grid. Seeds are the vectors with ``id < k`` (callers wanting
+    hash-scattered seeds remap ids first — the contract here is
+    oracle-reproducibility, not seed quality)."""
+    ve = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("_es"),
+    )
+    cent = ve.where(F.col("_vid") < k).select(
+        F.col("_vid").cast("int").alias("_c"), F.col("_es").alias("_cs")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(_es, _cs, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    assign = None
+    for t in range(n_iter):
+        assign = (
+            ve.crossJoin(F.broadcast(cent))
+            .select("_vid", "_c", dist.alias("_d"))
+            .groupBy("_vid")
+            .agg(F.min(F.struct("_d", "_c")).alias("_m"))
+            .select(
+                "_vid",
+                F.col("_m._c").alias("cluster"),
+                F.col("_m._d").alias("dist_scaled2"),
+            )
+        )
+        if t == n_iter - 1:
+            break
+        sums = (
+            ve.join(assign.select("_vid", "cluster"), "_vid")
+            .select("cluster", F.posexplode("_es").alias("_i", "_x"))
+            .groupBy("cluster", "_i")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            # exact integer floor division: pmod makes the numerator an
+            # exact multiple of _n, so DIV's truncation is the quotient
+            .select(
+                "cluster",
+                "_i",
+                F.expr("(_s - pmod(_s, _n)) DIV _n").alias("_cw"),
+            )
+        )
+        new_cent = sums.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_i, _cw))), "
+                "s -> s._cw)"
+            ).alias("_cs_new")
+        )
+        cent = (
+            cent.join(
+                F.broadcast(new_cent), cent["_c"] == new_cent["cluster"], "left"
+            )
+            .select("_c", F.coalesce("_cs_new", "_cs").alias("_cs"))
+        )
+    return assign.select(
+        F.col("_vid").alias(id_col), "cluster", "dist_scaled2"
+    )

@@ -2615,3 +2615,96 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic k-means clustering — exact-deterministic Lloyd iterations
+# over the embedding space (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semantic_kmeans",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cent0 AS (
+      SELECT CAST(vec_id AS INT) AS c, i, x AS cw FROM ve WHERE vec_id < 8
+    ),
+    d1 AS (
+      SELECT v.vec_id, c.c, SUM((v.x - c.cw) * (v.x - c.cw)) AS d
+      FROM ve v JOIN cent0 c USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    sums1 AS (
+      SELECT a.c, v.i, SUM(v.x) AS s, COUNT(*) AS n
+      FROM ve v JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    cent1 AS (
+      SELECT c0.c, c0.i,
+             COALESCE(
+               CAST((s.s - (((s.s % s.n) + s.n) % s.n)) // s.n AS BIGINT),
+               c0.cw) AS cw
+      FROM cent0 c0 LEFT JOIN sums1 s ON s.c = c0.c AND s.i = c0.i
+    ),
+    d2 AS (
+      SELECT v.vec_id, c.c, SUM((v.x - c.cw) * (v.x - c.cw)) AS d
+      FROM ve v JOIN cent1 c USING (i) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, c, d FROM (
+        SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT c AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(SUM(d) AS BIGINT) AS inertia_scaled2
+    FROM a2 GROUP BY c
+    """,
+    tags=("northstar", "clustering", "iterative"),
+)
+def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding space: 2 Lloyd iterations
+    of k=8 k-means run ENTIRELY on an integer grid
+    (operators/clustering.py exact_kmeans_assign) — scaled-long
+    elements, exact long distances, lowest-cluster tie-breaks, and
+    integer floor-division centroid means — so the DuckDB oracle can
+    unroll the whole fixpoint (one CTE per assign/update stage,
+    PageRank-style) and hash-check per-cluster membership AND exact
+    inertia, not just counts. Semantic dedup, topic-balanced mixing,
+    and IVF coarse quantization all sit on this primitive; the float
+    production twin is ivf_build_centroids (similarity.py:373).
+
+    Scale: assignment folds against the BROADCAST k-row centroid table
+    in codegen (n·k rows, no element explosion); the update is one key
+    join + a (cluster, dim) aggregation with map-side partials into
+    k·dim groups. No driver collect anywhere — centroids stay a
+    DataFrame end to end, unlike the IVF build's driver-side index
+    metadata."""
+    from batch_processing_etl_orchestration_spark.operators.clustering import (
+        exact_kmeans_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = exact_kmeans_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.sum("dist_scaled2").alias("inertia_scaled2"),
+        )
+        .withColumnRenamed("cluster", "cluster_id")
+    )

@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "q_merge_versioned",
     "q_chunk_documents",
     "q_token_budget_sample",
+    # r6 (cont.): exact-deterministic Lloyd iterations (2 rounds, k=8)
+    "q_semantic_kmeans",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
