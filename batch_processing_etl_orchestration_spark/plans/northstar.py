@@ -2623,9 +2623,9 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_semantic_kmeans",
-    oracle="""
+# Shared stage-unrolled Lloyd CTE (k=8, 2 iterations, scale 1e6):
+# a2 = final (vec_id, cluster c, exact squared distance d).
+_KMEANS_CTE = """
     WITH ve AS (
       SELECT vec_id, i - 1 AS i,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
@@ -2667,6 +2667,13 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d2
       ) WHERE rn = 1
     )
+"""
+
+
+@register(
+    "q_semantic_kmeans",
+    oracle=f"""
+    {_KMEANS_CTE}
     SELECT c AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
@@ -2707,4 +2714,68 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist_scaled2").alias("inertia_scaled2"),
         )
         .withColumnRenamed("cluster", "cluster_id")
+    )
+
+
+@register(
+    "q_semantic_dedup_keep",
+    oracle=f"""
+    {_KMEANS_CTE}
+    , reps AS (
+      SELECT c, vec_id, d FROM (
+        SELECT c, vec_id, d,
+               row_number() OVER (PARTITION BY c ORDER BY d, vec_id) AS rn
+        FROM a2
+      ) WHERE rn = 1
+    ),
+    sizes AS (SELECT c, COUNT(*) AS n_members FROM a2 GROUP BY c)
+    SELECT r.c AS cluster_id,
+           r.vec_id AS rep_doc_id,
+           doc.source AS rep_source,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(s.n_members - 1 AS BIGINT) AS n_dropped
+    FROM reps r
+    JOIN sizes s ON s.c = r.c
+    JOIN documents doc ON doc.doc_id = r.vec_id
+    """,
+    tags=("northstar", "clustering", "dedup"),
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: cluster the embedding space (the exact k-means
+    of q_semantic_kmeans) and keep ONE representative document per
+    cluster — the member nearest its centroid, ties to the lowest id —
+    dropping the rest. This is the cluster-then-pick-canonical recipe
+    (SemDeDup-style) that removes "same meaning, different words"
+    redundancy where MinHash/SimHash (lexical overlap) can't see it;
+    the two families are complementary passes in a curation DAG.
+
+    Scale: on top of the k-means passes, picking representatives is
+    one k-group min-struct aggregation, and the representative rows
+    (k of them) BROADCAST-join back to the documents table for
+    metadata — corpus text never shuffles, exactly like
+    q_dedup_keep_canonical's label-broadcast survivor join."""
+    from batch_processing_etl_orchestration_spark.operators.clustering import (
+        exact_kmeans_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = exact_kmeans_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+    reps = (
+        a.groupBy("cluster")
+        .agg(
+            F.min(F.struct("dist_scaled2", "vec_id")).alias("_m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            F.col("_m.vec_id").alias("rep_doc_id"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("rep_doc_id"), F.col("source").alias("rep_source")
+    )
+    return d.join(F.broadcast(reps), "rep_doc_id").select(
+        "cluster_id", "rep_doc_id", "rep_source", "n_members", "n_dropped"
     )

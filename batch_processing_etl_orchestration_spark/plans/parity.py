@@ -3029,3 +3029,80 @@ def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         exact_sum("c_acctbal").alias("total_bal"),
     )
+
+
+def _evolved_parts(spark: SparkSession, sf_dir: str):
+    """Build-once schema-evolution scenario: v0 = even-key parts
+    (3 columns); v1 = odd-key parts appended WITH a new p_margin
+    column under allow_schema_evolution. Returns the VersionedTable."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTable,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "part.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/evolved_parts", tag)
+    t = VersionedTable(spark, path)
+    if t.versions() == [0, 1]:
+        return t
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    t = VersionedTable.create(
+        spark, path, part.where(F.col("p_partkey") % 2 == 0).repartition(4)
+    )
+    t.append(
+        part.where(F.col("p_partkey") % 2 == 1).withColumn(
+            "p_margin", (F.col("p_partkey") % 7).cast("double") / 10.0
+        ),
+        allow_schema_evolution=True,
+    )
+    return t
+
+
+@register(
+    "q_schema_evolution_read",
+    oracle=f"""
+    WITH merged AS (
+      SELECT p_partkey, p_retailprice, CAST(NULL AS DOUBLE) AS p_margin
+      FROM part WHERE p_partkey % 2 = 0
+      UNION ALL
+      SELECT p_partkey, p_retailprice,
+             CAST(p_partkey % 7 AS DOUBLE) / 10.0
+      FROM part WHERE p_partkey % 2 = 1
+    )
+    SELECT p_partkey % 4 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(p_margin) AS BIGINT) AS n_with_margin,
+           {sql_exact_sum('p_retailprice')} AS total_price,
+           {sql_exact_sum('COALESCE(p_margin, 0)')} AS total_margin
+    FROM merged GROUP BY 1
+    """,
+    tags=("warehouse", "snapshot", "schema-evolution"),
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the versioned table: v1 appended a
+    p_margin column, so the committed manifest schema — not parquet
+    footer sampling — plans the scan, and v0's files null-fill the new
+    column at read time with ZERO rewrite (Delta's schema-in-the-log
+    model). The oracle rebuilds the same union from the raw fixture:
+    even keys must read NULL margins, odd keys their computed ones.
+
+    At 100 TB adding a column is a metadata commit: no data movement,
+    no footer scan storm (the schema rides the manifest), and old
+    versions still read their own narrower schema — which
+    tests/test_snapshots.py pins via time travel."""
+    t = _evolved_parts(spark, sf_dir)
+    return t.read().groupBy(
+        (F.col("p_partkey") % 4).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p_margin").alias("n_with_margin"),
+        exact_sum("p_retailprice").alias("total_price"),
+        exact_sum(F.coalesce("p_margin", F.lit(0.0))).alias("total_margin"),
+    )

@@ -73,22 +73,33 @@ class VersionedTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, version: int, files: list[str], op: str, meta: dict) -> None:
+    def _commit(
+        self,
+        version: int,
+        files: list[str],
+        op: str,
+        meta: dict,
+        schema: str | None = None,
+    ) -> None:
         """Atomic: temp write + rename. An existing target version
-        means a concurrent commit won — raise, never overwrite."""
+        means a concurrent commit won — raise, never overwrite.
+        `schema` (StructType JSON) rides the manifest so readers plan
+        with the COMMITTED schema instead of sampling parquet footers —
+        Delta's model; after additive evolution, old files null-fill
+        the new columns at scan time with zero extra I/O."""
         os.makedirs(self._mdir, exist_ok=True)
         target = self._manifest_path(version)
         if os.path.exists(target):
             raise RuntimeError(
                 f"version {version} already committed (concurrent writer?)"
             )
+        rec = {"version": version, "files": sorted(files), "op": op,
+               "meta": meta}
+        if schema is not None:
+            rec["schema"] = schema
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "files": sorted(files), "op": op,
-                 "meta": meta},
-                f,
-            )
+            json.dump(rec, f)
         os.rename(tmp, target)
 
     def _write_files(self, df: DataFrame) -> list[str]:
@@ -104,18 +115,59 @@ class VersionedTable:
 
     # -- operations --------------------------------------------------------
 
+    def _schema_of(self, manifest: dict):
+        """Committed schema as a StructType, or None for manifests
+        written before schemas rode the manifest (pre-evolution
+        tables keep reading footer-sampled, unchanged behavior)."""
+        from pyspark.sql.types import StructType
+
+        s = manifest.get("schema")
+        return StructType.fromJson(json.loads(s)) if s else None
+
     @staticmethod
     def create(spark: SparkSession, path: str, df: DataFrame) -> "VersionedTable":
         t = VersionedTable(spark, path)
         files = t._write_files(df)
-        t._commit(0, files, "create", {})
+        t._commit(0, files, "create", {}, schema=df.schema.json())
         return t
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, allow_schema_evolution: bool = False) -> int:
+        """Append `df` as new files. If `df` carries columns the table
+        doesn't have, the commit is rejected unless
+        `allow_schema_evolution=True`, in which case the table schema
+        EVOLVES ADDITIVELY: new columns join the committed schema
+        (nullable), old files null-fill them at read time via the
+        manifest schema — no rewrite, no footer merging. Existing
+        columns must keep their exact type (widening is a rewrite-class
+        operation, out of scope by design)."""
         base = self.latest_version()
-        files = self._read_manifest(base)["files"] + self._write_files(df)
+        m = self._read_manifest(base)
+        base_schema = self._schema_of(m)
+        schema_json = None
+        if base_schema is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            by_name = {f.name: f for f in base_schema.fields}
+            merged = list(base_schema.fields)
+            for f in df.schema.fields:
+                if f.name in by_name:
+                    if f.dataType != by_name[f.name].dataType:
+                        raise ValueError(
+                            f"append: column {f.name} type "
+                            f"{f.dataType.simpleString()} != committed "
+                            f"{by_name[f.name].dataType.simpleString()}"
+                        )
+                elif not allow_schema_evolution:
+                    raise ValueError(
+                        f"append: new column {f.name} requires "
+                        "allow_schema_evolution=True"
+                    )
+                else:
+                    merged.append(StructField(f.name, f.dataType, True))
+            schema_json = StructType(merged).json()
+        files = m["files"] + self._write_files(df)
         v = base + 1
-        self._commit(v, files, "append", {"base": base})
+        self._commit(v, files, "append", {"base": base}, schema=schema_json)
         return v
 
     def erase(self, predicate: F.Column) -> int:
@@ -125,8 +177,9 @@ class VersionedTable:
         scan pushes the predicate to parquet, so row-group stats
         prune files that can't contain matches before any I/O."""
         base = self.latest_version()
-        files = self._read_manifest(base)["files"]
-        df = self._read_files(files)
+        m = self._read_manifest(base)
+        files, schema = m["files"], self._schema_of(m)
+        df = self._read_files(files, schema)
         hit = (
             df.where(predicate)
             .select(F.input_file_name().alias("f"))
@@ -140,12 +193,15 @@ class VersionedTable:
         keep = [f for f in files if f not in hit_files]
         new_files = []
         if hit_files:
-            survivors = self._read_files(sorted(hit_files)).where(~predicate)
+            survivors = self._read_files(sorted(hit_files), schema).where(
+                ~predicate
+            )
             new_files = self._write_files(survivors)
         v = base + 1
         self._commit(
             v, keep + new_files, "erase",
             {"base": base, "rewritten": len(hit_files)},
+            schema=schema.json() if schema is not None else None,
         )
         return v
 
@@ -195,8 +251,13 @@ class VersionedTable:
         re-ingestion at warehouse scale is exactly this MERGE.
         """
         base = self.latest_version()
-        files = self._read_manifest(base)["files"]
-        cols = self._read_files(files).columns
+        _m = self._read_manifest(base)
+        files, _schema = _m["files"], self._schema_of(_m)
+        cols = (
+            [f.name for f in _schema.fields]
+            if _schema is not None
+            else self._read_files(files).columns
+        )
         if set(source.columns) != set(cols):
             raise ValueError(
                 f"merge: source columns {sorted(source.columns)} != "
@@ -239,7 +300,7 @@ class VersionedTable:
 
         src_keys = src.select(*key_cols)
         hit = (
-            self._read_files(files)
+            self._read_files(files, _schema)
             .select(*key_cols, F.input_file_name().alias("_f"))
             .join(F.broadcast(src_keys), key_cols, "left_semi")
             .select("_f")
@@ -258,7 +319,7 @@ class VersionedTable:
             src.where(~delete_condition) if delete_condition is not None else src
         )
         if hit_files:
-            survivors = self._read_files(hit_files).join(
+            survivors = self._read_files(hit_files, _schema).join(
                 F.broadcast(src_keys), key_cols, "left_anti"
             )
             rewrite = survivors.unionByName(upserts)
@@ -269,17 +330,25 @@ class VersionedTable:
         self._commit(
             v, keep + new_files, "merge",
             {"base": base, "rewritten": len(hit_files)},
+            schema=_schema.json() if _schema is not None else None,
         )
         return v
 
-    def _read_files(self, files: list[str]) -> DataFrame:
-        return self.spark.read.parquet(
+    def _read_files(self, files: list[str], schema=None) -> DataFrame:
+        """Plan a scan over manifest files. With a committed schema the
+        reader is pinned to it (no footer sampling; files predating an
+        additive evolution null-fill the missing columns)."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
-        return self._read_files(self._read_manifest(v)["files"])
+        m = self._read_manifest(v)
+        return self._read_files(m["files"], self._schema_of(m))
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
@@ -316,7 +385,13 @@ class VersionedTableMaintenance:
             df.repartition(n_files)
         )
         v = base + 1
-        t._commit(v, files, "compact", {"base": base, "n_files": n_files})
+        # compaction materializes the committed schema into every
+        # rewritten file, so the schema carries forward unchanged
+        sch = t._read_manifest(base).get("schema")
+        t._commit(
+            v, files, "compact", {"base": base, "n_files": n_files},
+            schema=sch,
+        )
         return v
 
     def vacuum(self, keep_last: int = 1) -> dict:
@@ -357,9 +432,11 @@ def idempotent_stream_append(table: VersionedTable, df: DataFrame, batch_id: int
         if m["op"] == "stream-append" and m["meta"].get("batch_id") == batch_id:
             return False
     base = table.latest_version()
-    files = table._read_manifest(base)["files"] + table._write_files(df)
+    m = table._read_manifest(base)
+    files = m["files"] + table._write_files(df)
     table._commit(
         base + 1, files, "stream-append",
         {"base": base, "batch_id": batch_id},
+        schema=m.get("schema"),
     )
     return True

@@ -103,8 +103,11 @@ BENCH_QUERIES = [
     "q_merge_versioned",
     "q_chunk_documents",
     "q_token_budget_sample",
-    # r6 (cont.): exact-deterministic Lloyd iterations (2 rounds, k=8)
+    # r6 (cont.): exact-deterministic Lloyd iterations (2 rounds, k=8),
+    # cluster-representative semantic dedup, manifest-schema evolution
     "q_semantic_kmeans",
+    "q_semantic_dedup_keep",
+    "q_schema_evolution_read",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -213,6 +213,61 @@ def test_merge_schema_mismatch_raises(spark, table):
         t.merge(t.read().drop("value"), ["event_id"])
 
 
+def test_schema_evolution_additive(spark, table):
+    """An append carrying a new column evolves the committed schema:
+    old files null-fill the column at read time (no rewrite), new rows
+    carry values, and the pre-evolution version still reads the old
+    schema. Unflagged evolution is rejected."""
+    t, ev = table
+    extra = (
+        ev.where(F.col("event_id") % 3 == 1)
+        .withColumn("quality", (F.col("event_id") % 5).cast("double"))
+    )
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        t.append(extra)
+    n_files_before = len(t._read_manifest(t.latest_version())["files"])
+    v = t.append(extra, allow_schema_evolution=True)
+    got = t.read()
+    assert got.columns == ["event_id", "user_id", "event_type", "value", "quality"]
+    old = got.where(F.col("event_id") % 3 == 0)
+    new = got.where(F.col("event_id") % 3 == 1)
+    assert old.where(F.col("quality").isNotNull()).count() == 0
+    assert new.where(F.col("quality").isNull()).count() == 0
+    # no rewrite: every pre-evolution file still referenced
+    files_after = t._read_manifest(v)["files"]
+    assert len(files_after) > n_files_before
+    # time travel: the pre-evolution version has no 'quality' column
+    assert "quality" not in t.read(v - 1).columns
+
+
+def test_schema_evolution_type_conflict_raises(spark, table):
+    t, ev = table
+    bad = ev.where(F.col("event_id") % 3 == 1).withColumn(
+        "value", F.col("value").cast("string")
+    )
+    with pytest.raises(ValueError, match="type"):
+        t.append(bad, allow_schema_evolution=True)
+
+
+def test_schema_survives_erase_and_compact(spark, table):
+    """Erase and compact after an evolution keep planning with the
+    committed (evolved) schema."""
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTableMaintenance,
+    )
+
+    t, ev = table
+    extra = ev.where(F.col("event_id") % 3 == 1).withColumn(
+        "quality", F.lit(1.0)
+    )
+    t.append(extra, allow_schema_evolution=True)
+    t.erase(F.col("event_id") == 9)
+    assert "quality" in t.read().columns
+    VersionedTableMaintenance(t).compact(target_rows_per_file=100_000)
+    assert "quality" in t.read().columns
+    assert t.read().where(F.col("event_id") == 9).count() == 0
+
+
 def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
     """A file-source stream drains into the versioned table one
     micro-batch per file; redelivering a batch is a no-op (the
