@@ -123,3 +123,57 @@ def pagerank(
             else new_pr
         )
     return pr
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, n_triangles): per-node triangle participation counts via
+    DEGREE-ORDERED ORIENTATION — the scalable formulation (each
+    undirected edge is directed from its lower-degree endpoint, ties
+    by id, giving every node out-degree O(sqrt(m)); wedges are then
+    out-neighbor pairs and each triangle is generated EXACTLY ONCE as
+    x→y→z with x<y<z in the degree order, closed by a semi-join on the
+    x→z edge). A naive all-pairs neighbor join explodes on hub nodes
+    (deg² wedges on the hub); orientation caps wedge count at
+    Σ outdeg² ≤ O(m^1.5) regardless of skew — the difference between
+    finishing and dying on a power-law graph at 100 TB.
+
+    All joins are key-partitioned equi-joins on node ids; the degree
+    table is node-sized (broadcastable for dimension-scale graphs);
+    triangles never materialize adjacency lists. Exact integer
+    counts — bit-stable under any scheduling."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    e = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -2779,3 +2779,150 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(reps), "rep_doc_id").select(
         "cluster_id", "rep_doc_id", "rep_source", "n_members", "n_dropped"
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH edges AS (
+      SELECT o_custkey % 64 AS src, o_orderkey % 64 AS dst FROM orders
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY 1
+    ),
+    e AS (
+      SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      WHERE EXISTS (
+        SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v
+      )
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+    """,
+    tags=("northstar", "graph"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the 64-node orders graph (same
+    derivation as q_pagerank_orders) via degree-ordered orientation
+    (operators/graph.py triangle_count) — the third canonical graph
+    shape after connected components and PageRank, and the
+    clustering-coefficient building block. The oracle mirrors the
+    orientation op-for-op, so each triangle's unique x<y<z generation
+    is hash-checked, not just the totals.
+
+    Scale: orientation bounds wedge generation at Σ outdeg² ≤ O(m^1.5)
+    even on power-law graphs (a naive neighbor self-join pays hub
+    deg²); every join is a key-partitioned equi-join on node ids and
+    the semi-join close never materializes adjacency. The 64-node
+    modulus keeps the ORACLE's wedge join tractable; the Spark plan is
+    the full-scale formulation."""
+    from batch_processing_etl_orchestration_spark.operators.graph import (
+        triangle_count,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 64).alias("src"),
+        (F.col("o_orderkey") % 64).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle=_SQL_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _SQL_JACCARD_EDGES
+    + """,
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp_id
+      FROM walk GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sized AS (
+      SELECT doc_id, comp_id,
+             COUNT(*) OVER (PARTITION BY comp_id) AS cluster_size,
+             CASE WHEN CAST('0x' || substring(
+                    md5(CAST(comp_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM labeled
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT comp_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM sized GROUP BY split
+    """,
+    tags=("dedup", "split", "iterative"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is the NEAR-DUP
+    CLUSTER id, not the document — every member of a duplicate cluster
+    lands on the same side by construction, closing the classic eval
+    contamination hole where a paraphrase of an eval doc sits in train
+    (plain q_hash_split routes near-identical docs independently).
+    Composition: cached cluster labels (the q_dup_clusters fixpoint via
+    the persisted DedupLabels table) + singleton fallback + an md5
+    bucket on comp_id.
+
+    Scale: the label table covers only docs with a near-dup edge, so
+    it BROADCASTS into the corpus scan (same shape as
+    q_dedup_keep_canonical); the split decision is a codegen'd hash of
+    a long — no extra shuffle beyond the final small aggregation. The
+    oracle replays the full recursive-CTE component walk and checks
+    per-split doc counts, cluster counts, and membership sums."""
+    clusters = _dup_labels_cached(spark, sf_dir).select("doc_id", "comp_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id", F.coalesce("comp_id", "doc_id").alias("comp_id")
+    )
+    w = Window.partitionBy("comp_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("comp_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    sized = labeled.select(
+        "doc_id",
+        "comp_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+    )
+    return sized.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("comp_id").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias(
+            "n_dup_docs"
+        ),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "q_semantic_kmeans",
     "q_semantic_dedup_keep",
     "q_schema_evolution_read",
+    # r6 (cont.): oriented triangle counting + cluster-keyed split
+    "q_triangle_count",
+    "q_leakage_safe_split",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -47,3 +47,33 @@ def test_hub_attracts_rank(spark):
     ranked = sorted(got, key=got.get, reverse=True)
     assert set(ranked[:2]) == {0, 1}
     assert min(got[0], got[1]) > max(got[i] for i in range(2, 6))
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    """K4 has 4 triangles, every vertex in exactly 3; a pendant node
+    joins none. Input arrives directed/duplicated/self-looped to prove
+    normalization."""
+    from batch_processing_etl_orchestration_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(0, 0), (3, 4), (4, 3), (0, 1)], "src INT, dst INT"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    """A star (hub + leaves) has zero triangles — and the oriented
+    formulation generates zero wedges AT the hub (all edges point
+    leaf→hub), which is the whole scale argument."""
+    from batch_processing_etl_orchestration_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src INT, dst INT"
+    )
+    assert triangle_count(edges).count() == 0
