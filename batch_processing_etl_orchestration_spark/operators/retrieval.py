@@ -79,9 +79,10 @@ class PostingsIndex:
 
     @staticmethod
     def exists(spark: SparkSession, path: str) -> bool:
-        return os.path.isfile(
-            os.path.join(path, "postings", "_SUCCESS")
-        ) and os.path.isfile(os.path.join(path, "doclens", "_SUCCESS"))
+        return all(
+            os.path.isfile(os.path.join(path, d, "_SUCCESS"))
+            for d in ("postings", "doclens", "positions")
+        )
 
     @staticmethod
     def build(
@@ -102,6 +103,15 @@ class PostingsIndex:
         doc_lengths(docs, id_col, text_col).write.mode("overwrite").parquet(
             os.path.join(path, "doclens")
         )
+        # positional postings share the word range-clustering, so a
+        # phrase's term scans prune to the same ~1 file per term
+        (
+            build_positional_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col, "pos")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "positions"))
+        )
         return PostingsIndex(spark, path)
 
     def postings(self) -> DataFrame:
@@ -109,6 +119,9 @@ class PostingsIndex:
 
     def doclens(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+
+    def positions(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "positions"))
 
 
 def search_all_terms(
@@ -191,4 +204,62 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, doc_id, pos) — one row per OCCURRENCE with its 0-based
+    token position; the positional index phrase/proximity queries
+    need (tf-only postings can't distinguish "slow hash" from
+    "hash slow")."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).select("word", id_col, "pos")
+
+
+def phrase_search(
+    positional: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents containing the EXACT consecutive phrase →
+    (doc_id, n_occurrences).
+
+    Plan: the scan keeps only the phrase's terms (an IN filter pushed
+    to the range-clustered parquet, ~1 file per term); each surviving
+    occurrence maps to the phrase slot(s) its word fills and shifts to
+    the phrase's would-be START position (pos - slot); a start where
+    ALL k slots check in is a match. Counting DISTINCT slots (not
+    rows) makes repeated phrase terms ("the cat the") correct, and
+    each distinct start is one occurrence.
+
+    Scale: cost tracks Σ df(term) pruned posting rows, never the
+    corpus; the only shuffle is the (doc, start) groupBy. This is the
+    classic positional-intersection evaluated as one aggregation
+    instead of a k-way merge join — same I/O, planner-native."""
+    k = len(phrase)
+    slots = F.array(
+        *[
+            F.struct(F.lit(w).alias("w"), F.lit(i).alias("i"))
+            for i, w in enumerate(phrase)
+        ]
+    )
+    expanded = (
+        positional.where(F.col("word").isin(list(set(phrase))))
+        .select(F.col(id_col), "pos", "word", F.explode(slots).alias("s"))
+        .where(F.col("s.w") == F.col("word"))
+    )
+    matches = (
+        expanded.select(
+            F.col(id_col),
+            (F.col("pos") - F.col("s.i")).alias("start"),
+            F.col("s.i").alias("slot"),
+        )
+        .groupBy(id_col, "start")
+        .agg(F.countDistinct("slot").alias("_k"))
+        .where(F.col("_k") == k)
+    )
+    return matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
     )

@@ -2926,3 +2926,135 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+_SHARD_SIZE = 64
+
+
+@register(
+    "q_training_shards",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      FROM documents
+    )
+    SELECT CAST((rank - 1) // {_SHARD_SIZE} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(rank) AS BIGINT) AS min_rank,
+           CAST(MAX(rank) AS BIGINT) AS max_rank,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM ranked GROUP BY 1
+    """,
+    tags=("northstar", "sharding", "prefix-sum"),
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding: order the corpus by a
+    content-independent hash (the training-order shuffle every
+    pretraining run needs to be REPRODUCIBLE — same seed, same order,
+    any engine) and cut it into contiguous {SZ}-doc shards. The
+    oracle's single global window proves each shard holds exactly the
+    right contiguous rank range.
+
+    Scale: the global rank is NEVER computed by a global sort.
+    Documents bucket by their hash prefix (256 range-consistent
+    buckets, the q_token_budget_sample pattern); per-bucket counts
+    (256 rows) turn into starting offsets via one metadata window;
+    each doc's rank = bucket offset + within-bucket row_number. The
+    only corpus-wide movement is the bucket partitioning itself —
+    at 100 TB this is how you shard a corpus into training files
+    without a single-reducer sort."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = d.select(
+        "doc_id",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    offsets = (
+        docs.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    ranked = docs.join(F.broadcast(offsets), "b").select(
+        "doc_id",
+        (
+            F.col("_off")
+            + F.row_number().over(
+                Window.partitionBy("b").orderBy("h", "doc_id")
+            )
+        ).alias("rank"),
+    )
+    return ranked.groupBy(
+        ((F.col("rank") - 1) / _SHARD_SIZE).cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("rank").alias("min_rank"),
+        F.max("rank").alias("max_rank"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+q_training_shards.__doc__ = q_training_shards.__doc__.replace(
+    "{SZ}", str(_SHARD_SIZE)
+)
+
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    slots(wd, slot) AS (VALUES {", ".join(f"('{w}', {i})" for i, w in enumerate(_PHRASE))}),
+    starts AS (
+      SELECT w.doc_id, w.pos - s.slot AS start, s.slot
+      FROM w JOIN slots s ON s.wd = w.word
+    ),
+    m AS (
+      SELECT doc_id, start FROM starts
+      GROUP BY doc_id, start HAVING COUNT(DISTINCT slot) = {len(_PHRASE)}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM m GROUP BY doc_id
+    """,
+    tags=("northstar", "retrieval", "phrase"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("slow hash batch") over the persisted
+    POSITIONAL posting index: each term's occurrences shift to their
+    would-be phrase start, and a start where every slot checks in is a
+    match (operators/retrieval.py phrase_search). The oracle rebuilds
+    positions from raw text and must agree on every matching doc AND
+    its occurrence count.
+
+    Scale: the positional store shares the index's word
+    range-clustering, so the three term scans prune to ~1 parquet file
+    each (footer min/max on word); matching cost tracks Σ df, never
+    corpus size; one (doc, start) shuffle. The tf-only index
+    (q_bm25_topk) cannot answer this — positions are the extra
+    index column phrase semantics buy."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    idx = _postings_index(spark, sf_dir)
+    return phrase_search(idx.positions(), _PHRASE)

@@ -108,9 +108,12 @@ BENCH_QUERIES = [
     "q_semantic_kmeans",
     "q_semantic_dedup_keep",
     "q_schema_evolution_read",
-    # r6 (cont.): oriented triangle counting + cluster-keyed split
+    # r6 (cont.): oriented triangle counting + cluster-keyed split,
+    # prefix-sum sharding, positional phrase retrieval
     "q_triangle_count",
     "q_leakage_safe_split",
+    "q_training_shards",
+    "q_phrase_search",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

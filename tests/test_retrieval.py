@@ -104,3 +104,60 @@ def test_postings_tf_sums_to_doc_length(spark, sf_dir):
     total_tf = build_postings(docs).agg(F.sum("tf")).first()[0]
     total_dl = doc_lengths(docs).agg(F.sum("dl")).first()[0]
     assert total_tf == total_dl
+
+
+def test_phrase_search_exact_and_repeated_terms(spark):
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the mat"),
+            (2, "the cat sat on the cat the"),
+            (3, "cat the the cat"),
+            (4, "the the the"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pos = build_positional_postings(docs)
+    # simple phrase
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(pos, ["the", "cat"]).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}
+    # phrase with a REPEATED term: "the cat the" — slot-distinct
+    # counting must not let two different "the" occurrences satisfy
+    # one slot
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(pos, ["the", "cat", "the"]).collect()
+    }
+    assert got2 == {1: 1, 2: 1}
+
+
+def test_phrase_scan_prunes_to_terms(spark, sf_dir):
+    """The positional scan must push the term IN-filter into parquet."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+        phrase_search,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    path = "/root/repo/.tmp/test_phrase_idx"
+    if not PostingsIndex.exists(spark, path):
+        PostingsIndex.build(
+            spark, load_table(spark, sf_dir, "documents"), path
+        )
+    idx = PostingsIndex(spark, path)
+    plan = (
+        phrase_search(idx.positions(), ["slow", "hash"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "word" in plan.split("PushedFilters")[1][:200]
