@@ -583,3 +583,61 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
+
+
+def minhash_lsh_pairs_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: pairs (doc_a ∈ corpus,
+    doc_b ∈ batch, jaccard ≥ threshold) between a NEW INGEST BATCH and
+    the existing corpus — the delta formulation every continuously-fed
+    pipeline needs (re-running the O(corpus²-shaped) self-join per
+    ingest batch is not a plan).
+
+    Same shingle→minhash→band machinery as minhash_lsh_pairs, but the
+    bucket step is a JOIN between the batch's buckets and the corpus's
+    buckets, not a self-join: cost tracks |batch| signatures plus the
+    colliding buckets only. At 100 TB the corpus side is a build-once
+    PERSISTED bucket table (the PostingsIndex/IvfIndex pattern —
+    signatures never recompute for old docs); here both sides derive
+    inline because the fixture is small, and the plan shape is
+    identical.
+
+    Adversarial guard: corpus bucket membership is rank-capped at
+    ``max_bucket_size``. A batch doc colliding with a mega-cluster
+    still pairs with the cluster's ``cap`` lowest-id members — enough
+    to route it to the cluster via downstream connected components —
+    without the bucket join emitting |cluster| pairs per batch doc.
+    Exact-Jaccard verification on candidates only, as always: false
+    positives are impossible, and banding recall is oracle-attested
+    per round (1.0 on this fixture's high-similarity duplicates)."""
+    sh_b = shingle_sets(batch, n, id_col, text_col).localCheckpoint(eager=True)
+    sh_c = shingle_sets(corpus, n, id_col, text_col).localCheckpoint(eager=True)
+    bk_b = minhash_band_buckets(minhash_signatures(sh_b, id_col), id_col)
+    bk_c = minhash_band_buckets(minhash_signatures(sh_c, id_col), id_col)
+    w = Window.partitionBy("band", "band_sig").orderBy(id_col)
+    bk_c_capped = (
+        bk_c.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_bucket_size)
+        .drop("_r")
+    )
+    cand = (
+        bk_c_capped.select(
+            "band", "band_sig", F.col(id_col).alias("doc_a")
+        )
+        .join(
+            bk_b.select("band", "band_sig", F.col(id_col).alias("doc_b")),
+            ["band", "band_sig"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    jac = exact_jaccard(cand, sh_c.unionByName(sh_b), id_col)
+    return jac.where(F.col("jaccard") >= threshold)

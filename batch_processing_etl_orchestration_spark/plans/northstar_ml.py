@@ -1433,3 +1433,53 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         "n_rows",
     )
+
+
+@register(
+    "q_dedup_delta_batch",
+    oracle=_SQL_SHINGLES
+    + """,
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 <> 9 AND b.doc_id % 10 = 9
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.3
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def q_dedup_delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an ingest batch (doc_id % 10 == 9 plays
+    the "new arrivals") against the standing corpus: banded-bucket
+    JOIN instead of self-join (operators/dedup.py
+    minhash_lsh_pairs_against), exact-Jaccard verify, threshold 0.3.
+    The oracle computes the exact cross-set ≥0.3 pair list from the
+    full shingle join, so the hash match attests banding loses no
+    batch-corpus pair on this fixture — the same recall contract
+    q_minhash_lsh_pairs re-attests for the self-join form.
+
+    This is the shape that keeps continuous ingestion sub-quadratic at
+    100 TB: per batch, work = |batch| fresh signatures + colliding
+    buckets against a persisted corpus bucket table (never the corpus
+    itself), with corpus-side bucket membership rank-capped so a
+    mega-cluster collision stays bounded."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    corpus = docs.where(F.col("doc_id") % 10 != 9)
+    return minhash_lsh_pairs_against(batch, corpus, n=3, threshold=0.3)

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "q_leakage_safe_split",
     "q_training_shards",
     "q_phrase_search",
+    # r6 (cont.): incremental batch-vs-corpus LSH dedup
+    "q_dedup_delta_batch",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import itertools
 
+from pyspark.sql import functions as F
+
 from batch_processing_etl_orchestration_spark.operators.dedup import (
     exact_jaccard,
     minhash_lsh_pairs,
@@ -326,3 +328,54 @@ def test_bloom_prefilter_preserves_duplicate_rows(spark):
     )
     got = sorted(tuple(r) for r in bloom_prefilter(probe, bloom, "g").collect())
     assert got == [("alpha", 1), ("alpha", 1), ("beta", 2)]
+
+
+def test_delta_dedup_finds_cross_set_pairs_only(spark):
+    """minhash_lsh_pairs_against returns only (corpus, batch) pairs;
+    duplicates WITHIN the batch or WITHIN the corpus never appear."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # corpus
+            (2, base + " extra"),            # corpus near-dup of 1
+            (9, base),                       # batch — dup of 1 and 2
+            (19, "totally different words with zero overlap at all ok"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    corpus = docs.where(F.col("doc_id") % 10 != 9)
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs_against(
+            batch, corpus, n=3, threshold=0.3
+        ).collect()
+    )
+    # 9 matches corpus docs 1 and 2; (1,2) is intra-corpus, excluded
+    assert got == [(1, 9), (2, 9)]
+
+
+def test_delta_dedup_mega_bucket_capped_but_connected(spark):
+    """A batch doc colliding with an oversized identical-content
+    cluster pairs with at most cap corpus members — bounded work —
+    while still linking into the cluster."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(1, 31)] + [(109, base)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = minhash_lsh_pairs_against(
+        docs.where(F.col("doc_id") == 109),
+        docs.where(F.col("doc_id") != 109),
+        n=3,
+        threshold=0.3,
+        max_bucket_size=5,
+    ).collect()
+    partners = sorted(r["doc_a"] for r in got)
+    assert partners == [1, 2, 3, 4, 5]  # cap lowest-id members, linked
