@@ -3106,3 +3106,126 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("p_retailprice").alias("total_price"),
         exact_sum(F.coalesce("p_margin", F.lit(0.0))).alias("total_margin"),
     )
+
+
+@register(
+    "q_winsorize_values",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, value,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 51
+                  ELSE 1 + CAST(FLOOR((value - 0.0) * 50 / 500.0) AS INT)
+             END AS cell
+      FROM events
+    ),
+    c AS (SELECT event_type, cell, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(cnt) AS total FROM c GROUP BY 1),
+    cum AS (
+      SELECT c.event_type, c.cell, t.total,
+             SUM(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.cell)
+               AS cum
+      FROM c JOIN tot t USING (event_type)
+    ),
+    cells AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= CAST(CEIL(total * 0.05) AS BIGINT)
+                      THEN cell END) AS c05,
+             MIN(CASE WHEN cum >= CAST(CEIL(total * 0.95) AS BIGINT)
+                      THEN cell END) AS c95
+      FROM cum GROUP BY event_type
+    ),
+    bounds AS (
+      SELECT event_type,
+             CASE WHEN c05 <= 0 THEN 0.0 WHEN c05 >= 51 THEN 500.0
+                  ELSE (c05 - 1) * 10.0 END AS lo,
+             CASE WHEN c95 <= 0 THEN 0.0 WHEN c95 >= 51 THEN 500.0
+                  ELSE c95 * 10.0 END AS hi
+      FROM cells
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN e.value < bo.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > bo.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           ANY_VALUE(bo.lo) AS clip_lo,
+           ANY_VALUE(bo.hi) AS clip_hi,
+           {sql_exact_sum('LEAST(GREATEST(e.value, bo.lo), bo.hi)')}
+             AS winsorized_sum
+    FROM events e JOIN bounds bo USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("A+", "quality", "sketch"),
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping) of `value` at per-type
+    p05/p95 bounds derived from the SAME 52-cell fixed-width histogram
+    the quantile MV stores (q_histogram_mv_quantiles): the clip bounds
+    snap to histogram cell edges, so they are INTEGER-DETERMINISTIC —
+    no interpolated percentile whose last ulp differs across engines —
+    and the whole operator is two scans and zero sorts: one histogram
+    aggregation (52 cells × types, metadata-sized, broadcast back) and
+    one clip-and-aggregate pass. The exact-percentile alternative
+    needs a per-group sort of the fact table; at 100 TB the
+    bounded-error cell-edge bound is the answer that scales, and the
+    bound's error is capped by the cell width by construction.
+
+    Reference analog: the pipelines drop nulls but never treat
+    outliers (SURVEY §2.4); winsorizing before the mean/std gold
+    aggregates is the standard robustness upgrade."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cell = (
+        F.when(F.col("value") < 0.0, 0)
+        .when(F.col("value") >= 500.0, 51)
+        .otherwise((F.floor(F.col("value") * 50 / 500.0) + 1).cast("int"))
+    )
+    c = ev.select("event_type", cell.alias("cell")).groupBy(
+        "event_type", "cell"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wtot = Window.partitionBy("event_type")
+    wcum = wtot.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "event_type",
+        "cell",
+        F.sum("cnt").over(wtot).alias("total"),
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+    cells = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("total") * 0.05), F.col("cell")
+            )
+        ).alias("c05"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("total") * 0.95), F.col("cell")
+            )
+        ).alias("c95"),
+    )
+    bounds = cells.select(
+        "event_type",
+        F.when(F.col("c05") <= 0, 0.0)
+        .when(F.col("c05") >= 51, 500.0)
+        .otherwise((F.col("c05") - 1) * 10.0)
+        .alias("lo"),
+        F.when(F.col("c95") <= 0, 0.0)
+        .when(F.col("c95") >= 51, 500.0)
+        .otherwise(F.col("c95") * 10.0)
+        .alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type")
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_clipped_high"
+        ),
+        F.first("lo").alias("clip_lo"),
+        F.first("hi").alias("clip_hi"),
+        exact_sum(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        ).alias("winsorized_sum"),
+    )

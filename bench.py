@@ -114,8 +114,11 @@ BENCH_QUERIES = [
     "q_leakage_safe_split",
     "q_training_shards",
     "q_phrase_search",
-    # r6 (cont.): incremental batch-vs-corpus LSH dedup
+    # r6 (cont.): incremental batch-vs-corpus LSH dedup, histogram
+    # winsorization, grid-blocked spatial radius join
     "q_dedup_delta_batch",
+    "q_winsorize_values",
+    "q_geo_radius_join",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
