@@ -272,6 +272,74 @@ def main() -> None:
         f"duckdb {dd_s:.0f}s, total {time.perf_counter()-t1:.1f}s",
     )
 
+    # -- q_dedup_delta_batch: per-replica DuckDB oracles --------------
+    # Same decomposition premise: cross-set (corpus x batch) pairs
+    # cannot span replicas because no shingle does.
+    from batch_processing_etl_orchestration_spark.plans.northstar_ml import (
+        q_dedup_delta_batch,
+    )
+
+    t1 = time.perf_counter()
+    delta_sql = QUERIES["q_dedup_delta_batch"].oracle
+    want_delta: set[tuple] = set()
+    for r in range(reps):
+        con.execute("DROP VIEW IF EXISTS documents")
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM sf1_documents "
+            f"WHERE doc_id >= {r * off} AND doc_id < {(r + 1) * off}"
+        )
+        want_delta |= {
+            (int(a), int(b), float(j))
+            for a, b, j in con.execute(delta_sql).fetchall()
+        }
+    got_delta = {
+        (r_["doc_a"], r_["doc_b"], r_["jaccard"])
+        for r_ in q_dedup_delta_batch(spark, sf1).collect()
+    }
+    _check(
+        "sf1:dedup_delta_batch==per_replica_oracle",
+        got_delta == want_delta,
+        f"{len(got_delta)} cross-set pairs, {time.perf_counter()-t1:.1f}s",
+    )
+
+    # -- q_leakage_safe_split: oracle labels + Python split rule ------
+    from hashlib import md5 as _md5
+
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        q_leakage_safe_split,
+    )
+
+    t1 = time.perf_counter()
+    comp_full = {d: comp_of.get(d, d) for d in nchars}
+    sizes: dict[int, int] = {}
+    for c in comp_full.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    agg: dict[str, list] = {}
+    for d, c in comp_full.items():
+        split = (
+            "train"
+            if int(_md5(str(c).encode()).hexdigest()[:8], 16) % 100 < 90
+            else "eval"
+        )
+        a = agg.setdefault(split, [0, set(), 0, 0])
+        a[0] += 1
+        a[1].add(c)
+        a[2] += 1 if sizes[c] > 1 else 0
+        a[3] += d
+    expected_split = {
+        (s, n, len(cs), nd, sd) for s, (n, cs, nd, sd) in agg.items()
+    }
+    got_split = {
+        (r_["split"], r_["n_docs"], r_["n_clusters"], r_["n_dup_docs"],
+         r_["sum_doc_id"])
+        for r_ in q_leakage_safe_split(spark, sf1).collect()
+    }
+    _check(
+        "sf1:leakage_safe_split==oracle_labels+python_split",
+        got_split == expected_split,
+        f"{sorted(s for s, *_ in got_split)}, {time.perf_counter()-t1:.1f}s",
+    )
+
     print(
         f"== {'OK' if not _FAILURES else 'FAILED: ' + ', '.join(_FAILURES)} "
         f"[{time.perf_counter()-t0:.1f}s total]"
