@@ -3229,3 +3229,125 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
         ).alias("winsorized_sum"),
     )
+
+
+@register(
+    "q_stream_merge_upserts",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    ),
+    src AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             ROUND(c_acctbal + 100, 2) AS c_acctbal, FALSE AS is_del
+      FROM base WHERE c_custkey % 5 = 1
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, -99999.0, TRUE
+      FROM base WHERE c_custkey % 5 = 2
+      UNION ALL
+      SELECT -c_custkey, c_name, c_mktsegment, 50.0, FALSE
+      FROM base WHERE c_custkey % 5 = 3
+    ),
+    merged AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM src
+      WHERE NOT is_del
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS n_inserted,
+           {sql_exact_sum('c_acctbal')} AS total_bal
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "warehouse", "snapshot", "merge"),
+)
+def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert with exactly-once semantics: a CDC stream
+    (updates, deletes, and inserts derived from the customer fixture,
+    key-range-partitioned into 4 disjoint micro-batches) drains into a
+    versioned table via foreachBatch + copy-on-write MERGE
+    (warehouse/snapshots.py idempotent_stream_merge). Every batch is
+    REDELIVERED immediately (simulating at-least-once) and must no-op;
+    the final table must equal applying the whole CDC set once — the
+    oracle's set algebra — because disjoint-key batches commute and
+    the manifest ledger keeps duplicates out.
+
+    This is Delta's streaming-upsert recipe (foreachBatch + MERGE) on
+    the manifest table: per micro-batch cost = discovery + hit-file
+    rewrite, so steady-state maintenance tracks the stream's key
+    churn, not table size; the batch-id rides the same atomic commit
+    as the data, so there is no marker/data divergence window."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTable,
+        idempotent_stream_merge,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    src_dir = os.path.join("/root/repo/.tmp/stream_cdc_src", tag)
+    if not os.path.isfile(os.path.join(src_dir, "_SUCCESS")):
+        k = F.col("c_custkey")
+        cdc = (
+            cust.where(k % 5 == 1)
+            .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+            .unionByName(
+                cust.where(k % 5 == 2).withColumn(
+                    "c_acctbal", F.lit(-99999.0)
+                )
+            )
+            .unionByName(
+                cust.where(k % 5 == 3)
+                .withColumn("c_custkey", -k)
+                .withColumn("c_acctbal", F.lit(50.0))
+            )
+        )
+        # 4 disjoint key ranges → 4 ordered micro-batches
+        cdc.repartitionByRange(4, "c_custkey").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+    run = os.path.join("/root/repo/.tmp/stream_cdc_run", tag)
+    shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
+    t = VersionedTable.create(
+        spark, os.path.join(run, "vt"), cust.repartition(8)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        merged = idempotent_stream_merge(
+            t, batch_df, batch_id, ["c_custkey"],
+            delete_condition=F.col("c_acctbal") == -99999.0,
+        )
+        # at-least-once simulation: immediate redelivery must no-op
+        assert merged and not idempotent_stream_merge(
+            t, batch_df, batch_id, ["c_custkey"],
+            delete_condition=F.col("c_acctbal") == -99999.0,
+        )
+
+    schema = spark.read.parquet(src_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(run, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_custkey") < 0, 1).otherwise(0)).alias(
+            "n_inserted"
+        ),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )

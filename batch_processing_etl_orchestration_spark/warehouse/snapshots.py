@@ -210,6 +210,8 @@ class VersionedTable:
         source: DataFrame,
         key_cols: list[str],
         delete_condition: F.Column | None = None,
+        _op: str = "merge",
+        _meta_extra: dict | None = None,
     ) -> int:
         """MERGE INTO, copy-on-write: upsert `source` into the table by
         `key_cols` — matched target rows are REPLACED by their source
@@ -328,8 +330,8 @@ class VersionedTable:
         new_files = self._write_files(rewrite.select(*cols))
         v = base + 1
         self._commit(
-            v, keep + new_files, "merge",
-            {"base": base, "rewritten": len(hit_files)},
+            v, keep + new_files, _op,
+            {"base": base, "rewritten": len(hit_files), **(_meta_extra or {})},
             schema=_schema.json() if _schema is not None else None,
         )
         return v
@@ -438,5 +440,41 @@ def idempotent_stream_append(table: VersionedTable, df: DataFrame, batch_id: int
         base + 1, files, "stream-append",
         {"base": base, "batch_id": batch_id},
         schema=m.get("schema"),
+    )
+    return True
+
+
+def idempotent_stream_merge(
+    table: VersionedTable,
+    df: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    delete_condition: F.Column | None = None,
+) -> bool:
+    """foreachBatch sink applying each micro-batch as a copy-on-write
+    MERGE with EXACTLY-ONCE semantics — the streaming CDC upsert:
+    update/insert/delete rows arrive continuously, and the table
+    converges to the same state as applying the batches once each, in
+    order, no matter how many times Structured Streaming redelivers a
+    batch after a failure (foreachBatch is at-least-once). The
+    micro-batch id rides the MERGE commit's metadata; a redelivered id
+    is found in the history and becomes a no-op, exactly like
+    idempotent_stream_append — the manifest is the ledger, and the
+    data files + ledger entry land in one atomic rename.
+
+    This is Delta's `foreachBatch + MERGE` streaming-upsert recipe on
+    the manifest table: per batch, cost = discovery scan + hit-file
+    rewrite (see VersionedTable.merge), so a steady CDC stream touches
+    files proportional to its key churn, never the table. Returns True
+    if the batch was merged, False for a duplicate delivery."""
+    for m in table.history():
+        if m["op"] == "stream-merge" and m["meta"].get("batch_id") == batch_id:
+            return False
+    table.merge(
+        df,
+        key_cols,
+        delete_condition=delete_condition,
+        _op="stream-merge",
+        _meta_extra={"batch_id": batch_id},
     )
     return True

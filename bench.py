@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "q_dedup_delta_batch",
     "q_winsorize_values",
     "q_geo_radius_join",
+    # r6 (cont.): exactly-once streaming CDC upsert via MERGE
+    "q_stream_merge_upserts",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -309,3 +309,67 @@ def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
     assert tuple(got) == tuple(want)
     ops = [m["op"] for m in t.history()]
     assert ops == ["create"] + ["stream-append"] * 4
+
+
+def test_stream_merge_exactly_once(spark, sf_dir, tmp_path):
+    """CDC micro-batches MERGE into the table via foreachBatch; every
+    batch redelivers immediately and must no-op; the final state
+    equals one-shot application of the full CDC set."""
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        idempotent_stream_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "vt"), ev.repartition(4))
+    # CDC: halve value for event_id % 7 == 0, delete % 7 == 1
+    cdc = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") / 2)
+        .unionByName(
+            ev.where(F.col("event_id") % 7 == 1).withColumn(
+                "value", F.lit(-1.0)
+            )
+        )
+    )
+    src = str(tmp_path / "src")
+    cdc.repartitionByRange(3, "event_id").write.parquet(src)
+
+    def sink(batch_df, batch_id):
+        assert idempotent_stream_merge(
+            t, batch_df, batch_id, ["event_id"],
+            delete_condition=F.col("value") == -1.0,
+        )
+        assert not idempotent_stream_merge(
+            t, batch_df, batch_id, ["event_id"],
+            delete_condition=F.col("value") == -1.0,
+        )
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = t.read()
+    assert got.where(F.col("event_id") % 7 == 1).count() == 0
+    want_sum = (
+        ev.where(F.col("event_id") % 7 != 1)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") / 2).otherwise(
+                F.col("value")
+            ),
+        )
+        .agg(F.sum(F.round("value", 6)))
+        .first()[0]
+    )
+    assert abs(got.agg(F.sum(F.round("value", 6))).first()[0] - want_sum) < 1e-6
+    assert [m["op"] for m in t.history()].count("stream-merge") == 3
