@@ -263,3 +263,37 @@ def phrase_search(
     return matches.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def proximity_search(
+    positional: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents where `term_a` and `term_b` co-occur within `window`
+    tokens (unordered) → (doc_id, n_pairs, min_gap). The NEAR/k
+    operator search engines pair with exact phrases: same positional
+    index, but the position predicate is a band (|pa - pb| ≤ window)
+    instead of an exact offset.
+
+    Plan: two pruned term scans join on the document — the position
+    band is checked inside the join condition, so the pair blow-up is
+    bounded by tf_a × tf_b PER DOCUMENT (occurrence counts, not
+    corpus); everything upstream prunes by the word IN filter like
+    phrase_search. A per-doc aggregation returns pair counts and the
+    closest gap."""
+    pa = positional.where(F.col("word") == term_a).select(
+        F.col(id_col), F.col("pos").alias("_pa")
+    )
+    pb = positional.where(F.col("word") == term_b).select(
+        F.col(id_col), F.col("pos").alias("_pb")
+    )
+    pairs = pa.join(pb, id_col).where(
+        F.abs(F.col("_pa") - F.col("_pb")) <= window
+    )
+    return pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.abs(F.col("_pa") - F.col("_pb"))).alias("min_gap"),
+    )

@@ -3058,3 +3058,129 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _postings_index(spark, sf_dir)
     return phrase_search(idx.positions(), _PHRASE)
+
+
+@register(
+    "q_proximity_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id, ABS(a.pos - b.pos) AS gap
+      FROM w a JOIN w b
+        ON b.doc_id = a.doc_id AND b.word = 'scan'
+      WHERE a.word = 'vector' AND ABS(a.pos - b.pos) <= 5
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(gap) AS BIGINT) AS min_gap
+    FROM pairs GROUP BY doc_id
+    """,
+    tags=("northstar", "retrieval", "proximity"),
+)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (NEAR/5: 'vector' within 5 tokens of
+    'scan') over the persisted positional index — the operator between
+    bag-of-words AND search and exact phrases: order-free, gap-banded.
+    Two pruned term scans join per document with the band predicate in
+    the join, so pair work is tf_a × tf_b per doc; the oracle rebuilds
+    positions from raw text and checks every matching doc's pair count
+    and closest gap."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        proximity_search,
+    )
+
+    idx = _postings_index(spark, sf_dir)
+    return proximity_search(idx.positions(), "vector", "scan", window=5)
+
+
+@register(
+    "q_embedding_standardize",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    stats AS (
+      SELECT pos,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s1,
+             CAST(SUM(CAST(ROUND(v * v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s2
+      FROM elems GROUP BY pos
+    ),
+    ms AS (
+      SELECT pos, n, s1 / n AS mean,
+             SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sd
+      FROM stats
+    )
+    SELECT e.pos,
+           ANY_VALUE(m.n) AS n,
+           ROUND(ANY_VALUE(m.mean), 6) AS dim_mean,
+           ROUND(ANY_VALUE(m.sd), 6) AS dim_std,
+           CAST(SUM(CASE WHEN ABS((e.v - m.mean) / m.sd) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CAST(ROUND(((e.v - m.mean) / m.sd) * 1e6)
+                              AS BIGINT)) AS DOUBLE) / 1e6, 3) AS z_sum
+    FROM elems e JOIN ms m USING (pos)
+    GROUP BY e.pos
+    """,
+    tags=("similarity", "array", "normalize"),
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of the embedding
+    space — the feature-normalization pass before clustering/
+    quantization treats all dimensions equally. Two passes: per-dim
+    mean/std from EXACT scaled-long sums (64 groups, broadcast back),
+    then the z-transform with an outlier count (|z| > 3) and a
+    scaled-fold z-sum per dimension (≈ 0 by construction — the oracle
+    checks the exact rounded value, so a biased or mis-scaled
+    transform hash-mismatches).
+
+    Determinism: every mean/std derives from identical exact integer
+    sums on both engines, and IEEE sqrt/division are correctly
+    rounded, so the doubles agree bit-for-bit; folds of z-values go
+    through scaled longs so addition order cannot move the hash.
+
+    Scale: stats are a 64-row broadcast; both passes are single scans
+    of the list column; nothing driver-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    stats = elems.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("v") * 1e9).cast("long")) / F.lit(1e9)).alias("s1"),
+        (
+            F.sum(F.round(F.col("v") * F.col("v") * 1e9).cast("long"))
+            / F.lit(1e9)
+        ).alias("s2"),
+    )
+    ms = stats.select(
+        "pos",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sd"),
+    )
+    z = (F.col("v") - F.col("mean")) / F.col("sd")
+    return (
+        elems.join(F.broadcast(ms), "pos")
+        .groupBy("pos")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("mean"), 6).alias("dim_mean"),
+            F.round(F.first("sd"), 6).alias("dim_std"),
+            F.sum(F.when(F.abs(z) > 3.0, 1).otherwise(0)).alias("n_outliers"),
+            F.round(
+                F.sum(F.round(z * 1e6).cast("long")) / F.lit(1e6), 3
+            ).alias("z_sum"),
+        )
+    )

@@ -119,8 +119,11 @@ BENCH_QUERIES = [
     "q_dedup_delta_batch",
     "q_winsorize_values",
     "q_geo_radius_join",
-    # r6 (cont.): exactly-once streaming CDC upsert via MERGE
+    # r6 (cont.): exactly-once streaming CDC upsert via MERGE,
+    # NEAR/k proximity retrieval, per-dim embedding z-scoring
     "q_stream_merge_upserts",
+    "q_proximity_search",
+    "q_embedding_standardize",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
