@@ -55,6 +55,8 @@ def exact_kmeans_assign(
     grid. Seeds are the vectors with ``id < k`` (callers wanting
     hash-scattered seeds remap ids first — the contract here is
     oracle-reproducibility, not seed quality)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     ve = vectors.select(
         F.col(id_col).alias("_vid"),
         F.expr(

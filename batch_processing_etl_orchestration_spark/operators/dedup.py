@@ -617,6 +617,14 @@ def minhash_lsh_pairs_against(
     Exact-Jaccard verification on candidates only, as always: false
     positives are impossible, and banding recall is oracle-attested
     per round (1.0 on this fixture's high-similarity duplicates)."""
+    # A doc_id present in BOTH sides (a redelivered/updated doc) would
+    # double its shingle rows in the unioned verify table — halved
+    # Jaccards and a degenerate self-pair. Re-ingestion semantics: the
+    # batch version supersedes, so the stale corpus copy drops out via
+    # a broadcast anti-join on the (small) batch id set.
+    corpus = corpus.join(
+        F.broadcast(batch.select(id_col)), id_col, "left_anti"
+    )
     sh_b = shingle_sets(batch, n, id_col, text_col).localCheckpoint(eager=True)
     sh_c = shingle_sets(corpus, n, id_col, text_col).localCheckpoint(eager=True)
     bk_b = minhash_band_buckets(minhash_signatures(sh_b, id_col), id_col)

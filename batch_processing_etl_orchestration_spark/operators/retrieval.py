@@ -290,8 +290,17 @@ def proximity_search(
     pb = positional.where(F.col("word") == term_b).select(
         F.col(id_col), F.col("pos").alias("_pb")
     )
+    # Same-term proximity ("two 'hash' near each other") must pair
+    # DISTINCT occurrences once: _pa < _pb kills the zero-gap
+    # self-pair and the double-counted orderings that |pa-pb| alone
+    # would admit.
+    ordered = (
+        F.col("_pa") < F.col("_pb")
+        if term_a == term_b
+        else F.lit(True)
+    )
     pairs = pa.join(pb, id_col).where(
-        F.abs(F.col("_pa") - F.col("_pb")) <= window
+        ordered & (F.abs(F.col("_pa") - F.col("_pb")) <= window)
     )
     return pairs.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -2523,6 +2523,41 @@ q_chunk_documents.__doc__ = q_chunk_documents.__doc__.replace(
 # deterministic hash order (two-phase distributed prefix sum)
 # ---------------------------------------------------------------------------
 
+def _bucketed_prefix(df, part_cols: list[str], weight_col: str):
+    """Two-phase distributed prefix-sum scaffolding shared by
+    q_token_budget_sample and q_training_shards: each row gains its
+    md5 ordering hash `h` (over doc_id), its range-consistent bucket
+    `b` (first two hex chars — ordering by (b, h) equals ordering by
+    h), and `_off` — the total `weight_col` in EARLIER buckets of the
+    same part_cols partition. Global prefix quantities are then
+    `_off` + a within-(part, b) window, so no partition ever sorts in
+    one reducer; the offsets table is part_cols × 256 rows and
+    broadcasts."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = df.select(
+        "*",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    offsets = (
+        docs.groupBy(*part_cols, "b")
+        .agg(F.sum(weight_col).alias("_bw"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bw").over(
+                    Window.partitionBy(*part_cols)
+                    .orderBy("b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_bw")
+    )
+    return docs.join(F.broadcast(offsets), [*part_cols, "b"])
+
+
 _BUDGET_TOKENS = 3000
 
 
@@ -2572,34 +2607,12 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics as one plain window, which DuckDB can afford at sf0.01.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
     docs = d.select(
-        "source",
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        h.alias("h"),
-        # bucket = first two hex chars: ordering by (bucket, h) == by h
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    offsets = (
-        docs.groupBy("source", "b")
-        .agg(F.sum("n_tokens").alias("_bucket_tokens"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("_bucket_tokens").over(
-                    Window.partitionBy("source")
-                    .orderBy("b")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_bucket_tokens")
-    )
-    run = docs.join(F.broadcast(offsets), ["source", "b"]).withColumn(
+    run = _bucketed_prefix(docs, ["source"], "n_tokens").withColumn(
         "cum",
-        F.col("offset")
+        F.col("_off")
         + F.sum("n_tokens").over(
             Window.partitionBy("source", "b")
             .orderBy("h", "doc_id")
@@ -2957,38 +2970,15 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's single global window proves each shard holds exactly the
     right contiguous rank range.
 
-    Scale: the global rank is NEVER computed by a global sort.
-    Documents bucket by their hash prefix (256 range-consistent
-    buckets, the q_token_budget_sample pattern); per-bucket counts
-    (256 rows) turn into starting offsets via one metadata window;
-    each doc's rank = bucket offset + within-bucket row_number. The
-    only corpus-wide movement is the bucket partitioning itself —
-    at 100 TB this is how you shard a corpus into training files
-    without a single-reducer sort."""
+    Scale: the global rank is NEVER computed by a global sort —
+    _bucketed_prefix's 256 range-consistent hash buckets + broadcast
+    offsets give rank = bucket offset + within-bucket row_number; the
+    only corpus-wide movement is the bucket partitioning itself. At
+    100 TB this is how you shard a corpus into training files without
+    a single-reducer sort."""
     d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    docs = d.select(
-        "doc_id",
-        h.alias("h"),
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
-    )
-    offsets = (
-        docs.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("b").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_n")
-    )
-    ranked = docs.join(F.broadcast(offsets), "b").select(
+    docs = d.select("doc_id", F.lit(1).alias("_one"))
+    ranked = _bucketed_prefix(docs, [], "_one").select(
         "doc_id",
         (
             F.col("_off")

@@ -131,7 +131,13 @@ class VersionedTable:
         t._commit(0, files, "create", {}, schema=df.schema.json())
         return t
 
-    def append(self, df: DataFrame, allow_schema_evolution: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        allow_schema_evolution: bool = False,
+        _op: str = "append",
+        _meta_extra: dict | None = None,
+    ) -> int:
         """Append `df` as new files. If `df` carries columns the table
         doesn't have, the commit is rejected unless
         `allow_schema_evolution=True`, in which case the table schema
@@ -167,7 +173,11 @@ class VersionedTable:
             schema_json = StructType(merged).json()
         files = m["files"] + self._write_files(df)
         v = base + 1
-        self._commit(v, files, "append", {"base": base}, schema=schema_json)
+        self._commit(
+            v, files, _op,
+            {"base": base, **(_meta_extra or {})},
+            schema=schema_json if schema_json is not None else m.get("schema"),
+        )
         return v
 
     def erase(self, predicate: F.Column) -> int:
@@ -265,6 +275,20 @@ class VersionedTable:
                 f"merge: source columns {sorted(source.columns)} != "
                 f"table columns {sorted(cols)}"
             )
+        # Types must match the committed schema too: with no hit files
+        # the source batch is written verbatim, and a type-drifted
+        # column would commit files the pinned manifest schema can't
+        # read — an unreadable version that fails only at the NEXT
+        # read. Fail the commit instead (append() has the same check).
+        if _schema is not None:
+            want = {f.name: f.dataType for f in _schema.fields}
+            for f in source.schema.fields:
+                if f.dataType != want[f.name]:
+                    raise ValueError(
+                        f"merge: column {f.name} type "
+                        f"{f.dataType.simpleString()} != committed "
+                        f"{want[f.name].simpleString()}"
+                    )
 
         # Duplicate-key guard riding a marker column (scd2_apply's
         # pattern): hash-agg per key, assert_true raises mid-job on the
@@ -316,9 +340,15 @@ class VersionedTable:
         keep = [f for f in files if f not in set(hit_files)]
 
         # Surviving source rows: deletes drop out here; their matched
-        # target copies drop out via the anti-join below.
+        # target copies drop out via the anti-join below. A NULL
+        # condition value is NOT a delete (coalesce to false) — without
+        # it, ~NULL would silently drop the row from the upserts while
+        # its key still anti-joins the target copy away, vanishing the
+        # row instead of updating it.
         upserts = (
-            src.where(~delete_condition) if delete_condition is not None else src
+            src.where(~F.coalesce(delete_condition, F.lit(False)))
+            if delete_condition is not None
+            else src
         )
         if hit_files:
             survivors = self._read_files(hit_files, _schema).join(
@@ -433,14 +463,11 @@ def idempotent_stream_append(table: VersionedTable, df: DataFrame, batch_id: int
     for m in table.history():
         if m["op"] == "stream-append" and m["meta"].get("batch_id") == batch_id:
             return False
-    base = table.latest_version()
-    m = table._read_manifest(base)
-    files = m["files"] + table._write_files(df)
-    table._commit(
-        base + 1, files, "stream-append",
-        {"base": base, "batch_id": batch_id},
-        schema=m.get("schema"),
-    )
+    # Delegate to append() so the micro-batch rides the SAME schema
+    # validation as a batch append — a stream delivering an extra or
+    # retyped column fails the commit instead of silently writing
+    # files the pinned manifest schema hides or cannot read.
+    table.append(df, _op="stream-append", _meta_extra={"batch_id": batch_id})
     return True
 
 

@@ -379,3 +379,21 @@ def test_delta_dedup_mega_bucket_capped_but_connected(spark):
     ).collect()
     partners = sorted(r["doc_a"] for r in got)
     assert partners == [1, 2, 3, 4, 5]  # cap lowest-id members, linked
+
+
+def test_delta_dedup_overlapping_id_superseded(spark):
+    """A doc_id present in both batch and corpus (redelivery): the
+    batch copy supersedes — no degenerate self-pair, no doubled
+    shingle table corrupting Jaccards."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (9, base)], "doc_id BIGINT, text STRING"
+    )
+    batch = docs.where(F.col("doc_id") == 9)
+    # corpus contains BOTH ids — 9 is stale
+    got = minhash_lsh_pairs_against(batch, docs, n=3, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 9, 1.0)]

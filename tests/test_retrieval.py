@@ -161,3 +161,22 @@ def test_phrase_scan_prunes_to_terms(spark, sf_dir):
         .toString()
     )
     assert "PushedFilters" in plan and "word" in plan.split("PushedFilters")[1][:200]
+
+
+def test_proximity_same_term_pairs_distinct_occurrences(spark):
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        build_positional_postings,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash a b hash"), (2, "hash only once"), (3, "a hash hash b")],
+        "doc_id BIGINT, text STRING",
+    )
+    pos = build_positional_postings(docs)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_gap"])
+        for r in proximity_search(pos, "hash", "hash", window=5).collect()
+    }
+    # doc 2 has a single occurrence: no self-pair; gaps are real
+    assert got == {1: (1, 3), 3: (1, 1)}

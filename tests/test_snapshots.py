@@ -373,3 +373,40 @@ def test_stream_merge_exactly_once(spark, sf_dir, tmp_path):
     )
     assert abs(got.agg(F.sum(F.round("value", 6))).first()[0] - want_sum) < 1e-6
     assert [m["op"] for m in t.history()].count("stream-merge") == 3
+
+
+def test_merge_null_delete_condition_updates_not_vanishes(spark, table):
+    """A source row whose delete_condition evaluates to NULL is an
+    UPDATE, not a silent delete (the ~NULL trap)."""
+    t, _ = table
+    src = spark.createDataFrame(
+        [(9, 999, None, 77.0)], t.read().schema
+    )
+    t.merge(src, ["event_id"], delete_condition=F.col("event_type") == "del")
+    got = t.read().where(F.col("event_id") == 9).collect()
+    assert len(got) == 1 and got[0]["value"] == 77.0
+
+
+def test_merge_type_drift_rejected(spark, table):
+    """A source with a retyped column must fail the commit — not
+    write files the pinned manifest schema cannot read."""
+    t, _ = table
+    bad = t.read().withColumn("value", F.col("value").cast("string"))
+    n_versions = len(t.versions())
+    with pytest.raises(ValueError, match="type"):
+        t.merge(bad, ["event_id"])
+    assert len(t.versions()) == n_versions  # nothing committed
+
+
+def test_stream_append_validates_schema(spark, table):
+    """idempotent_stream_append rides append()'s schema validation: a
+    micro-batch with an extra column fails instead of being silently
+    hidden by the pinned schema."""
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        idempotent_stream_append,
+    )
+
+    t, ev = table
+    extra = ev.limit(5).withColumn("surprise", F.lit(1))
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        idempotent_stream_append(t, extra, batch_id=99)
