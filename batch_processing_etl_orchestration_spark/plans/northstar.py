@@ -3174,3 +3174,61 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_sum"),
         )
     )
+
+
+@register(
+    "q_weighted_sample_tokens",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS w,
+             (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000000000 + 1) / 1000000000.0 AS u
+      FROM documents
+    ),
+    k AS (
+      SELECT source, doc_id, w, ROUND(ln(u) / w, 9) AS es_key FROM d
+    ),
+    r AS (
+      SELECT source, doc_id, w, es_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id) AS rank
+      FROM k
+    )
+    SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens, es_key, rank
+    FROM r WHERE rank <= 20
+    """,
+    tags=("northstar", "sampling", "weighted"),
+)
+def q_weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    take 20 docs per source with inclusion probability proportional to
+    token count — the "sample long documents more" knob a curation
+    recipe turns — via the exponential-key trick, ranked on
+    ln(u)/w with u a DETERMINISTIC hash-derived uniform (md5 prefix,
+    never an RNG: same sample on any engine, run, or partitioning).
+    Keys round to 9 dp before ranking (ln's last ulp is
+    libm-specific — the q_bm25_topk convention) with doc_id
+    tie-breaks, so the oracle reproduces the exact sample.
+
+    Scale: one scan computes keys in codegen; the per-source top-20
+    is a window whose partitions are per-source — for a mega-source,
+    the same hash-prefix bucketing as _bucketed_prefix turns it into
+    per-bucket top-20 + a 256×20-row final merge; at fixture scale
+    the planner's window is the right call."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000000000 + 1
+    ) / 1000000000.0
+    w = F.size(F.split("text", " "))
+    keyed = d.select(
+        "source",
+        "doc_id",
+        w.cast("bigint").alias("n_tokens"),
+        F.round(F.log(u) / w, 9).alias("es_key"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    )
+    return keyed.select("*", rk.alias("rank")).where(F.col("rank") <= 20)

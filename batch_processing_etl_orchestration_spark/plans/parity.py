@@ -3351,3 +3351,63 @@ def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         exact_sum("c_acctbal").alias("total_bal"),
     )
+
+
+@register(
+    "q_table_changes",
+    oracle="""
+    WITH v0 AS (
+      SELECT event_id, event_type FROM events
+      WHERE date_part('day', CAST(ts AS DATE)) <= 20
+    ),
+    v2 AS (
+      SELECT event_id, event_type FROM events
+      WHERE NOT (user_id % 37 = 5)
+    ),
+    diff AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             CASE WHEN a.event_id IS NULL THEN 'added'
+                  WHEN b.event_id IS NULL THEN 'removed' END AS change_status
+      FROM v0 a FULL OUTER JOIN v2 b USING (event_id)
+      WHERE a.event_id IS NULL OR b.event_id IS NULL
+    )
+    SELECT event_type, change_status, COUNT(*) AS n_rows
+    FROM diff GROUP BY 1, 2
+    """,
+    tags=("warehouse", "snapshot", "cdf"),
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two versions of the manifest table
+    (Delta's table_changes): diff v0 (create: days ≤ 20) against v2
+    (after append + GDPR erasure) of the versioned events table —
+    added rows are the appended late days minus the erased user's,
+    removed rows are the erased user's early-day events. Composition:
+    two time-travel reads (immutable manifests) through
+    warehouse/scd.snapshot_diff, so the comparison shuffles only
+    (key, sha2-fingerprint) pairs — version contents never meet in
+    width. Unchanged rows drop out by construction: the CDF IS the
+    downstream work queue, which is the whole point at 100 TB (the
+    oracle recomputes both version states from the raw fixture and
+    takes the same set difference)."""
+    from batch_processing_etl_orchestration_spark.warehouse.scd import (
+        snapshot_diff,
+    )
+
+    t = _versioned_events(spark, sf_dir)
+    d = snapshot_diff(
+        t.read(0).select("event_id", "event_type"),
+        t.read(2).select("event_id", "event_type"),
+        key_cols=["event_id"],
+        compare_cols=["event_type"],
+    )
+    changes = d.where(F.col("change_status").isin("added", "removed"))
+    # re-attach event_type (snapshot_diff carries keys + status only)
+    typed = changes.join(
+        t.read(2).select("event_id", "event_type").unionByName(
+            t.read(0).select("event_id", "event_type")
+        ).distinct(),
+        "event_id",
+    )
+    return typed.groupBy("event_type", "change_status").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

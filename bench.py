@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "q_stream_merge_upserts",
     "q_proximity_search",
     "q_embedding_standardize",
+    # r6 (cont.): version CDF diff + ES weighted sampling
+    "q_table_changes",
+    "q_weighted_sample_tokens",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
