@@ -114,14 +114,99 @@ class PostingsIndex:
         )
         return PostingsIndex(spark, path)
 
+    # -- segments: incremental maintenance (the Lucene model) ----------
+    # New document batches land as SEGMENTS — self-contained posting/
+    # doclen/position stores under segments/<name>/ — so ingestion
+    # never rewrites the base index. Readers union base + segments;
+    # every generation keeps its own word range-clustering, so a term
+    # scan prunes to ~1 file PER GENERATION (cost grows with segment
+    # count, which is why compact_segments exists: fold everything
+    # back into one base, Lucene's merge).
+
+    def _segment_dirs(self) -> list[str]:
+        seg_root = os.path.join(self.path, "segments")
+        if not os.path.isdir(seg_root):
+            return []
+        return sorted(
+            os.path.join(seg_root, s)
+            for s in os.listdir(seg_root)
+            if os.path.isfile(os.path.join(seg_root, s, "postings", "_SUCCESS"))
+        )
+
+    def add_segment(
+        self,
+        docs: DataFrame,
+        name: str,
+        n_files: int = 4,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Index a NEW batch of documents as a segment. Doc ids must
+        be new (an id re-indexed here would double-count in df/tf —
+        deletion/update is a tombstone segment, out of scope). Cost:
+        one pass over the batch, zero base-index I/O."""
+        seg = os.path.join(self.path, "segments", name)
+        (
+            build_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col)
+            .write.mode("errorifexists")
+            .parquet(os.path.join(seg, "postings"))
+        )
+        doc_lengths(docs, id_col, text_col).write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(seg, "doclens"))
+        (
+            build_positional_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col, "pos")
+            .write.mode("errorifexists")
+            .parquet(os.path.join(seg, "positions"))
+        )
+
+    def compact_segments(self, n_files: int = 16) -> int:
+        """Fold all segments into the base stores (re-range-clustered)
+        and drop the segment dirs — Lucene's merge: term-scan cost
+        returns to ~1 file per term. Returns segments folded."""
+        import shutil
+
+        segs = self._segment_dirs()
+        if not segs:
+            return 0
+        for store, sort_cols in (
+            ("postings", ["word", "doc_id"]),
+            ("doclens", None),
+            ("positions", ["word", "doc_id", "pos"]),
+        ):
+            merged = self._union_store(store)
+            tmp = os.path.join(self.path, f"_{store}_compact")
+            if sort_cols:
+                merged = merged.repartitionByRange(
+                    n_files, "word"
+                ).sortWithinPartitions(*sort_cols)
+            merged.write.mode("overwrite").parquet(tmp)
+            final = os.path.join(self.path, store)
+            shutil.rmtree(final)
+            os.rename(tmp, final)
+        shutil.rmtree(os.path.join(self.path, "segments"))
+        return len(segs)
+
+    def _union_store(self, store: str) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.path, store))
+        for seg in self._segment_dirs():
+            df = df.unionByName(
+                self.spark.read.parquet(os.path.join(seg, store))
+            )
+        return df
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        return self._union_store("postings")
 
     def doclens(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+        return self._union_store("doclens")
 
     def positions(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "positions"))
+        return self._union_store("positions")
 
 
 def search_all_terms(

@@ -1214,3 +1214,80 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_join(cust, supp, radius=15.0, cell=16.0).select(
         "c_custkey", "s_suppkey", F.col("dist2").cast("bigint").alias("dist2")
     )
+
+
+@register(
+    "q_trend_slope_by_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_part('day', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS y_s
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(y_s) AS sy_s,
+             SUM(x * y_s) AS sxy_s,
+             SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           ROUND(
+             (CAST(n AS DOUBLE) * sxy_s - CAST(sx AS DOUBLE) * sy_s)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             / 1000000.0, 8) AS slope,
+           ROUND(
+             (CAST(sy_s AS DOUBLE) / 1000000.0
+              - ((CAST(n AS DOUBLE) * sxy_s - CAST(sx AS DOUBLE) * sy_s)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 1000000.0) * sx)
+             / n, 8) AS intercept
+    FROM sums
+    """,
+    tags=("A+", "analytics", "regression"),
+)
+def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line (value vs day of month) via the
+    closed-form normal equations over EXACT integer sums — the
+    distributed way to fit a million independent regressions: one
+    map-side-combined aggregation computes (n, Σx, Σy, Σxy, Σx²) per
+    group, and slope/intercept are pure driver-free projections of
+    those sums. y goes through the 1e6 scaled-long grid so every sum
+    is exact and the final doubles agree bit-for-bit across engines
+    (the oracle mirrors the formula term-for-term, rounded at 8 dp).
+
+    Scale: ONE shuffle of 5 wide partials per group — no window, no
+    sort, no per-group iteration. This is the same
+    sufficient-statistics pattern as exact_std; at 100 TB, fitting
+    per-entity trends (per user, per SKU) is the identical plan with
+    a bigger key."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.dayofmonth(F.to_date("ts")).cast("bigint").alias("x"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("y_s"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_s").alias("sy_s"),
+        F.sum(F.col("x") * F.col("y_s")).alias("sxy_s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope_s = (nd * F.col("sxy_s") - F.col("sx").cast("double") * F.col("sy_s")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    slope = slope_s / 1000000.0
+    intercept = (
+        F.col("sy_s").cast("double") / 1000000.0 - slope * F.col("sx")
+    ) / F.col("n")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_points"),
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 8).alias("intercept"),
+    )

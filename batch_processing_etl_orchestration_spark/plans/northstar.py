@@ -3232,3 +3232,61 @@ def q_weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
     )
     return keyed.select("*", rk.alias("rank")).where(F.col("rank") <= 20)
+
+
+from batch_processing_etl_orchestration_spark.plans.registry import (
+    QUERIES as _REGISTRY,
+)
+
+
+def _segmented_index(spark: SparkSession, sf_dir: str):
+    """Build-once segmented index: base = docs with doc_id % 10 != 9,
+    plus one segment holding the % 10 == 9 'new arrivals'."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/segmented_index", tag)
+    idx = PostingsIndex(spark, path)
+    if PostingsIndex.exists(spark, path) and idx._segment_dirs():
+        return idx
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = PostingsIndex.build(
+        spark, docs.where(F.col("doc_id") % 10 != 9), path
+    )
+    idx.add_segment(docs.where(F.col("doc_id") % 10 == 9), "batch-9")
+    return idx
+
+
+@register(
+    "q_index_segment_add",
+    # the oracle IS the full-corpus BM25 oracle — same SQL object
+    oracle=_REGISTRY["q_bm25_topk"].oracle,
+    tags=("northstar", "retrieval", "incremental"),
+)
+def q_index_segment_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, Lucene's segment model: the base
+    index covers 90% of the corpus; a new ingest batch lands as a
+    SEGMENT (one pass over the batch, zero base-index I/O); BM25 over
+    the segmented index must rank EXACTLY like a monolithic index over
+    the full corpus — the oracle IS q_bm25_topk's full-corpus SQL, so
+    the hash match proves segment-union df/tf/doclen statistics are
+    indistinguishable from a rebuild.
+
+    Scale: continuous ingestion without index rebuilds — each batch
+    pays only its own indexing; term scans prune per generation
+    (footer word ranges), and compact_segments folds generations back
+    when scan fan-out grows — the merge policy knob, exercised in
+    test_retrieval.py."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    idx = _segmented_index(spark, sf_dir)
+    return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)

@@ -124,9 +124,12 @@ BENCH_QUERIES = [
     "q_stream_merge_upserts",
     "q_proximity_search",
     "q_embedding_standardize",
-    # r6 (cont.): version CDF diff + ES weighted sampling
+    # r6 (cont.): version CDF diff + ES weighted sampling, per-group
+    # OLS sufficient statistics, segmented index maintenance
     "q_table_changes",
     "q_weighted_sample_tokens",
+    "q_trend_slope_by_type",
+    "q_index_segment_add",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

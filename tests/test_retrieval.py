@@ -180,3 +180,38 @@ def test_proximity_same_term_pairs_distinct_occurrences(spark):
     }
     # doc 2 has a single occurrence: no self-pair; gaps are real
     assert got == {1: (1, 3), 3: (1, 1)}
+
+
+def test_segment_add_then_compact_equivalence(spark, tmp_path):
+    """Segmented reads ≡ monolithic build; compact_segments folds
+    generations and preserves every store row exactly."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join scan"),
+            (2, "scan scan filter"),
+            (3, "join hash hash"),
+            (4, "filter merge sort"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    base = docs.where("doc_id <= 2")
+    batch = docs.where("doc_id > 2")
+    mono = PostingsIndex.build(spark, docs, str(tmp_path / "mono"))
+    seg = PostingsIndex.build(spark, base, str(tmp_path / "seg"))
+    seg.add_segment(batch, "b1")
+
+    def snap(idx):
+        return (
+            sorted(tuple(r) for r in idx.postings().collect()),
+            sorted(tuple(r) for r in idx.doclens().collect()),
+            sorted(tuple(r) for r in idx.positions().collect()),
+        )
+
+    assert snap(seg) == snap(mono)
+    assert seg.compact_segments() == 1
+    assert seg._segment_dirs() == []  # folded
+    assert snap(seg) == snap(mono)  # row-identical after the merge
