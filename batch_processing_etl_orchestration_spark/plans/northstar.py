@@ -3290,3 +3290,108 @@ def q_index_segment_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _segmented_index(spark, sf_dir)
     return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)
+
+
+@register(
+    "q_ann_cluster_route",
+    oracle=f"""
+    {_KMEANS_CTE}
+    , q AS (SELECT vec_id, c FROM a2 WHERE vec_id < 3),
+    members AS (
+      SELECT q.vec_id AS query_id, a2.vec_id AS cand_id
+      FROM q JOIN a2 ON a2.c = q.c
+      WHERE a2.vec_id <> q.vec_id
+    ),
+    emb AS (SELECT vec_id, embedding FROM embeddings),
+    elems2 AS (
+      SELECT m.query_id, m.cand_id,
+             CAST(ROUND(CAST(eq.embedding[i] AS DOUBLE)
+                        * CAST(ec.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS p,
+             CAST(ROUND(CAST(eq.embedding[i] AS DOUBLE)
+                        * CAST(eq.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS qq,
+             CAST(ROUND(CAST(ec.embedding[i] AS DOUBLE)
+                        * CAST(ec.embedding[i] AS DOUBLE)
+                        * {_SIM_SCALE}) AS BIGINT) AS cc
+      FROM members m
+      JOIN emb eq ON eq.vec_id = m.query_id
+      JOIN emb ec ON ec.vec_id = m.cand_id
+      CROSS JOIN range(1, 65) r(i)
+    ),
+    sims AS (
+      SELECT query_id, cand_id,
+             (CAST(SUM(p) AS DOUBLE) / {float(_SIM_SCALE)})
+               / (SQRT(CAST(SUM(qq) AS DOUBLE) / {float(_SIM_SCALE)})
+                  * SQRT(CAST(SUM(cc) AS DOUBLE) / {float(_SIM_SCALE)}))
+               AS cosine_sim
+      FROM elems2 GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "clustering"),
+)
+def q_ann_cluster_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-routed ANN, fully oracle-checked end to end: queries
+    route to their exact-k-means cluster and rank ONLY that cluster's
+    members by exact cosine — IVF's probe-one-cell serving path, but
+    with every stage (Lloyd fixpoint, routing, scaled-long cosine,
+    ranking) on the integer-deterministic grid, so one DuckDB oracle
+    hash-checks the whole composition. The production IVF
+    (operators/similarity.py) uses float centroids and attests recall
+    in-query; THIS query is the end-to-end proof that the
+    cluster-then-search shape itself is exact under the grid
+    discipline.
+
+    Scale: the search never touches vectors outside the routed
+    cluster — 1/k of the corpus per query on balanced cells; the
+    scaled-long fold runs in codegen; per-query ranking is a
+    window over cluster-local candidates."""
+    from batch_processing_etl_orchestration_spark.operators.clustering import (
+        exact_kmeans_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = exact_kmeans_assign(e, "vec_id", "embedding", k=8, n_iter=2).select(
+        "vec_id", "cluster"
+    )
+    q = a.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("qc")
+    )
+    emb = e.select("vec_id", "embedding")
+    members = (
+        a.join(F.broadcast(q), a["cluster"] == q["qc"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    pairs = (
+        members.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+            ),
+            "cand_id",
+        )
+    )
+    sims = pairs.select(
+        "query_id",
+        "cand_id",
+        (_dot_dec("qe", "ce") / (_norm_dec("qe") * _norm_dec("ce"))).alias(
+            "cosine_sim"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), "cand_id"
+        )
+    )
+    return sims.select("*", rk.alias("rank")).where(F.col("rank") <= 5)

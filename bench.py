@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "q_weighted_sample_tokens",
     "q_trend_slope_by_type",
     "q_index_segment_add",
+    # r6 (cont.): end-to-end exact cluster-routed ANN
+    "q_ann_cluster_route",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
