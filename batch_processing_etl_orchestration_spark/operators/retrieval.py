@@ -35,6 +35,7 @@ index metadata. Nothing here shuffles text.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -171,7 +172,7 @@ class PostingsIndex:
         import shutil
 
         segs = self._segment_dirs()
-        if not segs:
+        if not segs and self._tombstones() is None:
             return 0
         for store, sort_cols in (
             ("postings", ["word", "doc_id"]),
@@ -188,8 +189,38 @@ class PostingsIndex:
             final = os.path.join(self.path, store)
             shutil.rmtree(final)
             os.rename(tmp, final)
-        shutil.rmtree(os.path.join(self.path, "segments"))
+        shutil.rmtree(os.path.join(self.path, "segments"), ignore_errors=True)
+        # tombstoned rows were dropped by _union_store during the
+        # rewrite — the bitmaps are now physically applied
+        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
         return len(segs)
+
+    def delete_docs(self, doc_ids: DataFrame, id_col: str = "doc_id") -> None:
+        """Tombstone documents: their posting/doclen/position rows
+        disappear from every read (a broadcast anti-join at scan
+        time) WITHOUT touching any store — Lucene's deleted-docs
+        bitmap. Because BM25's df/N/avgdl derive from the read-side
+        postings, ranking statistics adjust automatically; the
+        physical rows fall out at the next compact_segments."""
+        out = os.path.join(
+            self.path, "tombstones", f"t-{uuid.uuid4().hex[:12]}"
+        )
+        doc_ids.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
+            "errorifexists"
+        ).parquet(out)
+
+    def _tombstones(self) -> DataFrame | None:
+        root = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(root):
+            return None
+        dirs = [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs).distinct()
 
     def _union_store(self, store: str) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.path, store))
@@ -197,6 +228,10 @@ class PostingsIndex:
             df = df.unionByName(
                 self.spark.read.parquet(os.path.join(seg, store))
             )
+        dead = self._tombstones()
+        if dead is not None:
+            cols = df.columns  # the anti-join fronts the key; keep order
+            df = df.join(F.broadcast(dead), "doc_id", "left_anti").select(*cols)
         return df
 
     def postings(self) -> DataFrame:

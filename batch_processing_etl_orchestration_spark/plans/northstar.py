@@ -3395,3 +3395,58 @@ def q_ann_cluster_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sims.select("*", rk.alias("rank")).where(F.col("rank") <= 5)
+
+
+def _tombstoned_index(spark: SparkSession, sf_dir: str):
+    """Build-once: full-corpus index with doc_id % 10 == 7 tombstoned
+    (deleted logically, stores untouched)."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join("/root/repo/.tmp/tombstoned_index", tag)
+    idx = PostingsIndex(spark, path)
+    if PostingsIndex.exists(spark, path) and idx._tombstones() is not None:
+        return idx
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = PostingsIndex.build(spark, docs, path)
+    idx.delete_docs(docs.where(F.col("doc_id") % 10 == 7).select("doc_id"))
+    return idx
+
+
+@register(
+    "q_index_delete_docs",
+    # the full-corpus BM25 oracle with the deleted docs excluded at
+    # the source — derived from q_bm25_topk's SQL so the two never
+    # drift apart
+    oracle=_REGISTRY["q_bm25_topk"].oracle.replace(
+        "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 7)"
+    ),
+    tags=("northstar", "retrieval", "incremental"),
+)
+def q_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletes via tombstones (Lucene's deleted-docs bitmap):
+    10% of the corpus is deleted LOGICALLY — a broadcast anti-join at
+    scan time, zero store rewrites — and BM25 must rank exactly as if
+    those documents never existed: df, N, and avgdl all derive from
+    the read-side postings, so the statistics adjust with no
+    recomputation step. The oracle is q_bm25_topk's SQL over the
+    corpus minus the deleted ids, so any stale statistic (a df still
+    counting a dead doc, a doclen survivor) hash-mismatches.
+
+    compact_segments applies the bitmaps physically and clears them —
+    the deletes-then-merge lifecycle, exercised in test_retrieval.py.
+    At 100 TB, deletes cost one id-list write; the rewrite bill is
+    paid once at merge time, amortized across every delete since."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    idx = _tombstoned_index(spark, sf_dir)
+    return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)

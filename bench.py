@@ -130,8 +130,10 @@ BENCH_QUERIES = [
     "q_weighted_sample_tokens",
     "q_trend_slope_by_type",
     "q_index_segment_add",
-    # r6 (cont.): end-to-end exact cluster-routed ANN
+    # r6 (cont.): end-to-end exact cluster-routed ANN, tombstone
+    # deletes on the posting index
     "q_ann_cluster_route",
+    "q_index_delete_docs",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

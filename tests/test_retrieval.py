@@ -215,3 +215,33 @@ def test_segment_add_then_compact_equivalence(spark, tmp_path):
     assert seg.compact_segments() == 1
     assert seg._segment_dirs() == []  # folded
     assert snap(seg) == snap(mono)  # row-identical after the merge
+
+
+def test_tombstones_hide_then_compact_applies(spark, tmp_path):
+    """Deleted docs vanish from every store at read time; compaction
+    applies the bitmap physically and clears it."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan hash"), (3, "join scan")],
+        "doc_id BIGINT, text STRING",
+    )
+    idx = PostingsIndex.build(spark, docs, str(tmp_path / "idx"))
+    idx.delete_docs(docs.where("doc_id = 2").select("doc_id"))
+    want = PostingsIndex.build(
+        spark, docs.where("doc_id <> 2"), str(tmp_path / "want")
+    )
+
+    def snap(i):
+        return (
+            sorted(tuple(r) for r in i.postings().collect()),
+            sorted(tuple(r) for r in i.doclens().collect()),
+            sorted(tuple(r) for r in i.positions().collect()),
+        )
+
+    assert snap(idx) == snap(want)
+    idx.compact_segments()
+    assert idx._tombstones() is None  # bitmap applied and cleared
+    assert snap(idx) == snap(want)
