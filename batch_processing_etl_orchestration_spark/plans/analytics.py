@@ -1291,3 +1291,100 @@ def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("slope"),
         F.round(intercept, 8).alias("intercept"),
     )
+
+
+@register(
+    "q_sole_blame_supplier",
+    oracle="""
+    SELECT s.s_suppkey, ANY_VALUE(s.s_name) AS s_name,
+           COUNT(*) AS n_blamed_lines
+    FROM supplier s
+    JOIN lineitem l1
+      ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+    GROUP BY s.s_suppkey
+    ORDER BY n_blamed_lines DESC, s.s_suppkey
+    LIMIT 10
+    """,
+    tags=("J+", "subquery", "decorrelated"),
+)
+def q_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on this fixture: suppliers whose returned
+    ('R') lines sit on multi-supplier orders where they are the ONLY
+    supplier with a return — the classic correlated
+    EXISTS + NOT-EXISTS pair, which the oracle states literally.
+
+    The Spark side is the DECORRELATED formulation a 100 TB plan
+    wants: ONE aggregation over lineitem computes per-order
+    (distinct suppliers, distinct returned-suppliers); qualifying
+    orders (≥2 suppliers, exactly 1 returned-supplier) semi-join the
+    returned lines; a final supplier rollup ranks. Two shuffles on
+    l_orderkey + one broadcast of the supplier dim replace two
+    correlated scans of lineitem — the rewrite Catalyst cannot always
+    find for NOT EXISTS, done at the source."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nr"),
+    )
+    qualifying = per_order.where(
+        (F.col("ns") > 1) & (F.col("nr") == 1)
+    ).select("l_orderkey")
+    blamed = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(qualifying, "l_orderkey", "left_semi")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_blamed_lines"))
+    )
+    return (
+        blamed.join(F.broadcast(supp), "s_suppkey")
+        .select("s_suppkey", "s_name", "n_blamed_lines")
+        .orderBy(F.desc("n_blamed_lines"), "s_suppkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_masked_customers",
+    oracle="""
+    SELECT sha256(CAST(c_custkey AS VARCHAR)) AS cust_token,
+           substring(c_name, 1, 9) || '***' AS name_masked,
+           c_mktsegment,
+           CAST(ROUND(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket
+    FROM customer
+    """,
+    tags=("governance", "masking"),
+)
+def q_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data masking, the governance view an analyst role gets
+    instead of raw PII: the key pseudonymized (sha256 token — stable
+    for joins, irreversible), the name truncated, the balance
+    generalized to a 100-unit bucket; the segment passes through for
+    aggregation. All codegen'd projections — a masking VIEW costs
+    nothing at any scale, and downstream queries on the view still
+    push filters/pruning through it (the PII-redaction twin for
+    structured columns; northstar.py q_pii_redact covers free text)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.sha2(F.col("c_custkey").cast("string"), 256).alias("cust_token"),
+        F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias(
+            "name_masked"
+        ),
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal") / 100) * 100).alias("acctbal_bucket"),
+    )
