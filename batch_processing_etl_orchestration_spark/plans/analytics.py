@@ -1388,3 +1388,94 @@ def q_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (F.round(F.col("c_acctbal") / 100) * 100).alias("acctbal_bucket"),
     )
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS node, c_acctbal AS val FROM customer
+      WHERE c_custkey BETWEEN 1 AND 127
+    ),
+    anc(node, anc) AS (
+      SELECT node, node // 2 FROM nodes WHERE node > 1
+      UNION
+      SELECT a.node, a.anc // 2 FROM anc a WHERE a.anc > 1
+    ),
+    closure AS (
+      SELECT node, anc FROM anc
+      UNION ALL
+      SELECT node, node FROM nodes
+    ),
+    depths AS (
+      SELECT node, COUNT(*) - 1 AS depth FROM closure GROUP BY node
+    )
+    SELECT c.anc AS subtree_root,
+           ANY_VALUE(d.depth) AS root_depth,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           CAST(SUM(CAST(ROUND(n.val * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS subtree_bal
+    FROM closure c
+    JOIN nodes n ON n.node = c.node
+    JOIN depths d ON d.node = c.anc
+    GROUP BY c.anc
+    """,
+    tags=("A+", "hierarchy", "iterative"),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup — the recursive-CTE warehouse
+    pattern (org charts, BOM explosions, account trees) Spark SQL has
+    no RECURSIVE keyword for, built as a POINTER-DOUBLING closure: a
+    127-node binary tree over customers (parent = key/2, value =
+    acctbal); each doubling round joins the partial ancestor set with
+    itself, so a depth-d hierarchy closes in ceil(log2 d) rounds —
+    3 self-joins here, ~30 for a billion-level-degenerate chain —
+    versus d rounds of naive parent-following. Every node's subtree
+    then aggregates (size, exact-cents balance, root depth) from the
+    closure in one groupBy. The oracle is DuckDB's literal WITH
+    RECURSIVE walk.
+
+    Scale: closure size is nodes × avg-depth (the true output), each
+    round is a key-partitioned self-join of (node, anc) longs, and
+    the rollup is one shuffle — the same discipline as
+    connected_components' pointer jumping, applied to hierarchy
+    aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = cust.where(F.col("c_custkey").between(1, 127)).select(
+        F.col("c_custkey").alias("node"), F.col("c_acctbal").alias("val")
+    )
+    # direct-parent pairs (node > 1); closure via doubling
+    pairs = nodes.where(F.col("node") > 1).select(
+        "node", (F.col("node") / 2).cast("bigint").alias("anc")
+    )
+    closure = pairs
+    for _ in range(3):  # ceil(log2(7 levels))
+        hop = closure.select(
+            F.col("node").alias("_n"), F.col("anc").alias("_mid")
+        ).join(
+            closure.select(
+                F.col("node").alias("_mid"), F.col("anc").alias("_a")
+            ),
+            "_mid",
+        ).select(F.col("_n").alias("node"), F.col("_a").alias("anc"))
+        closure = closure.unionByName(hop).distinct()
+    closure = closure.unionByName(
+        nodes.select("node", F.col("node").alias("anc"))
+    )
+    depths = closure.groupBy("node").agg(
+        (F.count(F.lit(1)) - 1).alias("depth")
+    )
+    return (
+        closure.join(nodes, "node")
+        .join(
+            depths.select(F.col("node").alias("anc"), "depth"), "anc"
+        )
+        .groupBy(F.col("anc").alias("subtree_root"))
+        .agg(
+            F.first("depth").alias("root_depth"),
+            F.count(F.lit(1)).alias("subtree_size"),
+            (
+                F.sum(F.round(F.col("val") * 100).cast("long")) / 100.0
+            ).alias("subtree_bal"),
+        )
+    )

@@ -3411,3 +3411,37 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.groupBy("event_type", "change_status").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "q_listagg_nations",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("A+", "listagg"),
+)
+def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nations per
+    region as a deterministic comma list. Spark has no ordered
+    string_agg; the portable idiom is collect_list → array_sort →
+    array_join, which makes the ordering EXPLICIT instead of relying
+    on an ORDER BY inside the aggregate (collect_list order is
+    otherwise partition-dependent — the nondeterminism trap this
+    query exists to document). Dimension-sized here; at scale the
+    sort is per-group array-local, not a shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+    )

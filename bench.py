@@ -134,9 +134,11 @@ BENCH_QUERIES = [
     # deletes on the posting index
     "q_ann_cluster_route",
     "q_index_delete_docs",
-    # r6 (cont.): decorrelated Q21-shape + masking view
+    # r6 (cont.): decorrelated Q21-shape + masking view, doubling
+    # closure hierarchy rollup
     "q_sole_blame_supplier",
     "q_masked_customers",
+    "q_hierarchy_rollup",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
