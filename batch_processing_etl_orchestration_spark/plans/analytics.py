@@ -1479,3 +1479,69 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("subtree_bal"),
         )
     )
+
+
+@register(
+    "q_sequence_pattern",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT {sql_ts_str("CAST(day AS TIMESTAMP)")} AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v[^e]*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_error
+    FROM seqs GROUP BY day
+    """,
+    tags=("W+", "pattern", "sequence"),
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection — SQL MATCH_RECOGNIZE's job, done
+    portably: each (user, day) compresses its event stream into an
+    ordered type-letter string (struct-sort by (ts, event_id) inside
+    the aggregation — array-local, deterministic ties), and a regex
+    states the behavioral pattern: 'viewed, then purchased with no
+    error in between' (v[^e]*p). Daily rollup counts matching users.
+
+    Scale: ONE shuffle on (user, day) builds the sequences; the
+    pattern test is a codegen'd regex over short strings — no
+    self-joins per step the way a funnel-as-joins formulation pays,
+    and arbitrarily complex order-sensitive patterns are one regex
+    edit away. The per-key string is bounded by a user-day's events
+    (the capped-session caveat applies to adversarial keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return grouped.groupBy(
+        ts_str(F.col("day").cast("timestamp")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum(F.when(F.col("seq").rlike("v[^e]*p"), 1).otherwise(0)).alias(
+            "n_matched"
+        ),
+        F.sum(F.when(F.col("seq").rlike("e"), 1).otherwise(0)).alias(
+            "n_with_error"
+        ),
+    )

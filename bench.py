@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_sole_blame_supplier",
     "q_masked_customers",
     "q_hierarchy_rollup",
+    "q_sequence_pattern",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
