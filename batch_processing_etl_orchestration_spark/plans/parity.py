@@ -3445,3 +3445,75 @@ def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations_csv"),
         )
     )
+
+
+@register(
+    "q_hll_overlap_users",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE date_part('dow', CAST(ts AS DATE)) IN (0, 6)
+    ),
+    wd AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE date_part('dow', CAST(ts AS DATE)) NOT IN (0, 6)
+    )
+    SELECT (SELECT COUNT(*) FROM wk) AS exact_weekend,
+           (SELECT COUNT(*) FROM wd) AS exact_weekday,
+           (SELECT COUNT(*) FROM wk JOIN wd USING (user_id))
+             AS exact_overlap,
+           TRUE AS est_weekend_ok,
+           TRUE AS est_weekday_ok,
+           TRUE AS est_overlap_ok
+    """,
+    tags=("A+", "sketch", "hll"),
+)
+def q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: the distinct-user OVERLAP between weekend
+    and weekday cohorts estimated purely from HLL sketches via
+    inclusion–exclusion (|A∩B| = |A| + |B| − |A∪B|, with |A∪B| from
+    hll_union) — the question COUNT(DISTINCT) partials cannot answer
+    and re-scanning facts for every cohort pair cannot afford at
+    100 TB. Two 16 KiB sketches answer any pairwise overlap.
+
+    Attestation (the sketch-query convention, cf.
+    q_approx_distinct_users): the exact cohort sizes ride the result
+    and each estimate must land within 5% of its exact value — the
+    oracle re-derives the exact values and TRUE flags, so a broken
+    union or a degenerate sketch hash-mismatches. Intersection error
+    compounds (it's a difference of estimates), which is why the
+    bound is stated against the exact value in-query rather than
+    assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    is_weekend = F.dayofweek(F.to_date("ts")).isin(1, 7)  # Sun=1, Sat=7
+    tagged = ev.select("user_id", is_weekend.alias("wk"))
+    sk = tagged.agg(
+        F.hll_sketch_agg(F.when(F.col("wk"), F.col("user_id"))).alias("s_we"),
+        F.hll_sketch_agg(F.when(~F.col("wk"), F.col("user_id"))).alias("s_wd"),
+        F.hll_sketch_agg("user_id").alias("s_all"),
+        F.countDistinct(F.when(F.col("wk"), F.col("user_id"))).alias("x_we"),
+        F.countDistinct(F.when(~F.col("wk"), F.col("user_id"))).alias("x_wd"),
+        F.countDistinct("user_id").alias("x_all"),
+    )
+    est = sk.select(
+        "x_we",
+        "x_wd",
+        "x_all",
+        F.hll_sketch_estimate("s_we").alias("e_we"),
+        F.hll_sketch_estimate("s_wd").alias("e_wd"),
+        F.hll_sketch_estimate("s_all").alias("e_all"),
+    )
+
+    def within(e, x, tol=0.05):
+        return F.abs(e - x) <= tol * x
+
+    overlap_est = F.col("e_we") + F.col("e_wd") - F.col("e_all")
+    exact_overlap = F.col("x_we") + F.col("x_wd") - F.col("x_all")
+    return est.select(
+        F.col("x_we").alias("exact_weekend"),
+        F.col("x_wd").alias("exact_weekday"),
+        exact_overlap.alias("exact_overlap"),
+        within(F.col("e_we"), F.col("x_we")).alias("est_weekend_ok"),
+        within(F.col("e_wd"), F.col("x_wd")).alias("est_weekday_ok"),
+        within(overlap_est, exact_overlap).alias("est_overlap_ok"),
+    )

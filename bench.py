@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q_masked_customers",
     "q_hierarchy_rollup",
     "q_sequence_pattern",
+    "q_hll_overlap_users",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
