@@ -480,3 +480,46 @@ def image_resize_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id BIGINT, width INT, height INT, ahash BIGINT"
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash per image: integer grayscale per pixel
+    ((r+g+b)//3), one bit per pixel (gray·n ≥ Σgray — the mean
+    compare cross-multiplied so no float ever appears), packed
+    little-endian into a ≤48-bit integer (fixture images are ≤8×6).
+    Two visually-similar images differ in few bits; Hamming distance
+    over these fingerprints is the image twin of SimHash over text.
+    Integer-exact end to end, so an SQL oracle can regenerate every
+    fingerprint from the synthesis formula."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(buf)
+                if raw[:2] != b"P6":
+                    continue
+                w, h, _maxval, body = _parse_ppm(raw)
+                n = w * h
+                grays = [
+                    (body[3 * p] + body[3 * p + 1] + body[3 * p + 2]) // 3
+                    for p in range(n)
+                ]
+                total = sum(grays)
+                fp = 0
+                for p, g in enumerate(grays):
+                    if g * n >= total:
+                        fp |= 1 << p
+                rows.append((int(i), w, h, fp))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AHASH_SCHEMA)

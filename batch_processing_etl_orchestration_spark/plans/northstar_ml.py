@@ -1483,3 +1483,97 @@ def q_dedup_delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 10 == 9)
     corpus = docs.where(F.col("doc_id") % 10 != 9)
     return minhash_lsh_pairs_against(batch, corpus, n=3, threshold=0.3)
+
+
+@register(
+    "q_image_neardup_ahash",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 5 AS w,
+             3 + d.doc_id % 4 AS h,
+             g.p AS p,
+             ((d.doc_id * 7 + (3 * g.p) * 13) % 256
+              + (d.doc_id * 7 + (3 * g.p + 1) * 13) % 256
+              + (d.doc_id * 7 + (3 * g.p + 2) * 13) % 256) // 3 AS gray
+      FROM documents d, generate_series(0, 47) AS g(p)
+      WHERE d.doc_id % 2 = 1
+        AND g.p < (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+    ),
+    tot AS (
+      SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+             SUM(gray) AS sg
+      FROM px GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT p.doc_id, t.w, t.h,
+             CAST(SUM(CASE WHEN p.gray * (t.w * t.h) >= t.sg
+                           THEN CAST(1 AS BIGINT) << p.p ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM px p JOIN tot t USING (doc_id)
+      GROUP BY p.doc_id, t.w, t.h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b
+      ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+    tags=("multimodal", "image", "dedup"),
+)
+def q_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: average-hash fingerprints
+    (multimodal/binary.py image_ahash — integer grayscale mean-bit
+    per pixel) blocked by the SimHash pigeonhole — 4 chunks of 12
+    bits, so any pair within Hamming ≤ 3 shares an intact chunk —
+    joined per (dims, chunk, value) bucket and verified with exact
+    bit_count. The near-dup family's fourth modality: MinHash blocks
+    Jaccard, SimHash text Hamming, cosine-LSH embeddings, aHash
+    IMAGES. The oracle regenerates every fingerprint from the
+    synthesis formula (same int arithmetic) and takes the exact
+    quadratic-within-dims pair set.
+
+    Scale: fingerprints are one mapInPandas pass over payload bytes
+    that never shuffle (8 bytes/image cross the wire); chunk buckets
+    bound the join by true perceptual density, not n²; verify touches
+    candidates only — the identical economics as the text family."""
+    from batch_processing_etl_orchestration_spark.multimodal.binary import (
+        image_ahash,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = image_ahash(synthesize_media(d)).localCheckpoint(eager=True)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright("ahash", 12 * c).bitwiseAND(0xFFF).alias("v"),
+            )
+            for c in range(4)
+        ]
+    )
+    bucketed = fps.select(
+        "doc_id", "width", "height", "ahash", F.explode(chunks).alias("ck")
+    ).select(
+        "doc_id", "width", "height", "ahash",
+        F.col("ck.c").alias("c"), F.col("ck.v").alias("v"),
+    )
+    a = bucketed.select(
+        F.col("doc_id").alias("doc_a"), "width", "height",
+        F.col("ahash").alias("fp_a"), "c", "v",
+    )
+    b = bucketed.select(
+        F.col("doc_id").alias("doc_b"), "width", "height",
+        F.col("ahash").alias("fp_b"), "c", "v",
+    )
+    cand = (
+        a.join(b, ["width", "height", "c", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    ).where(F.col("hamming") <= 3)

@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "q_hierarchy_rollup",
     "q_sequence_pattern",
     "q_hll_overlap_users",
+    # r6 (cont.): perceptual image dedup (4th near-dup modality)
+    "q_image_neardup_ahash",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
