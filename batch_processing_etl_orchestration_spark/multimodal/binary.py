@@ -523,3 +523,47 @@ def image_ahash(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+AFP_SCHEMA = "doc_id BIGINT, n_samples INT, afp BIGINT"
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Acoustic fingerprint per WAV payload, chromaprint's shape in
+    miniature: samples split into 16 equal-index blocks, block energy
+    = Σ|sample| (integer), one bit per ADJACENT-BLOCK comparison
+    (energy_b ≥ energy_{b+1}) → a 15-bit envelope fingerprint robust
+    to uniform gain. Parses the real RIFF container (wave module) —
+    the honest-decode contract of the other payload functions —
+    and every quantity is integer, so an SQL oracle regenerates the
+    fingerprints from the synthesis formula."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct
+        import wave as wave_mod
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(buf)
+                if raw[:4] != b"RIFF":
+                    continue
+                with wave_mod.open(io.BytesIO(raw), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                energy = [0] * 16
+                for p, s in enumerate(samples):
+                    energy[p * 16 // n] += abs(s)
+                fp = 0
+                for b in range(15):
+                    if energy[b] >= energy[b + 1]:
+                        fp |= 1 << b
+                rows.append((int(i), n, fp))
+            yield pd.DataFrame(rows, columns=[id_col, "n_samples", "afp"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AFP_SCHEMA)

@@ -1577,3 +1577,94 @@ def q_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
     ).where(F.col("hamming") <= 3)
+
+
+@register(
+    "q_audio_neardup_fp",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             100 + d.doc_id % 50 AS n,
+             g.i AS i,
+             ABS((d.doc_id * 31 + g.i * 17) % 65536 - 32768) AS a
+      FROM documents d, generate_series(1, 149) AS g(i)
+      WHERE d.doc_id % 2 = 0 AND g.i <= 100 + d.doc_id % 50
+    ),
+    blocks AS (
+      SELECT doc_id, ANY_VALUE(n) AS n, (i - 1) * 16 // n AS b,
+             SUM(a) AS e
+      FROM s GROUP BY doc_id, (i - 1) * 16 // n
+    ),
+    fps AS (
+      SELECT c.doc_id, ANY_VALUE(c.n) AS n,
+             CAST(SUM(CASE WHEN c.e >= nx.e
+                           THEN CAST(1 AS BIGINT) << CAST(c.b AS INT)
+                           ELSE 0 END) AS BIGINT) AS afp
+      FROM blocks c JOIN blocks nx
+        ON nx.doc_id = c.doc_id AND nx.b = c.b + 1
+      WHERE c.b < 15
+      GROUP BY c.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b
+      ON a.n = b.n AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 2
+    """,
+    tags=("multimodal", "audio", "dedup"),
+)
+def q_audio_neardup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup detection — the FIFTH near-dup modality
+    (MinHash text, SimHash text, cosine-LSH embeddings, aHash images,
+    envelope fingerprints AUDIO): 15-bit adjacent-block energy
+    fingerprints from the real RIFF decode
+    (multimodal/binary.py audio_fingerprint), blocked by sample count
+    + 5-bit chunk pigeonhole (3 chunks, so Hamming ≤ 2 always shares
+    an intact chunk), exact bit_count verify. The oracle regenerates
+    the fingerprints from the synthesis formula and takes the exact
+    within-length pair set.
+
+    Scale: one decode pass, 8 bytes per clip cross the wire, buckets
+    track acoustic density — same economics as every other blocked
+    family; a real pipeline swaps the envelope for chromaprint bits
+    behind the same signature."""
+    from batch_processing_etl_orchestration_spark.multimodal.binary import (
+        audio_fingerprint,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = audio_fingerprint(synthesize_media(d)).localCheckpoint(eager=True)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright("afp", 5 * c).bitwiseAND(0x1F).alias("v"),
+            )
+            for c in range(3)
+        ]
+    )
+    bucketed = fps.select(
+        "doc_id", "n_samples", "afp", F.explode(chunks).alias("ck")
+    ).select(
+        "doc_id", "n_samples", "afp",
+        F.col("ck.c").alias("c"), F.col("ck.v").alias("v"),
+    )
+    a = bucketed.select(
+        F.col("doc_id").alias("doc_a"), "n_samples",
+        F.col("afp").alias("fp_a"), "c", "v",
+    )
+    b = bucketed.select(
+        F.col("doc_id").alias("doc_b"), "n_samples",
+        F.col("afp").alias("fp_b"), "c", "v",
+    )
+    cand = (
+        a.join(b, ["n_samples", "c", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    ).where(F.col("hamming") <= 2)

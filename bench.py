@@ -141,8 +141,9 @@ BENCH_QUERIES = [
     "q_hierarchy_rollup",
     "q_sequence_pattern",
     "q_hll_overlap_users",
-    # r6 (cont.): perceptual image dedup (4th near-dup modality)
+    # r6 (cont.): perceptual image + acoustic dedup (4th/5th modality)
     "q_image_neardup_ahash",
+    "q_audio_neardup_fp",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
