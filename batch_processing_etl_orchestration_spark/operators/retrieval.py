@@ -128,10 +128,17 @@ class PostingsIndex:
         seg_root = os.path.join(self.path, "segments")
         if not os.path.isdir(seg_root):
             return []
+        # a segment is complete only when ALL THREE stores finished —
+        # add_segment writes them sequentially, so gating on postings
+        # alone would serve a half-written segment forever after a
+        # mid-write crash
         return sorted(
             os.path.join(seg_root, s)
             for s in os.listdir(seg_root)
-            if os.path.isfile(os.path.join(seg_root, s, "postings", "_SUCCESS"))
+            if all(
+                os.path.isfile(os.path.join(seg_root, s, d, "_SUCCESS"))
+                for d in ("postings", "doclens", "positions")
+            )
         )
 
     def add_segment(
@@ -146,6 +153,19 @@ class PostingsIndex:
         be new (an id re-indexed here would double-count in df/tf —
         deletion/update is a tombstone segment, out of scope). Cost:
         one pass over the batch, zero base-index I/O."""
+        dead = self._tombstones()
+        if dead is not None:
+            n_conflicts = (
+                docs.select(F.col(id_col).alias("doc_id"))
+                .join(F.broadcast(dead), "doc_id", "left_semi")
+                .count()
+            )
+            if n_conflicts:
+                raise ValueError(
+                    f"add_segment: {n_conflicts} incoming doc ids are "
+                    "tombstoned and would be silently hidden; run "
+                    "compact_segments() first to apply the deletes"
+                )
         seg = os.path.join(self.path, "segments", name)
         (
             build_postings(docs, id_col, text_col)
@@ -186,9 +206,16 @@ class PostingsIndex:
                     n_files, "word"
                 ).sortWithinPartitions(*sort_cols)
             merged.write.mode("overwrite").parquet(tmp)
+            # swap like VersionedTable._commit: move the old store
+            # ASIDE first, rename the new one in, then delete the old
+            # — a crash mid-swap leaves either the old or the new
+            # store in place, never neither
             final = os.path.join(self.path, store)
-            shutil.rmtree(final)
+            old = os.path.join(self.path, f"_{store}_old")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(final, old)
             os.rename(tmp, final)
+            shutil.rmtree(old)
         shutil.rmtree(os.path.join(self.path, "segments"), ignore_errors=True)
         # tombstoned rows were dropped by _union_store during the
         # rewrite — the bitmaps are now physically applied

@@ -1142,9 +1142,9 @@ def _dup_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from batch_processing_etl_orchestration_spark.operators.dedup import DedupLabels
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/dedup_labels", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "documents.parquet", "dedup_labels")
     if not DedupLabels.exists(spark, path):
         DedupLabels.build(spark, q_dup_clusters(spark, sf_dir), path)
     return DedupLabels.load(spark, path).labels()
@@ -2081,9 +2081,9 @@ def _postings_index(spark: SparkSession, sf_dir: str):
         PostingsIndex,
     )
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/postings_index", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "documents.parquet", "postings_index")
     if PostingsIndex.exists(spark, path):
         return PostingsIndex(spark, path)
     docs = load_table(spark, sf_dir, "documents")
@@ -3249,9 +3249,9 @@ def _segmented_index(spark: SparkSession, sf_dir: str):
         PostingsIndex,
     )
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/segmented_index", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "documents.parquet", "segmented_index")
     idx = PostingsIndex(spark, path)
     if PostingsIndex.exists(spark, path) and idx._segment_dirs():
         return idx
@@ -3407,9 +3407,9 @@ def _tombstoned_index(spark: SparkSession, sf_dir: str):
         PostingsIndex,
     )
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/tombstoned_index", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "documents.parquet", "tombstoned_index")
     idx = PostingsIndex(spark, path)
     if PostingsIndex.exists(spark, path) and idx._tombstones() is not None:
         return idx

@@ -549,9 +549,9 @@ def q_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") < _BINARYFILE_DOC_CAP)
     )
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    media_dir = os.path.join("/root/repo/.tmp/media_files", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    media_dir = fixture_cache_dir(sf_dir, "documents.parquet", "media_files")
     marker = os.path.join(media_dir, "_SUCCESS")
     if not os.path.exists(marker):
         write_media_files(docs, media_dir)
@@ -1381,9 +1381,9 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("ts", "event_type", "value")
     )
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    src = os.path.join("/root/repo/.tmp/stream_mv_src", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    src = fixture_cache_dir(sf_dir, "events.parquet", "stream_mv_src")
     if not os.path.isfile(os.path.join(src, "_SUCCESS")):
         # 6 range files over the month → 6 ordered micro-batches
         (
@@ -1393,7 +1393,7 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite").parquet(src)
         )
 
-    run = os.path.join("/root/repo/.tmp/stream_mv_run", tag)
+    run = fixture_cache_dir(sf_dir, "events.parquet", "stream_mv_run")
     mv, ckpt = os.path.join(run, "mv"), os.path.join(run, "ckpt")
     shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
 
@@ -1544,11 +1544,24 @@ def q_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     fps = image_ahash(synthesize_media(d)).localCheckpoint(eager=True)
+    # Chunk width adapts to the image's MEANINGFUL bit count
+    # (ceil(w*h/4)): fixed 12-bit chunks would leave the high chunks
+    # identically zero for every ≤36-pixel image — one degenerate
+    # bucket holding the whole dims group, i.e. a quadratic join in
+    # disguise. With ceil(n/4)-bit chunks all four carry signal, the
+    # pigeonhole (Hamming ≤ 3 ⇒ one intact chunk) still holds, and
+    # bucket sizes track true perceptual density.
+    fps = fps.withColumn(
+        "_cw", ((F.col("width") * F.col("height") + 3) / 4).cast("int")
+    )
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("c"),
-                F.shiftright("ahash", 12 * c).bitwiseAND(0xFFF).alias("v"),
+                F.expr(
+                    f"shiftright(ahash, {c} * _cw) "
+                    "& (shiftleft(CAST(1 AS BIGINT), _cw) - 1)"
+                ).alias("v"),
             )
             for c in range(4)
         ]

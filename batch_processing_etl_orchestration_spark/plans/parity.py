@@ -2228,9 +2228,9 @@ def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cols={"min_value": "value"},
         max_cols={"max_value": "value"},
     )
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    mv = os.path.join("/root/repo/.tmp/incr_mv", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    mv = fixture_cache_dir(sf_dir, "events.parquet", "incr_mv")
     # the scenario mutates the MV, so always start from a clean slate
     # (a stale dir from an aborted run must not merge twice)
     shutil.rmtree(mv, ignore_errors=True)
@@ -2302,9 +2302,9 @@ def q_hll_mv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("event_type",),
         hll_cols={"approx_users": "user_id"},
     )
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    mv = os.path.join("/root/repo/.tmp/hll_mv", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    mv = fixture_cache_dir(sf_dir, "events.parquet", "hll_mv")
     # build-once cache: the MV is read-only here (_MV_READY is the
     # module's completed-build marker — dynamic-overwrite commits
     # leave no root _SUCCESS)
@@ -2428,9 +2428,9 @@ def q_zorder_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    zpath = os.path.join("/root/repo/.tmp/zorder_events", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    zpath = fixture_cache_dir(sf_dir, "events.parquet", "zorder_events")
     if not os.path.isfile(os.path.join(zpath, "_SUCCESS")):
         zorder_by(ev, ["user_id", "value"], 16, bits_per_dim=4).write.mode(
             "overwrite"
@@ -2618,9 +2618,9 @@ def q_lambda_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("event_type",),
         sum_cols={"total_value": "value"},
     )
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    mv = os.path.join("/root/repo/.tmp/lambda_mv", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    mv = fixture_cache_dir(sf_dir, "events.parquet", "lambda_mv")
     if not os.path.isfile(os.path.join(mv, _READY)):
         # history ingested through day 25 — build-once, deterministic
         build_mv(ev.where(F.dayofmonth("p_date") <= 25), spec, mv)
@@ -2718,9 +2718,9 @@ def q_histogram_mv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("event_type",),
         hist_cols={"value_hist": ("value", lo, hi, n)},
     )
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    mv = os.path.join("/root/repo/.tmp/hist_mv", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    mv = fixture_cache_dir(sf_dir, "events.parquet", "hist_mv")
     if not os.path.isfile(os.path.join(mv, _READY)):
         build_mv(ev, spec, mv)
 
@@ -2760,9 +2760,9 @@ def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     nat = load_table(spark, sf_dir, "nation")
-    st = os.stat(os.path.join(sf_dir, "nation.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/fixed_width", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "nation.parquet", "fixed_width")
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         render_fixed_width(
             nat, [("n_nationkey", 8), ("n_name", 20), ("n_regionkey", 4)]
@@ -2849,9 +2849,9 @@ def _versioned_events(spark: SparkSession, sf_dir: str):
         VersionedTable,
     )
 
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/versioned_events", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "events.parquet", "versioned_events")
     t = VersionedTable(spark, path)
     if t.versions() == [0, 1, 2]:
         return t
@@ -2939,9 +2939,9 @@ def _merged_customers(spark: SparkSession, sf_dir: str):
         VersionedTable,
     )
 
-    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/merged_customers", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "customer.parquet", "merged_customers")
     t = VersionedTable(spark, path)
     if t.versions() == [0, 1] and t.history()[-1]["op"] == "merge":
         return t
@@ -3041,9 +3041,9 @@ def _evolved_parts(spark: SparkSession, sf_dir: str):
         VersionedTable,
     )
 
-    st = os.stat(os.path.join(sf_dir, "part.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join("/root/repo/.tmp/evolved_parts", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    path = fixture_cache_dir(sf_dir, "part.parquet", "evolved_parts")
     t = VersionedTable(spark, path)
     if t.versions() == [0, 1]:
         return t
@@ -3291,9 +3291,9 @@ def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
     )
-    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
-    src_dir = os.path.join("/root/repo/.tmp/stream_cdc_src", tag)
+    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+
+    src_dir = fixture_cache_dir(sf_dir, "customer.parquet", "stream_cdc_src")
     if not os.path.isfile(os.path.join(src_dir, "_SUCCESS")):
         k = F.col("c_custkey")
         cdc = (
@@ -3315,7 +3315,7 @@ def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(src_dir)
 
-    run = os.path.join("/root/repo/.tmp/stream_cdc_run", tag)
+    run = fixture_cache_dir(sf_dir, "customer.parquet", "stream_cdc_run")
     shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
     t = VersionedTable.create(
         spark, os.path.join(run, "vt"), cust.repartition(8)
@@ -3401,12 +3401,18 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=["event_type"],
     )
     changes = d.where(F.col("change_status").isin("added", "removed"))
-    # re-attach event_type (snapshot_diff carries keys + status only)
-    typed = changes.join(
-        t.read(2).select("event_id", "event_type").unionByName(
-            t.read(0).select("event_id", "event_type")
-        ).distinct(),
-        "event_id",
+    # re-attach event_type: an added key exists only in v2, a removed
+    # key only in v0 — join each side to ITS version (no union of both
+    # corpora, no distinct; the earlier formulation re-scanned and
+    # shuffled both full versions just to label the tiny change set)
+    typed = (
+        changes.where(F.col("change_status") == "added")
+        .join(t.read(2).select("event_id", "event_type"), "event_id")
+        .unionByName(
+            changes.where(F.col("change_status") == "removed").join(
+                t.read(0).select("event_id", "event_type"), "event_id"
+            )
+        )
     )
     return typed.groupBy("event_type", "change_status").agg(
         F.count(F.lit(1)).alias("n_rows")

@@ -87,3 +87,17 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for n in TABLE_NAMES:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def fixture_cache_dir(sf_dir: str, fixture_file: str, name: str) -> str:
+    """Build-once cache directory for artifacts derived from a fixture
+    table: keyed on the fixture file's (mtime, size) so a regenerated
+    fixture invalidates stale caches instead of silently serving them.
+    One definition for every cached index/label/version scenario —
+    the invalidation rule must not drift between call sites."""
+    st = os.stat(os.path.join(sf_dir, fixture_file))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+    return os.path.join("/root/repo/.tmp", name, tag)

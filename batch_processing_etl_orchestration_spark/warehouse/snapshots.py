@@ -173,10 +173,12 @@ class VersionedTable:
             schema_json = StructType(merged).json()
         files = m["files"] + self._write_files(df)
         v = base + 1
+        # schema_json is None exactly when the base manifest carries no
+        # schema (pre-evolution table) — commit None in that case too
         self._commit(
             v, files, _op,
             {"base": base, **(_meta_extra or {})},
-            schema=schema_json if schema_json is not None else m.get("schema"),
+            schema=schema_json,
         )
         return v
 
@@ -326,8 +328,7 @@ class VersionedTable:
 
         src_keys = src.select(*key_cols)
         hit = (
-            self._read_files(files, _schema)
-            .select(*key_cols, F.input_file_name().alias("_f"))
+            self._discovery_scan(files, _schema, key_cols)
             .join(F.broadcast(src_keys), key_cols, "left_semi")
             .select("_f")
             .distinct()
@@ -365,6 +366,15 @@ class VersionedTable:
             schema=_schema.json() if _schema is not None else None,
         )
         return v
+
+    def _discovery_scan(self, files, schema, key_cols: list[str]) -> DataFrame:
+        """MERGE's matched-file discovery expression: the key columns
+        plus the file name, nothing else — so the scan column-prunes
+        to the keys (plan-audited in tests/test_snapshots.py against
+        THIS method, the one merge() executes)."""
+        return self._read_files(files, schema).select(
+            *key_cols, F.input_file_name().alias("_f")
+        )
 
     def _read_files(self, files: list[str], schema=None) -> DataFrame:
         """Plan a scan over manifest files. With a committed schema the

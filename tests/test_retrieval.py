@@ -245,3 +245,60 @@ def test_tombstones_hide_then_compact_applies(spark, tmp_path):
     idx.compact_segments()
     assert idx._tombstones() is None  # bitmap applied and cleared
     assert snap(idx) == snap(want)
+
+
+def test_half_written_segment_not_served(spark, tmp_path):
+    """A segment missing any of its three stores (a mid-write crash)
+    is invisible to readers instead of breaking them."""
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan hash")], "doc_id BIGINT, text STRING"
+    )
+    idx = PostingsIndex.build(spark, docs, str(tmp_path / "idx"))
+    idx.add_segment(
+        spark.createDataFrame([(3, "join scan")], "doc_id BIGINT, text STRING"),
+        "ok",
+    )
+    # simulate a crash: a segment with only its postings written
+    half = tmp_path / "idx" / "segments" / "half"
+    shutil.copytree(
+        tmp_path / "idx" / "segments" / "ok" / "postings", half / "postings"
+    )
+    assert len(idx._segment_dirs()) == 1  # only the complete segment
+    assert idx.doclens().count() == 3  # readers unaffected
+
+
+def test_add_segment_rejects_tombstoned_ids(spark, tmp_path):
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan hash")], "doc_id BIGINT, text STRING"
+    )
+    idx = PostingsIndex.build(spark, docs, str(tmp_path / "idx"))
+    idx.delete_docs(docs.where("doc_id = 2").select("doc_id"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tombstoned"):
+        idx.add_segment(
+            spark.createDataFrame(
+                [(2, "scan hash v2")], "doc_id BIGINT, text STRING"
+            ),
+            "redeliver",
+        )
+    # compact applies the delete; re-adding then succeeds and the doc
+    # is visible again
+    idx.compact_segments()
+    idx.add_segment(
+        spark.createDataFrame(
+            [(2, "scan hash v2")], "doc_id BIGINT, text STRING"
+        ),
+        "redeliver",
+    )
+    assert idx.doclens().where("doc_id = 2").count() == 1

@@ -410,3 +410,17 @@ def test_stream_append_validates_schema(spark, table):
     extra = ev.limit(5).withColumn("surprise", F.lit(1))
     with pytest.raises(ValueError, match="allow_schema_evolution"):
         idempotent_stream_append(t, extra, batch_id=99)
+
+
+def test_merge_discovery_scan_prunes_to_keys(spark, table):
+    """MERGE's discovery pass reads ONLY the key columns (plus the
+    file name): auditing merge()'s OWN _discovery_scan method, so a
+    regression in the projection merge executes fails here."""
+    t, _ = table
+    m = t._read_manifest(t.latest_version())
+    df = t._discovery_scan(m["files"], t._schema_of(m), ["event_id"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema:" in plan, plan[:500]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema
+    assert "value" not in read_schema and "event_type" not in read_schema
