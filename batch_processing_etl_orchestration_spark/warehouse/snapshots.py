@@ -417,21 +417,42 @@ class VersionedTableMaintenance:
     def __init__(self, table: VersionedTable):
         self.t = table
 
-    def compact(self, target_rows_per_file: int) -> int:
+    def compact(
+        self,
+        target_rows_per_file: int,
+        zorder_cols: list[str] | None = None,
+    ) -> int:
+        """Rewrite the latest version into ~target-sized files;
+        with `zorder_cols`, the rewrite clusters rows along the
+        Z-order curve over those columns (layout.zorder_by) —
+        Delta's ``OPTIMIZE ... ZORDER BY``: one commit both heals
+        the small-files debt of appends/merges AND hands every
+        clustered dimension tight per-file min/max stats, so point
+        and box predicates on any of them skip most files
+        (pruning audited in tests/test_snapshots.py)."""
+        from batch_processing_etl_orchestration_spark.warehouse.layout import (
+            zorder_by,
+        )
+
         t = self.t
         base = t.latest_version()
         df = t.read(base)
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
-        files = t._write_files(
-            df.repartition(n_files)
+        laid_out = (
+            zorder_by(df, zorder_cols, n_files)
+            if zorder_cols
+            else df.repartition(n_files)
         )
+        files = t._write_files(laid_out)
         v = base + 1
         # compaction materializes the committed schema into every
         # rewritten file, so the schema carries forward unchanged
         sch = t._read_manifest(base).get("schema")
         t._commit(
-            v, files, "compact", {"base": base, "n_files": n_files},
+            v, files, "compact",
+            {"base": base, "n_files": n_files,
+             "zorder": zorder_cols or []},
             schema=sch,
         )
         return v

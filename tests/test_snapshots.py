@@ -424,3 +424,32 @@ def test_merge_discovery_scan_prunes_to_keys(spark, table):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "event_id" in read_schema
     assert "value" not in read_schema and "event_type" not in read_schema
+
+
+def test_optimize_zorder_clusters_versioned_table(spark, table):
+    """compact(zorder_cols=...) — OPTIMIZE ZORDER BY on the versioned
+    table: rows survive exactly, the commit records the clustering,
+    and per-file footer ranges on BOTH clustered columns become
+    selective (a point box overlaps a strict subset of files), which
+    is the file-skipping contract the layout buys."""
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTableMaintenance,
+    )
+    from tests.test_layout import _n_overlapping
+
+    t, ev = table
+    before = t.read().agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    v = VersionedTableMaintenance(t).compact(
+        target_rows_per_file=300, zorder_cols=["user_id", "value"]
+    )
+    after = t.read().agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    assert tuple(after) == tuple(before)
+    m = t._read_manifest(v)
+    assert m["meta"]["zorder"] == ["user_id", "value"]
+    # every data file of v lives in one subdir (fresh write) — audit
+    # its footer ranges directly
+    subdir = os.path.dirname(os.path.join(t.path, m["files"][0]))
+    hit_u, n_files = _n_overlapping(subdir, {"user_id": (5, 5)})
+    hit_v, _ = _n_overlapping(subdir, {"value": (100.0, 110.0)})
+    assert n_files >= 8
+    assert hit_u < n_files and hit_v < n_files  # both dims prune
