@@ -1545,3 +1545,75 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_with_error"
         ),
     )
+
+
+@register(
+    "q_chisq_type_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             date_part('dow', CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.*,
+             SUM(o.o) OVER (PARTITION BY o.event_type) AS row_n,
+             SUM(o.o) OVER (PARTITION BY o.dow) AS col_n,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+           ROUND(SUM(
+             (CAST(o AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * col_n / n)
+             * (CAST(o AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * col_n / n)
+             / (CAST(row_n AS DOUBLE) * col_n / n)
+           ), 6) AS chi2
+    FROM margins
+    """,
+    tags=("A+", "statistics"),
+)
+def q_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day of
+    week, computed entirely from the CONTINGENCY TABLE's sufficient
+    statistics: one aggregation builds the observed cell counts
+    (types × 7 — metadata-sized), window sums derive the margins, and
+    the χ² statistic is a projection — the distributed recipe for "is
+    this behavioral dimension independent of time" at any fact-table
+    size, since the facts are touched exactly once.
+
+    Determinism: every input to the float expression is an exact
+    integer count, IEEE ×/÷ are correctly rounded, and the final sum
+    runs over ≤35 cells in DECIMAL-free double — rounded at 6 dp the
+    engines agree (the exact-count-in, rounded-stat-out convention of
+    q_trend_slope_by_type and q_bm25_topk)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),  # Sun=0 like DuckDB
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_row).alias("row_n"),
+        F.sum("o").over(w_col).alias("col_n"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("dow").alias("n_dows"),
+        F.round(
+            F.sum((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e),
+            6,
+        ).alias("chi2"),
+    )

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     # r6 (cont.): perceptual image + acoustic dedup (4th/5th modality)
     "q_image_neardup_ahash",
     "q_audio_neardup_fp",
+    "q_chisq_type_dow",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
