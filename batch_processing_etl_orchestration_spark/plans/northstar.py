@@ -3450,3 +3450,77 @@ def q_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _tombstoned_index(spark, sf_dir)
     return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)
+
+
+@register(
+    "q_decile_lift",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT CAST((rank - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_en) AS BIGINT) AS n_en,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY 1
+    """,
+    tags=("northstar", "analytics", "prefix-sum"),
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (the model-eval staple: rank by a score, cut
+    into tenths, read the response rate per tenth) — here ranking
+    documents by length and measuring English share per decile. The
+    oracle states it as the global window everyone writes; the Spark
+    plan computes the SAME exact ranks without a single-partition
+    window: the score itself is the range bucket (counts per distinct
+    n_chars are metadata), a descending window over that tiny count
+    table yields per-score offsets, and rank = offset + row_number
+    within the equal-score partition — the _bucketed_prefix discipline
+    with the score as the bucket. ntile() is avoided deliberately:
+    its remainder distribution is engine-specific, while
+    (rank-1)*10/n is exact arithmetic on both sides."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    counts = (
+        d.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.orderBy(F.desc("n_chars")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.sum("_c").over(Window.partitionBy()))
+        .drop("_c")
+    )
+    ranked = d.join(F.broadcast(counts), "n_chars").select(
+        "doc_id",
+        "n_chars",
+        "is_en",
+        (
+            F.col("_off")
+            + F.row_number().over(
+                Window.partitionBy("n_chars").orderBy("doc_id")
+            )
+        ).alias("rank"),
+        F.col("_n").alias("n"),
+    )
+    return ranked.groupBy(
+        F.floor((F.col("rank") - 1) * 10 / F.col("n")).alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_en").alias("n_en"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q_image_neardup_ahash",
     "q_audio_neardup_fp",
     "q_chisq_type_dow",
+    "q_decile_lift",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
