@@ -69,20 +69,80 @@ def doc_lengths(
 
 
 class PostingsIndex:
-    """Build-once persisted posting lists, range-clustered on word.
+    """Build-once persisted posting lists, range-clustered on word,
+    with GENERATION-POINTER durability: all state (base stores,
+    segments, tombstones) lives under a generation directory and a
+    ``current`` symlink names the live generation. Every multi-store
+    mutation (build, compaction) constructs a COMPLETE new generation
+    off to the side and publishes it with one atomic symlink rename —
+    readers see the old index or the new one, never a half-swapped
+    mixture, and a crashed mutation leaves only an orphan directory
+    (cleaned opportunistically), exactly the manifest discipline of
+    VersionedTable._commit.
 
-    Layout: postings/ (repartitionByRange(word) + sorted, so each
-    file owns a compact word range → term scans prune to ~1 file) and
-    doclens/ (doc_id → dl). _SUCCESS-gated like DedupLabels."""
+    Layout: current -> gen-<hex>/{postings,doclens,positions,
+    segments/<name>/..., tombstones/t-<hex>/}. Stores are
+    repartitionByRange(word)-clustered so a term scan prunes to ~1
+    file per generation/segment."""
+
+    _STORES = ("postings", "doclens", "positions")
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark, self.path = spark, path
 
+    # -- generation plumbing -------------------------------------------
+
+    def _gen(self) -> str:
+        return os.path.join(
+            self.path, os.readlink(os.path.join(self.path, "current"))
+        )
+
+    def _publish(self, gen_name: str) -> None:
+        """Atomically point ``current`` at `gen_name` (symlink tmp +
+        rename — replaces any previous pointer in one step), then
+        opportunistically drop orphan generations."""
+        tmp = os.path.join(self.path, f"_current-{uuid.uuid4().hex[:8]}")
+        os.symlink(gen_name, tmp)
+        os.rename(tmp, os.path.join(self.path, "current"))
+        import shutil
+
+        for d in os.listdir(self.path):
+            if d.startswith("gen-") and d != gen_name:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
     @staticmethod
     def exists(spark: SparkSession, path: str) -> bool:
+        cur = os.path.join(path, "current")
+        if not os.path.islink(cur):
+            return False
+        gen = os.path.join(path, os.readlink(cur))
         return all(
-            os.path.isfile(os.path.join(path, d, "_SUCCESS"))
-            for d in ("postings", "doclens", "positions")
+            os.path.isfile(os.path.join(gen, d, "_SUCCESS"))
+            for d in PostingsIndex._STORES
+        )
+
+    @staticmethod
+    def _write_stores(
+        docs: DataFrame, out: str, n_files: int, id_col: str, text_col: str
+    ) -> None:
+        (
+            build_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col)
+            .write.mode("errorifexists")
+            .parquet(os.path.join(out, "postings"))
+        )
+        doc_lengths(docs, id_col, text_col).write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(out, "doclens"))
+        # positional postings share the word range-clustering, so a
+        # phrase's term scans prune to the same ~1 file per term
+        (
+            build_positional_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col, "pos")
+            .write.mode("errorifexists")
+            .parquet(os.path.join(out, "positions"))
         )
 
     @staticmethod
@@ -94,50 +154,35 @@ class PostingsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> "PostingsIndex":
-        (
-            build_postings(docs, id_col, text_col)
-            .repartitionByRange(n_files, "word")
-            .sortWithinPartitions("word", id_col)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "postings"))
+        os.makedirs(path, exist_ok=True)
+        gen_name = f"gen-{uuid.uuid4().hex[:12]}"
+        PostingsIndex._write_stores(
+            docs, os.path.join(path, gen_name), n_files, id_col, text_col
         )
-        doc_lengths(docs, id_col, text_col).write.mode("overwrite").parquet(
-            os.path.join(path, "doclens")
-        )
-        # positional postings share the word range-clustering, so a
-        # phrase's term scans prune to the same ~1 file per term
-        (
-            build_positional_postings(docs, id_col, text_col)
-            .repartitionByRange(n_files, "word")
-            .sortWithinPartitions("word", id_col, "pos")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "positions"))
-        )
-        return PostingsIndex(spark, path)
+        idx = PostingsIndex(spark, path)
+        idx._publish(gen_name)  # readers never see a half-built index
+        return idx
 
     # -- segments: incremental maintenance (the Lucene model) ----------
-    # New document batches land as SEGMENTS — self-contained posting/
-    # doclen/position stores under segments/<name>/ — so ingestion
-    # never rewrites the base index. Readers union base + segments;
-    # every generation keeps its own word range-clustering, so a term
-    # scan prunes to ~1 file PER GENERATION (cost grows with segment
-    # count, which is why compact_segments exists: fold everything
-    # back into one base, Lucene's merge).
+    # New document batches land as SEGMENTS — self-contained stores
+    # under <gen>/segments/<name>/ — so ingestion never rewrites the
+    # base index. Readers union base + segments; compact_segments
+    # folds everything into a fresh generation (Lucene's merge).
 
     def _segment_dirs(self) -> list[str]:
-        seg_root = os.path.join(self.path, "segments")
+        seg_root = os.path.join(self._gen(), "segments")
         if not os.path.isdir(seg_root):
             return []
-        # a segment is complete only when ALL THREE stores finished —
-        # add_segment writes them sequentially, so gating on postings
-        # alone would serve a half-written segment forever after a
-        # mid-write crash
+        # in-progress writes live under _tmp- names and renamed-in
+        # segments are complete by construction; the _SUCCESS check
+        # guards against manual tampering
         return sorted(
             os.path.join(seg_root, s)
             for s in os.listdir(seg_root)
-            if all(
+            if not s.startswith("_tmp-")
+            and all(
                 os.path.isfile(os.path.join(seg_root, s, d, "_SUCCESS"))
-                for d in ("postings", "doclens", "positions")
+                for d in self._STORES
             )
         )
 
@@ -150,9 +195,12 @@ class PostingsIndex:
         text_col: str = "text",
     ) -> None:
         """Index a NEW batch of documents as a segment. Doc ids must
-        be new (an id re-indexed here would double-count in df/tf —
-        deletion/update is a tombstone segment, out of scope). Cost:
-        one pass over the batch, zero base-index I/O."""
+        be new (an id re-indexed here would double-count in df/tf);
+        ids currently tombstoned are rejected — compact first, or the
+        new version would be silently hidden by the bitmap. The
+        segment builds under a _tmp- name and RENAMES into place, so
+        a crashed attempt leaves only an ignored temp dir and the
+        same name can be retried; a duplicate name fails the rename."""
         dead = self._tombstones()
         if dead is not None:
             n_conflicts = (
@@ -166,60 +214,38 @@ class PostingsIndex:
                     "tombstoned and would be silently hidden; run "
                     "compact_segments() first to apply the deletes"
                 )
-        seg = os.path.join(self.path, "segments", name)
-        (
-            build_postings(docs, id_col, text_col)
-            .repartitionByRange(n_files, "word")
-            .sortWithinPartitions("word", id_col)
-            .write.mode("errorifexists")
-            .parquet(os.path.join(seg, "postings"))
-        )
-        doc_lengths(docs, id_col, text_col).write.mode(
-            "errorifexists"
-        ).parquet(os.path.join(seg, "doclens"))
-        (
-            build_positional_postings(docs, id_col, text_col)
-            .repartitionByRange(n_files, "word")
-            .sortWithinPartitions("word", id_col, "pos")
-            .write.mode("errorifexists")
-            .parquet(os.path.join(seg, "positions"))
-        )
+        seg_root = os.path.join(self._gen(), "segments")
+        tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex[:8]}")
+        self._write_stores(docs, tmp, n_files, id_col, text_col)
+        final = os.path.join(seg_root, name)
+        os.rename(tmp, final)  # atomic publish; raises if name exists
 
     def compact_segments(self, n_files: int = 16) -> int:
-        """Fold all segments into the base stores (re-range-clustered)
-        and drop the segment dirs — Lucene's merge: term-scan cost
-        returns to ~1 file per term. Returns segments folded."""
-        import shutil
-
+        """Fold base + segments − tombstones into a FRESH GENERATION
+        and publish it atomically — Lucene's merge: term-scan cost
+        returns to ~1 file per term, tombstone bitmaps are physically
+        applied, and a crash at any point leaves the previous
+        generation fully live (never a double-counting half-state).
+        Returns the number of segments folded."""
         segs = self._segment_dirs()
         if not segs and self._tombstones() is None:
             return 0
+        gen_name = f"gen-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, gen_name)
         for store, sort_cols in (
             ("postings", ["word", "doc_id"]),
             ("doclens", None),
             ("positions", ["word", "doc_id", "pos"]),
         ):
             merged = self._union_store(store)
-            tmp = os.path.join(self.path, f"_{store}_compact")
             if sort_cols:
                 merged = merged.repartitionByRange(
                     n_files, "word"
                 ).sortWithinPartitions(*sort_cols)
-            merged.write.mode("overwrite").parquet(tmp)
-            # swap like VersionedTable._commit: move the old store
-            # ASIDE first, rename the new one in, then delete the old
-            # — a crash mid-swap leaves either the old or the new
-            # store in place, never neither
-            final = os.path.join(self.path, store)
-            old = os.path.join(self.path, f"_{store}_old")
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(final, old)
-            os.rename(tmp, final)
-            shutil.rmtree(old)
-        shutil.rmtree(os.path.join(self.path, "segments"), ignore_errors=True)
-        # tombstoned rows were dropped by _union_store during the
-        # rewrite — the bitmaps are now physically applied
-        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
+            merged.write.mode("errorifexists").parquet(
+                os.path.join(out, store)
+            )
+        self._publish(gen_name)
         return len(segs)
 
     def delete_docs(self, doc_ids: DataFrame, id_col: str = "doc_id") -> None:
@@ -230,14 +256,14 @@ class PostingsIndex:
         postings, ranking statistics adjust automatically; the
         physical rows fall out at the next compact_segments."""
         out = os.path.join(
-            self.path, "tombstones", f"t-{uuid.uuid4().hex[:12]}"
+            self._gen(), "tombstones", f"t-{uuid.uuid4().hex[:12]}"
         )
         doc_ids.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
             "errorifexists"
         ).parquet(out)
 
     def _tombstones(self) -> DataFrame | None:
-        root = os.path.join(self.path, "tombstones")
+        root = os.path.join(self._gen(), "tombstones")
         if not os.path.isdir(root):
             return None
         dirs = [
@@ -250,7 +276,7 @@ class PostingsIndex:
         return self.spark.read.parquet(*dirs).distinct()
 
     def _union_store(self, store: str) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.path, store))
+        df = self.spark.read.parquet(os.path.join(self._gen(), store))
         for seg in self._segment_dirs():
             df = df.unionByName(
                 self.spark.read.parquet(os.path.join(seg, store))

@@ -1138,7 +1138,6 @@ def _dup_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mtime, size) so a regenerated fixture invalidates stale labels
     instead of silently serving them. At 100 TB this is the ingest-
     batch labeling pass every downstream dedup consumer amortizes."""
-    import os
 
     from batch_processing_etl_orchestration_spark.operators.dedup import DedupLabels
 
@@ -2075,7 +2074,6 @@ def q_index_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _postings_index(spark: SparkSession, sf_dir: str):
-    import os
 
     from batch_processing_etl_orchestration_spark.operators.retrieval import (
         PostingsIndex,
@@ -3242,7 +3240,6 @@ from batch_processing_etl_orchestration_spark.plans.registry import (
 def _segmented_index(spark: SparkSession, sf_dir: str):
     """Build-once segmented index: base = docs with doc_id % 10 != 9,
     plus one segment holding the % 10 == 9 'new arrivals'."""
-    import os
     import shutil
 
     from batch_processing_etl_orchestration_spark.operators.retrieval import (
@@ -3400,7 +3397,6 @@ def q_ann_cluster_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tombstoned_index(spark: SparkSession, sf_dir: str):
     """Build-once: full-corpus index with doc_id % 10 == 7 tombstoned
     (deleted logically, stores untouched)."""
-    import os
     import shutil
 
     from batch_processing_etl_orchestration_spark.operators.retrieval import (

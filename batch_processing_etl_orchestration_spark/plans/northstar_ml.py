@@ -1524,7 +1524,8 @@ def q_dedup_delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: average-hash fingerprints
     (multimodal/binary.py image_ahash — integer grayscale mean-bit
-    per pixel) blocked by the SimHash pigeonhole — 4 chunks of 12
+    per pixel) blocked by the SimHash pigeonhole — 4 chunks of
+    ceil(w·h/4) bits each, covering exactly the image's meaningful
     bits, so any pair within Hamming ≤ 3 shares an intact chunk —
     joined per (dims, chunk, value) bucket and verified with exact
     bit_count. The near-dup family's fourth modality: MinHash blocks

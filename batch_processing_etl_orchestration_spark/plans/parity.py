@@ -2206,7 +2206,6 @@ def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a day's arrivals touch one partition's partials (integer
     merges), while untouched partitions' files are left in place
     (inode-pinned in tests/test_incremental.py)."""
-    import os
     import shutil
 
     from batch_processing_etl_orchestration_spark.warehouse.incremental import (
@@ -2843,7 +2842,6 @@ def _versioned_events(spark: SparkSession, sf_dir: str):
     """Build-once deterministic version history over events:
     v0 = days ≤ 20, v1 = + days > 20 (append), v2 = GDPR erasure of
     user_id % 37 == 5. Returns the VersionedTable."""
-    import os
 
     from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
         VersionedTable,
@@ -2933,7 +2931,6 @@ def _merged_customers(spark: SparkSession, sf_dir: str):
                  sentinel acctbal the delete_condition matches)
       - INSERT:  c_custkey % 19 == 11 → new key -c_custkey, bal 50
     Returns the VersionedTable."""
-    import os
 
     from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
         VersionedTable,
@@ -3035,7 +3032,6 @@ def _evolved_parts(spark: SparkSession, sf_dir: str):
     """Build-once schema-evolution scenario: v0 = even-key parts
     (3 columns); v1 = odd-key parts appended WITH a new p_margin
     column under allow_schema_evolution. Returns the VersionedTable."""
-    import os
 
     from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
         VersionedTable,

@@ -56,7 +56,7 @@ def test_term_lookup_prunes_posting_files(spark, idx):
     import pyarrow.parquet as pq
 
     index, _ = idx
-    pdir = os.path.join(index.path, "postings")
+    pdir = os.path.join(index._gen(), "postings")
     files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
     assert len(files) > 4
     hit = 0
@@ -264,10 +264,15 @@ def test_half_written_segment_not_served(spark, tmp_path):
         spark.createDataFrame([(3, "join scan")], "doc_id BIGINT, text STRING"),
         "ok",
     )
-    # simulate a crash: a segment with only its postings written
-    half = tmp_path / "idx" / "segments" / "half"
+    # simulate a crash mid-publish: a segment missing two stores
+    # (renamed in by tampering — the _tmp- path never renames early,
+    # so this is the worst case the _SUCCESS gate must still catch)
+    import os as _os
+
+    seg_root = _os.path.join(idx._gen(), "segments")
     shutil.copytree(
-        tmp_path / "idx" / "segments" / "ok" / "postings", half / "postings"
+        _os.path.join(seg_root, "ok", "postings"),
+        _os.path.join(seg_root, "half", "postings"),
     )
     assert len(idx._segment_dirs()) == 1  # only the complete segment
     assert idx.doclens().count() == 3  # readers unaffected
