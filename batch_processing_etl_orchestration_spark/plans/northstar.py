@@ -3520,3 +3520,94 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_en").alias("n_en"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "q_bigram_logprob_quality",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, word AS w1,
+             lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM words
+    ),
+    bigrams AS (
+      SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bigrams GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT word) AS v FROM words)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(
+             ln((CAST(c2.n2 AS DOUBLE) + 1.0)
+                / (CAST(c1.n1 AS DOUBLE) + vv.v)) * 1000000
+           ) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS avg_logprob
+    FROM bigrams b
+    JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    CROSS JOIN vocab vv
+    GROUP BY b.doc_id
+    """,
+    tags=("northstar", "text", "quality"),
+)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    perplexity-filter step (CCNet-style) one rung above
+    q_unigram_logprob_quality: a document whose word TRANSITIONS are
+    improbable under the corpus LM (shuffled text, boilerplate,
+    gibberish) scores low even when its unigrams look fine. Per doc:
+    mean of ln((c(w1,w2)+1)/(c(w1)+V)) over adjacent pairs.
+
+    Scale: bigram assembly is array-local (transform over a position
+    sequence — the shingle trick, no per-doc window); the bigram and
+    unigram count tables are corpus aggregations joined back on their
+    keys (the LM "model" IS those two tables — at 100 TB you persist
+    them like DedupLabels and score every new batch against them);
+    the per-doc fold is scaled-long so addition order never moves the
+    hash, with ln's engine agreement guaranteed by integer-exact
+    inputs (the q_unigram convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> struct(split(text, ' ')[i] AS w1, "
+                "split(text, ' ')[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    lp = F.log(
+        (F.col("n2").cast("double") + 1.0)
+        / (F.col("n1").cast("double") + F.col("v"))
+    )
+    return (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(lp * 1000000).cast("long"))
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q_audio_neardup_fp",
     "q_chisq_type_dow",
     "q_decile_lift",
+    "q_bigram_logprob_quality",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
