@@ -3546,8 +3546,8 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            ROUND(CAST(SUM(CAST(ROUND(
              ln((CAST(c2.n2 AS DOUBLE) + 1.0)
-                / (CAST(c1.n1 AS DOUBLE) + vv.v)) * 1000000
-           ) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+                / (CAST(c1.n1 AS DOUBLE) + vv.v)) * 10000
+           ) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*), 6)
              AS avg_logprob
     FROM bigrams b
     JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
@@ -3603,9 +3603,14 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            # per-term grid 1e-4, NOT 1e-6: ln's engine ulp can sit
+            # within half an ulp of a fine rounding boundary (one
+            # bigram flipped at sf1 under 1e-6); a coarser grid makes
+            # a boundary hit ~1e-6-improbable while the fold stays
+            # exact (both engines round to identical grid values)
             F.round(
-                F.sum(F.round(lp * 1000000).cast("long"))
-                / F.lit(1000000.0)
+                F.sum(F.round(lp * 10000).cast("long"))
+                / F.lit(10000.0)
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_logprob"),
