@@ -150,18 +150,12 @@ BENCH_QUERIES = [
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
-# (baseline timing no longer comparable). Prune entries when the next
-# round's BENCH file becomes the baseline (r4's bench crashed on the
-# testdata schema change, so the standing sf0.1 baseline is BENCH_r03).
-# r5 exemptions:
-# - q_dup_clusters: connected components gained adaptive pointer
-#   jumping (an extra label join when plain propagation hasn't
-#   converged by round 3) — the O(log n) chain-graph guarantee costs
-#   one join on graphs that need 3+ rounds.
-# - q_dedup_keep_canonical: now reads build-once persisted labels; a
-#   cold-cache run pays the full label build (slower than r3's inline
-#   recompute), warm reads are ~4x faster than the r3 baseline.
-BASELINE_EXEMPT: set[str] = {"q_dup_clusters", "q_dedup_keep_canonical"}
+# (baseline timing no longer comparable). Prune entries once a BENCH
+# file recorded under the NEW workload becomes the baseline. The r5
+# exemptions (q_dup_clusters pointer jumping, q_dedup_keep_canonical
+# persisted labels) were pruned in r6: BENCH_r05 already times the
+# changed workloads, so the guard now covers them again.
+BASELINE_EXEMPT: set[str] = set()
 
 
 def _baseline(sf: float) -> tuple[dict[str, float], float | None]:
