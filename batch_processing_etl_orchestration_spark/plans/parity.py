@@ -3519,3 +3519,55 @@ def q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("e_wd"), F.col("x_wd")).alias("est_weekday_ok"),
         within(overlap_est, exact_overlap).alias("est_overlap_ok"),
     )
+
+
+@register(
+    "q_freshness_audit",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(ts) AS global_max FROM events),
+    per_type AS (
+      SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_rows
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           {sql_ts_str("p.last_ts")} AS last_event_at,
+           CAST(date_diff('second', p.last_ts, a.global_max) // 60
+                AS BIGINT) AS staleness_minutes,
+           p.n_rows,
+           date_diff('second', p.last_ts, a.global_max) // 60 <= 1440
+             AS within_sla
+    FROM per_type p CROSS JOIN anchor a
+    """,
+    tags=("warehouse", "dq", "freshness"),
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit — the ops twin of the value-level DQ
+    rules (q_dq_expectations): per stream (event type), when did data
+    last arrive and is it within a 24 h staleness SLA, measured
+    against the corpus watermark (max ts) so the check is
+    reproducible rather than wall-clock-dependent. One aggregation
+    over the facts; the anchor is a 1-row broadcast. At 100 TB this
+    reads partition-level max statistics from the table format's
+    metadata instead of scanning — the plan shape (per-group max vs
+    global max) is identical.
+
+    Reference analog: the Airflow DAGs' implicit freshness assumption
+    (daily schedule = data arrived); this makes the assumption a
+    CHECKED, reported quantity."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    anchor = ev.agg(F.max("ts").alias("global_max"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_rows")
+    )
+    lag_min = (
+        (
+            F.unix_timestamp("global_max") - F.unix_timestamp("last_ts")
+        ) / 60
+    ).cast("bigint")
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        ts_str(F.col("last_ts")).alias("last_event_at"),
+        lag_min.alias("staleness_minutes"),
+        "n_rows",
+        (lag_min <= 1440).alias("within_sla"),
+    )

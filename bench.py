@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q_chisq_type_dow",
     "q_decile_lift",
     "q_bigram_logprob_quality",
+    "q_freshness_audit",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
