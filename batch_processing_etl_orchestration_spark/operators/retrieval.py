@@ -99,16 +99,28 @@ class PostingsIndex:
 
     def _publish(self, gen_name: str) -> None:
         """Atomically point ``current`` at `gen_name` (symlink tmp +
-        rename — replaces any previous pointer in one step), then
-        opportunistically drop orphan generations."""
-        tmp = os.path.join(self.path, f"_current-{uuid.uuid4().hex[:8]}")
-        os.symlink(gen_name, tmp)
-        os.rename(tmp, os.path.join(self.path, "current"))
+        rename — replaces any previous pointer in one step). Cleanup
+        keeps the JUST-RETIRED generation for one more cycle so lazy
+        DataFrames planned against it before the flip still execute
+        (single-process grace, not MVCC — a reader spanning TWO
+        publishes must re-plan); older orphans and stale _current-*
+        temp links from crashed publishes are reaped."""
         import shutil
 
+        cur = os.path.join(self.path, "current")
+        retired = os.readlink(cur) if os.path.islink(cur) else None
+        tmp = os.path.join(self.path, f"_current-{uuid.uuid4().hex[:8]}")
+        os.symlink(gen_name, tmp)
+        os.rename(tmp, cur)
         for d in os.listdir(self.path):
-            if d.startswith("gen-") and d != gen_name:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            full = os.path.join(self.path, d)
+            if d.startswith("gen-") and d not in (gen_name, retired):
+                shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith("_current-"):  # crashed-publish leftovers
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
 
     @staticmethod
     def exists(spark: SparkSession, path: str) -> bool:
@@ -228,7 +240,8 @@ class PostingsIndex:
         generation fully live (never a double-counting half-state).
         Returns the number of segments folded."""
         segs = self._segment_dirs()
-        if not segs and self._tombstones() is None:
+        dead = self._tombstones()
+        if not segs and dead is None:
             return 0
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, gen_name)
@@ -237,7 +250,9 @@ class PostingsIndex:
             ("doclens", None),
             ("positions", ["word", "doc_id", "pos"]),
         ):
-            merged = self._union_store(store)
+            # one segment listing + one tombstone read for all three
+            # stores — also pins a single consistent view across them
+            merged = self._union_store(store, segs=segs, dead=dead)
             if sort_cols:
                 merged = merged.repartitionByRange(
                     n_files, "word"
@@ -275,13 +290,14 @@ class PostingsIndex:
             return None
         return self.spark.read.parquet(*dirs).distinct()
 
-    def _union_store(self, store: str) -> DataFrame:
+    def _union_store(self, store: str, segs=None, dead=None) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self._gen(), store))
-        for seg in self._segment_dirs():
+        for seg in (self._segment_dirs() if segs is None else segs):
             df = df.unionByName(
                 self.spark.read.parquet(os.path.join(seg, store))
             )
-        dead = self._tombstones()
+        if dead is None:
+            dead = self._tombstones()
         if dead is not None:
             cols = df.columns  # the anti-join fronts the key; keep order
             df = df.join(F.broadcast(dead), "doc_id", "left_anti").select(*cols)

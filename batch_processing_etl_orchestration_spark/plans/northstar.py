@@ -2084,6 +2084,9 @@ def _postings_index(spark: SparkSession, sf_dir: str):
     path = fixture_cache_dir(sf_dir, "documents.parquet", "postings_index")
     if PostingsIndex.exists(spark, path):
         return PostingsIndex(spark, path)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # clear stale/old-layout cache
     docs = load_table(spark, sf_dir, "documents")
     return PostingsIndex.build(spark, docs, path)
 

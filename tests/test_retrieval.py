@@ -267,12 +267,10 @@ def test_half_written_segment_not_served(spark, tmp_path):
     # simulate a crash mid-publish: a segment missing two stores
     # (renamed in by tampering — the _tmp- path never renames early,
     # so this is the worst case the _SUCCESS gate must still catch)
-    import os as _os
-
-    seg_root = _os.path.join(idx._gen(), "segments")
+    seg_root = os.path.join(idx._gen(), "segments")
     shutil.copytree(
-        _os.path.join(seg_root, "ok", "postings"),
-        _os.path.join(seg_root, "half", "postings"),
+        os.path.join(seg_root, "ok", "postings"),
+        os.path.join(seg_root, "half", "postings"),
     )
     assert len(idx._segment_dirs()) == 1  # only the complete segment
     assert idx.doclens().count() == 3  # readers unaffected
@@ -307,3 +305,27 @@ def test_add_segment_rejects_tombstoned_ids(spark, tmp_path):
         "redeliver",
     )
     assert idx.doclens().where("doc_id = 2").count() == 1
+
+
+def test_publish_keeps_retired_generation_for_readers(spark, tmp_path):
+    """A DataFrame planned before compaction still executes after it
+    (the retired generation survives one publish cycle); the next
+    publish reaps it."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan hash")], "doc_id BIGINT, text STRING"
+    )
+    idx = PostingsIndex.build(spark, docs, str(tmp_path / "idx"))
+    idx.add_segment(
+        spark.createDataFrame([(3, "join scan")], "doc_id BIGINT, text STRING"),
+        "b1",
+    )
+    pre = idx.postings()  # lazy plan against the pre-compaction layout
+    idx.compact_segments()
+    # the in-flight reader still executes (old generation retained)
+    assert pre.count() == idx.postings().count()
+    gens = [d for d in os.listdir(idx.path) if d.startswith("gen-")]
+    assert len(gens) == 2  # live + retired
