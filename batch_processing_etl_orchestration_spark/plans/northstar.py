@@ -1141,11 +1141,14 @@ def _dup_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from batch_processing_etl_orchestration_spark.operators.dedup import DedupLabels
 
-    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+    from batch_processing_etl_orchestration_spark.tables import build_once
 
-    path = fixture_cache_dir(sf_dir, "documents.parquet", "dedup_labels")
-    if not DedupLabels.exists(spark, path):
-        DedupLabels.build(spark, q_dup_clusters(spark, sf_dir), path)
+    path = build_once(
+        sf_dir,
+        "documents.parquet",
+        "dedup_labels",
+        lambda p: DedupLabels.build(spark, q_dup_clusters(spark, sf_dir), p),
+    )
     return DedupLabels.load(spark, path).labels()
 
 
@@ -2079,16 +2082,17 @@ def _postings_index(spark: SparkSession, sf_dir: str):
         PostingsIndex,
     )
 
-    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+    from batch_processing_etl_orchestration_spark.tables import build_once
 
-    path = fixture_cache_dir(sf_dir, "documents.parquet", "postings_index")
-    if PostingsIndex.exists(spark, path):
-        return PostingsIndex(spark, path)
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)  # clear stale/old-layout cache
-    docs = load_table(spark, sf_dir, "documents")
-    return PostingsIndex.build(spark, docs, path)
+    path = build_once(
+        sf_dir,
+        "documents.parquet",
+        "postings_index",
+        lambda p: PostingsIndex.build(
+            spark, load_table(spark, sf_dir, "documents"), p
+        ),
+    )
+    return PostingsIndex(spark, path)
 
 
 @register(
@@ -3249,19 +3253,17 @@ def _segmented_index(spark: SparkSession, sf_dir: str):
         PostingsIndex,
     )
 
-    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+    from batch_processing_etl_orchestration_spark.tables import build_once
 
-    path = fixture_cache_dir(sf_dir, "documents.parquet", "segmented_index")
-    idx = PostingsIndex(spark, path)
-    if PostingsIndex.exists(spark, path) and idx._segment_dirs():
-        return idx
-    shutil.rmtree(path, ignore_errors=True)
-    docs = load_table(spark, sf_dir, "documents")
-    idx = PostingsIndex.build(
-        spark, docs.where(F.col("doc_id") % 10 != 9), path
-    )
-    idx.add_segment(docs.where(F.col("doc_id") % 10 == 9), "batch-9")
-    return idx
+    def _build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        idx = PostingsIndex.build(
+            spark, docs.where(F.col("doc_id") % 10 != 9), path
+        )
+        idx.add_segment(docs.where(F.col("doc_id") % 10 == 9), "batch-9")
+
+    path = build_once(sf_dir, "documents.parquet", "segmented_index", _build)
+    return PostingsIndex(spark, path)
 
 
 @register(
@@ -3406,17 +3408,17 @@ def _tombstoned_index(spark: SparkSession, sf_dir: str):
         PostingsIndex,
     )
 
-    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+    from batch_processing_etl_orchestration_spark.tables import build_once
 
-    path = fixture_cache_dir(sf_dir, "documents.parquet", "tombstoned_index")
-    idx = PostingsIndex(spark, path)
-    if PostingsIndex.exists(spark, path) and idx._tombstones() is not None:
-        return idx
-    shutil.rmtree(path, ignore_errors=True)
-    docs = load_table(spark, sf_dir, "documents")
-    idx = PostingsIndex.build(spark, docs, path)
-    idx.delete_docs(docs.where(F.col("doc_id") % 10 == 7).select("doc_id"))
-    return idx
+    def _build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        idx = PostingsIndex.build(spark, docs, path)
+        idx.delete_docs(
+            docs.where(F.col("doc_id") % 10 == 7).select("doc_id")
+        )
+
+    path = build_once(sf_dir, "documents.parquet", "tombstoned_index", _build)
+    return PostingsIndex(spark, path)
 
 
 @register(

@@ -549,13 +549,14 @@ def q_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") < _BINARYFILE_DOC_CAP)
     )
-    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+    from batch_processing_etl_orchestration_spark.tables import build_once
 
-    media_dir = fixture_cache_dir(sf_dir, "documents.parquet", "media_files")
-    marker = os.path.join(media_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        write_media_files(docs, media_dir)
-        open(marker, "w").close()
+    media_dir = build_once(
+        sf_dir,
+        "documents.parquet",
+        "media_files",
+        lambda p: write_media_files(docs, p),
+    )
     ptr = read_media_binaryfile(spark, os.path.join(media_dir, "*.{wav,ppm}"))
     return decode_media(ptr).where(F.col("doc_id") < _BINARYFILE_DOC_CAP)
 
@@ -1381,17 +1382,22 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("ts", "event_type", "value")
     )
-    from batch_processing_etl_orchestration_spark.tables import fixture_cache_dir
+    from batch_processing_etl_orchestration_spark.tables import (
+        build_once,
+        fixture_cache_dir,
+    )
 
-    src = fixture_cache_dir(sf_dir, "events.parquet", "stream_mv_src")
-    if not os.path.isfile(os.path.join(src, "_SUCCESS")):
-        # 6 range files over the month → 6 ordered micro-batches
-        (
-            ev.withColumn("p_date", F.to_date("ts"))
-            .repartitionByRange(6, "p_date")
-            .drop("p_date")
-            .write.mode("overwrite").parquet(src)
-        )
+    # 6 range files over the month → 6 ordered micro-batches
+    src = build_once(
+        sf_dir,
+        "events.parquet",
+        "stream_mv_src",
+        lambda p: ev.withColumn("p_date", F.to_date("ts"))
+        .repartitionByRange(6, "p_date")
+        .drop("p_date")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
     run = fixture_cache_dir(sf_dir, "events.parquet", "stream_mv_run")
     mv, ckpt = os.path.join(run, "mv"), os.path.join(run, "ckpt")

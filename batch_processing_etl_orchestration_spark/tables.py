@@ -89,15 +89,56 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
-def fixture_cache_dir(sf_dir: str, fixture_file: str, name: str) -> str:
+def fixture_cache_dir(
+    sf_dir: str, fixture_file: str, name: str, layout: int = 1
+) -> str:
     """Build-once cache directory for artifacts derived from a fixture
-    table: keyed on the fixture file's (mtime, size) so a regenerated
-    fixture invalidates stale caches instead of silently serving them.
-    One definition for every cached index/label/version scenario —
-    the invalidation rule must not drift between call sites."""
+    table: keyed on the fixture file's (mtime_ns, size) so a
+    regenerated fixture invalidates stale caches instead of silently
+    serving them (nanosecond mtime so a same-second same-size rewrite
+    still invalidates), and on a ``layout`` version so code that
+    changes the on-disk shape of an artifact bumps the integer and can
+    never read a directory written by a prior layout. One definition
+    for every cached index/label/version scenario — the invalidation
+    rule must not drift between call sites."""
     st = os.stat(os.path.join(sf_dir, fixture_file))
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
+        f"-{st.st_mtime_ns}-{st.st_size}-v{layout}"
     )
     return os.path.join("/root/repo/.tmp", name, tag)
+
+
+_BUILD_OK = "_BUILD_OK"
+
+
+def build_once(
+    sf_dir: str,
+    fixture_file: str,
+    name: str,
+    build,
+    layout: int = 1,
+) -> str:
+    """Self-validating build-once cache.
+
+    The directory path itself encodes fixture identity and layout
+    version (``fixture_cache_dir``), and a ``_BUILD_OK`` marker —
+    written only after ``build(path)`` returns — distinguishes a
+    completed build from an interrupted one. Any directory without the
+    marker is removed and rebuilt, so a crash mid-write can never
+    strand a half-built artifact that later reads silently serve.
+    Underscore-prefixed marker files are ignored by Spark's parquet
+    directory listings, so they coexist with data files at the root.
+    """
+    import shutil
+
+    path = fixture_cache_dir(sf_dir, fixture_file, name, layout)
+    ok = os.path.join(path, _BUILD_OK)
+    if os.path.isfile(ok):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    build(path)
+    os.makedirs(path, exist_ok=True)
+    with open(ok, "w") as f:
+        f.write(f"layout={layout}\n")
+    return path

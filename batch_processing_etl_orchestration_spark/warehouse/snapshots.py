@@ -102,6 +102,26 @@ class VersionedTable:
             json.dump(rec, f)
         os.rename(tmp, target)
 
+    def _file_relpath(self, uri: str) -> str:
+        """Manifest-relative path for an ``input_file_name()`` value.
+        Spark returns a percent-encoded file URI; strip the scheme and
+        URL-DECODE before relpath — a table path with encodable
+        characters (spaces etc.) otherwise matches no manifest entry,
+        hit files silently stay unrewritten, and the follow-up hit-file
+        read fails (ADVICE r6). The decoded path must name a manifest
+        file; anything else is a corrupted-manifest error, not a miss."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(uri)
+        local = unquote(p.path) if p.scheme else unquote(uri)
+        rel = os.path.relpath(local, self.path)
+        if not os.path.isfile(os.path.join(self.path, rel)):
+            raise ValueError(
+                f"scanned file {uri!r} resolves to {rel!r}, which is not "
+                f"under table path {self.path!r} — manifest/scan mismatch"
+            )
+        return rel
+
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write df as new immutable data files; return their names."""
         subdir = f"data-{uuid.uuid4().hex[:12]}"
@@ -198,10 +218,7 @@ class VersionedTable:
             .distinct()
             .collect()  # one row per file containing matches — tiny
         )
-        hit_files = {
-            os.path.relpath(r["f"].replace("file://", ""), self.path)
-            for r in hit
-        }
+        hit_files = {self._file_relpath(r["f"]) for r in hit}
         keep = [f for f in files if f not in hit_files]
         new_files = []
         if hit_files:
@@ -334,10 +351,7 @@ class VersionedTable:
             .distinct()
             .collect()  # one row per file containing matches — tiny
         )
-        hit_files = sorted(
-            os.path.relpath(r["_f"].replace("file://", ""), self.path)
-            for r in hit
-        )
+        hit_files = sorted(self._file_relpath(r["_f"]) for r in hit)
         keep = [f for f in files if f not in set(hit_files)]
 
         # Surviving source rows: deletes drop out here; their matched

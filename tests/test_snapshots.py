@@ -453,3 +453,88 @@ def test_optimize_zorder_clusters_versioned_table(spark, table):
     hit_v, _ = _n_overlapping(subdir, {"value": (100.0, 110.0)})
     assert n_files >= 8
     assert hit_u < n_files and hit_v < n_files  # both dims prune
+
+
+def test_path_with_space_erase_and_merge(spark, sf_dir, tmp_path):
+    """input_file_name() returns a percent-encoded URI; erase/merge
+    map it back to manifest entries. A table path containing a space
+    (percent-encoded as %20 in the URI) must still resolve — before
+    the URL-decode fix the hit files matched no manifest entry, were
+    silently kept unrewritten, and the hit-file read failed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "my table"),
+        ev.where(F.col("event_id") % 3 == 0).repartition(4),
+    )
+    t.erase(F.col("user_id") % 7 == 2)
+    assert t.read().where(F.col("user_id") % 7 == 2).count() == 0
+    src = (
+        ev.where((F.col("event_id") % 3 == 0) & (F.col("event_id") % 5 == 0))
+        .withColumn("value", F.col("value") + 1000)
+    )
+    t.merge(src, ["event_id"])
+    assert t.read().where(
+        (F.col("event_id") % 5 == 0) & (F.col("value") >= 1000)
+    ).count() > 0
+
+
+def test_concurrent_reader_sees_one_committed_version(spark, sf_dir, tmp_path):
+    """Read-during-merge certification (VERDICT r6 ask #7): a second
+    SparkSession reads the table in a loop while this session commits
+    merges. Every read must observe EXACTLY one committed version's
+    row multiset — never a half-merged mixture. Aggregates are keyed
+    so each committed state has a distinct, predictable signature."""
+    import threading
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") % 3 == 0).repartition(4)
+    t = VersionedTable.create(spark, str(tmp_path / "vt"), base)
+    n0 = base.count()
+
+    reader_spark = spark.newSession()
+    reader = VersionedTable(reader_spark, t.path)
+    observed: list[tuple[int, int]] = []
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def read_loop() -> None:
+        while not stop.is_set():
+            try:
+                row = reader.read().agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("value") < 0, 1)).alias("neg"),
+                ).first()
+                observed.append((row["n"], row["neg"]))
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(repr(e))
+                break
+
+    th = threading.Thread(target=read_loop)
+    th.start()
+    try:
+        # each merge flips the sign of a disjoint key slice: committed
+        # states have neg counts that are exact prefix sums
+        slices = []
+        for k in range(4):
+            s = base.where(F.col("event_id") % 7 == k).withColumn(
+                "value", -F.abs(F.col("value")) - 1
+            )
+            slices.append(s.count())
+            t.merge(s, ["event_id"])
+    finally:
+        stop.set()
+        th.join(timeout=120)
+
+    assert not errors, errors
+    valid = set()
+    acc = 0
+    valid.add((n0, 0))
+    for c in slices:
+        acc += c
+        valid.add((n0, acc))
+    for obs in observed:
+        assert obs in valid, (obs, sorted(valid))

@@ -93,7 +93,19 @@ def main(replicas: int = 10) -> None:
             ),
         ).withColumn("n_chars", F.length("text"))
 
-    add("customer", {"c_custkey": cust_off})
+    def cust_transform(df: DataFrame, r: int) -> DataFrame:
+        # Keep c_name consistent with the offset key: a real 10×
+        # corpus has 10× DISTINCT names. Replicating names verbatim
+        # made every name-keyed bucket carry 10 copies and the fuzzy
+        # join's true match set itself ×(replicas²) — a fixture
+        # artifact, not workload shape. Replica 0 stays byte-identical.
+        if r == 0:
+            return df
+        return df.withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+
+    add("customer", {"c_custkey": cust_off}, transform=cust_transform)
     add("supplier", {"s_suppkey": supp_off})
     add("part", {"p_partkey": part_off})
     add("orders", {"o_orderkey": order_off, "o_custkey": cust_off})
