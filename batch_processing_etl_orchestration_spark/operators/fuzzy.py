@@ -140,6 +140,82 @@ def blocked_fuzzy_join(
     )
 
 
+def wildcard_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    left_keep: list[str] | None = None,
+    right_keep: list[str] | None = None,
+    max_len: int = 64,
+) -> DataFrame:
+    """Fuzzy join at edit distance ≤ 1 via the CHARACTER-DELETION
+    NEIGHBORHOOD (the FastSS scheme): each string expands to one
+    variant per position — the string with that character blanked —
+    and candidates are equality matches on (length, position,
+    variant). Two equal-length strings within one substitution share
+    EXACTLY the variant at their differing position (every variant if
+    equal), so the join is complete for ≤ 1 substitution and each
+    true pair generates O(1) candidate rows — candidate volume is
+    OUTPUT-linear, independent of key entropy or skew, where segment
+    blocking degrades to bucket-size × probes.
+
+    Cost model: a ×len row blowup of short strings on the shuffle
+    (len ≤ max_len enforced — this is the scheme for KEYS and NAMES,
+    not documents; long strings should use entropy_blocked_fuzzy_join
+    whose shuffle stays ×(d+1)). At 100 TB: 32-char keys cost a ×32
+    map-side expansion of a few-dozen-byte column — linear, no
+    all-pairs term anywhere, and the per-bucket width is bounded by
+    the alphabet (strings agreeing everywhere but one char), so no
+    salting is ever needed.
+
+    Length guard: rows longer than max_len are dropped (with the
+    equal-length contract they could only match other dropped rows
+    anyway ONLY if their partner is also long — callers with long
+    strings belong on the segment path, so the guard raises instead
+    of silently losing pairs)."""
+    lk = left_keep or [c for c in left.columns if c != col]
+    rk = right_keep or [c for c in right.columns if c != col]
+
+    def explode_variants(df: DataFrame, keep: list[str], cname: str):
+        variants = F.expr(
+            f"transform(sequence(1, length({col})), i -> struct("
+            f"i AS idx, concat(substr({col}, 1, i - 1), x'01', "
+            f"substr({col}, i + 1, length({col}))) AS txt))"
+        )
+        # in-plan guard: an over-long row fails the job with a clear
+        # message INSIDE the same pass — a separate count() pre-check
+        # would cost one extra full scan per side at scale
+        guarded_len = F.when(
+            F.length(F.col(col)) > max_len,
+            F.raise_error(
+                F.lit(
+                    f"wildcard_fuzzy_join: string longer than max_len="
+                    f"{max_len}; use entropy_blocked_fuzzy_join for "
+                    "long strings"
+                )
+            ).cast("int"),
+        ).otherwise(F.length(F.col(col)))
+        return df.select(
+            *keep,
+            F.col(col).alias(cname),
+            guarded_len.alias("__len"),
+            F.explode(variants).alias("v"),
+        ).select(*keep, cname, "__len", "v.idx", F.col("v.txt").alias("txt"))
+
+    lx = explode_variants(left, lk, "__l_val")
+    rx = explode_variants(right, rk, "__r_val")
+    cands = (
+        lx.join(rx, ["__len", "idx", "txt"])
+        .drop("__len", "idx", "txt")
+        .dropDuplicates([*lk, *rk])  # dist-0 pairs share every variant
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__l_val", "__r_val"))
+        .where(F.col("dist") <= 1)
+        .select(*lk, *rk, "dist")
+    )
+
+
 def _entropy_boundaries(right: DataFrame, col: str, d: int, max_len: int):
     """Per length class, ``d`` interior split positions that balance
     APPROXIMATE PREFIX ENTROPY: one aggregation pass computes
@@ -166,7 +242,10 @@ def _entropy_boundaries(right: DataFrame, col: str, d: int, max_len: int):
     length class, metadata-sized (≤ distinct string lengths)."""
     import math
 
-    probe_len = max_len - 1
+    # one cheap max(length) scan caps the HLL battery at the data's
+    # actual width instead of max_len (64 HLL partials → ~17 for keys)
+    observed = right.agg(F.max(F.length(F.col(col)))).first()[0] or 1
+    probe_len = max(1, min(max_len - 1, int(observed) - 1))
     aggs = [
         F.approx_count_distinct(F.col(col).substr(1, p)).alias(f"p{p}")
         for p in range(1, probe_len + 1)

@@ -1617,3 +1617,264 @@ def q_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: exponential smoothing, skyline, time-weighted average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ewma_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    acc AS (
+      SELECT event_type, day, rn,
+             SUM(v * CAST(POWER(2.0, CASE WHEN rn = 1 THEN 1 ELSE rn - 1 END)
+                          AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS s
+      FROM seq
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(FLOOR(CAST(s AS DOUBLE) / POWER(2.0, rn) + 0.5) AS BIGINT)
+             / 100.0 AS ewma_value
+    FROM acc
+    """,
+    tags=("analytics", "timeseries", "ewma"),
+)
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily value per event
+    type (α = 1/2, s₁ = x₁, sₜ = xₜ/2 + sₜ₋₁/2) — the smoothing
+    primitive Spark has no built-in for, computed EXACTLY: with
+    α = 1/2 the closed form is sₜ = (2·x₁ + Σᵢ₌₂ xᵢ·2^(i−1)) / 2ᵗ, so
+    the weighted prefix accumulates in INT64 (daily sums in exact
+    centi-units × power-of-two weights) and the single final division
+    by 2ᵗ is an exact binary scaling — both engines emit the identical
+    grid value; no float recursion ever runs.
+
+    Plan: one groupBy (day pre-aggregation, map-side partials) + one
+    window per (event_type) over DAYS — ≤31 rows per key at any data
+    volume, so the window input is the aggregated domain, never the
+    fact stream. Overflow bound: |daily_centi| · 2^(days) < 2^63 —
+    holds through sf100 for a month window; longer horizons re-anchor
+    per window (the standard EWMA restart)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    rn = F.row_number().over(w)
+    seq = daily.select("event_type", "day", "v", rn.alias("rn"))
+    weight = F.pow(
+        F.lit(2.0),
+        F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.col("rn") - 1),
+    ).cast("long")
+    acc = seq.withColumn(
+        "s",
+        F.sum(F.col("v") * weight).over(
+            Window.partitionBy("event_type")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return acc.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.floor(
+                F.col("s").cast("double") / F.pow(F.lit(2.0), F.col("rn"))
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("ewma_value"),
+    )
+
+
+@register(
+    "q_pareto_frontier_parts",
+    oracle="""
+    WITH best AS (
+      SELECT p_size, MAX(p_retailprice) AS best_price
+      FROM part GROUP BY 1
+    ),
+    fr AS (
+      SELECT b.p_size, b.best_price FROM best b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM best b2
+        WHERE b2.p_size > b.p_size AND b2.best_price >= b.best_price
+      )
+    )
+    SELECT f.p_size, f.best_price,
+           COUNT(*) AS n_parts, MIN(p.p_partkey) AS min_partkey
+    FROM fr f JOIN part p
+      ON p.p_size = f.p_size AND p.p_retailprice = f.best_price
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "skyline"),
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts maximizing (p_size,
+    p_retailprice): the points no other part weakly dominates with at
+    least one strict improvement. The oracle does the textbook
+    quadratic NOT EXISTS; the engine computes the staircase in
+    O(domain log domain): pre-aggregate max price per size, sort the
+    ≤~50-row size domain descending, and a point survives iff its
+    price strictly exceeds the running max over larger sizes (the
+    classic sort-scan skyline).
+
+    Scale: the frontier over a BOUNDED attribute domain pre-aggregates
+    first (one map-side-combine groupBy of the fact), so the ordered
+    scan runs on the aggregated domain — ~|distinct sizes| rows, not
+    rows of data. An unbounded x-domain uses the same staircase over
+    range-partitioned x with per-partition running maxes merged by one
+    boundary pass (the monoid is MAX, so partials compose); the
+    quadratic oracle exists precisely because nobody can run it at
+    100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    best = part.groupBy("p_size").agg(
+        F.max("p_retailprice").alias("best_price")
+    )
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = best.withColumn(
+        "_prev_max", F.max("best_price").over(w)
+    ).where(
+        F.col("_prev_max").isNull()
+        | (F.col("best_price") > F.col("_prev_max"))
+    )
+    return (
+        frontier.join(
+            part,
+            (part["p_size"] == frontier["p_size"])
+            & (part["p_retailprice"] == frontier["best_price"]),
+        )
+        .groupBy(frontier["p_size"], "best_price")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             DATEDIFF('second', TIMESTAMP '2024-01-01', ts) AS ep,
+             LEAD(DATEDIFF('second', TIMESTAMP '2024-01-01', ts))
+               OVER (PARTITION BY event_type
+                     ORDER BY DATEDIFF('second', TIMESTAMP '2024-01-01', ts),
+                              event_id) AS nep
+      FROM events
+    )
+    SELECT event_type,
+           CAST(FLOOR(CAST(SUM(v * (nep - ep)) AS DOUBLE)
+                      / SUM(nep - ep) + 0.5) AS BIGINT) / 100.0
+             AS twa_value,
+           COUNT(*) AS n_events,
+           SUM(nep - ep) AS span_seconds
+    FROM e GROUP BY 1
+    """,
+    tags=("analytics", "timeseries", "twa"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event stream: each observation
+    holds until the next one, so the mean weights every value by its
+    holding duration — the correct aggregate for irregularly sampled
+    gauges (the reference's hourly energy readings are the regular
+    special case). All arithmetic is integer-exact: epoch seconds from
+    a FIXED timestamp anchor (pure TIMESTAMP_NTZ subtraction — no
+    session-timezone dependence), centi-scaled values, and one final
+    grid division; Σ v·dt is bounded by max|v| · total span, so it
+    cannot overflow however many rows a stream has.
+
+    Plan — deliberately NOT one window over the whole stream: a
+    partitionBy(event_type) window puts an entire stream's history in
+    one task, which is exactly the skew that kills low-cardinality
+    keys at 100 TB. Instead phase 1 windows within (event_type, DAY)
+    — thousands of balanced partitions — producing per-day partials
+    (in-day weighted sum, first/last observation); phase 2 stitches
+    day boundaries with a lead over the ≤31-row per-type day sequence
+    (boundary contribution = last value of day d held until first
+    observation of day d+1). The oracle computes the same integral
+    with one naive lead window; hash equality proves the
+    decomposition is seamless."""
+    anchor = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.expr(f"timestampdiff(SECOND, {anchor}, ts)").alias("ep"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    in_day = Window.partitionBy("event_type", "day").orderBy(
+        "ep", "event_id"
+    )
+    stamped = ev.withColumn("nep", F.lead("ep").over(in_day))
+    days = stamped.groupBy("event_type", "day").agg(
+        F.sum(
+            F.when(
+                F.col("nep").isNotNull(),
+                F.col("v") * (F.col("nep") - F.col("ep")),
+            )
+        ).alias("in_day_vdt"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("ep", "event_id")).getField("ep").alias("first_ep"),
+        F.max(F.struct("ep", "event_id", "v")).getField("ep").alias("last_ep"),
+        F.max(F.struct("ep", "event_id", "v")).getField("v").alias("last_v"),
+    )
+    over_days = Window.partitionBy("event_type").orderBy("day")
+    stitched = days.withColumn(
+        "next_first_ep", F.lead("first_ep").over(over_days)
+    ).withColumn(
+        "boundary_vdt",
+        F.when(
+            F.col("next_first_ep").isNotNull(),
+            F.col("last_v") * (F.col("next_first_ep") - F.col("last_ep")),
+        ),
+    ).withColumn(
+        "boundary_dt",
+        F.when(
+            F.col("next_first_ep").isNotNull(),
+            F.col("next_first_ep") - F.col("last_ep"),
+        ),
+    )
+    return stitched.groupBy("event_type").agg(
+        (
+            F.floor(
+                (
+                    F.coalesce(F.sum("in_day_vdt"), F.lit(0))
+                    + F.coalesce(F.sum("boundary_vdt"), F.lit(0))
+                ).cast("double")
+                / (
+                    F.sum(
+                        F.coalesce(F.col("last_ep") - F.col("first_ep"), F.lit(0))
+                    )
+                    + F.coalesce(F.sum("boundary_dt"), F.lit(0))
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("twa_value"),
+        F.sum("n_events").alias("n_events"),
+        (
+            F.sum(F.coalesce(F.col("last_ep") - F.col("first_ep"), F.lit(0)))
+            + F.coalesce(F.sum("boundary_dt"), F.lit(0))
+        ).alias("span_seconds"),
+    )

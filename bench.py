@@ -148,6 +148,13 @@ BENCH_QUERIES = [
     "q_decile_lift",
     "q_bigram_logprob_quality",
     "q_freshness_audit",
+    # r7: exact EWMA over the aggregated day domain, sort-scan skyline,
+    # skew-safe two-phase time-weighted average, end-to-end entity
+    # resolution (deletion-neighborhood match + pointer-jump CC)
+    "q_ewma_daily_value",
+    "q_pareto_frontier_parts",
+    "q_time_weighted_avg",
+    "q_entity_resolution",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -112,3 +112,81 @@ def test_degenerate_prefix_dropping_keeps_completeness(spark):
     )
     want = sorted((r["lid"], r["rid"], r["dist"]) for r in brute.collect())
     assert got == want and len(got) >= n // 3
+
+
+def test_wildcard_join_complete_vs_bruteforce(spark):
+    """The character-deletion neighborhood finds every equal-length
+    pair within one substitution (its completeness domain) and admits
+    nothing farther."""
+    from batch_processing_etl_orchestration_spark.operators.fuzzy import (
+        wildcard_fuzzy_join,
+    )
+
+    base = ["prefix001", "prefix002", "prefix102", "prefix999", "zzzzzzzzz"]
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(base)], "lid int, s string"
+    )
+    right = spark.createDataFrame(
+        [(i + 100, s) for i, s in enumerate(base)], "rid int, s string"
+    )
+    got = _pairs(
+        wildcard_fuzzy_join(
+            left, right, "s", left_keep=["lid"], right_keep=["rid"]
+        )
+    )
+    brute = (
+        left.crossJoin(right)
+        .withColumn("dist", F.levenshtein(left["s"], right["s"]))
+        .where(F.col("dist") <= 1)
+    )
+    want = sorted((r["lid"], r["rid"], r["dist"]) for r in brute.collect())
+    assert got == want
+    # dist-0 pairs (shared every variant) appear exactly once
+    assert got.count((0, 100, 0)) == 1
+
+
+def test_wildcard_join_rejects_long_strings(spark):
+    import pytest as _pytest
+
+    from batch_processing_etl_orchestration_spark.operators.fuzzy import (
+        wildcard_fuzzy_join,
+    )
+
+    left = spark.createDataFrame([(1, "a" * 80)], "lid int, s string")
+    right = spark.createDataFrame([(2, "a" * 80)], "rid int, s string")
+    with _pytest.raises(Exception, match="max_len"):
+        wildcard_fuzzy_join(
+            left, right, "s", left_keep=["lid"], right_keep=["rid"],
+            max_len=64,
+        ).collect()
+
+
+def test_entropy_blocking_complete_on_low_entropy_keys(spark):
+    """Entropy-balanced boundaries stay complete for substitutions on
+    shared-prefix keys — the workload that defeats positional splits —
+    and for max_dist=2."""
+    from batch_processing_etl_orchestration_spark.operators.fuzzy import (
+        entropy_blocked_fuzzy_join,
+    )
+
+    base = [f"Customer#{i:09d}" for i in range(0, 400, 7)]
+    corrupt = [s[:12] + "xy" + s[14:] for s in base[:20]]  # 2 subs
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corrupt)], "lid int, s string"
+    )
+    right = spark.createDataFrame(
+        [(i + 1000, s) for i, s in enumerate(base)], "rid int, s string"
+    )
+    got = _pairs(
+        entropy_blocked_fuzzy_join(
+            left, right, "s", max_dist=2,
+            left_keep=["lid"], right_keep=["rid"],
+        )
+    )
+    brute = (
+        left.crossJoin(right)
+        .withColumn("dist", F.levenshtein(left["s"], right["s"]))
+        .where(F.col("dist") <= 2)
+    )
+    want = sorted((r["lid"], r["rid"], r["dist"]) for r in brute.collect())
+    assert got == want and len(got) >= 20

@@ -308,9 +308,10 @@ def test_add_segment_rejects_tombstoned_ids(spark, tmp_path):
 
 
 def test_publish_keeps_retired_generation_for_readers(spark, tmp_path):
-    """A DataFrame planned before compaction still executes after it
-    (the retired generation survives one publish cycle); the next
-    publish reaps it."""
+    """A DataFrame planned before compaction still executes after it:
+    the retired generation survives the publish (and publish-time
+    cleanup only reaps orphans older than _REAP_AGE_SEC, so lagging
+    readers and concurrent mutations keep their files lock-free)."""
     from batch_processing_etl_orchestration_spark.operators.retrieval import (
         PostingsIndex,
     )

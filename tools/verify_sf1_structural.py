@@ -340,6 +340,120 @@ def main() -> None:
         f"{sorted(s for s, *_ in got_split)}, {time.perf_counter()-t1:.1f}s",
     )
 
+    # -- q_fuzzy_join_names: closed-form expected pair set ------------
+    # The quadratic DuckDB oracle (22.5M serial levenshtein at sf1) is
+    # why this query sat outside the sf1 sweep (VERDICT r6 Missing #3).
+    # The probe corruption is deterministic, so the expected matches
+    # are CLOSED-FORM: probe k is 'Customer#%09d' % k with the char at
+    # 0-based position k % 18 replaced by 'x'. 'x' never occurs in a
+    # name, so lev(probe, c_name) <= 1 iff c_name differs from the
+    # ORIGINAL name only at that position — i.e. c == k, or (when the
+    # position is a digit) c's 9-digit padding differs from k's in
+    # exactly that digit. Pure integer arithmetic, no string scan.
+    from batch_processing_etl_orchestration_spark.plans.parity import (
+        q_fuzzy_join_names,
+    )
+
+    t1 = time.perf_counter()
+    n_cust = load_table(spark, sf1, "customer").count()
+    expected_fuzzy: set[tuple[int, int, int]] = set()
+    for k in range(0, n_cust, 10):
+        pos = k % 18  # 0-based corrupted position
+        expected_fuzzy.add((k, k, 1))
+        if pos >= 9:  # digit positions are 9..17 of 'Customer#%09d'
+            digit_idx = pos - 9  # 0 = most significant of 9 digits
+            place = 10 ** (8 - digit_idx)
+            cur = (k // place) % 10
+            for alt in range(10):
+                if alt != cur:
+                    k2 = k + (alt - cur) * place
+                    if 0 <= k2 < n_cust:
+                        expected_fuzzy.add((k, k2, 1))
+    got_fuzzy = {
+        (r_["probe_key"], r_["matched_key"], r_["dist"])
+        for r_ in q_fuzzy_join_names(spark, sf1).collect()
+    }
+    _check(
+        "sf1:fuzzy_join_names==closed_form_pairs",
+        got_fuzzy == expected_fuzzy,
+        f"{len(got_fuzzy)} pairs, {time.perf_counter()-t1:.1f}s",
+    )
+
+    # -- q_entity_resolution: blocked oracle + independent walk -------
+    # The registered oracle is an honest quadratic cross join — 29G
+    # levenshtein calls at sf1, unrunnable. Here DuckDB reproduces the
+    # DELETION-NEIGHBORHOOD candidate generation in SQL (complete for
+    # ≤1 substitution by the pigeonhole: equal-length strings within
+    # one substitution share the variant at their differing position —
+    # a construction proof, not an engine-shared assumption), verifies
+    # candidates with exact levenshtein, then runs the recursive-CTE
+    # component walk and rollup INDEPENDENTLY of the engine's
+    # pointer-jump CC. sf0.01 ties this blocked oracle to the true
+    # quadratic one (the driver gate runs the quadratic SQL there).
+    from batch_processing_etl_orchestration_spark.plans.parity import (
+        q_entity_resolution,
+    )
+
+    t1 = time.perf_counter()
+    er_sql = """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS rid, substr(md5(c_name), 1, 12) AS ident
+      FROM sf1_customer
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             substr(substr(md5(c_name), 1, 12), 1, c_custkey % 12)
+               || 'q'
+               || substr(substr(md5(c_name), 1, 12), c_custkey % 12 + 2)
+      FROM sf1_customer WHERE c_custkey % 7 = 3
+    ),
+    variants AS (
+      SELECT rid, ident, i,
+             substr(ident, 1, i - 1) || chr(1) || substr(ident, i + 1) AS vkey
+      FROM recs, (SELECT unnest(generate_series(1, 12)) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.rid AS src, b.rid AS dst,
+             a.ident AS ia, b.ident AS ib
+      FROM variants a JOIN variants b
+        ON a.i = b.i AND a.vkey = b.vkey AND a.rid < b.rid
+    ),
+    edges0 AS (
+      SELECT src, dst FROM cand WHERE levenshtein(ia, ib) <= 1
+    ),
+    edges AS (
+      SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+    ),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS rid, LEAST(src, MIN(dst)) AS comp_id
+      FROM walk GROUP BY src
+    ),
+    lab AS (
+      SELECT r.rid, COALESCE(c.comp_id, r.rid) AS entity_id
+      FROM recs r LEFT JOIN comp c ON r.rid = c.rid
+    )
+    SELECT entity_id, COUNT(*) AS n_records, SUM(rid) AS sum_record_id
+    FROM lab GROUP BY 1
+    """
+    con.execute(
+        "CREATE VIEW sf1_customer AS SELECT * FROM "
+        f"parquet_scan('{_parquet_pattern(sf1, 'customer')}')"
+    )
+    want_er = {tuple(r) for r in con.execute(er_sql).fetchall()}
+    got_er = {
+        (r_["entity_id"], r_["n_records"], r_["sum_record_id"])
+        for r_ in q_entity_resolution(spark, sf1).collect()
+    }
+    _check(
+        "sf1:entity_resolution==blocked_oracle+recursive_walk",
+        got_er == want_er,
+        f"{len(got_er)} entities, {time.perf_counter()-t1:.1f}s",
+    )
+
     print(
         f"== {'OK' if not _FAILURES else 'FAILED: ' + ', '.join(_FAILURES)} "
         f"[{time.perf_counter()-t0:.1f}s total]"
