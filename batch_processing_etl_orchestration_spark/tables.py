@@ -141,4 +141,14 @@ def build_once(
     os.makedirs(path, exist_ok=True)
     with open(ok, "w") as f:
         f.write(f"layout={layout}\n")
+    # Opportunistic reap: sibling tags for the SAME sf directory are
+    # stale by definition (the fixture changed or the layout version
+    # moved on — no current code path can read them), so a fresh build
+    # retires them instead of letting .tmp accumulate dead cache
+    # generations across rounds. Other sf dirs' tags are untouched.
+    sf_prefix = os.path.basename(os.path.normpath(sf_dir)) + "-"
+    parent = os.path.dirname(path)
+    for d in os.listdir(parent):
+        if d.startswith(sf_prefix) and d != os.path.basename(path):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     return path

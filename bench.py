@@ -163,26 +163,41 @@ BENCH_QUERIES = [
 # exemptions (q_dup_clusters pointer jumping, q_dedup_keep_canonical
 # persisted labels) were pruned in r6: BENCH_r05 already times the
 # changed workloads, so the guard now covers them again.
-BASELINE_EXEMPT: set[str] = {
-    # r7: switched to entropy-balanced blocking (adds a planning-time
-    # prefix-entropy aggregation pass; fixes the 22.5× sf1 blowup) —
-    # prune once a BENCH recorded under the entropy mode is baseline.
-    "q_fuzzy_join_names",
-}
+BASELINE_EXEMPT: set[str] = set()
+# (r7's q_fuzzy_join_names exemption was pruned the same round: the
+# committed BENCH_LOCAL.json baseline is already recorded under the
+# deletion-neighborhood scheme.)
 
 
 def _baseline(sf: float) -> tuple[dict[str, float], float | None]:
     """(per-query seconds, calibration-probe seconds or None) from the
-    newest committed BENCH_r*.json whose sf matches (driver artifact
-    shape: {"parsed": {...}, "sf": ...}). Rounds before r6 predate the
-    probe and return None for it."""
+    newest committed BENCH artifact whose sf matches. The committed
+    BENCH_LOCAL.json (full result written by the previous round's
+    bench run) is preferred as newest — the driver's BENCH_r*.json
+    tail-capture can truncate the queries dict (r6 landed parsed=null)
+    while the local file always carries the complete object. Falls
+    back to the newest parseable BENCH_r*.json ({"parsed": {...}}
+    driver shape); rounds before r6 predate the probe and return None
+    for it."""
     import glob
     import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            rec = json.load(f)
+        if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
+            p = rec.get("probe_sec")
+            return rec["queries"], (
+                float(p) if isinstance(p, (int, float)) and p > 0 else None
+            )
+    except (OSError, ValueError):
+        pass
 
     best: dict[str, float] = {}
     best_probe: float | None = None
     best_round = -1
-    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m or int(m.group(1)) <= best_round:
             continue

@@ -91,3 +91,26 @@ def test_tag_uses_nanosecond_mtime():
     st = os.stat(os.path.join(SF, "nation.parquet"))
     tag = os.path.basename(fixture_cache_dir(SF, "nation.parquet", "x"))
     assert str(st.st_mtime_ns) in tag and str(st.st_size) in tag
+
+
+def test_stale_sibling_tags_reaped(tmp_path, monkeypatch):
+    """A fresh build retires same-sf sibling tags (older fixture
+    mtimes / layouts — unreadable by any current code path) while
+    leaving other sf dirs' caches alone."""
+    _patch_tmp(monkeypatch, tmp_path)
+
+    import batch_processing_etl_orchestration_spark.tables as tables
+
+    live = tables.fixture_cache_dir(SF, "nation.parquet", "bo_reap")
+    parent = os.path.dirname(live)
+    stale = os.path.join(parent, os.path.basename(os.path.normpath(SF)) + "-111-222-v1")
+    other_sf = os.path.join(parent, "sf0.01-111-222-v1")
+    os.makedirs(stale)
+    os.makedirs(other_sf)
+
+    def build(path):
+        os.makedirs(path, exist_ok=True)
+
+    build_once(SF, "nation.parquet", "bo_reap", build)
+    assert not os.path.exists(stale)
+    assert os.path.exists(other_sf)
