@@ -100,7 +100,23 @@ class VersionedTable:
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(rec, f)
-        os.rename(tmp, target)
+        try:
+            # link is CREATE-EXCLUSIVE where rename would silently
+            # replace: two writers that both passed the exists() check
+            # race here, and exactly one wins — optimistic concurrency
+            # at the manifest, the same contract as a table format's
+            # conditional commit.
+            os.link(tmp, target)
+        except FileExistsError:
+            raise RuntimeError(
+                f"version {version} already committed (lost the race "
+                "to a concurrent writer; re-read and retry the commit)"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _file_relpath(self, uri: str) -> str:
         """Manifest-relative path for an ``input_file_name()`` value.

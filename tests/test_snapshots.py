@@ -538,3 +538,19 @@ def test_concurrent_reader_sees_one_committed_version(spark, sf_dir, tmp_path):
         valid.add((n0, acc))
     for obs in observed:
         assert obs in valid, (obs, sorted(valid))
+
+
+def test_concurrent_commit_loses_exactly_one(spark, table):
+    """Two writers committing the same next version: exactly one wins,
+    the loser raises, and the winner's manifest is intact (the commit
+    is create-exclusive, not check-then-replace — a raced rename would
+    silently overwrite the first writer's manifest)."""
+    t, ev = table
+    v = t.latest_version() + 1
+    t._commit(v, t._read_manifest(v - 1)["files"], "test-a", {"who": "a"})
+    with pytest.raises(RuntimeError, match="already committed|race"):
+        t._commit(v, t._read_manifest(v - 1)["files"], "test-b", {"who": "b"})
+    assert t._read_manifest(v)["meta"] == {"who": "a"}
+    # no stray .tmp- files left behind by the losing writer
+    stray = [f for f in os.listdir(t._mdir) if ".tmp-" in f]
+    assert stray == []
