@@ -183,6 +183,62 @@ class MergeableSpec:
 
 
 _READY = "_MV_READY"
+_INTENT = "_REFRESH_INTENT.json"
+
+
+def pending_refresh(mv_path: str) -> list | None:
+    """Partition values (as strings) named by an UNFINISHED refresh's
+    intent journal, or None if no refresh is pending. A present intent
+    means a dynamic-overwrite died between replacing some touched
+    partitions and others — the MV slice it names is suspect and must
+    be healed before anyone reads it."""
+    import json
+    import os
+
+    path = os.path.join(mv_path, _INTENT)
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as f:
+            return [str(v) for v in json.load(f)["parts"]]
+    except (OSError, ValueError, KeyError):
+        return []  # unreadable journal: every partition is suspect
+
+
+def _check_no_pending(mv_path: str) -> None:
+    parts = pending_refresh(mv_path)
+    if parts is not None:
+        raise RuntimeError(
+            f"MV at {mv_path} has an unfinished refresh over partitions "
+            f"{parts or '<unknown>'}; run heal_mv(spark, fact, spec, "
+            "mv_path) before reading or refreshing"
+        )
+
+
+def _write_intent(mv_path: str, parts: list) -> None:
+    """Journal the touched partitions BEFORE the dynamic overwrite —
+    the write-ahead intent a crashed refresh leaves behind so recovery
+    knows exactly which partitions to recompute (temp+rename so a
+    crash mid-journal can't leave a torn file that reads as valid)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(mv_path, exist_ok=True)
+    target = os.path.join(mv_path, _INTENT)
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"parts": [str(v) for v in parts]}, f)
+    os.rename(tmp, target)
+
+
+def _clear_intent(mv_path: str) -> None:
+    import os
+
+    try:
+        os.remove(os.path.join(mv_path, _INTENT))
+    except OSError:
+        pass
 
 
 def _write_partitioned(df: DataFrame, spec: MergeableSpec, mv_path: str) -> None:
@@ -237,6 +293,7 @@ def delta_refresh(
         shutil.rmtree(mv_path, ignore_errors=True)
         build_mv(delta, spec, mv_path)
         return parts
+    _check_no_pending(mv_path)
     old = (
         spark.read.parquet(mv_path)
         .where(F.col(spec.partition_col).isin(parts))  # partition-pruned
@@ -244,7 +301,14 @@ def delta_refresh(
     )
     inc = spec.aggregate(delta)
     merged = spec.merge(old.unionByName(inc))
+    # Write-ahead intent: a dynamic overwrite that dies part-way leaves
+    # SOME touched partitions merged and others not, with _READY still
+    # present — silently serveable. The journal makes the crash loud
+    # (reads/refreshes raise) and names the exact partitions heal_mv
+    # must recompute from the authoritative fact.
+    _write_intent(mv_path, parts)
     _write_partitioned(merged, spec, mv_path)
+    _clear_intent(mv_path)
     return parts
 
 
@@ -264,17 +328,22 @@ def recompute_refresh(
     parts = affected_partitions(delta, spec.partition_col)
     if not parts:
         return parts
+    _check_no_pending(mv_path)
     scoped = (
         fact.unionByName(delta)
         .where(F.col(spec.partition_col).isin(parts))
     )
     out = (agg_fn or spec.aggregate)(scoped)
+    _write_intent(mv_path, parts)
     _write_partitioned(out, spec, mv_path)
+    _clear_intent(mv_path)
     return parts
 
 
 def read_mv(spark: SparkSession, spec: MergeableSpec, mv_path: str) -> DataFrame:
-    """User-facing view of the MV (partials finalized to values)."""
+    """User-facing view of the MV (partials finalized to values).
+    Refuses to serve an MV with an unfinished refresh (see heal_mv)."""
+    _check_no_pending(mv_path)
     return spec.finalize(spark.read.parquet(mv_path))
 
 
@@ -291,10 +360,42 @@ def rollup_mv(
     distinct-users-last-quarter query touches ~90 partials per group —
     never the fact table. (HLL register-max merge makes even distinct
     counts roll up; pinned equal to a single-shot sketch in tests.)"""
+    _check_no_pending(mv_path)
     p = spark.read.parquet(mv_path)
     if where is not None:
         p = p.where(where)
     return spec.finalize(spec.merge(p, keys=by), keys=by)
+
+
+def heal_mv(
+    spark: SparkSession,
+    fact: DataFrame,
+    spec: MergeableSpec,
+    mv_path: str,
+    agg_fn=None,
+) -> list:
+    """Recover from a refresh that died mid-overwrite: recompute the
+    partitions the intent journal names from the AUTHORITATIVE fact
+    table and clear the journal. Recomputation REPLACES the suspect
+    partitions wholesale, so healing is idempotent — running it twice,
+    or after a crash during healing itself, converges to the same
+    state. An unreadable journal recomputes every fact partition (the
+    full-rebuild fallback). No-op (returns []) when nothing is
+    pending. This is the lambda-architecture repair contract: the MV
+    is always re-derivable from the fact, and the journal bounds how
+    much of it must be re-derived."""
+    parts = pending_refresh(mv_path)
+    if parts is None:
+        return []
+    scoped = fact
+    if parts:  # [] = torn journal: every partition suspect
+        scoped = fact.where(
+            F.col(spec.partition_col).cast("string").isin(parts)
+        )
+    out = (agg_fn or spec.aggregate)(scoped)
+    _write_partitioned(out, spec, mv_path)
+    _clear_intent(mv_path)
+    return parts if parts else ["<all>"]
 
 
 def hist_quantile(

@@ -352,3 +352,69 @@ def test_hist_quantile_within_bucket_width(spark, tmp_path_factory):
         for t, v_rank in ranks.items():
             e = est[t][i]
             assert e - width - 1e-9 < v_rank <= e + 1e-9, (t, q, e, v_rank)
+
+
+def test_crashed_refresh_is_loud_and_healable(spark, sf_dir, tmp_path):
+    """A refresh that dies between journaling its intent and clearing
+    it leaves the MV suspect: reads and further refreshes raise
+    (instead of silently serving a half-merged slice), and heal_mv
+    recomputes exactly the journaled partitions from the fact so the
+    healed MV equals a direct full build."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _INTENT,
+        build_mv,
+        delta_refresh,
+        heal_mv,
+        read_mv,
+        rollup_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("p_date", F.to_date("ts"))
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    mv = str(tmp_path / "mv")
+    build_mv(ev.where(F.dayofmonth("p_date") <= 15), spec, mv)
+    delta_refresh(spark, ev.where(F.dayofmonth("p_date") > 15), spec, mv)
+
+    # simulate the crash: an intent journal for two partitions that
+    # never cleared (their on-disk state is now unknowable)
+    import json
+
+    suspect = [
+        r["p_date"]
+        for r in ev.select("p_date").distinct().orderBy("p_date").collect()
+    ][:2]
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        json.dump({"parts": [str(v) for v in suspect]}, f)
+
+    with pytest.raises(RuntimeError, match="unfinished refresh"):
+        read_mv(spark, spec, mv).collect()
+    with pytest.raises(RuntimeError, match="unfinished refresh"):
+        rollup_mv(spark, spec, mv, by=["event_type"]).collect()
+    with pytest.raises(RuntimeError, match="unfinished refresh"):
+        delta_refresh(spark, ev.limit(5), spec, mv)
+
+    healed = heal_mv(spark, ev, spec, mv)
+    assert sorted(healed) == sorted(str(v) for v in suspect)
+    got = {
+        (r["p_date"], r["event_type"]): (r["total_value"], r["n_rows"])
+        for r in read_mv(spark, spec, mv).collect()
+    }
+    direct = str(tmp_path / "direct")
+    build_mv(ev, spec, direct)
+    want = {
+        (r["p_date"], r["event_type"]): (r["total_value"], r["n_rows"])
+        for r in read_mv(spark, spec, direct).collect()
+    }
+    assert got == want
+    # healing is idempotent / a second heal is a no-op
+    assert heal_mv(spark, ev, spec, mv) == []
