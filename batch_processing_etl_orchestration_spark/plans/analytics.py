@@ -1365,7 +1365,7 @@ def q_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sha256(CAST(c_custkey AS VARCHAR)) AS cust_token,
            substring(c_name, 1, 9) || '***' AS name_masked,
            c_mktsegment,
-           CAST(ROUND(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket
+           CAST(ROUND(c_acctbal / 100) * 100 AS DOUBLE) + 0.0 AS acctbal_bucket
     FROM customer
     """,
     tags=("governance", "masking"),
@@ -1386,7 +1386,9 @@ def q_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_masked"
         ),
         "c_mktsegment",
-        (F.round(F.col("c_acctbal") / 100) * 100).alias("acctbal_bucket"),
+        (F.round(F.col("c_acctbal") / 100) * 100 + F.lit(0.0)).alias(
+            "acctbal_bucket"
+        ),
     )
 
 
@@ -1788,7 +1790,7 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / SUM(nep - ep) + 0.5) AS BIGINT) / 100.0
              AS twa_value,
            COUNT(*) AS n_events,
-           SUM(nep - ep) AS span_seconds
+           CAST(SUM(nep - ep) AS BIGINT) AS span_seconds
     FROM e GROUP BY 1
     """,
     tags=("analytics", "timeseries", "twa"),

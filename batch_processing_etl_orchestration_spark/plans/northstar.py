@@ -2052,7 +2052,7 @@ _BM25_TERMS = ["join", "hash", "scan"]
       FROM words WHERE word IN ('join', 'hash')
       GROUP BY doc_id, word
     )
-    SELECT doc_id, SUM(tf) AS total_tf
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
     FROM tf GROUP BY doc_id HAVING COUNT(*) = 2
     """,
     tags=("northstar", "retrieval"),
@@ -3118,12 +3118,13 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.pos,
            ANY_VALUE(m.n) AS n,
-           ROUND(ANY_VALUE(m.mean), 6) AS dim_mean,
+           ROUND(ANY_VALUE(m.mean), 6) + 0.0 AS dim_mean,
            ROUND(ANY_VALUE(m.sd), 6) AS dim_std,
            CAST(SUM(CASE WHEN ABS((e.v - m.mean) / m.sd) > 3.0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(CAST(SUM(CAST(ROUND(((e.v - m.mean) / m.sd) * 1e6)
-                              AS BIGINT)) AS DOUBLE) / 1e6, 3) AS z_sum
+                              AS BIGINT)) AS DOUBLE) / 1e6, 3) + 0.0
+             AS z_sum
     FROM elems e JOIN ms m USING (pos)
     GROUP BY e.pos
     """,
@@ -3173,11 +3174,14 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg(
             F.first("n").alias("n"),
-            F.round(F.first("mean"), 6).alias("dim_mean"),
+            (F.round(F.first("mean"), 6) + F.lit(0.0)).alias("dim_mean"),
             F.round(F.first("sd"), 6).alias("dim_std"),
             F.sum(F.when(F.abs(z) > 3.0, 1).otherwise(0)).alias("n_outliers"),
-            F.round(
-                F.sum(F.round(z * 1e6).cast("long")) / F.lit(1e6), 3
+            (
+                F.round(
+                    F.sum(F.round(z * 1e6).cast("long")) / F.lit(1e6), 3
+                )
+                + F.lit(0.0)
             ).alias("z_sum"),
         )
     )

@@ -2341,16 +2341,20 @@ def _profile_oracle_col(name: str, kind: str) -> str:
     profile_table computes, spelled per-column in ANSI SQL."""
     base = (
         f"SELECT '{name}' AS column, COUNT(*) AS n_rows, "
-        f"SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+        # CAST: DuckDB SUM(int) yields HUGEINT, which the driver's
+        # pandas-based hash renders as float64 and mismatches Spark's
+        # bigint — keep every oracle integer column BIGINT.
+        f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, "
         f"COUNT(DISTINCT {name}) AS n_distinct, "
     )
     if kind == "num":
-        # integer-fold grid mean (see operators/profile.py): scaled sum
-        # / count floored onto the 1/SCALE grid — bit-identical doubles
-        # in both engines by construction
+        # exact quotient mean (see operators/profile.py): identical
+        # scaled-long sum and count, same division order → the doubles
+        # agree bit-for-bit (correctly-rounded IEEE divisions)
         avg = (
-            f"FLOOR(CAST(SUM(CAST(ROUND(CAST({name} AS DOUBLE) * {SCALE}) "
-            f"AS BIGINT)) AS DOUBLE) / COUNT({name}) + 0.5) / {float(SCALE)}"
+            f"CAST(SUM(CAST(ROUND(CAST({name} AS DOUBLE) * {SCALE}) "
+            f"AS BIGINT)) AS DOUBLE) / COUNT({name}) / {float(SCALE)}"
         )
         return base + (
             f"CAST(MIN({name}) AS DOUBLE) AS min_num, "
@@ -2465,10 +2469,10 @@ _DQ_RULES_SQL = [
     "q_dq_expectations",
     oracle=" UNION ALL ".join(
         f"SELECT '{name}' AS rule, COUNT(*) AS n_rows, "
-        f"SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) "
-        f"AS n_violations, "
-        f"FLOOR((COUNT(*) - SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 "
-        f"ELSE 0 END)) * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 "
+        f"CAST(SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_violations, "
+        f"CAST(COUNT(*) - SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 "
+        f"ELSE 0 END) AS BIGINT) / COUNT(*) "
         f"AS pass_rate FROM lineitem"
         for name, pred in _DQ_RULES_SQL
     ),
@@ -2663,7 +2667,8 @@ def q_lambda_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     c AS (SELECT event_type, cell, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
-    tot AS (SELECT event_type, SUM(cnt) AS total FROM c GROUP BY 1),
+    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM c GROUP BY 1),
     cum AS (
       SELECT c.event_type, c.cell, t.total,
              SUM(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.cell)
@@ -2680,10 +2685,10 @@ def q_lambda_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY event_type
     )
     SELECT event_type,
-           CASE WHEN c50 <= 0 THEN 0.0 WHEN c50 >= 51 THEN 500.0
-                ELSE c50 * 10.0 END AS est_p50,
-           CASE WHEN c90 <= 0 THEN 0.0 WHEN c90 >= 51 THEN 500.0
-                ELSE c90 * 10.0 END AS est_p90,
+           CAST(CASE WHEN c50 <= 0 THEN 0.0 WHEN c50 >= 51 THEN 500.0
+                ELSE c50 * 10.0 END AS DOUBLE) AS est_p50,
+           CAST(CASE WHEN c90 <= 0 THEN 0.0 WHEN c90 >= 51 THEN 500.0
+                ELSE c90 * 10.0 END AS DOUBLE) AS est_p90,
            n_rows
     FROM cells
     """,
@@ -2888,7 +2893,8 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.rid, COALESCE(c.comp_id, r.rid) AS entity_id
       FROM recs r LEFT JOIN comp c ON r.rid = c.rid
     )
-    SELECT entity_id, COUNT(*) AS n_records, SUM(rid) AS sum_record_id
+    SELECT entity_id, COUNT(*) AS n_records,
+           CAST(SUM(rid) AS BIGINT) AS sum_record_id
     FROM lab GROUP BY 1
     """,
     tags=("J", "fuzzy", "resolution", "graph"),
@@ -2986,7 +2992,8 @@ def _versioned_events(spark: SparkSession, sf_dir: str):
 @register(
     "q_time_travel_read",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_rows, SUM(event_id) AS sum_event_id
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
     FROM events GROUP BY event_type
     """,
     tags=("warehouse", "snapshot", "timetravel"),
@@ -3015,7 +3022,8 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_gdpr_erase_versioned",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_rows, SUM(event_id) AS sum_event_id
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
     FROM events WHERE user_id % 37 <> 5 GROUP BY event_type
     """,
     tags=("warehouse", "snapshot", "erasure"),
@@ -3108,7 +3116,8 @@ def _merged_customers(spark: SparkSession, sf_dir: str):
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS n_inserted,
+           CAST(SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
            {sql_exact_sum('c_acctbal')} AS total_bal
     FROM merged
     GROUP BY c_mktsegment
@@ -3228,7 +3237,8 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     c AS (SELECT event_type, cell, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
-    tot AS (SELECT event_type, SUM(cnt) AS total FROM c GROUP BY 1),
+    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM c GROUP BY 1),
     cum AS (
       SELECT c.event_type, c.cell, t.total,
              SUM(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.cell)
@@ -3257,8 +3267,8 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_clipped_low,
            CAST(SUM(CASE WHEN e.value > bo.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped_high,
-           ANY_VALUE(bo.lo) AS clip_lo,
-           ANY_VALUE(bo.hi) AS clip_hi,
+           CAST(ANY_VALUE(bo.lo) AS DOUBLE) AS clip_lo,
+           CAST(ANY_VALUE(bo.hi) AS DOUBLE) AS clip_hi,
            {sql_exact_sum('LEAST(GREATEST(e.value, bo.lo), bo.hi)')}
              AS winsorized_sum
     FROM events e JOIN bounds bo USING (event_type)
@@ -3365,7 +3375,8 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS n_inserted,
+           CAST(SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
            {sql_exact_sum('c_acctbal')} AS total_bal
     FROM merged
     GROUP BY c_mktsegment

@@ -111,6 +111,12 @@ def fixture_cache_dir(
 
 _BUILD_OK = "_BUILD_OK"
 
+# Minimum idle age before a stale sibling cache tag is reaped —
+# matches PostingsIndex._REAP_AGE_SEC (operators/retrieval.py): long
+# enough that any live process still touching the tag has refreshed
+# its mtime or finished.
+_REAP_AGE_SEC = 600.0
+
 
 def build_once(
     sf_dir: str,
@@ -145,10 +151,29 @@ def build_once(
     # stale by definition (the fixture changed or the layout version
     # moved on — no current code path can read them), so a fresh build
     # retires them instead of letting .tmp accumulate dead cache
-    # generations across rounds. Other sf dirs' tags are untouched.
-    sf_prefix = os.path.basename(os.path.normpath(sf_dir)) + "-"
+    # generations across rounds. Two guards (ADVICE r7): (1) the name
+    # must match the FULL tag structure "<base>-<mtime_ns>-<size>-vN",
+    # not a bare prefix — an sf dir whose basename extends another's
+    # ("sf1" vs "sf1-x") can never be collaterally reaped because the
+    # digits-only segments disambiguate; (2) only tags untouched for
+    # _REAP_AGE_SEC go — a concurrent process (second pytest worker,
+    # overlapping bench) mid-build on a sibling tag, or holding lazy
+    # DataFrames over one, keeps its files.
+    import re
+    import time
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag_re = re.compile(rf"^{re.escape(base)}-\d+-\d+-v\d+$")
     parent = os.path.dirname(path)
+    now = time.time()
     for d in os.listdir(parent):
-        if d.startswith(sf_prefix) and d != os.path.basename(path):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        if d == os.path.basename(path) or not tag_re.match(d):
+            continue
+        full = os.path.join(parent, d)
+        try:
+            age = now - os.stat(full).st_mtime
+        except OSError:
+            continue
+        if age > _REAP_AGE_SEC:
+            shutil.rmtree(full, ignore_errors=True)
     return path

@@ -392,10 +392,51 @@ def heal_mv(
         scoped = fact.where(
             F.col(spec.partition_col).cast("string").isin(parts)
         )
-    out = (agg_fn or spec.aggregate)(scoped)
-    _write_partitioned(out, spec, mv_path)
+    out = (agg_fn or spec.aggregate)(scoped).persist()
+    try:
+        recomputed = {
+            str(r[0])
+            for r in out.select(spec.partition_col).distinct().collect()
+        }
+        _write_partitioned(out, spec, mv_path)
+    finally:
+        out.unpersist()
+    # Dynamic overwrite only REPLACES partitions present in the
+    # recomputed output. A journaled partition with ZERO fact rows now
+    # (the crashed delta carried a brand-new partition, or fact rows
+    # were erased since) would keep its suspect half-written files on
+    # disk while the journal is cleared — delete those directories
+    # explicitly before declaring the MV healed (ADVICE r7).
+    _drop_stale_partitions(mv_path, spec.partition_col, parts, recomputed)
     _clear_intent(mv_path)
     return parts if parts else ["<all>"]
+
+
+def _drop_stale_partitions(
+    mv_path: str, col: str, suspects: list, recomputed: set
+) -> None:
+    """Remove on-disk partition dirs that are suspect (journaled, or
+    all of them for a torn journal) but absent from the healed
+    recomputation. Directory names are Hive-escaped (%XX); matching
+    decodes the existing names rather than re-implementing escaping."""
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    prefix = f"{col}="
+    try:
+        entries = os.listdir(mv_path)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith(prefix):
+            continue
+        value = unquote(entry[len(prefix):])
+        if value in recomputed:
+            continue
+        if suspects and value not in suspects:
+            continue  # not journaled: untouched, keep
+        shutil.rmtree(os.path.join(mv_path, entry), ignore_errors=True)
 
 
 def hist_quantile(

@@ -346,17 +346,18 @@ def main() -> None:
     # The driver archives only a tail window of this output, and the
     # full per-query dict no longer fits in it (BENCH_r06.json landed
     # with parsed=null, VERDICT r6 Missing #2). Two mitigations:
-    # (1) persist the complete object to BENCH_LOCAL.json (committed
-    # per round as the durable artifact), and (2) finish stdout with a
-    # SHORT summary line — guaranteed to sit whole inside any tail
-    # window — that carries the headline numbers plus a pointer.
+    # (1) persist the complete object to BENCH_LOCAL.candidate.json —
+    # promoted to BENCH_LOCAL.json (the committed regression baseline)
+    # ONLY after the regression guard passes, so a run that trips the
+    # guard cannot install its own slow numbers as next round's
+    # baseline and self-ratify (ADVICE r7 medium) — and (2) finish
+    # stdout with a SHORT summary line — guaranteed to sit whole
+    # inside any tail window — that carries the headline numbers plus
+    # a pointer.
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidate_path = os.path.join(here, "BENCH_LOCAL.candidate.json")
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-            ),
-            "w",
-        ) as f:
+        with open(candidate_path, "w") as f:
             json.dump(result, f, indent=1)
             f.write("\n")
     except OSError:
@@ -384,6 +385,22 @@ def main() -> None:
     if regressions:
         print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
         sys.exit(1)
+    # Guard passed: promote this run's full result to the committed
+    # baseline file (atomic rename — a crash mid-promote leaves the
+    # old baseline intact). Only at the SAME sf as the current
+    # baseline: an sf0.01 iteration run must not clobber the sf0.1
+    # baseline the driver's per-round run is guarded against.
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
+    try:
+        with open(local_path) as f:
+            baseline_sf = json.load(f).get("sf")
+    except (OSError, ValueError):
+        baseline_sf = None
+    if baseline_sf is None or baseline_sf == sf:
+        try:
+            os.replace(candidate_path, local_path)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -13,10 +13,14 @@ import os
 
 import duckdb
 
-# ORACLE_STRICT=1 → floats must match bit-for-bit (the driver's hash
-# compare is exact; the default 1e-9 tolerance only cushions local
-# iteration)
-STRICT = os.environ.get("ORACLE_STRICT", "") == "1"
+# STRICT (default ON; ORACLE_STRICT=0 to relax while iterating) —
+# floats must match bit-for-bit AND every cell must match in type
+# class and repr, with the oracle's pandas rendering cross-checked.
+# Python `==` alone is type-blind (2 == 2.0, Decimal('40.0') == 40.0,
+# 0.0 == -0.0): exactly the blind spot that let 12 driver-reproducible
+# hash mismatches (DuckDB HUGEINT → float64, signed zeros) stay
+# invisible through two rounds of local verification (VERDICT r7 #3).
+STRICT = os.environ.get("ORACLE_STRICT", "1") != "0"
 
 TABLES = [
     "region",
@@ -87,6 +91,27 @@ def compare_query(spark, sf_dir: str, fn, sql: str, allow_empty: bool = False) -
         res = con.execute(sql)
         ocols = [d[0] for d in res.description]
         orows = [tuple(r) for r in res.fetchall()]
+        pandas_kinds = None
+        if STRICT:
+            # The driver's value hash is computed from a PANDAS
+            # rendering of the oracle result, where DuckDB HUGEINT
+            # (uncast SUM of integers) becomes float64 and diverges
+            # from Spark's bigint even though fetchall()'s Python ints
+            # compare == — the exact blind spot that kept 12 driver
+            # reds invisible locally through r6/r7. Record the pandas
+            # dtype kind per column so STRICT mode fails the same way
+            # the driver does.
+            odf = con.execute(sql).df()
+            # A nullable BIGINT column ALSO renders float64 in pandas
+            # (NaN forces the cast) — and driver evidence says those
+            # hash fine (q_window_lag etc. are green). Only a
+            # NULL-free int column rendering float64 is the HUGEINT
+            # signature.
+            pandas_kinds = {
+                c: odf[c].dtype.kind
+                for c in odf.columns
+                if not odf[c].isna().any()
+            }
     finally:
         con.close()
 
@@ -117,5 +142,43 @@ def compare_query(spark, sf_dir: str, fn, sql: str, allow_empty: bool = False) -
                     )
             else:
                 assert sv == ov, f"row {i} col {c}: spark={sv!r} oracle={ov!r}"
+            if STRICT:
+                _assert_repr_strict(i, c, sv, ov, pandas_kinds)
     if n_float_diff:
         print(f"  note: {n_float_diff} float cells differed (max rel {max_rel:.2e})")
+
+
+def _assert_repr_strict(i, c, sv, ov, pandas_kinds) -> None:
+    """Driver-faithful strict cell check: Python `==` is type-blind
+    (2 == 2.0, Decimal('40.0') == 40.0, 0.0 == -0.0) — precisely the
+    divergences the driver's rendering hash catches. Assert same type
+    class, same repr for floats (catches -0.0), and that an integral
+    Spark value is not rendered float64 by the oracle's pandas
+    conversion (catches HUGEINT / uncast SUM oracles)."""
+    if sv is None or ov is None:
+        assert sv is None and ov is None, (
+            f"row {i} col {c}: null mismatch spark={sv!r} oracle={ov!r}"
+        )
+        return
+    # bool is an int subclass — keep the classes genuinely distinct
+    s_cls = type(sv)
+    o_cls = type(ov)
+    assert s_cls is o_cls, (
+        f"row {i} col {c}: type class mismatch spark={s_cls.__name__}"
+        f"({sv!r}) oracle={o_cls.__name__}({ov!r}) — oracle likely "
+        f"needs an explicit CAST (HUGEINT/DECIMAL render differently "
+        f"through the driver's pandas hash)"
+    )
+    if isinstance(sv, float):
+        assert repr(sv) == repr(ov), (
+            f"row {i} col {c}: repr mismatch spark={sv!r} oracle={ov!r} "
+            f"(signed zero / rendering divergence the driver hash "
+            f"catches)"
+        )
+    if isinstance(sv, int) and not isinstance(sv, bool) and pandas_kinds:
+        kind = pandas_kinds.get(c)
+        assert kind in ("i", "u", "O", None) or kind is None, (
+            f"row {i} col {c}: Spark emits int but the oracle column "
+            f"renders as pandas dtype kind {kind!r} (float64 ← DuckDB "
+            f"HUGEINT?) — add CAST(... AS BIGINT) to the oracle"
+        )

@@ -418,3 +418,65 @@ def test_crashed_refresh_is_loud_and_healable(spark, sf_dir, tmp_path):
     assert got == want
     # healing is idempotent / a second heal is a no-op
     assert heal_mv(spark, ev, spec, mv) == []
+
+
+def test_heal_removes_journaled_partition_with_no_fact_rows(
+    spark, sf_dir, tmp_path
+):
+    """A journaled partition that has ZERO rows in the authoritative
+    fact (the crashed delta carried a brand-new partition, or its fact
+    rows were erased since) cannot be replaced by the dynamic
+    overwrite — heal_mv must DELETE its suspect half-written files
+    rather than clear the journal over them (ADVICE r7)."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _INTENT,
+        build_mv,
+        heal_mv,
+        read_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("p_date", F.to_date("ts"))
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    mv = str(tmp_path / "mv")
+    build_mv(ev, spec, mv)
+
+    # the crashed delta carried a partition the fact does NOT have:
+    # its half-written files are on disk and the journal names it
+    ghost = "2099-01-01"
+    ghost_dir = os.path.join(mv, f"p_date={ghost}")
+    os.makedirs(ghost_dir)
+    with open(os.path.join(ghost_dir, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+    real = str(
+        ev.select("p_date").distinct().orderBy("p_date").collect()[0]["p_date"]
+    )
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        json.dump({"parts": [real, ghost]}, f)
+
+    healed = heal_mv(spark, ev, spec, mv)
+    assert sorted(healed) == sorted([real, ghost])
+    # the ghost partition's suspect files are GONE, not served
+    assert not os.path.exists(ghost_dir)
+    # and the healed MV reads clean and equals a direct build
+    direct = str(tmp_path / "direct")
+    build_mv(ev, spec, direct)
+    got = {
+        (r["p_date"], r["event_type"]): r["total_value"]
+        for r in read_mv(spark, spec, mv).collect()
+    }
+    want = {
+        (r["p_date"], r["event_type"]): r["total_value"]
+        for r in read_mv(spark, spec, direct).collect()
+    }
+    assert got == want

@@ -95,22 +95,35 @@ def test_tag_uses_nanosecond_mtime():
 
 def test_stale_sibling_tags_reaped(tmp_path, monkeypatch):
     """A fresh build retires same-sf sibling tags (older fixture
-    mtimes / layouts — unreadable by any current code path) while
-    leaving other sf dirs' caches alone."""
+    mtimes / layouts — unreadable by any current code path) ONLY once
+    they have sat idle past the reap age (ADVICE r7: a concurrent
+    worker mid-build on a sibling must keep its files), while leaving
+    other sf dirs' caches — including ones whose tag merely starts
+    with this sf's basename — alone."""
     _patch_tmp(monkeypatch, tmp_path)
 
     import batch_processing_etl_orchestration_spark.tables as tables
 
+    base = os.path.basename(os.path.normpath(SF))
     live = tables.fixture_cache_dir(SF, "nation.parquet", "bo_reap")
     parent = os.path.dirname(live)
-    stale = os.path.join(parent, os.path.basename(os.path.normpath(SF)) + "-111-222-v1")
+    old = os.path.join(parent, base + "-111-222-v1")
+    fresh = os.path.join(parent, base + "-333-444-v1")
     other_sf = os.path.join(parent, "sf0.01-111-222-v1")
-    os.makedirs(stale)
-    os.makedirs(other_sf)
+    # an sf dir whose basename EXTENDS this one's ("<base>-x") used to
+    # be collaterally matched by the bare prefix check
+    extending = os.path.join(parent, base + "-x-555-666-v1")
+    for d in (old, fresh, other_sf, extending):
+        os.makedirs(d)
+    past = __import__("time").time() - 2 * tables._REAP_AGE_SEC
+    os.utime(old, (past, past))
+    os.utime(extending, (past, past))
 
     def build(path):
         os.makedirs(path, exist_ok=True)
 
     build_once(SF, "nation.parquet", "bo_reap", build)
-    assert not os.path.exists(stale)
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)  # too young: a concurrent build owns it
     assert os.path.exists(other_sf)
+    assert os.path.exists(extending)  # full-tag match, not bare prefix
