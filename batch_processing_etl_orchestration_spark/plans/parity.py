@@ -715,10 +715,7 @@ def q_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
-
-@register(
-    "q_sessionize_users",
-    oracle=f"""
+_SESSIONIZE_ORACLE = f"""
     WITH seq AS (
       SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -749,7 +746,27 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
            MAX(dur_us) AS longest_dur_us
     FROM per_session
     GROUP BY 1
-    """,
+    """
+
+
+def _session_stats(sess: DataFrame) -> DataFrame:
+    """Shared tail of both sessionize variants: per-session rollup,
+    then per-user stats (column names match _SESSIONIZE_ORACLE)."""
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, MIN(ts), MAX(ts))").alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("longest_session"),
+        F.max("dur_us").alias("longest_dur_us"),
+    )
+
+
+@register(
+    "q_sessionize_users",
+    oracle=_SESSIONIZE_ORACLE,
     tags=("W", "session"),
 )
 def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,15 +791,34 @@ def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = marked.withColumn(
         "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.expr("timestampdiff(MICROSECOND, MIN(ts), MAX(ts))").alias("dur_us"),
+    return _session_stats(sess)
+
+
+@register(
+    "q_sessionize_skew_safe",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("W", "session", "skew"),
+)
+def q_sessionize_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization semantics as q_sessionize_users (one
+    oracle pins both), computed by the segmented two-phase scan
+    (operators/sessionize.py): windows on (user, day-block) bound the
+    widest task by a user's events per DAY, and a metadata-sized
+    per-user block summary stitches sessions across block boundaries.
+
+    This is the 100 TB answer to the hot-user problem: AQE's skew
+    split covers join partitions but NOT window partitions — a user
+    owning 80% of the stream is one straggler task (or an OOM) in the
+    plain plan, and a bounded set of per-day tasks here. Equivalence
+    on an 80%-hot distribution and the live sf1 numbers are pinned by
+    tests/test_sessionize.py and SCALE.md §Skew."""
+    from batch_processing_etl_orchestration_spark.operators.sessionize import (
+        sessionize_blocked,
     )
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-        F.max("n_events").alias("longest_session"),
-        F.max("dur_us").alias("longest_dur_us"),
+
+    ev = load_table(spark, sf_dir, "events")
+    return _session_stats(
+        sessionize_blocked(ev, gap_us=SESSION_GAP_US)
     )
 
 
