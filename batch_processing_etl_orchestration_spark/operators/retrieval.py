@@ -240,6 +240,80 @@ class PostingsIndex:
             )
         )
 
+    # -- lost-update protection for writers racing compaction ----------
+    # compact_segments snapshots the live generation's segment and
+    # tombstone listings, folds them, and publishes a successor. A
+    # segment or tombstone RENAMED INTO the old generation between that
+    # snapshot and the publish would be stranded in a retired directory
+    # — an ingest or delete silently lost. Every compacted generation
+    # therefore records WHAT it folded (_folded.json: from_gen +
+    # segment/tombstone names), and writers finish with a CHASE: if the
+    # live generation moved while they were landing, they either find
+    # their artifact in the successor's folded manifest (already in its
+    # base — done) or rename it forward and re-check. Lock-free, and
+    # convergent because compactions are rare and each hop is one
+    # rename. Mid-chase the artifact is briefly invisible to new
+    # readers (the add/delete is eventually consistent under races —
+    # never lost, never double-counted).
+
+    _FOLDED = "_folded.json"
+
+    def _read_folded(self, gen_name: str) -> dict | None:
+        import json
+
+        try:
+            with open(
+                os.path.join(self.path, gen_name, self._FOLDED)
+            ) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _hop_from(self, cur_name: str, loc_name: str) -> dict | None:
+        """The folded manifest of the generation that SNAPSHOT
+        `loc_name` (the hop that could have folded artifacts living
+        there), found by walking from_gen pointers back from
+        `cur_name`. None if the chain is broken (a gen was reaped —
+        cannot happen inside a writer's lifetime under _REAP_AGE_SEC)."""
+        g, seen = cur_name, set()
+        while g and g not in seen:
+            seen.add(g)
+            m = self._read_folded(g)
+            if m is None:
+                return None
+            if m.get("from_gen") == loc_name:
+                return m
+            g = m.get("from_gen")
+        return None
+
+    def _chase(self, sub: str, name: str, loc_gen: str) -> str:
+        """Ensure `<gen>/<sub>/<name>` is reachable from the live
+        generation after landing it in `loc_gen`; returns the gen dir
+        where it finally lives (or whose base absorbed it)."""
+        loc = os.path.basename(os.path.normpath(loc_gen))
+        while True:
+            cur = os.path.basename(os.path.normpath(self._gen()))
+            if cur == loc:
+                return os.path.join(self.path, loc)
+            hop = self._hop_from(cur, loc)
+            if hop is not None and name in hop.get(sub, []):
+                # folded into a successor's base store — nothing to move
+                return os.path.join(self.path, cur)
+            src = os.path.join(self.path, loc, sub, name)
+            dst_root = os.path.join(self.path, cur, sub)
+            os.makedirs(dst_root, exist_ok=True)
+            try:
+                os.rename(src, os.path.join(dst_root, name))
+            except FileNotFoundError:
+                if hop is None:
+                    raise RuntimeError(
+                        f"PostingsIndex: {sub}/{name} vanished from "
+                        f"retired generation {loc} and the manifest "
+                        "chain cannot prove it was folded"
+                    )
+                return os.path.join(self.path, cur)
+            loc = cur
+
     def add_segment(
         self,
         docs: DataFrame,
@@ -267,7 +341,8 @@ class PostingsIndex:
                     f"index's {meta[key]!r}"
                 )
         id_col, text_col = meta["id_col"], meta["text_col"]
-        dead = self._tombstones()
+        gen0 = self._gen()  # ONE generation for check + placement
+        dead = self._tombstones(gen0)
         if dead is not None:
             n_conflicts = (
                 docs.select(F.col(id_col))
@@ -280,11 +355,49 @@ class PostingsIndex:
                     "tombstoned and would be silently hidden; run "
                     "compact_segments() first to apply the deletes"
                 )
-        seg_root = os.path.join(self._gen(), "segments")
+        seg_root = os.path.join(gen0, "segments")
         tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex[:8]}")
         self._write_stores(docs, tmp, n_files, id_col, text_col)
         final = os.path.join(seg_root, name)
         os.rename(tmp, final)  # atomic publish; raises if name exists
+        # A compact_segments racing this call may have snapshot gen0's
+        # segment list BEFORE our rename and published a successor
+        # WITHOUT us — the lost-update race. Chase the generation
+        # pointer: move the segment forward until it is reachable from
+        # the live generation (or proven folded into its base).
+        landed = self._chase("segments", name, gen0)
+        # And a delete_docs racing the pre-check above may have
+        # tombstoned our ids in between. Re-check at the landed
+        # generation; on conflict retract the segment (readers must
+        # not silently hide a batch the caller believes indexed).
+        dead = self._tombstones(landed)
+        if dead is not None:
+            n_conflicts = (
+                docs.select(F.col(id_col))
+                .join(F.broadcast(dead), id_col, "left_semi")
+                .count()
+            )
+            if n_conflicts:
+                import shutil
+
+                doomed = os.path.join(
+                    os.path.dirname(
+                        os.path.join(landed, "segments", name)
+                    ),
+                    f"_tmp-retract-{uuid.uuid4().hex[:8]}",
+                )
+                try:
+                    os.rename(
+                        os.path.join(landed, "segments", name), doomed
+                    )
+                    shutil.rmtree(doomed, ignore_errors=True)
+                except OSError:
+                    pass
+                raise ValueError(
+                    f"add_segment: {n_conflicts} incoming doc ids were "
+                    "tombstoned concurrently; segment retracted — run "
+                    "compact_segments() and retry"
+                )
 
     def compact_segments(self, n_files: int = 16) -> int:
         """Fold base + segments − tombstones into a FRESH GENERATION
@@ -295,7 +408,12 @@ class PostingsIndex:
         Returns the number of segments folded."""
         gen = self._gen()  # one consistent view across all three stores
         segs = self._segment_dirs(gen)
-        dead = self._tombstones(gen)
+        tomb_dirs = self._tombstone_dirs(gen)
+        dead = (
+            self.spark.read.parquet(*tomb_dirs).distinct()
+            if tomb_dirs
+            else None
+        )
         if not segs and dead is None:
             return 0
         meta = self._meta(gen)
@@ -318,6 +436,22 @@ class PostingsIndex:
                 os.path.join(out, store)
             )
         self._write_meta(out, id_col, meta["text_col"])
+        # Record EXACTLY what this generation folded so a writer whose
+        # rename raced the snapshot above can tell "already in this
+        # base" from "stranded in the retired gen" (_chase).
+        import json
+
+        with open(os.path.join(out, self._FOLDED), "w") as f:
+            json.dump(
+                {
+                    "from_gen": os.path.basename(os.path.normpath(gen)),
+                    "segments": [os.path.basename(s) for s in segs],
+                    "tombstones": [
+                        os.path.basename(t) for t in tomb_dirs
+                    ],
+                },
+                f,
+            )
         self._publish(gen_name)
         return len(segs)
 
@@ -333,22 +467,31 @@ class PostingsIndex:
         (defaults to the index's own id column); the tombstone store
         always persists under the index's id column."""
         own = self._meta()["id_col"]
-        out = os.path.join(
-            self._gen(), "tombstones", f"t-{uuid.uuid4().hex[:12]}"
-        )
+        gen0 = self._gen()
+        tname = f"t-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(gen0, "tombstones", tname)
         doc_ids.select(
             F.col(id_col if id_col is not None else own).alias(own)
         ).distinct().write.mode("errorifexists").parquet(out)
+        # A compact racing this write may have snapshot gen0's
+        # tombstone listing before the parquet landed and published a
+        # successor without applying it — the delete silently undone.
+        # Chase forward (re-applying an already-applied tombstone is
+        # harmless: it hides rows that are already gone).
+        self._chase("tombstones", tname, gen0)
 
-    def _tombstones(self, gen: str | None = None) -> DataFrame | None:
+    def _tombstone_dirs(self, gen: str | None = None) -> list[str]:
         root = os.path.join(gen or self._gen(), "tombstones")
         if not os.path.isdir(root):
-            return None
-        dirs = [
+            return []
+        return [
             os.path.join(root, d)
             for d in sorted(os.listdir(root))
             if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
         ]
+
+    def _tombstones(self, gen: str | None = None) -> DataFrame | None:
+        dirs = self._tombstone_dirs(gen)
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs).distinct()

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "q_pareto_frontier_parts",
     "q_time_weighted_avg",
     "q_entity_resolution",
+    # r8: segmented skew-safe sessionization (hot-user window bound)
+    "q_sessionize_skew_safe",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -468,3 +468,147 @@ def test_concurrent_segment_writers_serialize_or_fail_clean(spark, tmp_path):
     assert errs == [None, None]
     got = {r["doc_id"] for r in idx3.doclens().collect()}
     assert got == {1, 4}
+
+
+def test_add_segment_chases_racing_compaction(spark, tmp_path, monkeypatch):
+    """The lost-update race: compact_segments snapshots the live
+    generation's segment list while an add_segment build is in
+    flight, then publishes a successor WITHOUT the new segment. The
+    chase protocol (folded manifest + forward rename) must land the
+    segment in the live generation — never strand it in the retired
+    one."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "scan scan filter")],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "join hash hash")], "doc_id BIGINT, text STRING"
+    )
+    b2 = spark.createDataFrame(
+        [(4, "filter merge sort")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "race")
+    idx = PostingsIndex.build(spark, base, path)
+    idx.add_segment(b1, "s0")
+
+    orig = PostingsIndex._write_stores
+    fired = {}
+
+    def hooked(docs, out, n_files, id_col, text_col):
+        orig(docs, out, n_files, id_col, text_col)
+        if not fired:
+            fired["x"] = True
+            # compaction completes BETWEEN our store build and the
+            # rename into the (about-to-be-retired) generation
+            PostingsIndex(spark, path).compact_segments()
+
+    monkeypatch.setattr(
+        PostingsIndex, "_write_stores", staticmethod(hooked)
+    )
+    idx.add_segment(b2, "late")
+    monkeypatch.setattr(
+        PostingsIndex, "_write_stores", staticmethod(orig)
+    )
+
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 2, 3, 4}  # the late batch survived the race
+    # the live generation serves it as a segment; folding it is clean
+    assert idx.compact_segments() == 1
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_delete_docs_chases_racing_compaction(spark, tmp_path, monkeypatch):
+    """A tombstone written into a generation that compaction retired
+    mid-write must chase forward — the delete is never silently
+    undone by the concurrent merge."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "scan scan filter")],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "join hash hash")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "race2")
+    idx = PostingsIndex.build(spark, base, path)
+    idx.add_segment(b1, "s0")
+    gen_old = idx._gen()
+    idx.compact_segments()  # retires gen_old
+
+    # replay the interleaving: delete_docs resolved the generation
+    # BEFORE the compaction published (first two _gen() calls are
+    # _meta's and the placement's)
+    real_gen = PostingsIndex._gen
+    state = {"n": 0}
+
+    def fake_gen(self):
+        state["n"] += 1
+        return gen_old if state["n"] <= 2 else real_gen(self)
+
+    monkeypatch.setattr(PostingsIndex, "_gen", fake_gen)
+    idx.delete_docs(spark.createDataFrame([(2,)], "doc_id BIGINT"))
+    monkeypatch.setattr(PostingsIndex, "_gen", real_gen)
+
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 3}  # the racing delete still applied
+    idx.compact_segments()  # physically applies it
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 3}
+
+
+def test_add_segment_retracts_on_concurrent_tombstone(
+    spark, tmp_path, monkeypatch
+):
+    """delete_docs lands AFTER add_segment's tombstone pre-check but
+    before its rename: the post-landing re-check must retract the
+    segment and raise — the caller must never believe a batch is
+    indexed while the bitmap silently hides it."""
+    import os as _os
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "scan scan filter")],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "join hash hash")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "race3")
+    idx = PostingsIndex.build(spark, base, path)
+
+    orig = PostingsIndex._write_stores
+    fired = {}
+
+    def hooked(docs, out, n_files, id_col, text_col):
+        orig(docs, out, n_files, id_col, text_col)
+        if not fired:
+            fired["x"] = True
+            PostingsIndex(spark, path).delete_docs(
+                spark.createDataFrame([(3,)], "doc_id BIGINT")
+            )
+
+    monkeypatch.setattr(
+        PostingsIndex, "_write_stores", staticmethod(hooked)
+    )
+    with pytest.raises(ValueError, match="tombstoned concurrently"):
+        idx.add_segment(b1, "doomed")
+    monkeypatch.setattr(
+        PostingsIndex, "_write_stores", staticmethod(orig)
+    )
+
+    seg_root = _os.path.join(idx._gen(), "segments")
+    if _os.path.isdir(seg_root):
+        assert "doomed" not in _os.listdir(seg_root)
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 2}
