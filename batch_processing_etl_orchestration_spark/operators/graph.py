@@ -58,7 +58,13 @@ def pagerank(
     )
     consts = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     outw = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
-    # transition probability per edge — computed once, reused each round
+    # transition probability per edge — computed once, reused each
+    # round. repartition BY THE JOIN KEY before checkpointing:
+    # localCheckpoint preserves outputPartitioning, so all n_iter
+    # join(pr) rounds reuse hashpartitioning(e_src) and only the
+    # rank table (nodes, not edges) moves per iteration — without
+    # this the EDGE table re-shuffles every round, the dominant cost
+    # at 100 TB where |edges| >> |nodes|.
     trans = (
         edges.join(outw, src)
         .select(
@@ -66,6 +72,7 @@ def pagerank(
             F.col(dst).alias("e_dst"),
             (F.col(weight) / F.col("outw")).alias("p"),
         )
+        .repartition(F.col("e_src"))
         .localCheckpoint(eager=True)
     )
     dangling_nodes = nodes.join(
