@@ -1880,3 +1880,87 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.sum("boundary_dt"), F.lit(0))
         ).alias("span_seconds"),
     )
+
+
+@register(
+    "q_mad_robust_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS sv
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(sv, 0.5) AS med_s
+      FROM s GROUP BY 1
+    ),
+    d AS (
+      SELECT s.event_type, s.sv, m.med_s,
+             ABS(s.sv - m.med_s) AS adev
+      FROM s JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_s
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_rows,
+           ANY_VALUE(d.med_s) / 100.0 AS med_value,
+           ANY_VALUE(md.mad_s) / 100.0 AS mad_value,
+           CAST(SUM(CASE WHEN 0.6745 * d.adev > 3.5 * md.mad_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("analytics", "robust", "quality"),
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by modified z-score (median + MAD,
+    the Iglewicz-Hoaglin 3.5 rule): unlike mean/std z-scores
+    (q_daily_anomaly_zscore), the breakdown point is 50% — a burst of
+    garbage values cannot drag the threshold after itself, which is
+    why data-quality gates on raw feeds prefer MAD.
+
+    Determinism: values snap to the centi grid as scaled longs;
+    medians of longs interpolate (a+b)/2 where a+b is exactly
+    representable, so Spark's percentile() and DuckDB's
+    quantile_cont() agree bit-for-bit, and every derived comparison
+    is the same exact doubles on both engines.
+
+    Scale: two shuffles of events on event_type (median pass, MAD
+    pass) with the 6-row median table broadcast between them; exact
+    medians per group are a sort within each group's partition —
+    for a mega-group switch percentile() to approx_percentile with
+    the q_value_percentiles attestation pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("sv"),
+    )
+    med = s.groupBy("event_type").agg(
+        F.percentile("sv", 0.5).alias("med_s")
+    )
+    d = s.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "sv",
+        "med_s",
+        F.abs(F.col("sv") - F.col("med_s")).alias("adev"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad_s")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.first("med_s") / 100.0).alias("med_value"),
+            (F.first("mad_s") / 100.0).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.col("adev")
+                    > F.lit(3.5) * F.col("mad_s"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

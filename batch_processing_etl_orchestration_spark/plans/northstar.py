@@ -3670,3 +3670,102 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "q_negative_sampling",
+    oracle="""
+    WITH r0 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx
+      FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    probes AS (
+      SELECT r0.doc_id, r0.idx, j.j,
+             CAST('0x' || substring(
+                 md5(CAST(r0.doc_id AS VARCHAR) || ':'
+                     || CAST(j.j AS VARCHAR)), 1, 8)
+               AS BIGINT) % nn.n AS h
+      FROM r0
+      CROSS JOIN nn
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+    ),
+    fixed AS (
+      SELECT p.doc_id, CAST(p.j AS BIGINT) AS j,
+             CASE WHEN p.h = p.idx THEN (p.h + 1) % nn.n ELSE p.h END
+               AS h2
+      FROM probes p CROSS JOIN nn
+    )
+    SELECT f.doc_id, f.j, r2.doc_id AS neg_doc_id
+    FROM fixed f JOIN r0 r2 ON r2.idx = f.h2
+    """,
+    tags=("northstar", "sampling", "contrastive"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor document, k=3 pseudo-random negatives drawn by
+    hashing (anchor, j) onto a DENSE corpus index — md5-derived, so
+    the same pairs on any engine, run, or partitioning (the
+    q_weighted_sample_tokens hash idiom), with a +1 shift when a draw
+    hits the anchor itself (no self-negatives).
+
+    The dense index comes from operators/renumber.dense_renumber —
+    the segmented two-phase ROW_NUMBER (bucket-local windows + an
+    exclusive bucket-offset broadcast), NOT the single-task global
+    window: at 100 TB the renumber is the hard part of index-based
+    sampling, and this one's task width is bounded by rows-per-bucket.
+    The negatives join is a plain equi-join on idx (shuffle on a
+    bigint), k× the corpus in probe rows, output-linear.
+
+    Reference anchor: the reference draws ad-hoc samples driver-side
+    (`.sample()` notebook idiom); this is the distributed,
+    reproducible replacement a contrastive data pipeline needs."""
+    from batch_processing_etl_orchestration_spark.operators.renumber import (
+        dense_renumber,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = dense_renumber(d, "doc_id")
+    n = r.agg(F.count(F.lit(1)).alias("n"))
+    probes = (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "idx",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j0"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.col("j0").cast("long").alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j0").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("h"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.when(F.col("h") == F.col("idx"), (F.col("h") + 1) % F.col("n"))
+            .otherwise(F.col("h"))
+            .alias("h2"),
+        )
+    )
+    neg = r.select(F.col("idx").alias("h2"), F.col("doc_id").alias("neg_doc_id"))
+    return probes.join(neg, "h2").select("doc_id", "j", "neg_doc_id")

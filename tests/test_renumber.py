@@ -1,0 +1,71 @@
+"""dense_renumber: segmented ROW_NUMBER vs the single-window truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.operators.renumber import (
+    dense_renumber,
+)
+from batch_processing_etl_orchestration_spark.tables import load_table
+
+
+def _truth(df, key):
+    return {
+        r[key]: r["idx"]
+        for r in df.select(
+            key,
+            (F.row_number().over(Window.orderBy(key)) - 1).alias("idx"),
+        ).collect()
+    }
+
+
+def test_matches_global_row_number_on_fixture(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    got = {r["doc_id"]: r["idx"] for r in dense_renumber(d, "doc_id").collect()}
+    assert got == _truth(d, "doc_id")
+
+
+def test_matches_on_sparse_and_clustered_keys(spark):
+    """Non-uniform keys: gaps, one dense cluster inside a single
+    bucket, negative-free but wildly uneven spacing."""
+    keys = (
+        list(range(100))                       # one dense bucket
+        + [10_000, 10_001, 99_999]             # gaps
+        + [4096 * k for k in range(1, 9)]      # exact bucket edges
+    )
+    d = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    got = {r["k"]: r["idx"] for r in dense_renumber(d, "k").collect()}
+    assert got == _truth(d, "k")
+    assert sorted(got.values()) == list(range(len(keys)))
+
+
+def test_one_based_and_custom_column(spark):
+    d = spark.createDataFrame([(5,), (2,), (9,)], "k BIGINT")
+    rows = {
+        r["k"]: r["rn"]
+        for r in dense_renumber(
+            d, "k", idx_col="rn", zero_based=False
+        ).collect()
+    }
+    assert rows == {2: 1, 5: 2, 9: 3}
+
+
+def test_no_single_partition_window_over_data(spark, sf_dir):
+    """The point of the operator: the event-stream window partitions
+    by bucket (bounded width); only the bucket SUMMARY (metadata-
+    sized) may use an unpartitioned window."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = (
+        dense_renumber(d, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partitionBy=[__b" in plan.replace(" ", "") or "__b" in plan
+    # the big-side window must carry the bucket key in its partition
+    import re
+
+    wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("__b" in w for w in wins), wins
