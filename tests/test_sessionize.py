@@ -144,3 +144,49 @@ def test_block_must_exceed_gap(spark):
     )
     with pytest.raises(ValueError, match="block_us"):
         sessionize_blocked(ev, gap_us=10, block_us=5)
+
+
+def test_blocked_equals_plain_randomized_tight_blocks(spark):
+    """Stress the stitch: block_us barely above gap_us (maximal
+    cross-block traffic — nearly every session spans blocks) over 40
+    users × deterministic pseudo-random gap patterns that straddle
+    the threshold. Per-event assignments must match the plain window
+    exactly."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    eid = 0
+    gap_us = 100 * 1_000_000       # 100 s threshold
+    block_us = 150 * 1_000_000     # 150 s blocks — barely legal
+    for u in range(40):
+        t = rng.randrange(0, 10**9)  # epoch seconds-ish start
+        for _ in range(rng.randrange(5, 60)):
+            eid += 1
+            rows.append((u, eid, datetime.datetime.utcfromtimestamp(t)))
+            # gaps clustered around the threshold: 50–200 s, with
+            # exact-threshold and 1-s-over cases mixed in
+            t += rng.choice([50, 99, 100, 101, 150, 200])
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    )
+    got = _assign(sessionize_blocked(ev, gap_us=gap_us, block_us=block_us))
+    want = _assign(_plain_gap(ev, gap_us))
+    assert got == want
+
+
+def _plain_gap(ev, gap_us):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0).alias("is_new"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select("user_id", "event_id", "ts", "session_id")
