@@ -394,3 +394,29 @@ def test_token_budget_prefix_sum_windows_on_buckets(spark, sf_dir):
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("source" in w and "b#" in w for w in win_specs), win_specs
     assert "BroadcastHashJoin" in plan
+
+
+def test_negative_sampling_prunes_to_doc_id(spark, sf_dir):
+    """The corpus scan must read ONLY doc_id — dragging text through a
+    renumber + 3x probe explosion would move the whole corpus for an
+    id-pair output. All joins are broadcast (offsets + count are
+    metadata-sized; the idx join sides are id-only)."""
+    plan = _plan(spark, sf_dir, "q_negative_sampling")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "text" not in schema and "struct<doc_id:bigint>" in schema, schema
+
+
+def test_mad_outliers_prunes_and_partitions_by_type(spark, sf_dir):
+    """MAD robust outliers: scans read only (event_type, value) — no
+    ts/props payload — and every data shuffle is keyed on event_type
+    (the median tables move by broadcast, never the fact)."""
+    plan = _plan(spark, sf_dir, "q_mad_robust_outliers")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "props" not in schema and "ts" not in schema, schema
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("event_type" in p for p in parts), parts
+    assert "BroadcastHashJoin" in plan
