@@ -420,3 +420,67 @@ def test_mad_outliers_prunes_and_partitions_by_type(spark, sf_dir):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and all("event_type" in p for p in parts), parts
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_split_blocked_by_aggregate_child(spark):
+    """Documented AQE limitation (SCALE.md §Skew): OptimizeSkewedJoin
+    pattern-matches SortMergeJoin whose children are sort-over-shuffle
+    DIRECTLY; a post-shuffle aggregate child — the common
+    `dim = fact.select(key).distinct()` idiom — blocks the split and
+    the hot partition stays whole. Same data/thresholds as
+    test_aqe_skew_join_split_engages_on_hot_key, dim derived via
+    distinct instead of independent: results exact, NO skew=true."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(400_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0))
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = left.select("k").distinct().withColumn("w", F.col("k") * 3)
+        j = left.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") + F.col("w")).alias("s"),
+        )
+        [row] = j.collect()
+        assert row["n"] == 400_000
+        want_s = sum(range(400_000)) + sum(
+            3 * ((i % 1000) + 1) for i in range(300_000, 400_000)
+        )
+        assert row["s"] == want_s
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the documented limitation: no split through the aggregate
+        assert "skew=true" not in plan, plan[:1200]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
