@@ -218,8 +218,13 @@ def _check_no_pending(mv_path: str) -> None:
 def _write_intent(mv_path: str, parts: list) -> None:
     """Journal the touched partitions BEFORE the dynamic overwrite —
     the write-ahead intent a crashed refresh leaves behind so recovery
-    knows exactly which partitions to recompute (temp+rename so a
-    crash mid-journal can't leave a torn file that reads as valid)."""
+    knows exactly which partitions to recompute. CREATE-EXCLUSIVE
+    (link, not rename): two refreshers racing past _check_no_pending's
+    read would otherwise both journal and interleave their dynamic
+    overwrites into one corrupt MV — the loser must fail HERE, before
+    any data write, exactly like VersionedTable's manifest commit. The
+    temp file is fully written before the link, so a crash mid-journal
+    can't leave a torn intent that reads as valid."""
     import json
     import os
     import uuid
@@ -229,7 +234,19 @@ def _write_intent(mv_path: str, parts: list) -> None:
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump({"parts": [str(v) for v in parts]}, f)
-    os.rename(tmp, target)
+    try:
+        os.link(tmp, target)  # atomic, FAILS if an intent exists
+    except FileExistsError:
+        raise RuntimeError(
+            f"MV at {mv_path}: another refresh journaled its intent "
+            "concurrently; this refresh wrote nothing — retry after it "
+            "finishes (or heal_mv if it crashed)"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _clear_intent(mv_path: str) -> None:

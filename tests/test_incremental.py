@@ -480,3 +480,74 @@ def test_heal_removes_journaled_partition_with_no_fact_rows(
         for r in read_mv(spark, spec, direct).collect()
     }
     assert got == want
+
+
+def test_concurrent_refreshers_exactly_one_wins(spark, sf_dir, tmp_path):
+    """Two refreshers racing the same MV: the intent journal is
+    create-exclusive, so exactly one journals and writes; the loser
+    raises BEFORE any data write (a raced pair of dynamic overwrites
+    would interleave into one corrupt MV). The winner's refresh
+    equals a direct rebuild."""
+    import threading
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        build_mv,
+        delta_refresh,
+        read_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("p_date", F.to_date("ts"))
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    mv = str(tmp_path / "mv")
+    base = ev.where(F.dayofmonth("p_date") <= 15)
+    delta = ev.where(F.dayofmonth("p_date") > 15)
+    build_mv(base, spec, mv)
+
+    errs: list[Exception | None] = [None, None]
+    barrier = threading.Barrier(2)
+
+    def go(i):
+        def run():
+            barrier.wait()
+            try:
+                delta_refresh(spark, delta, spec, mv)
+            except Exception as e:  # noqa: BLE001 — recorded for assert
+                errs[i] = e
+
+        return run
+
+    ts = [threading.Thread(target=go(i)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    # both succeeding is allowed ONLY if they serialized (second saw
+    # no pending intent because the first finished); what must never
+    # happen is both failing or a corrupt result
+    assert sum(e is not None for e in errs) <= 1, errs
+    for e in errs:
+        if e is not None:
+            assert "concurrently" in str(e) or "unfinished refresh" in str(
+                e
+            ), e
+
+    got = {
+        (r["p_date"], r["event_type"]): (r["total_value"], r["n_rows"])
+        for r in read_mv(spark, spec, mv).collect()
+    }
+    direct = str(tmp_path / "direct")
+    build_mv(ev, spec, direct)
+    want = {
+        (r["p_date"], r["event_type"]): (r["total_value"], r["n_rows"])
+        for r in read_mv(spark, spec, direct).collect()
+    }
+    assert got == want
