@@ -7,43 +7,82 @@ e.g. EIA930PipelineHourlyData.py:106,128); Spark's literal equivalent
 table into ONE window partition: one task sorts 100 TB. This is the
 segmented-scan fix, same shape as operators/sessionize.py:
 
-1. bucket rows by key range (``floor(key / bucket_width)`` — order-
-   preserving across buckets by construction);
-2. local ``row_number`` within each (bucket) window — width bounded
-   by rows-per-bucket;
-3. a bucket-count summary (rows = #buckets, metadata-sized) gets
-   exclusive prefix offsets via a window over buckets, broadcast
+1. one cheap column-pruned min/max pass sizes the buckets:
+   ``width = ceil(span / n_buckets)`` — so the bucket DOMAIN is
+   bounded by ``n_buckets`` for ANY key distribution (dense ids,
+   snowflake/hashed 64-bit ids, huge gaps alike; a fixed width would
+   make the offset table data-sized on sparse keys);
+2. local ``row_number`` within each bucket window — width bounded by
+   rows-per-bucket (uniform-ish keys; adversarially clustered keys
+   degrade toward the plain window, which the docstring owns);
+3. a bucket-count summary (≤ n_buckets rows, metadata-sized) gets
+   exclusive prefix offsets via a window over buckets and broadcasts
    back: ``idx = offset + local``.
 
-The result is EXACTLY the global ROW_NUMBER ordered by key (ties
-impossible: key must be unique; enforced by the caller's semantics,
-e.g. a primary key). Uniformity of keys bounds bucket width; a
-pathological key distribution (all keys in one bucket) degrades to
-the plain window — pick bucket_width accordingly.
+The result is EXACTLY the global ROW_NUMBER ordered by key (the
+bucketing is order-preserving; ties impossible — key must be unique,
+e.g. a primary key). NULL keys RAISE (detected in the
+same stats pass) rather than silently dropping rows — the global
+ROW_NUMBER would number them, and a segmented scan cannot place them
+deterministically without a policy, so the caller must filter or fill
+first. Non-numeric key columns are
+rejected at plan time.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def dense_renumber(
     df: DataFrame,
     key_col: str,
     idx_col: str = "idx",
-    bucket_width: int = 4096,
+    n_buckets: int = 65536,
     zero_based: bool = True,
 ) -> DataFrame:
     """All input columns plus ``idx_col`` = dense rank of ``key_col``
     ascending (0-based by default) — bit-equal to the single-window
-    ROW_NUMBER, computed with bounded task width."""
-    b = F.floor(F.col(key_col) / F.lit(int(bucket_width))).alias("__b")
+    ROW_NUMBER, computed with bounded task width and a ≤ n_buckets
+    offset table regardless of key sparsity."""
+    dtype = next(
+        (f.dataType for f in df.schema.fields if f.name == key_col), None
+    )
+    if not isinstance(dtype, _NUMERIC):
+        raise TypeError(
+            f"dense_renumber: key column {key_col!r} must be an integer "
+            f"type, got {dtype}; string/decimal keys need an explicit "
+            "surrogate (e.g. xxhash64) chosen by the caller"
+        )
+    stats = df.agg(
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(key_col).alias("n_keys"),
+    ).collect()[0]
+    if stats["n_rows"] != stats["n_keys"]:
+        raise ValueError(
+            f"dense_renumber: {stats['n_rows'] - stats['n_keys']} NULL "
+            f"values in key column {key_col!r} — a segmented renumber "
+            "cannot place them; filter or fill nulls first"
+        )
+    if stats["n_rows"] == 0:
+        return df.withColumn(idx_col, F.lit(None).cast("long"))
+    lo = int(stats["lo"])
+    span = int(stats["hi"]) - lo + 1
+    width = max(1, -(-span // int(n_buckets)))  # ceil
+
+    b = F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)).alias("__b")
     keyed = df.withColumn("__b", b)
     wb = Window.partitionBy("__b").orderBy(key_col)
     local = F.row_number().over(wb)
 
     counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    # summary window: ≤ n_buckets rows by construction — metadata-sized
     wo = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1
     )

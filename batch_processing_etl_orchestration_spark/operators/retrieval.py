@@ -378,21 +378,27 @@ class PostingsIndex:
                 .count()
             )
             if n_conflicts:
+                seg_dir = os.path.join(landed, "segments", name)
+                if not os.path.isdir(seg_dir):
+                    # The batch was FOLDED into a successor's base
+                    # before the delete landed: the outcome equals the
+                    # serialization add-then-delete (tombstoned ids
+                    # hidden by the read-side anti-join, the rest
+                    # served) — a legitimate result, NOT a retract.
+                    # Claiming "retracted" here would invite a re-add
+                    # that double-counts every non-tombstoned doc.
+                    return
                 import shutil
 
                 doomed = os.path.join(
-                    os.path.dirname(
-                        os.path.join(landed, "segments", name)
-                    ),
+                    os.path.dirname(seg_dir),
                     f"_tmp-retract-{uuid.uuid4().hex[:8]}",
                 )
                 try:
-                    os.rename(
-                        os.path.join(landed, "segments", name), doomed
-                    )
+                    os.rename(seg_dir, doomed)
                     shutil.rmtree(doomed, ignore_errors=True)
-                except OSError:
-                    pass
+                except FileNotFoundError:
+                    return  # folded between the isdir check and now
                 raise ValueError(
                     f"add_segment: {n_conflicts} incoming doc ids were "
                     "tombstoned concurrently; segment retracted — run "
@@ -453,6 +459,45 @@ class PostingsIndex:
                 f,
             )
         self._publish(gen_name)
+        # Post-publish rescue: a writer that RENAMED into the old
+        # generation after our snapshot but read the generation
+        # pointer before our publish believes it is live and never
+        # chases — the one interleaving the writer-side chase cannot
+        # see (its cur==loc check passed while we were still folding).
+        # Either side closes the window: the writer chases when it
+        # observes the new pointer, and we move forward anything that
+        # appeared in the retired generation beyond our snapshot. A
+        # rename losing to the writer's own chase is fine
+        # (FileNotFoundError → already moved).
+        folded_segs = {os.path.basename(s) for s in segs}
+        folded_tombs = {os.path.basename(t) for t in tomb_dirs}
+        for sub, known in (
+            ("segments", folded_segs),
+            ("tombstones", folded_tombs),
+        ):
+            root = os.path.join(gen, sub)
+            if not os.path.isdir(root):
+                continue
+            for d in sorted(os.listdir(root)):
+                if d.startswith("_tmp-") or d in known:
+                    continue
+                if sub == "tombstones" and not os.path.isfile(
+                    os.path.join(root, d, "_SUCCESS")
+                ):
+                    # tombstones write in place (no tmp+rename): a dir
+                    # without _SUCCESS is a write still in flight —
+                    # moving it mid-write would tear it. Its writer
+                    # finishes after our publish, so its own chase
+                    # sees the new pointer and moves it.
+                    continue
+                dst_root = os.path.join(out, sub)
+                os.makedirs(dst_root, exist_ok=True)
+                try:
+                    os.rename(
+                        os.path.join(root, d), os.path.join(dst_root, d)
+                    )
+                except OSError:
+                    pass  # writer's chase moved it / landed elsewhere
         return len(segs)
 
     def delete_docs(self, doc_ids: DataFrame, id_col: str | None = None) -> None:

@@ -26,8 +26,9 @@ scan, the same trick as exact.py's partial/final split:
    gap_us) and assigns each block an exclusive running offset of
    global sessions before it. The global id is then the uniform
    ``offset + s - merged``.
-3. The summaries broadcast back onto the block-partitioned events —
-   no re-shuffle of the big side.
+3. The summaries join back onto the block-partitioned events on the
+   SAME (user, block) keys — no re-shuffle of the big side, and AQE
+   broadcasts the summary side at runtime whenever it is small.
 
 Exactness: session boundaries depend only on per-pair gaps, and every
 gap is either inside a block (seen by pass 1) or across a block
@@ -37,9 +38,9 @@ window sessionize is pinned by tests on uniform AND 80%-hot
 distributions (tests/test_sessionize.py).
 
 Cost: two narrow shuffles of the event stream — (user, block) for the
-windows, then nothing (the stitch side is broadcast) — versus the
-plain version's one; the price of bounding the widest task by
-rows-per-block. Pick ``block_us`` ≫ gap_us (default: 1 day vs 30 min)
+windows, then nothing (the stitch side joins on those same keys) —
+versus the plain version's one; the price of bounding the widest task
+by rows-per-block. Pick ``block_us`` ≫ gap_us (default: 1 day vs 30 min)
 so block summaries stay tiny while sessions rarely span blocks.
 """
 
@@ -68,11 +69,16 @@ def sessionize_blocked(
     constraint simply keeps summaries per user small)."""
     if block_us <= gap_us:
         raise ValueError("block_us must exceed gap_us")
-    # micros-since-epoch portable across TIMESTAMP and TIMESTAMP_NTZ
-    # (the events fixture is NTZ under MICROS parquet encoding —
-    # unix_micros() rejects NTZ). Only gaps and block GROUPING derive
-    # from this, both shift-invariant, so the NTZ wall-clock offset is
-    # irrelevant to the session result.
+    # Gap semantics are WALL-CLOCK IN THE SESSION TIMEZONE — exactly
+    # what `timestampdiff(MICROSECOND, lag(ts), ts)` computes in the
+    # plain window and the DuckDB oracle (Spark's timestampdiff diffs
+    # LOCAL datetime fields, not instants, for TIMESTAMP inputs; for
+    # TIMESTAMP_NTZ wall time IS the timeline). The NTZ cast below
+    # reproduces that for both types, keeping the two variants
+    # bit-equivalent — including across a DST fall-back, where BOTH
+    # read a 45-real-minute gap as -15 wall minutes
+    # (test_sessionize.py pins the agreement). Run the session in UTC
+    # (session.py's default) if instant semantics are required.
     us = F.expr(
         f"timestampdiff(MICROSECOND, "
         f"cast(timestamp'1970-01-01 00:00:00' as timestamp_ntz), "
@@ -131,8 +137,14 @@ def sessionize_blocked(
         ).alias("__offset"),
     )
 
+    # NO broadcast hint: offsets is one row per ACTIVE (user, block) —
+    # small next to the event stream but users × days at the high end,
+    # past any broadcast budget. The join keys equal the stream
+    # window's partitioning, so the big side does not re-shuffle, and
+    # AQE still converts to broadcast at runtime whenever offsets is
+    # actually small.
     return (
-        sess.join(F.broadcast(offsets), [user_col, "__blk"])
+        sess.join(offsets, [user_col, "__blk"])
         .select(
             user_col,
             tiebreak_col,

@@ -449,6 +449,12 @@ def _drop_stale_partitions(
         if not entry.startswith(prefix):
             continue
         value = unquote(entry[len(prefix):])
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            # Spark's dir name for a NULL partition value; `recomputed`
+            # and the journal carry str(None) — translate before
+            # comparing or a freshly healed null partition would read
+            # as stale and be deleted (review r8 finding).
+            value = "None"
         if value in recomputed:
             continue
         if suspects and value not in suspects:

@@ -88,32 +88,30 @@ def compare_query(spark, sf_dir: str, fn, sql: str, allow_empty: bool = False) -
 
     con = duckdb_con(sf_dir)
     try:
-        res = con.execute(sql)
-        ocols = [d[0] for d in res.description]
-        orows = [tuple(r) for r in res.fetchall()]
-        pandas_kinds = None
-        if STRICT:
-            # The driver's value hash is computed from a PANDAS
-            # rendering of the oracle result, where DuckDB HUGEINT
-            # (uncast SUM of integers) becomes float64 and diverges
-            # from Spark's bigint even though fetchall()'s Python ints
-            # compare == — the exact blind spot that kept 12 driver
-            # reds invisible locally through r6/r7. Record the pandas
-            # dtype kind per column so STRICT mode fails the same way
-            # the driver does.
-            odf = con.execute(sql).df()
-            # A nullable BIGINT column ALSO renders float64 in pandas
-            # (NaN forces the cast) — and driver evidence says those
-            # hash fine (q_window_lag etc. are green). Only a
-            # NULL-free int column rendering float64 is the HUGEINT
-            # signature.
-            pandas_kinds = {
-                c: odf[c].dtype.kind
-                for c in odf.columns
-                if not odf[c].isna().any()
-            }
+        rel = con.sql(sql)  # lazy: columns/types come from the PLAN
+        ocols = list(rel.columns)
+        otypes = [str(t) for t in rel.types]
+        orows = [tuple(r) for r in rel.fetchall()]  # ONE execution
     finally:
         con.close()
+    float_rendering_cols = None
+    if STRICT:
+        # The driver's value hash is computed from a PANDAS rendering
+        # of the oracle result, where DuckDB HUGEINT (uncast SUM of
+        # integers) and DECIMAL become float64 and diverge from
+        # Spark's bigint even though fetchall()'s Python ints compare
+        # == — the exact blind spot that kept 12 driver reds invisible
+        # locally through r6/r7. The DuckDB result types (from the
+        # SAME execution — no second oracle run) identify the columns
+        # pandas would render as float64; only NULL-FREE int columns
+        # matter (a nullable BIGINT also renders float64 via NaN, and
+        # driver evidence says those hash fine — q_window_lag etc.).
+        float_rendering_cols = set()
+        for i, (c, t) in enumerate(zip(ocols, otypes)):
+            base = t.split("(", 1)[0].upper()
+            if base in ("HUGEINT", "DOUBLE", "FLOAT", "DECIMAL", "REAL"):
+                if not any(r[i] is None for r in orows):
+                    float_rendering_cols.add(c)
 
     assert sorted(scols) == sorted(ocols), (
         f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
@@ -143,12 +141,12 @@ def compare_query(spark, sf_dir: str, fn, sql: str, allow_empty: bool = False) -
             else:
                 assert sv == ov, f"row {i} col {c}: spark={sv!r} oracle={ov!r}"
             if STRICT:
-                _assert_repr_strict(i, c, sv, ov, pandas_kinds)
+                _assert_repr_strict(i, c, sv, ov, float_rendering_cols)
     if n_float_diff:
         print(f"  note: {n_float_diff} float cells differed (max rel {max_rel:.2e})")
 
 
-def _assert_repr_strict(i, c, sv, ov, pandas_kinds) -> None:
+def _assert_repr_strict(i, c, sv, ov, float_rendering_cols) -> None:
     """Driver-faithful strict cell check: Python `==` is type-blind
     (2 == 2.0, Decimal('40.0') == 40.0, 0.0 == -0.0) — precisely the
     divergences the driver's rendering hash catches. Assert same type
@@ -175,10 +173,11 @@ def _assert_repr_strict(i, c, sv, ov, pandas_kinds) -> None:
             f"(signed zero / rendering divergence the driver hash "
             f"catches)"
         )
-    if isinstance(sv, int) and not isinstance(sv, bool) and pandas_kinds:
-        kind = pandas_kinds.get(c)
-        assert kind in ("i", "u", "O", None) or kind is None, (
-            f"row {i} col {c}: Spark emits int but the oracle column "
-            f"renders as pandas dtype kind {kind!r} (float64 ← DuckDB "
-            f"HUGEINT?) — add CAST(... AS BIGINT) to the oracle"
+    if isinstance(sv, int) and not isinstance(sv, bool):
+        assert not (
+            float_rendering_cols and c in float_rendering_cols
+        ), (
+            f"row {i} col {c}: Spark emits int but the oracle column's "
+            f"DuckDB type renders as float64 through pandas (HUGEINT/"
+            f"DECIMAL?) — add CAST(... AS BIGINT) to the oracle"
         )

@@ -551,3 +551,59 @@ def test_concurrent_refreshers_exactly_one_wins(spark, sf_dir, tmp_path):
         for r in read_mv(spark, spec, direct).collect()
     }
     assert got == want
+
+
+def test_heal_keeps_recomputed_null_partition(spark, sf_dir, tmp_path):
+    """Null partition values write as __HIVE_DEFAULT_PARTITION__ on
+    disk while the journal and the recompute set carry str(None) —
+    the stale-partition sweep must translate before comparing, or a
+    freshly HEALED null partition reads as stale and is deleted
+    (review r8 finding)."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _INTENT,
+        build_mv,
+        heal_mv,
+        read_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "p_date",
+            F.when(F.dayofmonth(F.to_date("ts")) % 7 == 0, None).otherwise(
+                F.to_date("ts")
+            ),
+        )
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    mv = str(tmp_path / "mv")
+    build_mv(ev, spec, mv)
+    null_dir = os.path.join(mv, "p_date=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(null_dir)
+
+    # torn journal: every partition suspect, full recompute
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        f.write("{corrupt")
+    healed = heal_mv(spark, ev, spec, mv)
+    assert healed == ["<all>"]
+    assert os.path.isdir(null_dir)  # recomputed, NOT swept as stale
+    got = {
+        (r["p_date"], r["event_type"]): r["total_value"]
+        for r in read_mv(spark, spec, mv).collect()
+    }
+    assert any(k[0] is None for k in got)  # null rows served
+    direct = str(tmp_path / "direct")
+    build_mv(ev, spec, direct)
+    want = {
+        (r["p_date"], r["event_type"]): r["total_value"]
+        for r in read_mv(spark, spec, direct).collect()
+    }
+    assert got == want

@@ -20,6 +20,8 @@ import duckdb
 import pytest
 
 from batch_processing_etl_orchestration_spark.plans import QUERIES
+from tests.conftest import SF_SMALL as SF_DIR  # one fixture-location source
+from tests.oracle_utils import TABLES
 
 # Types whose pandas rendering provably matches the Spark column the
 # engine emits alongside them. Anything else — HUGEINT, DECIMAL(p,s),
@@ -34,13 +36,6 @@ ALLOWED = {
     "TIMESTAMP",
     "BOOLEAN",
 }
-
-SF_DIR = "/root/testdata/sf0.001"
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 @pytest.fixture(scope="module")

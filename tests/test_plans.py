@@ -484,3 +484,8 @@ def test_aqe_skew_split_blocked_by_aggregate_child(spark):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+            else:
+                # originally unset: leaving our '-1' behind would
+                # disable adaptive auto-broadcast for every later test
+                # in the shared session fixture
+                conf.unset(k)

@@ -69,3 +69,33 @@ def test_no_single_partition_window_over_data(spark, sf_dir):
 
     wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
     assert any("__b" in w for w in wins), wins
+
+
+def test_null_keys_raise_and_sparse_keys_bounded(spark):
+    """NULL keys fail loudly (never silently dropped), a string key
+    column is rejected at plan time, and hashed/snowflake-style sparse
+    64-bit keys produce a BOUNDED bucket domain (adaptive width from
+    the stats pass — a fixed width would make the offset table
+    data-sized)."""
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1,), (None,), (3,)], "k BIGINT")
+    with _pytest.raises(ValueError, match="NULL"):
+        dense_renumber(d, "k")
+
+    s = spark.createDataFrame([("a",), ("b",)], "k STRING")
+    with _pytest.raises(TypeError, match="integer"):
+        dense_renumber(s, "k")
+
+    # sparse keys spanning the whole positive long range
+    keys = [(37 + i * 104_729) ** 2 % (2**62) for i in range(500)]
+    keys = sorted(set(keys))
+    sp = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    out = dense_renumber(sp, "k", n_buckets=64)
+    got = {r["k"]: r["idx"] for r in out.collect()}
+    assert got == {k: i for i, k in enumerate(keys)}
+    # the bucket domain respected n_buckets (bounded offsets table)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # offsets stayed broadcast-sized

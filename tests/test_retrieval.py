@@ -612,3 +612,67 @@ def test_add_segment_retracts_on_concurrent_tombstone(
         assert "doomed" not in _os.listdir(seg_root)
     got = {r["doc_id"] for r in idx.doclens().collect()}
     assert got == {1, 2}
+
+
+def test_compaction_rescues_segment_landed_during_fold(
+    spark, tmp_path, monkeypatch
+):
+    """The interleaving the writer-side chase CANNOT see: the segment
+    renames into the old generation after compaction's snapshot, and
+    the writer reads the generation pointer BEFORE the publish — its
+    chase believes it is live and returns. compact_segments' post-
+    publish rescue must move the straggler into the new generation."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "scan scan filter")],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "join hash hash")], "doc_id BIGINT, text STRING"
+    )
+    b2 = spark.createDataFrame(
+        [(4, "filter merge sort")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "race4")
+    idx = PostingsIndex.build(spark, base, path)
+    idx.add_segment(b1, "s0")
+    gen_a = idx._gen()
+
+    orig_meta = PostingsIndex._write_meta
+    fired = {}
+
+    def hooked_meta(gen_dir, id_col, text_col):
+        orig_meta(gen_dir, id_col, text_col)
+        if fired or "segments" in gen_dir:
+            return
+        fired["x"] = True
+        # the racing writer: lands in gen A and reads the (not yet
+        # flipped) pointer — pin _gen to A for the duration of its add
+        writer = PostingsIndex(spark, path)
+        monkeypatch.setattr(writer, "_gen", lambda: gen_a)
+        monkeypatch.setattr(
+            PostingsIndex, "_write_meta", staticmethod(orig_meta)
+        )
+        try:
+            writer.add_segment(b2, "late")
+        finally:
+            monkeypatch.setattr(
+                PostingsIndex, "_write_meta", staticmethod(hooked_meta)
+            )
+
+    monkeypatch.setattr(
+        PostingsIndex, "_write_meta", staticmethod(hooked_meta)
+    )
+    idx.compact_segments()  # snapshot misses 'late'; rescue must save it
+    monkeypatch.setattr(
+        PostingsIndex, "_write_meta", staticmethod(orig_meta)
+    )
+
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 2, 3, 4}  # the straggler batch is live
+    assert idx.compact_segments() == 1  # and folds cleanly
+    got = {r["doc_id"] for r in idx.doclens().collect()}
+    assert got == {1, 2, 3, 4}

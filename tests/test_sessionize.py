@@ -190,3 +190,36 @@ def _plain_gap(ev, gap_us):
         "session_id",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).select("user_id", "event_id", "ts", "session_id")
+
+
+def test_blocked_matches_plain_across_dst_fallback(spark):
+    """TIMESTAMP inputs under a DST session timezone: Spark's
+    timestampdiff — the plain window's gap, mirrored by the DuckDB
+    oracle — diffs LOCAL datetime fields, so across America/
+    Los_Angeles's 2024-11-03 fall-back two events 45 REAL minutes
+    apart read as a -15 wall-minute gap and stay one session. The
+    blocked variant must reproduce that wall-clock semantic exactly
+    (the operator documents UTC sessions for instant semantics;
+    session.py pins UTC by default)."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        # 2024-11-03 08:30:00 UTC = 01:30 PDT; 09:15 UTC = 01:15 PST
+        ev = spark.sql(
+            """
+            SELECT * FROM VALUES
+              (1L, 1L, to_timestamp('2024-11-03 08:30:00 UTC',
+                                    'yyyy-MM-dd HH:mm:ss zzz')),
+              (1L, 2L, to_timestamp('2024-11-03 09:15:00 UTC',
+                                    'yyyy-MM-dd HH:mm:ss zzz'))
+              AS t(user_id, event_id, ts)
+            """
+        )
+        got = _assign(sessionize_blocked(ev, gap_us=SESSION_GAP_US))
+        want = _assign(_plain(ev))
+        assert got == want
+        # wall-clock gap -15 min <= 30-min threshold: ONE session,
+        # in BOTH variants (the agreement is the contract)
+        assert got[(1, 1)] == 1 and got[(1, 2)] == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
