@@ -33,7 +33,7 @@ def test_matches_on_sparse_and_clustered_keys(spark):
     keys = (
         list(range(100))                       # one dense bucket
         + [10_000, 10_001, 99_999]             # gaps
-        + [4096 * k for k in range(1, 9)]      # exact bucket edges
+        + [4096 * k for k in range(1, 9)]      # clustered mid-range run
     )
     d = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
     got = {r["k"]: r["idx"] for r in dense_renumber(d, "k").collect()}
