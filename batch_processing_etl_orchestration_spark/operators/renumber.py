@@ -72,11 +72,17 @@ def dense_renumber(
         )
     if stats["n_rows"] == 0:
         return df.withColumn(idx_col, F.lit(None).cast("long"))
-    lo = int(stats["lo"])
-    span = int(stats["hi"]) - lo + 1
+    span = int(stats["hi"]) - int(stats["lo"]) + 1  # exact in Python
     width = max(1, -(-span // int(n_buckets)))  # ceil
-
-    b = F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)).alias("__b")
+    # bucket = floor(key / width) with NO lo-subtraction: key - lo
+    # overflows int64 when the key range spans more than 2^63 (hashed/
+    # snowflake ids — exactly the keys the adaptive width exists for)
+    # and non-ANSI mode would wrap it silently. floor over the double
+    # division is monotone non-decreasing in key (IEEE), which is all
+    # the bucketing needs — offsets come from the ACTUAL bucket ids,
+    # so alignment to lo is irrelevant, and the bucket domain stays
+    # ≤ n_buckets + 1.
+    b = F.floor(F.col(key_col) / F.lit(width)).alias("__b")
     keyed = df.withColumn("__b", b)
     wb = Window.partitionBy("__b").orderBy(key_col)
     local = F.row_number().over(wb)

@@ -106,10 +106,17 @@ def sessionize_blocked(
         F.sum("__new").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
     )
 
+    # Boundary wall times must be the ORDER-adjacent events' (the
+    # plain window's cross-block gap is last-event-in-order →
+    # first-event-in-order): under a non-monotonic wall clock (DST
+    # fall-back with caller-chosen sub-day blocks) min/max can pick a
+    # DIFFERENT event than the order-first/-last one and move a
+    # session boundary the plain variant keeps (review r8 finding).
+    order_key = F.struct(ts_col, tiebreak_col)
     summary = marked.groupBy(user_col, "__blk").agg(
         F.sum("__new").alias("__w"),
-        F.min("__us").alias("__first_us"),
-        F.max("__us").alias("__last_us"),
+        F.min_by("__us", order_key).alias("__first_us"),
+        F.max_by("__us", order_key).alias("__last_us"),
     )
     wu = Window.partitionBy(user_col).orderBy("__blk")
     prev_last = F.lag("__last_us").over(wu)

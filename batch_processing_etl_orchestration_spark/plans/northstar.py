@@ -3725,7 +3725,11 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    r = dense_renumber(d, "doc_id")
+    # one materialization of the (doc_id, idx) table: it feeds BOTH
+    # the probe side and the negative side — without the checkpoint
+    # the whole renumber subtree (scan + bucket window + offsets)
+    # executes twice, doubling the dominant cost at scale
+    r = dense_renumber(d, "doc_id").localCheckpoint(eager=True)
     n = r.agg(F.count(F.lit(1)).alias("n"))
     probes = (
         r.crossJoin(F.broadcast(n))

@@ -290,6 +290,21 @@ def affected_partitions(delta: DataFrame, partition_col: str) -> list:
     ]
 
 
+def _part_filter(col: F.Column, parts: list) -> F.Column:
+    """Null-safe partition membership. `Column.isin` treats NULL as
+    unknown, so a NULL partition value in `parts` would silently DROP
+    its rows from every scoped read — delta merges would overwrite the
+    stored NULL partition with delta-only partials and heal would
+    recompute without it (review r8 finding). Accepts either raw
+    values or the journal's string forms (str(None) == 'None')."""
+    null_in = any(p is None or p == "None" for p in parts)
+    vals = [p for p in parts if p is not None and p != "None"]
+    pred = col.isin(vals) if vals else F.lit(False)
+    if null_in:
+        pred = pred | col.isNull()
+    return pred
+
+
 def delta_refresh(
     spark: SparkSession, delta: DataFrame, spec: MergeableSpec, mv_path: str
 ) -> list:
@@ -313,7 +328,7 @@ def delta_refresh(
     _check_no_pending(mv_path)
     old = (
         spark.read.parquet(mv_path)
-        .where(F.col(spec.partition_col).isin(parts))  # partition-pruned
+        .where(_part_filter(F.col(spec.partition_col), parts))  # pruned
         .localCheckpoint(eager=True)  # break lineage: overwriting below
     )
     inc = spec.aggregate(delta)
@@ -348,7 +363,7 @@ def recompute_refresh(
     _check_no_pending(mv_path)
     scoped = (
         fact.unionByName(delta)
-        .where(F.col(spec.partition_col).isin(parts))
+        .where(_part_filter(F.col(spec.partition_col), parts))
     )
     out = (agg_fn or spec.aggregate)(scoped)
     _write_intent(mv_path, parts)
@@ -407,7 +422,7 @@ def heal_mv(
     scoped = fact
     if parts:  # [] = torn journal: every partition suspect
         scoped = fact.where(
-            F.col(spec.partition_col).cast("string").isin(parts)
+            _part_filter(F.col(spec.partition_col).cast("string"), parts)
         )
     out = (agg_fn or spec.aggregate)(scoped).persist()
     try:

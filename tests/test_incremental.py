@@ -607,3 +607,69 @@ def test_heal_keeps_recomputed_null_partition(spark, sf_dir, tmp_path):
         for r in read_mv(spark, spec, direct).collect()
     }
     assert got == want
+
+
+def test_null_partition_delta_merge_and_named_heal(spark, sf_dir, tmp_path):
+    """Column.isin treats NULL as unknown: without the null-safe
+    partition filter a delta touching the NULL partition would read
+    back NO stored partials (overwriting history with delta-only
+    sums) and a NAMED journal listing the NULL partition would
+    recompute without its rows and then sweep the directory. Both
+    paths must treat NULL as just another partition."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _INTENT,
+        build_mv,
+        delta_refresh,
+        heal_mv,
+        read_mv,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "p_date",
+            F.when(F.dayofmonth(F.to_date("ts")) % 7 == 0, None).otherwise(
+                F.to_date("ts")
+            ),
+        )
+        .select("p_date", "event_type", "value")
+    )
+    spec = MergeableSpec(
+        partition_col="p_date",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    # split so BOTH halves contain null-partition rows
+    base = ev.where(F.col("value") < 250.0)
+    delta = ev.where(F.col("value") >= 250.0)
+    assert delta.where(F.col("p_date").isNull()).count() > 0
+
+    mv = str(tmp_path / "mv")
+    build_mv(base, spec, mv)
+    delta_refresh(spark, delta, spec, mv)
+
+    direct = str(tmp_path / "direct")
+    build_mv(ev, spec, direct)
+
+    def snap(path):
+        return {
+            (r["p_date"], r["event_type"]): (r["total_value"], r["n_rows"])
+            for r in read_mv(spark, spec, path).collect()
+        }
+
+    got = snap(mv)
+    assert any(k[0] is None for k in got)
+    assert got == snap(direct)  # null partition MERGED, not replaced
+
+    # named journal listing ONLY the null partition: heal must
+    # recompute it from the fact (null rows included) and keep it
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        json.dump({"parts": ["None"]}, f)
+    healed = heal_mv(spark, ev, spec, mv)
+    assert healed == ["None"]
+    null_dir = os.path.join(mv, "p_date=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(null_dir)
+    assert snap(mv) == snap(direct)

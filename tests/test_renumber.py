@@ -63,7 +63,6 @@ def test_no_single_partition_window_over_data(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "partitionBy=[__b" in plan.replace(" ", "") or "__b" in plan
     # the big-side window must carry the bucket key in its partition
     import re
 
@@ -99,3 +98,23 @@ def test_null_keys_raise_and_sparse_keys_bounded(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # offsets stayed broadcast-sized
+
+
+def test_full_range_long_keys_no_overflow(spark):
+    """Keys spanning more than 2^63 (full signed-long range, the
+    xxhash64-surrogate case the docstring recommends): a lo-anchored
+    `key - lo` bucket would wrap in non-ANSI mode and order the
+    largest keys FIRST — the division form must renumber exactly."""
+    keys = [
+        -(2**62) - 1,
+        -(2**61),
+        -12345,
+        0,
+        7,
+        2**61 + 99,
+        2**62,
+        2**63 - 1,
+    ]
+    d = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    got = {r["k"]: r["idx"] for r in dense_renumber(d, "k", n_buckets=8).collect()}
+    assert got == {k: i for i, k in enumerate(sorted(keys))}

@@ -223,3 +223,39 @@ def test_blocked_matches_plain_across_dst_fallback(spark):
         assert got[(1, 1)] == 1 and got[(1, 2)] == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_dst_fold_near_subday_block_edge(spark):
+    """The 3-event construction from the r8 review: hourly blocks with
+    the DST fold inside gap_us of a block edge. Walls run 01:50 (PDT),
+    01:05 (PST), 02:10 (PST) for instants t1<t2<t3 — the plain
+    window's cross-boundary gap is 02:10−01:05 = 65 min (new
+    session); a min/max stitch would compare against 01:50 and merge.
+    Order-adjacent boundary times must keep the variants identical."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        ev = spark.sql(
+            """
+            SELECT * FROM VALUES
+              (1L, 1L, to_timestamp('2024-11-03 08:50:00 UTC',
+                                    'yyyy-MM-dd HH:mm:ss zzz')),
+              (1L, 2L, to_timestamp('2024-11-03 09:05:00 UTC',
+                                    'yyyy-MM-dd HH:mm:ss zzz')),
+              (1L, 3L, to_timestamp('2024-11-03 10:10:00 UTC',
+                                    'yyyy-MM-dd HH:mm:ss zzz'))
+              AS t(user_id, event_id, ts)
+            """
+        )
+        got = _assign(
+            sessionize_blocked(
+                ev, gap_us=SESSION_GAP_US, block_us=3_600 * 1_000_000
+            )
+        )
+        want = _assign(_plain(ev))
+        assert got == want
+        # walls: 01:50 / 01:05 (gap -45m, same session) / 02:10
+        # (gap +65m from the ORDER-previous event, new session)
+        assert got[(1, 1)] == got[(1, 2)] == 1 and got[(1, 3)] == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
