@@ -42,14 +42,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # the file-stream source needs a directory basePath; the fixture is
-    # a single parquet file inside sf_dir
-    stream = (
-        spark.readStream.schema(schema)
-        .option("basePath", sf_dir)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written table (the sf1 scale-up fixture): a DIRECTORY
+        # of part files — stream it directly. The glob branch below
+        # would list zero files here (pathGlobFilter matches leaf
+        # FILES, and 'events.parquet' is the directory), silently
+        # draining an empty stream (r8 sf1 sweep catch).
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # driver testdata: a single parquet FILE inside sf_dir — the
+        # file-stream source needs a directory basePath plus a glob
+        # to single it out among the sibling tables
+        stream = (
+            spark.readStream.schema(schema)
+            .option("basePath", sf_dir)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
         # legacy testdata: INT64 TIMESTAMP(NANOS) read as epoch-nanos long
