@@ -155,8 +155,12 @@ BENCH_QUERIES = [
     "q_pareto_frontier_parts",
     "q_time_weighted_avg",
     "q_entity_resolution",
-    # r8: segmented skew-safe sessionization (hot-user window bound)
+    # r8: segmented skew-safe sessionization (hot-user window bound),
+    # hash-ring negative sampling over the dense renumber, median+MAD
+    # robust outliers
     "q_sessionize_skew_safe",
+    "q_negative_sampling",
+    "q_mad_robust_outliers",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
