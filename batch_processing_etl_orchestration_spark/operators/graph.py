@@ -184,3 +184,56 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hops): minimum hop distance from any seed, bounded by
+    `max_hops` — level-synchronous BFS, the third canonical iterative
+    graph shape next to connected components (pointer jumping) and
+    PageRank (power iteration). `seeds` is a one-column DataFrame of
+    node ids; unreached nodes are absent from the result.
+
+    Each level is one key-partitioned equi-join of the CURRENT
+    FRONTIER against the edge table plus an anti-join against the
+    visited set — frontier and visited carry (node, hops) pairs only,
+    never adjacency payloads, so per-level shuffle volume is bounded
+    by |frontier| + |edges touched|, and a vertex is expanded exactly
+    once (the anti-join dedups re-reached nodes, which is what keeps
+    level k's cost proportional to the NEW frontier rather than the
+    full reach — the difference between O(k·reach) and O(edges) total
+    on small-diameter graphs). Hop counts are exact integers: the
+    result is bit-stable under any scheduling, and a stage-bounded
+    recursive CTE reproduces it exactly (q_khop_reach's oracle).
+
+    Scale: lineage is checkpoint-truncated every 3 levels like the CC
+    fixpoint; for high `max_hops` on huge graphs the visited set
+    should be persisted per level (callers at dimension scale — like
+    the 64-node oracle graphs — don't need it)."""
+    node_col = seeds.columns[0]
+    visited = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("long").alias("hops")
+    ).distinct()
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited, "node", "left_anti").select(
+            "node", F.lit(h).cast("long").alias("hops")
+        )
+        visited = visited.unionByName(new)
+        if h % 3 == 0 or h == max_hops:
+            visited = visited.localCheckpoint(eager=True)
+        # slice the frontier back out of `visited` so checkpointed
+        # levels reuse the materialization instead of re-running the
+        # expansion join for the next level's input
+        frontier = visited.where(F.col("hops") == h).select("node")
+    return visited

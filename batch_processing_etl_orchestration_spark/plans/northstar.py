@@ -2565,6 +2565,84 @@ def _bucketed_prefix(df, part_cols: list[str], weight_col: str):
     return docs.join(F.broadcast(offsets), [*part_cols, "b"])
 
 
+@register(
+    "q_exact_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, n - 4)) AS i
+      FROM toks WHERE n >= 5
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS s
+      FROM pos
+    ),
+    nd AS (SELECT s, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_shingles,
+           (SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) * 2
+              >= COUNT(*)) AS flagged
+    FROM sh JOIN nd ON nd.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("northstar", "dedup", "exact-substring"),
+)
+def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    family): per document, how many of its word-5-gram positions are
+    covered by a span that appears VERBATIM in at least one OTHER
+    document, plus a `flagged` bit when ≥ half the doc is duplicated
+    span — the exact complement to MinHash/SimHash (which score
+    whole-doc similarity and miss a boilerplate paragraph pasted into
+    otherwise-distinct docs). Counts are exact integers; the oracle
+    replays the identical shingle → distinct-doc-count → per-doc
+    rollup pipeline.
+
+    Scale: shingling is a narrow codegen'd explode (same zero-shuffle
+    shape as q_chunk_documents); the only shuffles are the groupBy on
+    the shingle key — with partial map-side aggregation, and no
+    suffix array in sight because 5-gram equality IS substring-≥5
+    equality — and the shingle→doc join back, both key-partitioned
+    on the shingle. At 100 TB the shingle key would be a 64-bit hash
+    (collision-safe at corpus scale) rather than the raw string; the
+    raw string is kept here so the DuckDB oracle joins on the
+    identical key, trading only shuffle width."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    sh = (
+        d.select("doc_id", t.alias("_t"), F.size(t).alias("_n"))
+        .where(F.col("_n") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, _n - 4),"
+                    " i -> concat_ws(' ', slice(_t, i, 5)))"
+                )
+            ).alias("s"),
+        )
+    )
+    nd = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+    return (
+        sh.join(nd, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            dup.alias("n_dup_shingles"),
+            (dup * 2 >= F.count(F.lit(1))).alias("flagged"),
+        )
+    )
+
+
 _BUDGET_TOKENS = 3000
 
 
@@ -2868,6 +2946,66 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 64).alias("dst"),
     )
     return triangle_count(edges)
+
+
+@register(
+    "q_khop_reach",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey % 64 AS src, o_orderkey % 64 AS dst
+      FROM orders WHERE o_custkey % 64 <> o_orderkey % 64
+    ),
+    seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 16 = 0),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+    tags=("northstar", "graph", "iterative", "bfs"),
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop reachability (level-synchronous BFS, k=3) from
+    the seed set {nodes ≡ 0 mod 16 with out-edges} over the 64-node
+    orders graph (same derivation as q_pagerank_orders): each node's
+    MINIMUM hop distance from any seed — the traversal primitive
+    under impact analysis, fraud rings, and lineage walks, and the
+    fourth canonical iterative-graph shape here next to connected
+    components, PageRank, and triangles (operators/graph.py
+    bfs_min_hops). Hop counts are exact integers, so the result is
+    bit-stable under any scheduling; the oracle replays the same
+    frontier expansion as a hop-bounded recursive CTE and takes
+    MIN(hops) per node.
+
+    Scale: per level one key-partitioned equi-join of the (node,hops)
+    frontier against the edge table plus an anti-join against the
+    visited set — a vertex expands exactly once, shuffle volume per
+    level is |new frontier| + touched edges, and no adjacency payload
+    ever rides a shuffle. The 64-node modulus keeps the ORACLE's walk
+    enumeration tractable; the Spark plan is the full-scale
+    formulation."""
+    from batch_processing_etl_orchestration_spark.operators.graph import (
+        bfs_min_hops,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        orders.where(F.col("o_custkey") % 64 != F.col("o_orderkey") % 64)
+        .select(
+            (F.col("o_custkey") % 64).alias("src"),
+            (F.col("o_orderkey") % 64).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = edges.where(F.col("src") % 16 == 0).select(
+        F.col("src").alias("node")
+    ).distinct()
+    return bfs_min_hops(edges, seeds, max_hops=3)
 
 
 @register(

@@ -3082,6 +3082,188 @@ def q_gdpr_erase_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _restored_events(spark: SparkSession, sf_dir: str):
+    """Build-once RESTORE scenario over events: v0 = days ≤ 20,
+    v1 = + days > 20 (append), v2 = GDPR erasure of user_id % 37 == 5,
+    v3 = RESTORE to v1 (metadata-only rollback of the erasure).
+    Separate fixture from _versioned_events — restoring THAT table
+    would change what `read()` (latest) returns for
+    q_gdpr_erase_versioned. Returns the VersionedTable."""
+
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTable,
+    )
+
+    from batch_processing_etl_orchestration_spark.tables import build_once
+
+    def _build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.to_date("ts").alias("d"),
+        )
+        t = VersionedTable.create(
+            spark, path, ev.where(F.dayofmonth("d") <= 20).repartition(4)
+        )
+        t.append(ev.where(F.dayofmonth("d") > 20).repartition(2))
+        t.erase(F.col("user_id") % 37 == 5)
+        t.restore(1)
+
+    path = build_once(sf_dir, "events.parquet", "restored_events", _build)
+    return VersionedTable(spark, path)
+
+
+@register(
+    "q_restore_versioned",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(1 AS BIGINT) AS restored_from,
+           TRUE AS files_shared
+    FROM events GROUP BY event_type
+    """,
+    tags=("warehouse", "snapshot", "restore"),
+)
+def q_restore_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION AS OF: the table's history is
+    create → append → GDPR-erase → restore(v1), and the LATEST read
+    must equal the full pre-erasure fixture — the rollback undid the
+    erasure without touching a data file (snapshots.py restore():
+    v3's manifest lists exactly v1's files by reference, which the
+    `files_shared` attestation pins alongside the op metadata; the
+    erased v2 stays time-travel-readable for audit). Delta's RESTORE
+    model: a rollback is one more commit, so it is itself auditable
+    and concurrency-safe under the create-exclusive manifest
+    protocol.
+
+    At 100 TB this is the bad-deploy undo: a restore costs one JSON
+    rename regardless of table size, where a copy-back rollback would
+    rewrite the table."""
+    t = _restored_events(spark, sf_dir)
+    m3, m1 = t._read_manifest(3), t._read_manifest(1)
+    files_shared = (
+        m3["op"] == "restore"
+        and m3["meta"].get("restored_from") == 1
+        and m3["files"] == m1["files"]
+    )
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.first(
+            F.lit(m3["meta"].get("restored_from")).cast("long")
+        ).alias("restored_from"),
+        F.first(F.lit(bool(files_shared))).alias("files_shared"),
+    )
+
+
+def _vacuumed_events(spark: SparkSession, sf_dir: str):
+    """Build-once VACUUM scenario over events: v0 = days ≤ 20 in 4
+    files, v1 = + days > 20 in 2 more (append), v2 = compact into one
+    file, then vacuum(keep_last=1) — prunes v0/v1 and deletes their
+    now-unreferenced 6 data files. The vacuum stats land in
+    `_vacuum_stats.json` inside the table dir (underscore-prefixed:
+    invisible to Spark's directory listings) so the query attests the
+    build-time outcome without re-running the mutation on a cached
+    fixture. Returns the VersionedTable."""
+
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTable,
+        VersionedTableMaintenance,
+    )
+
+    from batch_processing_etl_orchestration_spark.tables import build_once
+
+    def _build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.to_date("ts").alias("d"),
+        )
+        t = VersionedTable.create(
+            spark, path, ev.where(F.dayofmonth("d") <= 20).repartition(4)
+        )
+        t.append(ev.where(F.dayofmonth("d") > 20).repartition(2))
+        VersionedTableMaintenance(t).compact(target_rows_per_file=10**9)
+        stats = VersionedTableMaintenance(t).vacuum(keep_last=1)
+        with open(os.path.join(path, "_vacuum_stats.json"), "w") as f:
+            json.dump(stats, f)
+
+    path = build_once(sf_dir, "events.parquet", "vacuumed_events", _build)
+    return VersionedTable(spark, path)
+
+
+@register(
+    "q_vacuum_versioned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(1 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS pruned_versions,
+           CAST(6 AS BIGINT) AS removed_files,
+           TRUE AS no_orphans,
+           TRUE AS old_read_fails
+    FROM events
+    """,
+    tags=("warehouse", "snapshot", "vacuum"),
+)
+def q_vacuum_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention VACUUM on the versioned table: after
+    create(4 files) → append(2) → compact(1) → vacuum(keep_last=1),
+    the surviving version must still read EVERY row (the oracle checks
+    the full-fixture aggregate), exactly the 6 data files no kept
+    manifest references must be gone (`removed_files`, reference-
+    counted — never a blind directory sweep), the on-disk parquet set
+    must equal the kept manifest's file list (`no_orphans`), and time
+    travel to a pruned version must now FAIL LOUDLY
+    (`old_read_fails`) — retention is where history honestly ends,
+    Delta VACUUM's contract.
+
+    At 100 TB this is the storage-cost lever for versioned data:
+    immutable files shared across manifests mean vacuum touches only
+    the unreferenced tail, and because restore() commits file lists
+    by reference, reference counting (not version age alone) is the
+    ONLY deletion rule that cannot corrupt a live version."""
+    import json
+    import os
+
+    t = _vacuumed_events(spark, sf_dir)
+    with open(os.path.join(t.path, "_vacuum_stats.json")) as f:
+        stats = json.load(f)
+    vs = t.versions()
+    kept_files = set(t._read_manifest(vs[-1])["files"])
+    on_disk = set()
+    for root, _dirs, names in os.walk(t.path):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), t.path)
+                on_disk.add(rel)
+    try:
+        t.read(0)
+        old_read_fails = False
+    except Exception:
+        old_read_fails = True
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.first(F.lit(len(vs)).cast("long")).alias("n_versions"),
+        F.first(
+            F.lit(int(stats["pruned_versions"])).cast("long")
+        ).alias("pruned_versions"),
+        F.first(
+            F.lit(int(stats["removed_files"])).cast("long")
+        ).alias("removed_files"),
+        F.first(F.lit(bool(on_disk == kept_files))).alias("no_orphans"),
+        F.first(F.lit(bool(old_read_fails))).alias("old_read_fails"),
+    )
+
+
 def _merged_customers(spark: SparkSession, sf_dir: str):
     """Build-once MERGE scenario on a versioned customer table:
     v0 = the customer fixture; v1 = one MERGE applying a CDC batch

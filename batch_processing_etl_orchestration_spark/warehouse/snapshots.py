@@ -417,6 +417,24 @@ class VersionedTable:
             *[os.path.join(self.path, f) for f in files]
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF — Delta's model: commit a NEW
+        version whose file list (and committed schema) are copied from
+        the target manifest. Purely metadata: zero data files are
+        written or read, so restoring a 100 TB table costs one JSON
+        rename however big the rollback is. History is preserved —
+        the undone versions stay readable by time travel until
+        retention (vacuum) prunes them, and the restore itself is an
+        auditable commit (`op=restore`, `restored_from` in meta), not
+        a destructive reset."""
+        m = self._read_manifest(version)  # raises on unknown version
+        v = self.latest_version() + 1
+        self._commit(
+            v, list(m["files"]), "restore", {"restored_from": version},
+            schema=m.get("schema"),
+        )
+        return v
+
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         m = self._read_manifest(v)
