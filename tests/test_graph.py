@@ -77,3 +77,48 @@ def test_triangle_count_hub_star_has_none(spark):
         [(0, i) for i in range(1, 30)], "src INT, dst INT"
     )
     assert triangle_count(edges).count() == 0
+
+
+# -- bfs_min_hops -----------------------------------------------------------
+
+
+def _bfs(spark, rows, seeds, k):
+    from batch_processing_etl_orchestration_spark.operators.graph import (
+        bfs_min_hops,
+    )
+
+    edges = spark.createDataFrame(rows, "src int, dst int")
+    s = spark.createDataFrame([(x,) for x in seeds], "node int")
+    return {
+        r["node"]: r["hops"]
+        for r in bfs_min_hops(edges, s, max_hops=k).collect()
+    }
+
+
+def test_bfs_chain_hops_and_bound(spark):
+    """1→2→3→4→5 from seed 1: hop = distance, and the k bound cuts
+    the tail (5 is 4 hops away, absent at k=3)."""
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _bfs(spark, rows, [1], 3) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_over_multiple_paths(spark):
+    """Diamond 1→{2,3}→4 plus a long detour 1→5→6→4: node 4 reports
+    the SHORT path's 2 hops, not the detour's 3."""
+    rows = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 6), (6, 4)]
+    got = _bfs(spark, rows, [1], 3)
+    assert got[4] == 2 and got[6] == 2
+
+
+def test_bfs_multi_seed_and_cycle(spark):
+    """Two seeds on a 4-cycle 1→2→3→4→1: every node takes the nearer
+    seed's distance; the cycle cannot re-lower a visited node."""
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _bfs(spark, rows, [1, 3], 2) == {1: 0, 3: 0, 2: 1, 4: 1}
+
+
+def test_bfs_seed_reachable_from_seed_stays_zero(spark):
+    """A seed that another seed can reach keeps hops=0 (min semantics
+    — the anti-join refuses to re-add visited nodes)."""
+    rows = [(1, 2), (2, 3)]
+    assert _bfs(spark, rows, [1, 2], 2) == {1: 0, 2: 0, 3: 1}

@@ -554,3 +554,68 @@ def test_concurrent_commit_loses_exactly_one(spark, table):
     # no stray .tmp- files left behind by the losing writer
     stray = [f for f in os.listdir(t._mdir) if ".tmp-" in f]
     assert stray == []
+
+
+def test_restore_is_metadata_only_rollback(spark, table):
+    """restore(v) commits a NEW version sharing v's files by
+    reference (same relpaths, same inodes — zero data I/O), the
+    latest read equals v's content, and the undone versions stay
+    time-travel-readable."""
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1).repartition(2))
+    t.erase(F.col("user_id") % 7 == 2)
+    erased = t.read().agg(F.sum("event_id")).first()[0]
+    v1_files = t._read_manifest(1)["files"]
+    inodes_before = {
+        f: os.stat(os.path.join(t.path, f)).st_ino for f in v1_files
+    }
+    v = t.restore(1)
+    assert v == 3 and t.versions() == [0, 1, 2, 3]
+    m3 = t._read_manifest(3)
+    assert m3["op"] == "restore" and m3["meta"]["restored_from"] == 1
+    assert m3["files"] == v1_files
+    for f in v1_files:
+        assert os.stat(os.path.join(t.path, f)).st_ino == inodes_before[f]
+    want = t.read(1).agg(F.sum("event_id")).first()[0]
+    assert t.read().agg(F.sum("event_id")).first()[0] == want
+    # the erased version is still pinned history
+    assert t.read(2).agg(F.sum("event_id")).first()[0] == erased
+
+
+def test_restore_unknown_version_raises(spark, table):
+    t, _ = table
+    with pytest.raises(FileNotFoundError):
+        t.restore(7)
+    assert t.versions() == [0]  # nothing committed
+
+
+def test_vacuum_preserves_files_referenced_by_restore(spark, table):
+    """The reference-counting contract under restore: after
+    create → append → erase → restore(1), vacuum(keep_last=1) keeps
+    ONLY v3 — whose manifest references v1's (= v0's + appended)
+    files — so those data files must survive even though the
+    versions that INTRODUCED them are pruned, and the table must
+    read byte-identical afterwards. An age- or version-based sweep
+    would delete them and corrupt the live table."""
+    from batch_processing_etl_orchestration_spark.warehouse.snapshots import (
+        VersionedTableMaintenance,
+    )
+
+    t, ev = table
+    t.append(ev.where(F.col("event_id") % 3 == 1).repartition(2))
+    t.erase(F.col("user_id") % 7 == 2)
+    t.restore(1)
+    want = t.read().agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    stats = VersionedTableMaintenance(t).vacuum(keep_last=1)
+    assert t.versions() == [3]
+    assert stats["pruned_versions"] == 3
+    live = set(t._read_manifest(3)["files"])
+    for f in live:
+        assert os.path.isfile(os.path.join(t.path, f))
+    # only the erase rewrite's survivor files (unreferenced by v3)
+    # may have been deleted; the table reads identically
+    assert tuple(t.read().agg(
+        F.count(F.lit(1)), F.sum("event_id")).first()) == tuple(want)
+    # pruned manifests are gone: time travel now fails loudly
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
