@@ -161,6 +161,12 @@ BENCH_QUERIES = [
     "q_sessionize_skew_safe",
     "q_negative_sampling",
     "q_mad_robust_outliers",
+    # r8 (cont.): bounded BFS reachability, metadata-only RESTORE +
+    # reference-counted VACUUM, exact 5-gram span dedup
+    "q_khop_reach",
+    "q_restore_versioned",
+    "q_vacuum_versioned",
+    "q_exact_span_dedup",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
