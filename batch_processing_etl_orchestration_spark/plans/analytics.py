@@ -1964,3 +1964,606 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): customer-analytics and distribution-diagnostics family —
+# RFM segmentation, Markov transitions, last-touch attribution, key-skew
+# report, drift detection, exact correlation matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY 1
+    ),
+    th AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.50) AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.50) AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary_c, 0.25) AS m25,
+             quantile_cont(monetary_c, 0.50) AS m50,
+             quantile_cont(monetary_c, 0.75) AS m75
+      FROM per_cust
+    )
+    SELECT CAST(1 + CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days > r75 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_q,
+           CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > f75 THEN 1 ELSE 0 END
+                AS BIGINT) AS f_q,
+           CAST(1 + CASE WHEN monetary_c > m25 THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_c > m50 THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_c > m75 THEN 1 ELSE 0 END
+                AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) / 100.0 AS monetary_total
+    FROM per_cust, th
+    GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "segmentation", "rfm"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the marketing-analytics staple the reference's per-facility
+    pandas rollups gesture at. Quartiles are assigned by COMPARISON
+    against exact percentile thresholds, not ntile(): ntile's
+    remainder distribution is engine-specific, while `score > t25`
+    against an exactly interpolated threshold is the same decision on
+    both engines (thresholds over integer grids interpolate at
+    quarter fractions, exactly representable).
+
+    Determinism: recency is integer days, frequency integer, monetary
+    a cent-long; all aggregates integer-exact; the only doubles are
+    the thresholds (exact rationals) and the final /100.0.
+
+    Scale: one shuffle of orders on o_custkey; thresholds are a
+    single broadcast row; at 1e9 customers swap F.percentile for
+    approx_percentile — assignment stays comparison-based so the
+    swap is drop-in (document the epsilon in the attestation)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    gmax = o.agg(F.max("od").alias("gmax"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_od").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    th = per_cust.agg(
+        F.percentile("recency_days", 0.25).alias("r25"),
+        F.percentile("recency_days", 0.50).alias("r50"),
+        F.percentile("recency_days", 0.75).alias("r75"),
+        F.percentile("frequency", 0.25).alias("f25"),
+        F.percentile("frequency", 0.50).alias("f50"),
+        F.percentile("frequency", 0.75).alias("f75"),
+        F.percentile("monetary_c", 0.25).alias("m25"),
+        F.percentile("monetary_c", 0.50).alias("m50"),
+        F.percentile("monetary_c", 0.75).alias("m75"),
+    )
+
+    def quart(col: str, t1: str, t2: str, t3: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(t1), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(t2), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(t3), 1).otherwise(0)
+        ).cast("long")
+
+    return (
+        per_cust.crossJoin(F.broadcast(th))
+        .select(
+            quart("recency_days", "r25", "r50", "r75").alias("r_q"),
+            quart("frequency", "f25", "f50", "f75").alias("f_q"),
+            quart("monetary_c", "m25", "m50", "m75").alias("m_q"),
+            "monetary_c",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("monetary_c") / 100.0).alias("monetary_total"),
+        )
+    )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM tr GROUP BY 1
+    )
+    SELECT tr.prev_type, tr.event_type, tr.n_trans,
+           CAST(tr.n_trans AS DOUBLE) / tot.n_from AS p_trans
+    FROM tr JOIN tot USING (prev_type)
+    """,
+    tags=("analytics", "sequence", "markov"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type), the building
+    block of clickstream propensity models and journey analysis
+    (generalizes the reference's per-type rollups to SEQUENCE
+    structure, like q_sequence_pattern but as a full conditional
+    distribution).
+
+    Determinism: transitions are integer counts; p_trans is a single
+    IEEE division of exactly-represented integers — bit-identical on
+    both engines. Tiebreak (ts, event_id) makes the lag total-ordered.
+
+    Scale: one shuffle of events on user_id for the lag window (the
+    per-user sort is linear within each user's partition slice), one
+    partial+final count agg on (prev, next) — ≤ |types|² rows — and a
+    broadcast join of the |types|-row totals. No global window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = tr.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return tr.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.col("n_from")).alias("p_trans"),
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel0
+      FROM events
+    )
+    SELECT COALESCE(channel0, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value_c) AS BIGINT) / 100.0 AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("analytics", "attribution", "window"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the nearest PRECEDING non-purchase event type in the
+    same user's stream ('direct' when the purchase opens the stream).
+    The canonical funnel-credit model — and the IGNORE-NULLS
+    last_value window is the one-pass way to express 'most recent
+    qualifying predecessor' without a self-join.
+
+    Determinism: values snap to cent-longs before the window; the
+    credited channel is a deterministic function of the (ts,
+    event_id)-total-ordered stream; the only double is the final
+    /100.0.
+
+    Scale: single shuffle of events on user_id; the running
+    last-non-purchase carry is O(1) state per row within the window
+    sort — no per-user materialization, no self-join (a ts-range
+    self-join would shuffle events twice and explode on power
+    users)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel0"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel0", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("value_c") / 100.0).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "q_key_skew_report",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    ls AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    o1 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS median_cnt
+      FROM oc
+    ),
+    o2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hot
+      FROM oc, o1 WHERE cnt * n_keys > 2 * total_rows
+    ),
+    l1 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS median_cnt
+      FROM ls
+    ),
+    l2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hot
+      FROM ls, l1 WHERE cnt * n_keys > 2 * total_rows
+    )
+    SELECT 'orders.o_custkey' AS key_col, total_rows, n_keys, max_cnt,
+           median_cnt,
+           CAST(total_rows AS DOUBLE) / n_keys AS avg_cnt,
+           CAST(max_cnt AS DOUBLE) * n_keys / total_rows AS skew_ratio,
+           n_hot
+    FROM o1, o2
+    UNION ALL
+    SELECT 'lineitem.l_suppkey', total_rows, n_keys, max_cnt, median_cnt,
+           CAST(total_rows AS DOUBLE) / n_keys,
+           CAST(max_cnt AS DOUBLE) * n_keys / total_rows,
+           n_hot
+    FROM l1, l2
+    """,
+    tags=("analytics", "diagnostics", "skew"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the report a platform
+    team runs BEFORE picking a partitioning strategy at 100 TB: per
+    key column, total rows, distinct keys, max/median/avg per-key
+    count, skew ratio (max over mean), and the hot-key count (keys
+    holding > 2x their fair share). This is the measurement side of
+    the salting/AQE decisions SCALE.md documents per query.
+
+    Determinism: all counts integer; the hot-key predicate is pure
+    integer arithmetic (cnt * n_keys > 2 * total — the cnt > 2*avg
+    comparison cleared of its division); median interpolates integer
+    halves exactly; avg and skew_ratio are two-op IEEE chains with no
+    additive step (no FMA hazard).
+
+    Scale: per source, one partial+final count shuffle on the key,
+    then a single-row stats agg and a broadcast of that row back over
+    the counts for the hot predicate. Exact median of the per-key
+    count table sorts |keys| longs; swap for approx_percentile at
+    1e9+ keys (the other stats stream)."""
+    results = []
+    for label, table, key in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ):
+        t = load_table(spark, sf_dir, table)
+        counts = t.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        stats = counts.agg(
+            F.sum("cnt").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.percentile("cnt", 0.5).alias("median_cnt"),
+        )
+        hot = (
+            counts.crossJoin(F.broadcast(stats))
+            .where(F.col("cnt") * F.col("n_keys") > 2 * F.col("total_rows"))
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        results.append(
+            stats.crossJoin(F.broadcast(hot)).select(
+                F.lit(label).alias("key_col"),
+                "total_rows",
+                "n_keys",
+                "max_cnt",
+                "median_cnt",
+                (F.col("total_rows").cast("double") / F.col("n_keys")).alias(
+                    "avg_cnt"
+                ),
+                (
+                    F.col("max_cnt").cast("double")
+                    * F.col("n_keys")
+                    / F.col("total_rows")
+                ).alias("skew_ratio"),
+                "n_hot",
+            )
+        )
+    return results[0].unionByName(results[1])
+
+
+@register(
+    "q_value_drift_tvd",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             DATEDIFF('second', TIMESTAMP '2024-01-01', ts) AS ep
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(ep) + MAX(ep) AS mm FROM e
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN ep * 2 < bounds.mm THEN 0 ELSE 1 END AS side,
+             LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket
+      FROM e, bounds
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_b
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS n_b
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type, ANY_VALUE(t.n_a) AS n_a, ANY_VALUE(t.n_b) AS n_b,
+           CAST(CAST(SUM(ABS(c.cnt_a * t.n_b - c.cnt_b * t.n_a)) AS BIGINT)
+                AS DOUBLE)
+             / (2.0 * ANY_VALUE(t.n_a) * ANY_VALUE(t.n_b)) AS tvd
+    FROM c JOIN t USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("analytics", "drift", "data-quality"),
+)
+def q_value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    event timeline, per event type: total-variation distance over a
+    fixed 10-bucket value histogram. The deploy-gate metric behind
+    'did this feed's distribution move?' — TVD is chosen over PSI
+    deliberately: PSI's log-ratio is a transcendental (libm vs
+    java.lang.Math differ in the last ulp), while TVD here is an
+    EXACT RATIONAL — Σ|cnt_a·n_b − cnt_b·n_a| is computed in int64
+    and divided once by 2·n_a·n_b.
+
+    Determinism: epochs are integer seconds from a fixed
+    TIMESTAMP_NTZ anchor (pure NTZ subtraction, no session-timezone
+    dependence — the q_time_weighted_avg precedent), and the split
+    compares 2·ep against min+max (shift-invariant, no midpoint
+    division); buckets are floor(v/50) clamps; the single final
+    division is the only rounding step.
+
+    Scale: two partial+final aggs of events keyed by (type, bucket)
+    then (type) — both tiny result sets — and a |types|-row broadcast
+    join. The int64 cross-products hold to ~1e9 rows per side per
+    type; past that, compute the bucket proportions in DOUBLE (the
+    deterministic-rational guarantee degrades to 1-ulp, acceptable
+    for a drift gate) or lift to DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("ep"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+    )
+    bounds = ev.agg((F.min("ep") + F.max("ep")).alias("mm"))
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("ep") * 2 < F.col("mm"), 0).otherwise(1).alias("side"),
+        "bucket",
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            (
+                F.sum(
+                    F.abs(
+                        F.col("cnt_a") * F.col("n_b")
+                        - F.col("cnt_b") * F.col("n_a")
+                    )
+                ).cast("double")
+                / (F.lit(2.0) * F.first("n_a") * F.first("n_b"))
+            ).alias("tvd"),
+        )
+    )
+
+
+@register(
+    "q_corr_matrix_exact",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(q * q) AS BIGINT) AS sqq,
+             CAST(SUM(p * p) AS BIGINT) AS spp,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(q * p) AS BIGINT) AS sqp,
+             CAST(SUM(q * d) AS BIGINT) AS sqd,
+             CAST(SUM(q * t) AS BIGINT) AS sqt,
+             CAST(SUM(p * d) AS BIGINT) AS spd,
+             CAST(SUM(p * t) AS BIGINT) AS spt,
+             CAST(SUM(d * t) AS BIGINT) AS sdt
+      FROM s
+    )
+    SELECT 'quantity' AS col_x, 'extendedprice' AS col_y, n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+                 / (SQRT(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * SQRT(CAST(n AS DOUBLE) * spp
+                           - CAST(sp AS DOUBLE) * sp)), 6) + 0.0
+             AS corr_xy
+    FROM m
+    UNION ALL
+    SELECT 'quantity', 'discount', n,
+           ROUND((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+                 / (SQRT(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * SQRT(CAST(n AS DOUBLE) * sdd
+                           - CAST(sd AS DOUBLE) * sd)), 6) + 0.0
+    FROM m
+    UNION ALL
+    SELECT 'quantity', 'tax', n,
+           ROUND((CAST(n AS DOUBLE) * sqt - CAST(sq AS DOUBLE) * st)
+                 / (SQRT(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * SQRT(CAST(n AS DOUBLE) * stt
+                           - CAST(st AS DOUBLE) * st)), 6) + 0.0
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'discount', n,
+           ROUND((CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd)
+                 / (SQRT(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+                    * SQRT(CAST(n AS DOUBLE) * sdd
+                           - CAST(sd AS DOUBLE) * sd)), 6) + 0.0
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'tax', n,
+           ROUND((CAST(n AS DOUBLE) * spt - CAST(sp AS DOUBLE) * st)
+                 / (SQRT(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+                    * SQRT(CAST(n AS DOUBLE) * stt
+                           - CAST(st AS DOUBLE) * st)), 6) + 0.0
+    FROM m
+    UNION ALL
+    SELECT 'discount', 'tax', n,
+           ROUND((CAST(n AS DOUBLE) * sdt - CAST(sd AS DOUBLE) * st)
+                 / (SQRT(CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)
+                    * SQRT(CAST(n AS DOUBLE) * stt
+                           - CAST(st AS DOUBLE) * st)), 6) + 0.0
+    FROM m
+    """,
+    tags=("analytics", "statistics", "correlation"),
+)
+def q_corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four
+    numeric measures, computed from EXACT integer moment sums (the
+    feature-selection / collinearity screen a modeling pipeline runs
+    before training). The built-in corr() is deliberately avoided:
+    its streaming-covariance implementations are engine- and
+    order-dependent, while integer-scaled Σx, Σx², Σxy are exact and
+    order-insensitive, and the closed-form combination is the same
+    IEEE expression on both engines. The n·Σxy − ΣxΣy step is an
+    FMA candidate (engines may differ in the last ulp — the
+    functions/exact.py exact_std precedent), so corr is rounded to
+    6dp with a +0.0 signed-zero normalization on both sides.
+
+    Scale: ONE full scan and one partial+final agg producing a single
+    15-sum row; the 6 output rows explode from that row without
+    re-scanning. Overflow bounds: price-dollars² ≈ 1e10 per row caps
+    the int64 sums near ~1e8 rows — past that, scale prices to 1e1
+    or lift the squared sums to DECIMAL(38,0) (decimal_sum in
+    functions/exact.py); quantity/discount/tax sums hold to 1e14
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round("l_extendedprice").cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("q") * F.col("t")).alias("sqt"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+        F.sum(F.col("p") * F.col("t")).alias("spt"),
+        F.sum(F.col("d") * F.col("t")).alias("sdt"),
+    )
+
+    def corr(sx: str, sy: str, sxy: str, sxx: str, syy: str):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy) - F.col(sx).cast("double") * F.col(sy)
+        den = F.sqrt(
+            n * F.col(sxx) - F.col(sx).cast("double") * F.col(sx)
+        ) * F.sqrt(n * F.col(syy) - F.col(sy).cast("double") * F.col(sy))
+        return F.round(num / den, 6) + 0.0
+
+    pairs = [
+        ("quantity", "extendedprice", "sq", "sp", "sqp", "sqq", "spp"),
+        ("quantity", "discount", "sq", "sd", "sqd", "sqq", "sdd"),
+        ("quantity", "tax", "sq", "st", "sqt", "sqq", "stt"),
+        ("extendedprice", "discount", "sp", "sd", "spd", "spp", "sdd"),
+        ("extendedprice", "tax", "sp", "st", "spt", "spp", "stt"),
+        ("discount", "tax", "sd", "st", "sdt", "sdd", "stt"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                corr(sx, sy, sxy, sxx, syy).alias("corr_xy"),
+            )
+            for cx, cy, sx, sy, sxy, sxx, syy in pairs
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")

@@ -167,6 +167,13 @@ BENCH_QUERIES = [
     "q_restore_versioned",
     "q_vacuum_versioned",
     "q_exact_span_dedup",
+    # r8 (cont.): customer-analytics / distribution-diagnostics family
+    "q_rfm_segments",
+    "q_markov_transitions",
+    "q_attribution_last_touch",
+    "q_key_skew_report",
+    "q_value_drift_tvd",
+    "q_corr_matrix_exact",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

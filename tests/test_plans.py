@@ -489,3 +489,93 @@ def test_aqe_skew_split_blocked_by_aggregate_child(spark):
                 # disable adaptive auto-broadcast for every later test
                 # in the shared session fixture
                 conf.unset(k)
+
+
+def test_rfm_segments_prunes_and_broadcasts_thresholds(spark, sf_dir):
+    """RFM: the orders scan reads only (custkey, orderdate, totalprice);
+    the global-max date and the 9 percentile thresholds join back by
+    broadcast (single-row tables — never a shuffle of per-customer
+    rows against them)."""
+    plan = _plan(spark, sf_dir, "q_rfm_segments")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "o_orderpriority" not in schema and "o_orderstatus" not in schema, schema
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_markov_transitions_single_user_shuffle(spark, sf_dir):
+    """Markov: one data shuffle keyed on user_id for the lag window;
+    the per-(prev,next) counts and |types|-row totals join broadcast.
+    Scan prunes props/value."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_markov_transitions")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "props" not in schema and "value" not in schema, schema
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    data_parts = [p for p in parts if "user_id" in p]
+    assert data_parts, parts
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_attribution_prunes_and_windows_on_user(spark, sf_dir):
+    """Attribution: scan prunes props; the IGNORE-NULLS carry runs in
+    the user_id window shuffle (no self-join — a range self-join would
+    appear as SortMergeJoin or a cartesian)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_attribution_last_touch")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "props" not in schema, schema
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("user_id" in p for p in parts), parts
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_key_skew_report_reads_keys_only(spark, sf_dir):
+    """Skew report: each source scan reads ONLY its key column (the
+    whole point is a metadata-cost diagnostic — dragging payloads
+    through the count shuffle would defeat it); the stats row joins
+    back by broadcast."""
+    plan = _plan(spark, sf_dir, "q_key_skew_report")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert ("struct<o_custkey:bigint>" in schema
+                or "struct<l_suppkey:bigint>" in schema), schema
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_value_drift_prunes_and_keys_on_type(spark, sf_dir):
+    """Drift TVD: scan prunes props/user_id; the timeline-bounds row
+    broadcasts; grouped aggs key on (event_type[, bucket]) — the fact
+    never shuffles on anything else."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_value_drift_tvd")
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "props" not in schema and "user_id" not in schema, schema
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("event_type" in p for p in parts), parts
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_matrix_one_scan_no_joins(spark, sf_dir):
+    """Exact corr matrix: ONE lineitem scan reading only the four
+    measures, one partial+final agg to a single moment row, and the 6
+    pair rows explode from it — no join, no re-scan, no per-pair
+    pass."""
+    plan = _plan(spark, sf_dir, "q_corr_matrix_exact")
+    # formatted explain names each scan once in the tree and once in
+    # the detail section — one real scan shows exactly one Location:
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:800]
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        assert "l_orderkey" not in schema and "l_shipdate" not in schema, schema
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
