@@ -2567,3 +2567,211 @@ def q_corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "q_market_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets
+    ),
+    items AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ),
+    top_pairs AS MATERIALIZED (
+      -- MATERIALIZED: without a concrete 20-row cardinality DuckDB's
+      -- optimizer misestimates the pair side at 1 row and reorders
+      -- the item joins into an items x items cross product (~4e10
+      -- rows at sf1).
+      SELECT p1, p2, n_pair FROM pairs
+      ORDER BY n_pair DESC, p1, p2
+      LIMIT 20
+    )
+    SELECT p.p1, p.p2, p.n_pair,
+           CAST(p.n_pair AS DOUBLE) / nb.n_orders AS support,
+           CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence,
+           CAST(p.n_pair AS DOUBLE) * nb.n_orders
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+    FROM top_pairs p
+    JOIN items ia ON ia.pk = p.p1
+    JOIN items ib ON ib.pk = p.p2
+    CROSS JOIN nb
+    ORDER BY p.n_pair DESC, p.p1, p.p2
+    """,
+    tags=("analytics", "association", "basket"),
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts: the
+    top-20 part pairs by co-occurrence, with support, confidence
+    (P(p2|p1)) and lift — the classic recommendation/affinity screen.
+
+    Determinism: all counts integer; the three ratios are
+    mult-then-divide IEEE chains (no additive step, no FMA hazard);
+    the top-20 cut is totally ordered by (n_pair DESC, p1, p2).
+
+    Scale: NO self-join — a basket self-join keyed on the order forces
+    a second full shuffle of the fact (and at sf1 AQE mis-chose a
+    6M-row broadcast build for it). Instead one groupBy(order)
+    collect_set materializes each basket as an array (≤ 7 parts in
+    TPC-H shape — width is the per-order line cap, never |parts|) and
+    pairs are generated ARRAY-LOCALLY by a double explode + p1 < p2,
+    so candidate volume is Σ b·(b−1)/2, linear in orders, with zero
+    extra shuffles. The top-20 cut happens BEFORE the item-stats
+    joins — a TakeOrdered (per-partition heap + driver merge) leaves
+    20 rows, which then BROADCAST against the per-item counts, so the
+    item table is never broadcast and never re-shuffled (the
+    join-then-limit order also cross-product-bombs DuckDB's
+    optimizer, which misestimates the pair cardinality at 1 and
+    reorders items × items)."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    items = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    top_pairs = (
+        baskets.select(F.explode("pks").alias("p1"), "pks")
+        .select("p1", F.explode("pks").alias("p2"))
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "p1", "p2")
+        .limit(20)
+    )
+    return (
+        F.broadcast(top_pairs)
+        .join(items.alias("ia"), F.col("ia.pk") == F.col("p1"))
+        .join(items.alias("ib"), F.col("ib.pk") == F.col("p2"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("n_pair").cast("double") / F.col("ia.n_item")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("ia.n_item").cast("double") * F.col("ib.n_item"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "q_benford_deviation",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM digits)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_total) AS obs_p,
+           CAST(CASE digit
+             WHEN 1 THEN 0.3010299956639812
+             WHEN 2 THEN 0.17609125905568124
+             WHEN 3 THEN 0.12493873660829992
+             WHEN 4 THEN 0.09691001300805642
+             WHEN 5 THEN 0.07918124604762482
+             WHEN 6 THEN 0.06694678963061322
+             WHEN 7 THEN 0.05799194697768673
+             WHEN 8 THEN 0.05115252244738129
+             ELSE 0.04575749056067514
+           END AS DOUBLE) AS benford_p,
+           ABS(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_total)
+               - CAST(CASE digit
+                   WHEN 1 THEN 0.3010299956639812
+                   WHEN 2 THEN 0.17609125905568124
+                   WHEN 3 THEN 0.12493873660829992
+                   WHEN 4 THEN 0.09691001300805642
+                   WHEN 5 THEN 0.07918124604762482
+                   WHEN 6 THEN 0.06694678963061322
+                   WHEN 7 THEN 0.05799194697768673
+                   WHEN 8 THEN 0.05115252244738129
+                   ELSE 0.04575749056067514
+                 END AS DOUBLE)) AS abs_dev
+    FROM digits CROSS JOIN tot
+    GROUP BY 1
+    """,
+    tags=("analytics", "data-quality", "benford"),
+)
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    forensic data-quality check for fabricated or truncated numeric
+    feeds: per leading digit, the observed share vs the Benford
+    expectation log10(1+1/d), and the absolute deviation.
+
+    Determinism: the digit comes from the decimal rendering of the
+    exact cent-long (no float formatting); the expected shares are
+    literal double constants (both engines parse the same decimal
+    text to the same double — computing log10 at runtime would tie
+    the result to each engine's libm); obs_p is one division and
+    abs_dev one subtract+ABS — no FMA-fusable shape, and ABS
+    normalizes any signed zero.
+
+    Scale: single scan, partial+final count agg to ≤ 9 rows, one
+    broadcast total. Nothing else moves."""
+    benford = F.when(F.col("digit") == 1, 0.3010299956639812)
+    for d, p in (
+        (2, 0.17609125905568124),
+        (3, 0.12493873660829992),
+        (4, 0.09691001300805642),
+        (5, 0.07918124604762482),
+        (6, 0.06694678963061322),
+        (7, 0.05799194697768673),
+        (8, 0.05115252244738129),
+    ):
+        benford = benford.when(F.col("digit") == d, p)
+    benford = benford.otherwise(0.04575749056067514)
+
+    digits = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (F.count(F.lit(1)).cast("double") / F.first("n_total")).alias(
+                "obs_p"
+            ),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            "obs_p",
+            benford.alias("benford_p"),
+            F.abs(F.col("obs_p") - benford).alias("abs_dev"),
+        )
+    )

@@ -3911,3 +3911,73 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg = r.select(F.col("idx").alias("h2"), F.col("doc_id").alias("neg_doc_id"))
     return probes.join(neg, "h2").select("doc_id", "j", "neg_doc_id")
+
+
+@register(
+    "q_ngram_containment_pairs",
+    oracle=_SQL_SHINGLES
+    + """,
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM shingles GROUP BY 1
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           CAST(c.n_common AS DOUBLE)
+             / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+    tags=("dedup", "containment"),
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by word-3-gram CONTAINMENT ≥ 0.5:
+    |A∩B| / min(|A|, |B|). Jaccard (q_ngram_jaccard_pairs) misses the
+    quote/excerpt case — a short doc fully embedded in a long one has
+    tiny Jaccard but containment ≈ 1 — which is exactly the
+    train-on-the-quote / eval-on-the-source leak a decontamination
+    pass must catch (the same reason q_decontaminate uses
+    containment-style matching).
+
+    Determinism: integer intersection and set sizes; containment is a
+    single IEEE division of exact integers.
+
+    Scale: same shape as the Jaccard pair join — shuffles on the
+    shingle string, candidate volume bounded by shared-shingle
+    co-occurrence; at 100 TB the LSH band join generates candidates
+    and this containment check runs only on the candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )

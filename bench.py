@@ -174,6 +174,11 @@ BENCH_QUERIES = [
     "q_key_skew_report",
     "q_value_drift_tvd",
     "q_corr_matrix_exact",
+    # r8 (cont.): basket-bounded association self-join, Benford
+    # first-digit forensics, asymmetric containment near-dup
+    "q_market_basket_lift",
+    "q_benford_deviation",
+    "q_ngram_containment_pairs",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
