@@ -2775,3 +2775,179 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("obs_p") - benford).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "q_interval_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             DATEDIFF('second', TIMESTAMP '2024-01-01', ts) AS s,
+             DATEDIFF('second', TIMESTAMP '2024-01-01', ts)
+               + 60 + (event_id % 600) AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e, prev_max_e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ),
+    islands AS (
+      SELECT user_id, s, e, prev_max_e, is_new,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island_id,
+             MIN(s) AS isl_s, MAX(e) AS isl_e,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             MAX(CASE WHEN is_new = 1 AND prev_max_e IS NOT NULL
+                      THEN s - prev_max_e END) AS lead_gap
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(isl_e - isl_s) AS BIGINT) AS covered_s,
+           MAX(isl_e - isl_s) AS max_island_s,
+           COALESCE(MAX(lead_gap), 0) AS max_gap_s
+    FROM per_island
+    GROUP BY 1
+    """,
+    tags=("analytics", "timeseries", "islands"),
+)
+def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: each event opens an interval
+    [start, start + dur) of VARIABLE length (60 + event_id % 600
+    seconds — deterministic, non-monotone ends), per user overlapping
+    or touching intervals coalesce into islands, and the per-user
+    report gives island count, covered seconds, widest island, and
+    widest gap. This is the classic coverage/uptime operator (sensor
+    online-time, ad-exposure unions, license-seat concurrency) that
+    sessionization does NOT express: with variable durations a later
+    interval can be swallowed by an earlier long one, so the island
+    break is against the RUNNING MAX of interval ends, not the
+    previous row's end (lag-vs-running-max is exactly the bug a naive
+    port introduces).
+
+    Determinism: all arithmetic is integer seconds from a fixed
+    TIMESTAMP_NTZ anchor (no timezone/epoch dependence), window order
+    totally tiebroken by (start, event_id).
+
+    Scale: one shuffle on user_id; both windows and the island
+    groupBy reuse that partitioning (no extra exchange). The running
+    max is a MONOID (like sessionize's gap rule), so the hot-user
+    fix from q_sessionize_skew_safe — per-day blocks + metadata-sized
+    boundary stitch carrying each block's running max end — applies
+    unchanged if one user owns the stream."""
+    anchor = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(f"timestampdiff(SECOND, {anchor}, ts)").alias("s"),
+        (
+            F.expr(f"timestampdiff(SECOND, {anchor}, ts)")
+            + F.lit(60)
+            + F.col("event_id") % 600
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("isl_s"),
+        F.max("e").alias("isl_e"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max(
+            F.when(
+                (F.col("is_new") == 1) & F.col("prev_max_e").isNotNull(),
+                F.col("s") - F.col("prev_max_e"),
+            )
+        ).alias("lead_gap"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum(F.col("isl_e") - F.col("isl_s")).alias("covered_s"),
+        F.max(F.col("isl_e") - F.col("isl_s")).alias("max_island_s"),
+        F.coalesce(F.max("lead_gap"), F.lit(0)).alias("max_gap_s"),
+    )
+
+
+@register(
+    "q_k_anonymity_audit",
+    oracle="""
+    WITH grouped AS (
+      SELECT c_nationkey AS nationkey,
+             c_mktsegment AS mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS acct_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           mktsegment, acct_band, n,
+           n < 5 AS at_risk
+    FROM grouped
+    """,
+    tags=("governance", "privacy", "k-anonymity"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nationkey, market segment, account-balance band): every QI
+    equivalence class with its population and an at_risk flag for
+    classes below k = 5 — the groups where a released row is
+    re-identifiable and a masking/suppression pass (q_masked_customers,
+    q_pii_redact) must coarsen or drop before publication. The audit
+    is the measurement half of the governance loop the reference's
+    warehouse lacks entirely.
+
+    Determinism: the band is FLOOR of one IEEE division of a
+    2-decimal double by an exact power-of-two-scaled constant —
+    correctly rounded identically in both engines; counts and the
+    k-threshold flag are integer/boolean.
+
+    Scale: one scan, one partial+final count aggregate; output is
+    bounded by QI-space cardinality (nations x segments x ~7 bands),
+    not row count. At 100 TB the same plan holds — the audit never
+    materializes per-row data, and generalization search (coarsening
+    bands until all classes pass k) just re-runs the aggregate on the
+    rolled-up output, GROUPING-SETS style, not on the fact."""
+    c = load_table(spark, sf_dir, "customer")
+    grouped = (
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 2000).alias("acct_band"),
+        )
+        .groupBy("nationkey", "mktsegment", "acct_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grouped.select(
+        "nationkey",
+        "mktsegment",
+        "acct_band",
+        "n",
+        (F.col("n") < 5).alias("at_risk"),
+    )

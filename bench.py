@@ -179,6 +179,9 @@ BENCH_QUERIES = [
     "q_market_basket_lift",
     "q_benford_deviation",
     "q_ngram_containment_pairs",
+    # r8 (cont.): gaps-and-islands interval coverage, k-anonymity audit
+    "q_interval_islands",
+    "q_k_anonymity_audit",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -184,3 +184,39 @@ def test_sessionize_degenerate_million_event_key(spark):
     r = rows[0]
     assert (r["n_sessions"], r["n_events"], r["n_cap_splits"]) == (1041, 1_000_000, 1040)
     assert r["longest_dur_us"] == 960 * 90_000_000
+
+
+def test_interval_islands_running_max_not_lag(spark, tmp_path):
+    """A long early interval must swallow later short ones: the island
+    break compares against the RUNNING MAX of ends — a lag-based port
+    (previous ROW's end) would falsely split after a swallowed short
+    interval. Durations are 60 + event_id % 600 seconds."""
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        q_interval_islands,
+    )
+
+    sf = str(tmp_path)
+    S = 1_000_000_000  # seconds -> ns
+    _write_events(
+        spark,
+        sf,
+        [
+            # user 1: [0,600) swallows [100,160) and [300,361) — a lag
+            # rule would split at 300 > 160; then a true gap to [700,762)
+            (540, 1, "view", 0 * S),    # dur 600
+            (600, 1, "view", 100 * S),  # dur 60, swallowed
+            (601, 1, "view", 300 * S),  # dur 61, swallowed (lag trap)
+            (602, 1, "view", 700 * S),  # dur 62, new island, gap 100
+            # user 2: single event -> one island, zero gap
+            (610, 2, "view", 0 * S),    # dur 70
+        ],
+    )
+    rows = {r["user_id"]: r for r in q_interval_islands(spark, sf).collect()}
+    u1 = rows[1]
+    assert u1["n_islands"] == 2
+    assert u1["n_events"] == 4
+    assert u1["covered_s"] == 600 + 62
+    assert u1["max_island_s"] == 600
+    assert u1["max_gap_s"] == 100
+    u2 = rows[2]
+    assert (u2["n_islands"], u2["covered_s"], u2["max_gap_s"]) == (1, 70, 0)
