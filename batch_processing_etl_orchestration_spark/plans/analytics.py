@@ -2951,3 +2951,105 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") < 5).alias("at_risk"),
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH pq AS (
+      SELECT p_partkey, p_name FROM part WHERE p_size = 15
+    ),
+    eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      JOIN pq ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT partkey, suppkey, unit_cost,
+             MIN(unit_cost) OVER (PARTITION BY partkey) AS best_cost
+      FROM costs
+    )
+    SELECT r.partkey, p.p_name, s.s_name, s.n_name, s.s_acctbal,
+           r.unit_cost
+    FROM ranked r
+    JOIN eu_supp s ON s.s_suppkey = r.suppkey
+    JOIN pq p ON p.p_partkey = r.partkey
+    WHERE r.unit_cost = r.best_cost
+    """,
+    tags=("tpch", "subquery", "argmin"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape groupwise ARGMIN, decorrelated: for every
+    size-15 part, the European supplier(s) achieving the minimum
+    observed unit cost (min l_extendedprice / l_quantity over that
+    part-supplier's lines — this schema has no partsupp, so lineitem
+    is the cost relation). The reference's pandas idiom for this is
+    groupby().min() + merge-back; the correlated-SQL idiom is
+    `WHERE cost = (SELECT MIN ... WHERE ps_partkey = p_partkey)` —
+    both decorrelate to the same single-pass window.
+
+    Determinism: unit_cost is one IEEE division, identical in both
+    engines; the min-equality filter keeps ALL tied suppliers (no
+    arbitrary argmin pick), so ties cannot diverge.
+
+    Scale: the size-15 part dim is broadcast INTO the lineitem scan
+    first, pruning ~98% of the fact before any shuffle. Two
+    exchanges, by design: the (partkey, suppkey) aggregate shuffles
+    map-combined PARTIALS of the pruned fact, and the per-part MIN
+    window then re-shuffles only the aggregated pairs — output-sized,
+    not fact-sized (forcing both onto one partkey shuffle would trade
+    away the map-side combine, strictly worse). The
+    supplier→nation→region chain broadcasts. No join-back: the
+    window + filter replaces the self-join a naive decorrelation
+    emits."""
+    pq = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 15)
+        .select(F.col("p_partkey").alias("partkey"), "p_name")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    costs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pq), F.col("l_partkey") == F.col("partkey"))
+        .groupBy("partkey", F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    ranked = costs.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("partkey"))
+    )
+    return (
+        ranked.where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("suppkey"))
+        .join(F.broadcast(pq), "partkey")
+        .select(
+            "partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost"
+        )
+    )

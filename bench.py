@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     # r8 (cont.): gaps-and-islands interval coverage, k-anonymity audit
     "q_interval_islands",
     "q_k_anonymity_audit",
+    # r8 (cont.): Q2-shape groupwise argmin (window, no join-back)
+    "q_min_cost_supplier",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
