@@ -194,9 +194,10 @@ def bfs_min_hops(
     dst: str = "dst",
 ) -> DataFrame:
     """(node, hops): minimum hop distance from any seed, bounded by
-    `max_hops` — level-synchronous BFS, the third canonical iterative
-    graph shape next to connected components (pointer jumping) and
-    PageRank (power iteration). `seeds` is a one-column DataFrame of
+    `max_hops` — level-synchronous BFS, the fourth canonical iterative
+    graph shape next to connected components (pointer jumping),
+    PageRank (power iteration), and triangle counting (oriented
+    wedge join, in this file). `seeds` is a one-column DataFrame of
     node ids; unreached nodes are absent from the result.
 
     Each level is one key-partitioned equi-join of the CURRENT

@@ -2352,9 +2352,11 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY 1
     )
     SELECT c.event_type, ANY_VALUE(t.n_a) AS n_a, ANY_VALUE(t.n_b) AS n_b,
-           CAST(CAST(SUM(ABS(c.cnt_a * t.n_b - c.cnt_b * t.n_a)) AS BIGINT)
-                AS DOUBLE)
-             / (2.0 * ANY_VALUE(t.n_a) * ANY_VALUE(t.n_b)) AS tvd
+           CASE WHEN ANY_VALUE(t.n_a) = 0 OR ANY_VALUE(t.n_b) = 0 THEN 1.0
+                ELSE CAST(CAST(SUM(ABS(c.cnt_a * t.n_b - c.cnt_b * t.n_a))
+                               AS BIGINT) AS DOUBLE)
+                     / (2.0 * ANY_VALUE(t.n_a) * ANY_VALUE(t.n_b))
+           END AS tvd
     FROM c JOIN t USING (event_type)
     GROUP BY 1
     """,
@@ -2411,7 +2413,13 @@ def q_value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("n_a").alias("n_a"),
             F.first("n_b").alias("n_b"),
-            (
+            # One-sided type (all events in one half) = maximal drift:
+            # pin tvd to 1.0 rather than divide by zero, which is an
+            # engine-parity trap (Spark NULL vs DuckDB IEEE inf).
+            F.when(
+                (F.first("n_a") == 0) | (F.first("n_b") == 0), F.lit(1.0)
+            )
+            .otherwise(
                 F.sum(
                     F.abs(
                         F.col("cnt_a") * F.col("n_b")
@@ -2419,7 +2427,8 @@ def q_value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).cast("double")
                 / (F.lit(2.0) * F.first("n_a") * F.first("n_b"))
-            ).alias("tvd"),
+            )
+            .alias("tvd"),
         )
     )
 
@@ -2758,15 +2767,14 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    # Aggregate FIRST, then join the 1-row total onto the ≤9-row
+    # result — joining before the groupBy would push every fact row
+    # through the broadcast join for nothing.
     return (
-        digits.crossJoin(F.broadcast(tot))
-        .groupBy("digit")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            (F.count(F.lit(1)).cast("double") / F.first("n_total")).alias(
-                "obs_p"
-            ),
-        )
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("obs_p", F.col("n_obs").cast("double") / F.col("n_total"))
         .select(
             "digit",
             "n_obs",

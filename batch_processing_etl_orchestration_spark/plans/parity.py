@@ -2996,6 +2996,27 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_base_and_append(spark: SparkSession, sf_dir: str):
+    """Shared v0/v1 construction for ALL versioned-events fixtures
+    (_versioned_events, _restored_events, _vacuumed_events):
+    v0 = days ≤ 20 in 4 files, v1 = days > 20 in 2 files. One
+    definition on purpose — the vacuum oracle's removed_files=6
+    constant IS 4+2, and the restore/erase oracles aggregate the same
+    split, so a divergent copy in one builder would silently break
+    another query's hard-coded expectations."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("d"),
+    )
+    return (
+        ev.where(F.dayofmonth("d") <= 20).repartition(4),
+        ev.where(F.dayofmonth("d") > 20).repartition(2),
+    )
+
+
 def _versioned_events(spark: SparkSession, sf_dir: str):
     """Build-once deterministic version history over events:
     v0 = days ≤ 20, v1 = + days > 20 (append), v2 = GDPR erasure of
@@ -3008,17 +3029,9 @@ def _versioned_events(spark: SparkSession, sf_dir: str):
     from batch_processing_etl_orchestration_spark.tables import build_once
 
     def _build(path: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.to_date("ts").alias("d"),
-        )
-        t = VersionedTable.create(
-            spark, path, ev.where(F.dayofmonth("d") <= 20).repartition(4)
-        )
-        t.append(ev.where(F.dayofmonth("d") > 20).repartition(2))
+        base, extra = _events_base_and_append(spark, sf_dir)
+        t = VersionedTable.create(spark, path, base)
+        t.append(extra)
         t.erase(F.col("user_id") % 37 == 5)
 
     path = build_once(sf_dir, "events.parquet", "versioned_events", _build)
@@ -3097,17 +3110,9 @@ def _restored_events(spark: SparkSession, sf_dir: str):
     from batch_processing_etl_orchestration_spark.tables import build_once
 
     def _build(path: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.to_date("ts").alias("d"),
-        )
-        t = VersionedTable.create(
-            spark, path, ev.where(F.dayofmonth("d") <= 20).repartition(4)
-        )
-        t.append(ev.where(F.dayofmonth("d") > 20).repartition(2))
+        base, extra = _events_base_and_append(spark, sf_dir)
+        t = VersionedTable.create(spark, path, base)
+        t.append(extra)
         t.erase(F.col("user_id") % 37 == 5)
         t.restore(1)
 
@@ -3179,17 +3184,9 @@ def _vacuumed_events(spark: SparkSession, sf_dir: str):
     from batch_processing_etl_orchestration_spark.tables import build_once
 
     def _build(path: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.to_date("ts").alias("d"),
-        )
-        t = VersionedTable.create(
-            spark, path, ev.where(F.dayofmonth("d") <= 20).repartition(4)
-        )
-        t.append(ev.where(F.dayofmonth("d") > 20).repartition(2))
+        base, extra = _events_base_and_append(spark, sf_dir)
+        t = VersionedTable.create(spark, path, base)
+        t.append(extra)
         VersionedTableMaintenance(t).compact(target_rows_per_file=10**9)
         stats = VersionedTableMaintenance(t).vacuum(keep_last=1)
         with open(os.path.join(path, "_vacuum_stats.json"), "w") as f:
@@ -3247,7 +3244,12 @@ def q_vacuum_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t.read(0)
         old_read_fails = False
-    except Exception:
+    except FileNotFoundError:
+        # Only the documented failure mode counts: _read_manifest of a
+        # pruned version raises FileNotFoundError. A bare Exception
+        # here would let an unrelated error (session death, corrupted
+        # surviving manifest) masquerade as the retention contract
+        # holding.
         old_read_fails = True
     return t.read().agg(
         F.count(F.lit(1)).alias("n_rows"),

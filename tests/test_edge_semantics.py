@@ -220,3 +220,30 @@ def test_interval_islands_running_max_not_lag(spark, tmp_path):
     assert u1["max_gap_s"] == 100
     u2 = rows[2]
     assert (u2["n_islands"], u2["covered_s"], u2["max_gap_s"]) == (1, 70, 0)
+
+
+def test_tvd_one_sided_type_is_total_drift(spark, tmp_path):
+    """A type present in only one half of the timeline is maximal
+    drift: tvd must be exactly 1.0, not NULL/inf from a zero
+    denominator (Spark NULL-on-/0 vs DuckDB IEEE inf is an
+    engine-parity trap)."""
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        q_value_drift_tvd,
+    )
+
+    sf = str(tmp_path)
+    H = 3_600 * 1_000_000_000
+    spark.createDataFrame(
+        [
+            # 'old' spans both halves; 'new' launches late (2nd half only)
+            (1, 1, "old", 0 * H, 10.0),
+            (2, 1, "old", 10 * H, 10.0),
+            (3, 1, "new", 9 * H, 10.0),
+            (4, 1, "new", 10 * H, 99.0),
+        ],
+        "event_id long, user_id long, event_type string, ts long, value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    rows = {r["event_type"]: r for r in q_value_drift_tvd(spark, sf).collect()}
+    assert rows["new"]["n_a"] == 0
+    assert rows["new"]["tvd"] == 1.0
+    assert rows["old"]["tvd"] == 0.0
