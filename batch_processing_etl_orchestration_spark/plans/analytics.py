@@ -3061,3 +3061,62 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost"
         )
     )
+
+
+@register(
+    "q_dau_wau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT day, ANY_VALUE(week) AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY 1
+    ),
+    wau AS (
+      SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY 1
+    )
+    SELECT dau.day, dau.week, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau USING (week)
+    """,
+    tags=("analytics", "engagement", "stickiness"),
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — per day, distinct active users over the
+    Monday-truncated week's distinct actives: the standard engagement
+    ratio (how much of the weekly audience shows up daily). Weeks are
+    DATE_TRUNC('week') in both engines (Monday start) rather than
+    week-of-year numbering, whose ISO year-boundary rules are an
+    engine-parity trap.
+
+    Determinism: two exact distinct counts (integers) and one IEEE
+    division; a day's week is functionally determined by the day, so
+    ANY_VALUE/first is deterministic.
+
+    Scale: two partial+final distinct aggregates over (day, user) and
+    (week, user) — at 100 TB swap COUNT(DISTINCT) for the HLL-partial
+    rollup (q_hll_mv_distinct_users) per the documented no-Expand
+    mode; the ≤53-row weekly side broadcasts into the daily result."""
+    d = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        "user_id",
+    )
+    dau = d.groupBy("day").agg(
+        F.first("week").alias("week"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    wau = d.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(F.broadcast(wau), "week").select(
+        "day",
+        "week",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )

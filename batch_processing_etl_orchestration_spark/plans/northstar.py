@@ -3981,3 +3981,84 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= 0.5)
     )
+
+
+@register(
+    "q_vocab_growth",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM words GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY 1
+    ),
+    fresh AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM first_seen GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_tokens,
+           CAST(COALESCE(f.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(p.n_tokens) OVER (ORDER BY p.doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(f.new_words, 0)) OVER (ORDER BY p.doc_id
+                                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_vocab
+    FROM per_doc p LEFT JOIN fresh f USING (doc_id)
+    """,
+    tags=("text", "corpus", "vocabulary"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the empirical Heaps-law trajectory):
+    per document in corpus order, tokens added and NEW distinct words
+    introduced, with running totals — the curve that tells a corpus
+    builder when additional data stops buying vocabulary (and whose
+    flattening is the classic saturation/contamination signal).
+
+    The cumulative-distinct is NOT computed as a running
+    COUNT(DISTINCT) window (quadratic state): each word is attributed
+    once to the document that first contains it (MIN doc_id per
+    word), and the curve is a plain prefix sum of those first-seen
+    counts — same trick as the first-touch attribution family.
+
+    Determinism: all integers; corpus order is the total doc_id
+    order.
+
+    Scale: the word explode shuffles once on the word for the
+    MIN(doc_id) aggregate (map-side combine absorbs within-doc
+    repeats); everything after runs on the |docs|-row aggregated
+    domain. The unpartitioned prefix-sum window over that domain is
+    the one single-task step — at 100 TB replace it with the
+    two-phase prefix sum used by q_training_shards (per-range
+    partials + broadcast offsets); the registered shape keeps the
+    window form because the aggregated domain is metadata-sized
+    relative to the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    fresh = (
+        words.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    joined = per_doc.join(fresh, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("new_words"), F.lit(0)).alias("new_words"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "new_words",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_words").over(w).alias("cum_vocab"),
+    )

@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "q_k_anonymity_audit",
     # r8 (cont.): Q2-shape groupwise argmin (window, no join-back)
     "q_min_cost_supplier",
+    # r8 (cont.): engagement stickiness, Heaps-law vocabulary growth
+    "q_dau_wau_stickiness",
+    "q_vocab_growth",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
