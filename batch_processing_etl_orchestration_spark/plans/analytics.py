@@ -3120,3 +3120,148 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ),
+    walk(event_type, rn, day, n, s_up, s_dn) AS (
+      SELECT event_type, rn, day, n,
+             GREATEST(CAST(0 AS BIGINT), n * v - t),
+             GREATEST(CAST(0 AS BIGINT), t - n * v)
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.day, s.n,
+             GREATEST(CAST(0 AS BIGINT), w.s_up + s.n * s.v - s.t),
+             GREATEST(CAST(0 AS BIGINT), w.s_dn + s.t - s.n * s.v)
+      FROM walk w
+      JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    ),
+    peaks AS (
+      SELECT event_type, ANY_VALUE(n) AS n_days,
+             CAST(MAX(s_up) AS BIGINT) AS max_up,
+             CAST(MAX(s_dn) AS BIGINT) AS max_dn
+      FROM walk GROUP BY 1
+    )
+    SELECT p.event_type, p.n_days, p.max_up,
+           (SELECT MIN(w.day) FROM walk w
+            WHERE w.event_type = p.event_type AND w.s_up = p.max_up) AS day_up,
+           p.max_dn,
+           (SELECT MIN(w.day) FROM walk w
+            WHERE w.event_type = p.event_type AND w.s_dn = p.max_dn) AS day_dn,
+           CAST(p.max_up AS DOUBLE) / (p.n_days * 100.0) AS max_up_norm,
+           CAST(p.max_dn AS DOUBLE) / (p.n_days * 100.0) AS max_dn_norm
+    FROM peaks p
+    """,
+    tags=("analytics", "changepoint", "cusum", "streaming-walk"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point screen per event stream: the
+    running sums S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ)) and the mirrored S⁻
+    over daily totals, reporting each side's peak and the FIRST day
+    it is reached — the classic sequential level-shift detector
+    (EWMA smooths; CUSUM localizes WHERE the mean moved).
+
+    All arithmetic is integer-exact: daily sums in centi-units, and
+    the mean is never divided out — the recurrence runs on
+    n·xₜ − Σx (deviation scaled by the day count), so both engines
+    walk identical int64 states; the only doubles are the two final
+    normalizations. max(0,·) makes this a TRUE recurrence (no
+    closed form, unlike the α=1/2 EWMA), hence the ordered
+    streaming-walk / recursive-CTE pair.
+
+    Scale: the walk consumes the AGGREGATED (type, day) domain —
+    ≤31 rows per key regardless of fact volume — via the same
+    repartition + sortWithinPartitions + mapInPandas O(1)-state pass
+    as capped_session_summaries (never a grouped-map materialization,
+    never the fact stream)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cv").alias("v"))
+    tw = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        ((F.count(F.lit(1)).over(tw) * F.col("v")) - F.sum("v").over(tw)).alias(
+            "dev"
+        ),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        cols = [
+            "event_type", "n_days", "max_up", "day_up",
+            "max_dn", "day_dn",
+        ]
+        key = None
+        n = s_up = s_dn = max_up = max_dn = 0
+        day_up = day_dn = ""
+
+        def summary():
+            return (key, n, max_up, day_up, max_dn, day_dn)
+
+        for pdf in batches:
+            closed = []
+            for k, d, dev, nn in zip(
+                pdf["event_type"], pdf["day"], pdf["dev"], pdf["n"]
+            ):
+                dev = int(dev)
+                if k != key:
+                    if key is not None:
+                        closed.append(summary())
+                    key, n = k, int(nn)
+                    s_up = max_up = max(0, dev)
+                    s_dn = max_dn = max(0, -dev)
+                    day_up = day_dn = d
+                    continue
+                s_up = max(0, s_up + dev)
+                s_dn = max(0, s_dn - dev)
+                if s_up > max_up:
+                    max_up, day_up = s_up, d
+                if s_dn > max_dn:
+                    max_dn, day_dn = s_dn, d
+            if closed:
+                yield pd.DataFrame(closed, columns=cols)
+        if key is not None:
+            yield pd.DataFrame([summary()], columns=cols)
+
+    peaks = (
+        seq.repartition("event_type")
+        .sortWithinPartitions("event_type", "day")
+        .mapInPandas(
+            walk,
+            "event_type STRING, n_days BIGINT, max_up BIGINT, "
+            "day_up STRING, max_dn BIGINT, day_dn STRING",
+        )
+    )
+    return peaks.select(
+        "event_type",
+        "n_days",
+        "max_up",
+        F.to_date("day_up").alias("day_up"),
+        "max_dn",
+        F.to_date("day_dn").alias("day_dn"),
+        (F.col("max_up").cast("double") / (F.col("n_days") * 100.0)).alias(
+            "max_up_norm"
+        ),
+        (F.col("max_dn").cast("double") / (F.col("n_days") * 100.0)).alias(
+            "max_dn_norm"
+        ),
+    )

@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     # r8 (cont.): engagement stickiness, Heaps-law vocabulary growth
     "q_dau_wau_stickiness",
     "q_vocab_growth",
+    # r8 (cont.): two-sided integer-exact CUSUM change-point walk
+    "q_cusum_changepoint",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

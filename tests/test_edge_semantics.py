@@ -247,3 +247,35 @@ def test_tvd_one_sided_type_is_total_drift(spark, tmp_path):
     assert rows["new"]["n_a"] == 0
     assert rows["new"]["tvd"] == 1.0
     assert rows["old"]["tvd"] == 0.0
+
+
+def test_cusum_localizes_level_shift(spark, tmp_path):
+    """A clean mean shift must put the upward CUSUM peak at the LAST
+    day of the shifted regime and leave the pre-shift days' downward
+    peak at the regime boundary — the localization property that
+    distinguishes CUSUM from a smoother."""
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        q_cusum_changepoint,
+    )
+
+    sf = str(tmp_path)
+    D = 24 * 3_600 * 1_000_000_000
+    rows = []
+    # 10 days: value 10/day for days 0-4, then 30/day for days 5-9
+    for day in range(10):
+        rows.append(
+            (day, 1, "shift", day * D, 10.0 if day < 5 else 30.0)
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts long, value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    r = q_cusum_changepoint(spark, sf).collect()[0]
+    assert r["n_days"] == 10
+    # mean = 20; post-shift days add +10 each (scaled by n*100):
+    # S+ climbs from day 5 and peaks on the final day
+    assert str(r["day_up"]) == "1970-01-10"
+    assert r["max_up_norm"] == 50.0  # 5 days x +10 mean deviation
+    # S- accumulates -10 per pre-shift day, peaking at the boundary
+    assert str(r["day_dn"]) == "1970-01-05"
+    assert r["max_dn_norm"] == 50.0
