@@ -3920,3 +3920,313 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (lag_min <= 1440).alias("within_sla"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8/Q9/Q10/Q13 shapes — the remaining classic multi-join
+# analytics patterns: conditional market share, profit decomposition,
+# returned-item reporting, and outer-join distribution histograms.
+# (The reference's pandas analog is chained merge() + groupby().agg(),
+# e.g. EIA930PipelineHourlyData.py:111-118 for the merge-then-aggregate
+# idiom; these queries exercise the same shapes at fact scale.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+    SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_exact_sum(
+               "CASE WHEN sn.n_name = 'NATION_3' "
+               "THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END"
+           )} AS focus_volume,
+           {sql_exact_sum('l.l_extendedprice * (1.0 - l.l_discount)')}
+             AS total_volume,
+           {sql_exact_sum(
+               "CASE WHEN sn.n_name = 'NATION_3' "
+               "THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END"
+           )} / {sql_exact_sum('l.l_extendedprice * (1.0 - l.l_discount)')}
+             AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+                   AND r.r_name = 'AMERICA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("J", "tpch"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a focus nation's share of PROMO-part revenue
+    in the AMERICA customer market, per order year — the conditional-
+    aggregate-over-a-seven-table-join pattern.
+
+    Determinism: both volumes are scaled-long exact sums; the share is
+    then ONE IEEE division of two identical doubles, so no rounding is
+    needed (denominator > 0 whenever the group exists, and the
+    numerator is a sum of non-negatives, so no signed zero can arise).
+
+    Scale: the PROMO part dim is broadcast into the lineitem scan
+    first (~1/6 selectivity before any shuffle), as are the
+    supplier→nation map and the customer-side nation⋈region market
+    filter. The only fact-sized exchanges are lineitem⋈orders on
+    orderkey and the orders⋈customer hop on custkey; the date window
+    pushes to the orders scan. Per-year output is tiny; the final
+    1-column groupBy is map-combined. At 100 TB the same plan holds —
+    all dims stay KB–MB broadcasts while both fact shuffles carry
+    pre-pruned rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "AMERICA"
+    )
+    cust_market = c.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation["n_regionkey"] == region["r_regionkey"],
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    focus = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_market, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            exact_sum(focus).alias("focus_volume"),
+            exact_sum(vol).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "focus_volume",
+        "total_volume",
+        (F.col("focus_volume") / F.col("total_volume")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@register(
+    "q_product_type_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation_name,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           COUNT(*) AS n_lines,
+           {sql_exact_sum(
+               'l.l_extendedprice * (1.0 - l.l_discount)'
+               ' - p.p_retailprice * l.l_quantity * 0.1'
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%gear%'
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("J", "tpch"),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on a product family
+    selected by part-name substring. This schema has no partsupp, so
+    unit cost is proxied as 10% of the part's retail price — the join
+    topology and aggregation shape (fact ⋈ filtered part dim ⋈ orders
+    ⋈ supplier ⋈ nation, grouped two ways) are Q9's.
+
+    Determinism: the profit expression is evaluated in the same
+    operand order in both engines (products/subtraction are single
+    IEEE ops on identical inputs), then summed on the scaled-long
+    grid. Negative group sums are possible and exact — no signed-zero
+    hazard because the grid sum renders -0.0/1e6 as 0.0 on both sides
+    (integer 0 → one division).
+
+    Scale: the LIKE-filtered part dim broadcasts into the lineitem
+    scan (no leading-wildcard pushdown exists in any engine — the
+    prune happens in the broadcast join, which is the right place);
+    supplier⋈nation broadcasts; the one fact-sized exchange is
+    lineitem⋈orders on orderkey. Overflow headroom: |profit| ≤ ~1e5
+    per line → scaled-long sums safe to ~1e8 lines per (nation, year)
+    group; beyond that swap exact_sum for decimal_sum
+    (functions/exact.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation_name"))
+    )
+    profit = F.col("l_extendedprice") * (
+        F.lit(1.0) - F.col("l_discount")
+    ) - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            "nation_name", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(profit).alias("sum_profit"),
+        )
+        .orderBy("nation_name", "o_year")
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           c.c_acctbal,
+           COUNT(*) AS n_lines,
+           {sql_exact_sum('l.l_extendedprice * (1.0 - l.l_discount)')}
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("J", "tpch"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on RETURNED
+    lineitems in a quarter — selective predicates on two facts, a
+    broadcast dim for display columns, grouped revenue, top-k.
+
+    Determinism: revenue is a scaled-long exact sum; the top-20 is
+    tie-broken by the unique c_custkey. c_acctbal passes through
+    untouched (no arithmetic → bit-identical in both engines).
+
+    Scale: the quarter predicate pushes to the orders scan and the
+    returnflag predicate to the lineitem scan (both visible as
+    PushedFilters), so the orderkey shuffle carries ~1/16 of orders ⋈
+    ~1/4 of lineitem; the custkey-side join keys only the surviving
+    orders. nation broadcasts. The top-20 runs as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(revenue).alias("revenue"),
+        )
+        .select(
+            "c_custkey", "c_name", "nation_name", "c_acctbal",
+            "n_lines", "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J", "tpch", "outer"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of non-urgent orders per
+    customer, INCLUDING zero-order customers — the outer-join-with-
+    extra-condition + double-aggregation pattern. The filter must live
+    in the join condition (not a WHERE), otherwise zero-order
+    customers vanish; COUNT(o_orderkey) counts only matched rows, so
+    unmatched customers land in the c_count=0 bucket.
+
+    Scale: one custkey shuffle joins the two tables (AQE may instead
+    broadcast post-filter orders partials at small SF — either is
+    correct); the first groupBy is map-combined on the same custkey
+    partitioning (no extra exchange), and the second aggregation runs
+    over at most |distinct c_count| ≈ dozens of rows. Output is a
+    histogram — constant-size regardless of SF."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
