@@ -3265,3 +3265,259 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dn_norm"
         ),
     )
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT CAST(MAX(ts) AS DATE) AS wd FROM events
+    ),
+    users AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS DATE) AS dp
+      FROM events GROUP BY 1
+    ),
+    durations AS (
+      SELECT CAST(DATEDIFF('day', u.d0, COALESCE(u.dp, w.wd)) AS BIGINT)
+               AS duration_days,
+             CASE WHEN u.dp IS NULL THEN 0 ELSE 1 END AS observed
+      FROM users u, w
+    ),
+    dd AS (
+      SELECT duration_days, COUNT(*) AS n_users,
+             CAST(SUM(observed) AS BIGINT) AS n_events
+      FROM durations GROUP BY 1
+    ),
+    seq AS (
+      SELECT duration_days, n_events,
+             CAST(SUM(n_users) OVER (
+               ORDER BY duration_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_risk
+      FROM dd
+    ),
+    ev AS (
+      SELECT duration_days, n_events, n_risk,
+             row_number() OVER (ORDER BY duration_days) AS rn
+      FROM seq WHERE n_events > 0
+    ),
+    walk(rn, duration_days, n_events, n_risk, s) AS (
+      SELECT rn, duration_days, n_events, n_risk,
+             (1000000 * (n_risk - n_events)) // n_risk
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.rn, e.duration_days, e.n_events, e.n_risk,
+             (k.s * (e.n_risk - e.n_events)) // e.n_risk
+      FROM walk k JOIN ev e ON e.rn = k.rn + 1
+    )
+    SELECT duration_days, n_risk, n_events,
+           CAST((n_events * 1000000) // n_risk AS BIGINT) AS hazard_ppm,
+           CAST(s AS BIGINT) AS survival_ppm
+    FROM walk ORDER BY duration_days
+    """,
+    tags=("analytics", "survival", "streaming-walk"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit table for time-to-first-purchase:
+    per user, days from first event to first 'purchase' event;
+    users who never purchase are right-censored at the corpus
+    watermark (max event date — reproducible, not wall-clock). For
+    each event duration t: n_risk = users still under observation
+    (duration ≥ t, censored users count — censoring at t happens
+    AFTER events at t, the standard KM convention), n_events =
+    first purchases at exactly t.
+
+    All arithmetic is integer-exact: the hazard is per-million
+    integer division, and the survival curve Ŝ(t) = Π (nᵢ−dᵢ)/nᵢ —
+    a true sequential product with no closed form — runs as the
+    scaled-integer recurrence sᵢ = ⌊sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋ starting from
+    1e6, so both engines walk identical int64 states (overflow
+    headroom: s ≤ 1e6, safe to n_risk ≈ 9e12 users).
+
+    Scale: per-user min/max is one map-combined user_id aggregation
+    of the fact; everything after runs on the AGGREGATED duration
+    domain (≤ observation-span-days rows regardless of fact volume)
+    — the global n_risk window and the mapInPandas walk are
+    single-partition by construction on that tiny domain, the same
+    ordered-walk idiom as q_cusum_changepoint."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    w = ev.agg(F.max("day").alias("wd"))
+    users = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("dp"),
+    )
+    durations = users.crossJoin(F.broadcast(w)).select(
+        F.datediff(F.coalesce("dp", "wd"), F.col("d0"))
+        .cast("long")
+        .alias("duration_days"),
+        F.col("dp").isNotNull().cast("long").alias("observed"),
+    )
+    dd = durations.groupBy("duration_days").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("observed").alias("n_events"),
+    )
+    # Aggregated duration domain (≤ span days) — a global window here
+    # is a deliberate single-partition sort of a tiny relation.
+    risk_w = (
+        Window.orderBy(F.col("duration_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = dd.select(
+        "duration_days",
+        "n_events",
+        F.sum("n_users").over(risk_w).alias("n_risk"),
+    ).where(F.col("n_events") > 0)
+
+    def walk(batches):
+        import pandas as pd
+
+        cols = ["duration_days", "n_risk", "n_events", "survival_ppm"]
+        s = 1_000_000
+        rows = []
+        for pdf in batches:
+            for t, n, d in zip(
+                pdf["duration_days"], pdf["n_risk"], pdf["n_events"]
+            ):
+                n, d = int(n), int(d)
+                s = (s * (n - d)) // n
+                rows.append((int(t), n, d, s))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    km = (
+        seq.withColumn("grp", F.lit(0))
+        .repartition("grp")
+        .sortWithinPartitions("grp", "duration_days")
+        .mapInPandas(
+            walk,
+            "duration_days BIGINT, n_risk BIGINT, n_events BIGINT, "
+            "survival_ppm BIGINT",
+        )
+    )
+    return km.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        F.expr("CAST((n_events * 1000000) DIV n_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+        "survival_ppm",
+    ).orderBy("duration_days")
+
+
+@register(
+    "q_seasonal_dow_decompose",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT CAST(MIN(ts) AS DATE) FROM events),
+               (SELECT CAST(MAX(ts) AS DATE) FROM events),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.day, COALESCE(d.v, CAST(0 AS BIGINT)) AS v
+      FROM spine s LEFT JOIN daily d ON d.day = s.day
+    ),
+    win AS (
+      SELECT day, v,
+             CAST(SUM(v) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM grid
+    ),
+    det AS (
+      SELECT (DATEDIFF('day', DATE '2023-12-25', day)) % 7 AS dow,
+             7 * v - sum7 AS det7
+      FROM win WHERE cnt7 = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           COUNT(*) AS n_days,
+           CAST(SUM(det7) AS BIGINT) AS sum_detrended_c7,
+           CAST(SUM(det7) AS DOUBLE) / (700.0 * COUNT(*)) AS seasonal_value
+    FROM det GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "timeseries", "seasonal"),
+)
+def q_seasonal_dow_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-value
+    series by day-of-week: trend = centered 7-day moving average
+    over a COMPLETE day spine (missing days count as 0, so the
+    window is calendar-correct), seasonal index = mean of the
+    detrended series per weekday (0 = Monday via an epoch-anchored
+    integer datediff — engine DOW numbering conventions differ, an
+    integer modulus does not).
+
+    Integer-exact core: daily totals in centi-units; the detrended
+    value is kept as 7·v − Σ₇(v) (int64, in 7×centi units) so the
+    moving average is never a lossy division; the only double is the
+    final seasonal index — one IEEE division of two exact integers.
+    Interior days only (full 7-day windows), so edge effects are
+    excluded rather than averaged in.
+
+    Scale: the fact collapses to the daily domain in one
+    map-combined aggregation; the spine join, the 7-row window, and
+    the 7-group rollup all run on ≤ span-days rows — the global
+    window is a deliberate single-partition sort of that tiny
+    domain (same posture as q_cusum_changepoint). At 100 TB the
+    daily domain is still ≤ a few thousand rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.sum("cv").alias("v"))
+    grid = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("v", F.lit(0).cast("long")).alias("v")
+    )
+    # Aggregated daily domain — global window on ≤ span-days rows.
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        grid.select(
+            "day",
+            "v",
+            F.sum("v").over(w7).alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("cnt7"),
+        )
+        .where(F.col("cnt7") == 7)
+        .select(
+            (
+                F.datediff(F.col("day"), F.lit("2023-12-25").cast("date"))
+                % 7
+            )
+            .cast("long")
+            .alias("dow"),
+            (F.lit(7) * F.col("v") - F.col("sum7")).alias("det7"),
+        )
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("det7").alias("sum_detrended_c7"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "sum_detrended_c7",
+            (
+                F.col("sum_detrended_c7").cast("double")
+                / (F.lit(700.0) * F.col("n_days"))
+            ).alias("seasonal_value"),
+        )
+        .orderBy("dow")
+    )

@@ -279,3 +279,79 @@ def test_cusum_localizes_level_shift(spark, tmp_path):
     # S- accumulates -10 per pre-shift day, peaking at the boundary
     assert str(r["day_dn"]) == "1970-01-05"
     assert r["max_dn_norm"] == 50.0
+
+
+DAY_NS = 24 * 3_600 * 1_000_000_000
+
+
+def test_survival_km_censoring_convention(spark, tmp_path):
+    """Censored users stay in n_risk at their censoring duration
+    (censoring happens AFTER events at t), and the survival curve is
+    the floored scaled-integer product."""
+    from batch_processing_etl_orchestration_spark.plans.analytics import q_survival_km
+
+    sf = str(tmp_path)
+    _write_events(
+        spark,
+        sf,
+        [
+            # users 1, 2: purchase at day 2
+            (1, 1, "view", 0 * DAY_NS),
+            (2, 1, "purchase", 2 * DAY_NS),
+            (3, 2, "view", 0 * DAY_NS),
+            (4, 2, "purchase", 2 * DAY_NS),
+            # user 3: never purchases, censored at the watermark (day 4)
+            (5, 3, "view", 0 * DAY_NS),
+            (6, 3, "click", 1 * DAY_NS),
+            # user 4: purchase at day 4 (also sets the watermark)
+            (7, 4, "view", 0 * DAY_NS),
+            (8, 4, "purchase", 4 * DAY_NS),
+        ],
+    )
+    rows = {r["duration_days"]: r for r in q_survival_km(spark, sf).collect()}
+    assert set(rows) == {2, 4}
+    # t=2: all four users at risk, two purchases
+    assert rows[2]["n_risk"] == 4 and rows[2]["n_events"] == 2
+    assert rows[2]["hazard_ppm"] == 500_000
+    assert rows[2]["survival_ppm"] == 500_000
+    # t=4: user 3 (censored at 4) still at risk alongside user 4
+    assert rows[4]["n_risk"] == 2 and rows[4]["n_events"] == 1
+    assert rows[4]["hazard_ppm"] == 500_000
+    assert rows[4]["survival_ppm"] == 250_000  # (500000 * 1) // 2
+
+
+def test_seasonal_dow_zero_fill_and_interior_windows(spark, tmp_path):
+    """A day with no events contributes v=0 to its neighbors' moving
+    averages (calendar-correct trend), edge days without a full 7-day
+    window are excluded, and dow 0 is Monday."""
+    from batch_processing_etl_orchestration_spark.plans.analytics import (
+        q_seasonal_dow_decompose,
+    )
+
+    sf = str(tmp_path)
+    # 2024-01-01 (a Monday) + d days; day 7 has NO events.
+    base_day = 19723  # 2024-01-01 in epoch days
+    rows = [
+        (d, 1, "view", (base_day * DAY_NS) + d * DAY_NS, 100.0 * d)
+        for d in range(15)
+        if d != 7
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    # Integer reference on the same centi-unit grid.
+    v = [10_000 * d if d != 7 else 0 for d in range(15)]
+    expect = {}
+    for d in range(3, 12):  # interior days only
+        det7 = 7 * v[d] - sum(v[d - 3 : d + 4])
+        dow = d % 7  # day 0 is a Monday
+        n, s = expect.get(dow, (0, 0))
+        expect[dow] = (n + 1, s + det7)
+
+    out = {r["dow"]: r for r in q_seasonal_dow_decompose(spark, sf).collect()}
+    assert set(out) == set(expect)
+    for dow, (n, s) in expect.items():
+        assert out[dow]["n_days"] == n
+        assert out[dow]["sum_detrended_c7"] == s
+        assert out[dow]["seasonal_value"] == s / (700.0 * n)
