@@ -3521,3 +3521,136 @@ def q_seasonal_dow_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "q_ab_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, user_id % 2 AS arm, value FROM events
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN arm = 0
+               THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS sx_a,
+             CAST(SUM(CASE WHEN arm = 1
+               THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS sx_b,
+             CAST(SUM(CASE WHEN arm = 0
+               THEN CAST(ROUND(value * value * 1000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS sxx_a,
+             CAST(SUM(CASE WHEN arm = 1
+               THEN CAST(ROUND(value * value * 1000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS sxx_b
+      FROM assigned GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type, n_a, n_b,
+             (CAST(sx_a AS DOUBLE) / 1000000.0) / n_a AS mean_a,
+             (CAST(sx_b AS DOUBLE) / 1000000.0) / n_b AS mean_b,
+             ROUND((n_a * (CAST(sxx_a AS DOUBLE) / 1000.0)
+                    - (CAST(sx_a AS DOUBLE) / 1000000.0)
+                      * (CAST(sx_a AS DOUBLE) / 1000000.0))
+                   / (CAST(n_a AS DOUBLE) * (n_a - 1.0)), 6) AS var_a,
+             ROUND((n_b * (CAST(sxx_b AS DOUBLE) / 1000.0)
+                    - (CAST(sx_b AS DOUBLE) / 1000000.0)
+                      * (CAST(sx_b AS DOUBLE) / 1000000.0))
+                   / (CAST(n_b AS DOUBLE) * (n_b - 1.0)), 6) AS var_b
+      FROM moments
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1
+                 AND (var_a / n_a + var_b / n_b) > 0.0
+                THEN ROUND((mean_a - mean_b)
+                           / SQRT(var_a / n_a + var_b / n_b), 4) + 0.0
+                ELSE NULL END AS t_stat
+    FROM stats ORDER BY event_type
+    """,
+    tags=("analytics", "abtest"),
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event stream: users are assigned to
+    arms by user_id parity (a deterministic stand-in for the hash
+    bucketing an experimentation system would persist), and the
+    per-type value means are compared with Welch's unequal-variance
+    t statistic.
+
+    Determinism: counts and both moment sums are scaled-long
+    integers (values on the 1e-6 grid, squares on the 1e-3 grid —
+    value ≤ ~560 so squared terms stay within int64 headroom to
+    ~1e10 rows per arm; see functions/exact.py for the overflow
+    policy). Means are exact-sum divisions; the variances take the
+    n·Σx² − (Σx)² path, which is a fused-multiply-add candidate, so
+    they are rounded to 6 dp on BOTH sides (the exact_std precedent)
+    before feeding the t statistic; t is rounded to 4 dp and
+    normalized with + 0.0 so a −0.0000x cell cannot diverge on
+    signed zero (driver-hash rule).
+
+    Scale: ONE pass over the fact — a single map-combined
+    conditional aggregation per event_type; no joins, no second
+    scan, output rows = |event types|."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        "value",
+    )
+    sv = F.round(F.col("value") * 1_000_000).cast("long")
+    svv = F.round(F.col("value") * F.col("value") * 1_000).cast("long")
+    zero = F.lit(0).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, sv).otherwise(zero)).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 1, sv).otherwise(zero)).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 0, svv).otherwise(zero)).alias("sxx_a"),
+        F.sum(F.when(F.col("arm") == 1, svv).otherwise(zero)).alias("sxx_b"),
+    )
+    mean_a = (F.col("sx_a").cast("double") / 1_000_000.0) / F.col("n_a")
+    mean_b = (F.col("sx_b").cast("double") / 1_000_000.0) / F.col("n_b")
+    var_a = F.round(
+        (
+            F.col("n_a") * (F.col("sxx_a").cast("double") / 1_000.0)
+            - (F.col("sx_a").cast("double") / 1_000_000.0)
+            * (F.col("sx_a").cast("double") / 1_000_000.0)
+        )
+        / (F.col("n_a").cast("double") * (F.col("n_a") - F.lit(1.0))),
+        6,
+    )
+    var_b = F.round(
+        (
+            F.col("n_b") * (F.col("sxx_b").cast("double") / 1_000.0)
+            - (F.col("sx_b").cast("double") / 1_000_000.0)
+            * (F.col("sx_b").cast("double") / 1_000_000.0)
+        )
+        / (F.col("n_b").cast("double") * (F.col("n_b") - F.lit(1.0))),
+        6,
+    )
+    stats = m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0.0),
+            F.round(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 4
+            )
+            + F.lit(0.0),
+        ).alias("t_stat"),
+    ).orderBy("event_type")

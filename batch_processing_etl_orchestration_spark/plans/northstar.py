@@ -4062,3 +4062,181 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         F.sum("new_words").over(w).alias("cum_vocab"),
     )
+
+
+@register(
+    "q_dedup_soft_reweight",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             array_to_string(string_split(lower(text), ' ')[1:5], ' ')
+               AS prefix_key
+      FROM documents
+    ),
+    csize AS (
+      SELECT prefix_key, COUNT(*) AS c FROM keyed GROUP BY 1
+    ),
+    weighted AS (
+      SELECT k.source, k.n_tokens, c.c,
+             (k.n_tokens * 1000) // c.c AS w_milli
+      FROM keyed k JOIN csize c ON c.prefix_key = k.prefix_key
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_milli) AS BIGINT) AS weighted_tokens_milli
+    FROM weighted
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def q_dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (SlimPajama/FineWeb-style duplication
+    DISCOUNT rather than removal): cluster documents by a template
+    proxy — the first five lowercased whitespace tokens — and weight
+    each document's token count by 1/cluster_size, so duplicated
+    boilerplate contributes one cluster's worth of tokens to the
+    training mix instead of being either dropped or fully counted.
+    Reported per source: raw vs reweighted token budgets and how many
+    documents sit in multi-member clusters.
+
+    Integer-exact: per-doc weight is the floored milli-scaled
+    division (n_tokens·1000)//cluster_size, summed as int64 — no
+    engine-order-dependent double accumulation anywhere.
+
+    Scale: one shuffle on the compact prefix key (the text column
+    never shuffles), a broadcast-size cluster map if skew demands it
+    (cluster sizes are bounded by template popularity, not corpus
+    size), then a map-combined per-source rollup. Pairs with the
+    exact/near-dup family: q_dedup_exact_hash REMOVES, this REWEIGHTS
+    — both run on the same single-shuffle shape."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 5)
+        ).alias("prefix_key"),
+    )
+    csize = keyed.groupBy("prefix_key").agg(F.count(F.lit(1)).alias("c"))
+    weighted = keyed.join(csize, "prefix_key").select(
+        "source",
+        "n_tokens",
+        "c",
+        F.expr("CAST((n_tokens * 1000) DIV c AS BIGINT)").alias("w_milli"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("w_milli").alias("weighted_tokens_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_cross_source_overlap",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    grams AS (
+      SELECT source,
+             word || ' ' || lead(word, 1) OVER w || ' '
+                  || lead(word, 2) OVER w AS shingle,
+             lead(word, 2) OVER w AS _tail
+      FROM words
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sng AS (
+      SELECT DISTINCT source, shingle FROM grams WHERE _tail IS NOT NULL
+    ),
+    sizes AS (
+      SELECT source, COUNT(*) AS n_sh FROM sng GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sng a JOIN sng b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           CAST(sa.n_sh + sb.n_sh - i.n_common AS BIGINT) AS n_union,
+           CAST((i.n_common * 1000000)
+                // (sa.n_sh + sb.n_sh - i.n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
+    """,
+    tags=("dedup", "llm-pipeline", "governance"),
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level contamination matrix: word-3-gram Jaccard overlap
+    between every pair of corpus sources — the governance view that
+    tells a data curator which feeds are re-crawls or mirrors of each
+    other BEFORE doc-level dedup spends compute on them.
+
+    Integer-exact: intersection and union are distinct-shingle
+    counts; Jaccard is emitted on the ppm grid via integer division.
+
+    Scale: per-source distinct shingles collapse the corpus to a
+    (source, shingle) relation first — one map-side-distinct shuffle
+    on the shingle; the pair join then keys on shingles whose
+    per-key width is bounded by the SOURCE count (≤ a few hundred),
+    not corpus size, so the worst key fans out to |sources|² pairs,
+    never |docs|². The same shape as q_ngram_jaccard_pairs one level
+    up the hierarchy; the per-pair aggregate is map-combined."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sng = shingle_sets(
+        d.select(F.col("source"), F.col("text")), 3, id_col="source"
+    ).distinct()
+    sizes = sng.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sng.alias("a"), sng.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.selectExpr("source AS src_a", "n_sh AS n_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.selectExpr("source AS src_b", "n_sh AS n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"),
+            F.expr(
+                "CAST((n_common * 1000000) DIV (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
