@@ -189,6 +189,19 @@ BENCH_QUERIES = [
     "q_vocab_growth",
     # r8 (cont.): two-sided integer-exact CUSUM change-point walk
     "q_cusum_changepoint",
+    # r8 (cont.): the four remaining classic TPC-H join shapes
+    "q_market_share",
+    "q_product_type_profit",
+    "q_returned_items",
+    "q_customer_order_distribution",
+    # r8 (cont.): Kaplan-Meier survival, weekday seasonal decomposition
+    "q_survival_km",
+    "q_seasonal_dow_decompose",
+    # r8 (cont.): Welch A/B readout, soft-dedup reweighting,
+    # cross-source 3-gram contamination matrix
+    "q_ab_welch_ttest",
+    "q_dedup_soft_reweight",
+    "q_cross_source_overlap",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
