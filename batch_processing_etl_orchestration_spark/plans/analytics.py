@@ -3654,3 +3654,364 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("t_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# The five remaining TPC-H subquery shapes, adapted to the fixture
+# schema (no partsupp / commitdate columns): Q4 EXISTS-with-non-equi
+# correlate, Q11 share-of-global HAVING, Q15 argmax-vs-scalar-subquery,
+# Q16 anti-join + grouped COUNT(DISTINCT), Q20 nested fraction-of-group
+# threshold. The reference's pandas analogues are all
+# filter-groupby-merge chains (SURVEY §2.4); here each decorrelates to
+# one declarative plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tpch", "subquery", "semi-join"),
+)
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a six-month window having at least
+    one line shipped more than 60 days after the order date, counted
+    per priority. The EXISTS correlate carries a NON-equi conjunct
+    (l_shipdate > o_orderdate + 60d), so the decorrelation is a left
+    semi-join on orderkey with a cross-table residual predicate —
+    a strictly harder shape than Q4's commitdate-only original.
+
+    Determinism: pure counts over exact date predicates.
+
+    Scale: the order window pushes to the orders scan. The lineitem
+    side is prefiltered with the IMPLIED bound l_shipdate >
+    '1996-03-01' (min o_orderdate + 60d) — a cross-column constraint
+    Catalyst cannot derive itself — so the semi-join shuffles only
+    late-enough lines; the residual evaluates post-match, and the
+    semi-join short-circuits per order."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .where(F.col("l_shipdate") > "1996-03-01")
+    )
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (
+            l["l_shipdate"]
+            > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_important_parts",
+    oracle="""
+    WITH nat_supp AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    pv AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM nat_supp)
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+             COUNT(*) AS n_parts
+      FROM pv
+    )
+    SELECT partkey, value_cents,
+           CAST(value_cents * 10000 // total_cents AS BIGINT) AS share_bps
+    FROM pv, tot
+    WHERE value_cents * n_parts > 3 * total_cents
+    ORDER BY value_cents DESC, partkey
+    """,
+    tags=("tpch", "subquery", "share-of-total"),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue through
+    NATION_7 suppliers exceeds 3× the MEAN per-part value — a grouped
+    aggregate filtered against a GLOBAL scalar aggregate of itself
+    (HAVING SUM(...) > fraction * (SELECT SUM ...)). Q11's published
+    fraction is 0.0001/SF precisely because a FIXED share threshold
+    vanishes as the part population grows; the mean-relative form
+    keeps the selected tail scale-invariant (verified non-vacuous at
+    sf0.01 and sf1 both).
+
+    Determinism: revenue is the scaled-cents int64 sum; the share is
+    integer basis points via floor division — no double accumulation
+    anywhere.
+
+    Scale: the nation's supplier list is dim-sized and broadcast as a
+    semi-join INTO the lineitem scan, pruning the fact before its one
+    partkey shuffle. The global total re-aggregates the already
+    part-level rows (output-sized, not fact-sized) and broadcasts one
+    row back; the filter + share compute stay partition-local. Same
+    two-exchange economics as q_min_cost_supplier: fact shuffles once
+    map-combined, everything after is output-sized."""
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .select("s_suppkey")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(nat_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value_cents") * F.col("n_parts")
+            > 3 * F.col("total_cents")
+        )
+        .select(
+            "partkey",
+            "value_cents",
+            F.expr("CAST(value_cents * 10000 DIV total_cents AS BIGINT)")
+            .alias("share_bps"),
+        )
+        .orderBy(F.col("value_cents").desc(), "partkey")
+    )
+
+
+@register(
+    "q_top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tpch", "subquery", "argmax"),
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) achieving the
+    GLOBAL maximum quarterly revenue — the view-plus-scalar-subquery
+    original decorrelates to aggregate → global max → equality filter.
+    Distinct from Q2's groupwise argmin: one max over ALL groups, and
+    ties all survive (integer cents make the tie test exact).
+
+    Determinism: scaled-cents int64 revenue; max-equality keeps every
+    tied supplier.
+
+    Scale: shipdate window pushes to the scan; one map-combined
+    suppkey shuffle of the quarter's lines; the max is a one-row
+    broadcast back over supplier-level rows; the supplier name join
+    broadcasts the dim."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    best = rev.agg(F.max("rev_cents").alias("best_cents"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .where(F.col("rev_cents") == F.col("best_cents"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_part_supplier_variety",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_size IN (1, 5, 11, 15, 21, 25, 31, 35, 41, 45)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+    )
+    SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+    FROM pairs GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "anti-join", "count-distinct"),
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers ship each (brand, type, size) combination,
+    excluding one brand, restricting to a size list, and anti-joining
+    away blacklisted suppliers (negative account balance standing in
+    for Q16's complaint predicate, which needs a comment column this
+    schema lacks).
+
+    Determinism: distinct-pair counts only.
+
+    Scale: brand/size predicates push into the broadcast part dim and
+    prune the fact pre-shuffle; the blacklist is dim-sized and
+    broadcast as an anti-join. COUNT(DISTINCT supplier) materializes
+    as distinct-pairs-then-count: ONE shuffle keyed on the full
+    (brand, type, size, suppkey) tuple with map-side distinct
+    partials, then a map-combined rollup — never an Expand."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 25, 31, 35, 41, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "q_dominant_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM sq GROUP BY 1
+    ),
+    dom AS (
+      SELECT sq.suppkey, COUNT(*) AS n_parts_dominated,
+             CAST(SUM(sq.qty) AS BIGINT) AS qty_dominated
+      FROM sq JOIN pt ON pt.partkey = sq.partkey
+      WHERE sq.qty * 2 > pt.total_qty
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_parts_dominated, qty_dominated
+    FROM dom JOIN supplier ON s_suppkey = suppkey
+    ORDER BY n_parts_dominated DESC, s_suppkey
+    """,
+    tags=("tpch", "subquery", "fraction-of-group"),
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped MORE THAN HALF of a 'small%' part's 1997 volume, for any
+    such part — the nested 0.5·SUM threshold subquery of the
+    original, with lineitem standing in for partsupp availability.
+
+    Determinism: quantities are integral doubles (fixture invariant,
+    asserted by the ROUND-free BIGINT cast matching on both sides);
+    all sums int64.
+
+    Scale: the 'small%' part filter broadcasts into the scan and the
+    shipdate window pushes down, so the (partkey, suppkey) aggregate
+    shuffles only the filtered slice map-combined. The per-part total
+    re-aggregates part-supplier rows (output-sized) and joins back on
+    partkey — both sides already group-level, so the join is between
+    two small relations; supplier resolves by broadcast."""
+    pq = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    sq = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(pq), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    pt = sq.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    dom = (
+        sq.join(pt, "partkey")
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_dominated"),
+            F.sum("qty").alias("qty_dominated"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        dom.join(F.broadcast(supp), F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "n_parts_dominated", "qty_dominated")
+        .orderBy(F.col("n_parts_dominated").desc(), "s_suppkey")
+    )
