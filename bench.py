@@ -202,6 +202,12 @@ BENCH_QUERIES = [
     "q_ab_welch_ttest",
     "q_dedup_soft_reweight",
     "q_cross_source_overlap",
+    # r8 (cont.): the five remaining TPC-H subquery shapes
+    "q_late_ship_priority",
+    "q_important_parts",
+    "q_top_revenue_supplier",
+    "q_part_supplier_variety",
+    "q_dominant_suppliers",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

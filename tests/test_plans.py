@@ -579,3 +579,68 @@ def test_corr_matrix_one_scan_no_joins(spark, sf_dir):
         assert "l_orderkey" not in schema and "l_shipdate" not in schema, schema
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_late_ship_priority_semi_join_with_residual(spark, sf_dir):
+    """Q4 shape: the EXISTS decorrelates to ONE LeftSemi join (no
+    aggregate-distinct materialization of lineitem); both the order
+    window and the implied shipdate bound reach their scans as pushed
+    filters; the non-equi residual never degrades to a cartesian."""
+    plan = _plan(spark, sf_dir, "q_late_ship_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_important_parts_semi_broadcast_and_scalar_total(spark, sf_dir):
+    """Q11 shape: the nation supplier list broadcasts as a LeftSemi
+    INTO the lineitem scan; the global total joins back as a
+    single-row broadcast (BNLJ), never a shuffle; lineitem reads only
+    the four needed columns."""
+    plan = _plan(spark, sf_dir, "q_important_parts")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.split("ReadSchema:")[1:]:
+        schema = line.splitlines()[0]
+        if "l_partkey" in schema:
+            assert "l_tax" not in schema and "l_quantity" not in schema, schema
+
+
+def test_top_revenue_supplier_pushdown_and_broadcasts(spark, sf_dir):
+    """Q15 shape: the quarter window pushes to the lineitem scan; the
+    global max joins back as a one-row broadcast and the supplier dim
+    broadcasts — no shuffle join anywhere."""
+    plan = _plan(spark, sf_dir, "q_top_revenue_supplier")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supplier_variety_broadcasts_and_one_distinct(spark, sf_dir):
+    """Q16 shape: the filtered part dim and the blacklist broadcast
+    (one hash, one anti); the COUNT(DISTINCT supplier) runs as
+    distinct-tuple partial aggregation — no Expand node, no shuffle
+    join."""
+    plan = _plan(spark, sf_dir, "q_part_supplier_variety")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
+
+
+def test_dominant_suppliers_prunes_and_broadcasts_parts(spark, sf_dir):
+    """Q20 shape: the 'small%' part list broadcasts into the filtered
+    lineitem scan (shipdate pushed); the fraction-of-group join runs
+    between two already-aggregated (output-sized) relations and the
+    supplier dim broadcasts; no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "q_dominant_suppliers")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
