@@ -101,6 +101,76 @@ def minhash_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
+DF_CAP_MIN = 5
+DF_CAP_FRAC = 0.01
+
+
+def shingle_df_cap(docs: DataFrame) -> DataFrame:
+    """1-row (df_cap: long) document-frequency cap for shingle pair
+    joins: greatest(DF_CAP_MIN, ceil(DF_CAP_FRAC · |docs|)).
+
+    "Boilerplate" is defined relative to corpus size — a shingle in
+    more than 1% of all documents (min 5 at tiny scale) carries no
+    near-dup signal and f² pair cost. The relative definition keeps
+    the cap meaningful from sf0.01 (cap=5) to 100 TB (cap=millions):
+    the hot set it induces is bounded by Σdf / cap ≤ avg_shingles_per
+    _doc / DF_CAP_FRAC entries REGARDLESS of corpus size, which is
+    what makes the hot set broadcastable below.
+    """
+    return docs.agg(
+        F.greatest(F.lit(DF_CAP_MIN), F.ceil(F.count(F.lit(1)) * DF_CAP_FRAC))
+        .cast("long")
+        .alias("df_cap")
+    )
+
+
+def df_capped_shingle_split(
+    shingles: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Split (id, shingle) rows by document frequency vs the corpus-
+    relative cap — the skew guard that makes raw shingle self-joins
+    survive a boilerplate-heavy corpus (VERDICT r8 #1: a 3-gram shared
+    by f docs puts f² candidates on ONE shuffle key, unsplittable by
+    AQE).
+
+    Returns (cold, hot_sets):
+    - cold: the shingle rows with df ≤ cap — safe to self-join, since
+      every join key fans out ≤ cap, so candidates ≤ cap·|shingle
+      rows| (linear, standard Broder df-pruning).
+    - hot_sets: (id, _hot array<string>) — each doc's OWN hot
+      shingles, for exact-metric recombination on candidate pairs.
+      Per-doc width ≤ |hot| ≤ avg_shingles_per_doc / DF_CAP_FRAC
+      (corpus-size-independent — see shingle_df_cap), so the array
+      join adds O(|candidates| · |hot per doc|) local work, never a
+      shuffle explosion.
+
+    Recall contract (Broder-style bound): a true pair is LOST only if
+    every one of its common shingles is hot. For containment ≥ τ that
+    requires ≥ τ·min(|A|,|B|) shingles of the smaller doc to each
+    occur in > 1% of the corpus — i.e. the "match" is itself pure
+    boilerplate. Pairs sharing ≥ 1 cold shingle are retained with
+    EXACT metrics (cold count from the join + hot count from
+    array_intersect on hot_sets).
+    """
+    cap = shingle_df_cap(docs)
+    sdf = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # 1-row broadcast nested-loop against the df table, then the hot
+    # set itself broadcasts into the anti/membership joins (size bound
+    # documented above).
+    hot = (
+        sdf.crossJoin(F.broadcast(cap))
+        .where(F.col("_df") > F.col("df_cap"))
+        .select("shingle")
+    )
+    cold = shingles.join(F.broadcast(hot), "shingle", "left_anti")
+    hot_sets = (
+        shingles.join(F.broadcast(hot), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_hot"))
+    )
+    return cold, hot_sets
+
+
 def capped_bucket_pairs(
     members: DataFrame,
     group_cols: list[str],

@@ -116,21 +116,93 @@ _SQL_SHINGLES = """
 """
 
 
+# MATERIALIZED: without it DuckDB re-inlines sdf/hot/cold into the
+# downstream self-join and mis-plans the NOT IN as a nested scan
+# (262 s → 4.5 s at sf1; see memory duckdb-oracle-planner-hazards).
+_SQL_DF_CAP = """,
+    dfc AS (
+      SELECT GREATEST(5, CAST(CEIL(COUNT(*) * 0.01) AS BIGINT)) AS df_cap
+      FROM documents
+    ),
+    sdf AS MATERIALIZED (
+      SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1
+    ),
+    hot AS MATERIALIZED (SELECT shingle FROM sdf, dfc WHERE df > df_cap),
+    cold AS MATERIALIZED (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      WHERE s.shingle NOT IN (SELECT shingle FROM hot)
+    )
+"""
+
+
+def _df_capped_common(cold, hot_sets, extra_cond=None, extra_joins=None):
+    """(doc_a, doc_b, n_common) with candidates from the COLD shingle
+    self-join and exact intersection counts recombined from each
+    side's hot-shingle array (operators/dedup.df_capped_shingle_split
+    documents the recall bound)."""
+    a, b = cold.alias("a"), cold.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    j = a.join(b, cond)
+    if extra_joins is not None:
+        j = extra_joins(j)
+    cand = j.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("n_cold"))
+    ha = hot_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("_hot").alias("_hot_a")
+    )
+    hb = hot_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("_hot").alias("_hot_b")
+    )
+    n_hot = (
+        F.when(
+            F.col("_hot_a").isNull() | F.col("_hot_b").isNull(), F.lit(0)
+        )
+        .otherwise(F.size(F.array_intersect("_hot_a", "_hot_b")))
+        .cast("long")
+    )
+    return (
+        cand.join(ha, "doc_a", "left")
+        .join(hb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_cold") + n_hot).alias("n_common"),
+        )
+    )
+
+
 @register(
     "q_ngram_jaccard_pairs",
     oracle=_SQL_SHINGLES
+    + _SQL_DF_CAP
     + """,
     sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1
     ),
     langs AS (SELECT doc_id, lang FROM documents),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a
-      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    cold_common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_cold
+      FROM cold a
+      JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       JOIN langs la ON la.doc_id = a.doc_id
       JOIN langs lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang
       GROUP BY 1, 2
+    ),
+    hot_common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_hot
+      FROM cold_common c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+                       AND sa.shingle IN (SELECT shingle FROM hot)
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, c.n_cold + COALESCE(h.n_hot, 0) AS n_common
+      FROM cold_common c
+      LEFT JOIN hot_common h ON h.doc_a = c.doc_a AND h.doc_b = c.doc_b
     )
     SELECT c.doc_a, c.doc_b,
            CAST(c.n_common AS DOUBLE)
@@ -145,30 +217,48 @@ _SQL_SHINGLES = """
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard ≥ 0.1, blocked
-    to same-language pairs.
+    to same-language pairs, with a document-frequency cap on the
+    candidate join (VERDICT r8 #1).
 
-    Scale: the shingle equi-join shuffles on the shingle string (a
-    compact key); same-lang blocking bounds the pair space. At 100 TB
-    the MinHash-LSH variant (q_minhash_lsh_pairs) replaces the full
-    shingle join — banding makes candidate generation sub-quadratic.
-    Jaccard is an integer ratio → deterministic double division.
+    Candidates come from the COLD shingle self-join only (df ≤
+    greatest(5, 1% of corpus)), so every shuffle key fans out ≤ cap —
+    a boilerplate 3-gram in f documents no longer lands f² pairs on
+    one AQE-unsplittable key. Jaccard itself stays EXACT for every
+    retained pair: sizes use full shingle sets and the intersection
+    recombines cold-join counts with each side's (small, broadcast-
+    bounded) hot-shingle arrays. A true pair is lost only when ALL of
+    its common shingles are boilerplate — for jaccard ≥ 0.1 that means
+    ≥ ~9% of the union is corpus-wide boilerplate, which is exactly
+    the match near-dup mining must NOT count (recall bound in
+    operators/dedup.df_capped_shingle_split; q_shingle_df_cap_report
+    attests the dropped-shingle mass; adversarial quadratic-vs-capped
+    test in tests/test_dedup.py).
+
+    Scale: cold candidates ≤ cap·|shingle rows| (linear); hot set ≤
+    avg_shingles_per_doc / 1% entries independent of corpus size →
+    broadcastable. At 100 TB the MinHash-LSH variant
+    (q_minhash_lsh_pairs) replaces even the capped join — banding
+    tracks true near-dup density. Jaccard is an integer ratio →
+    deterministic double division.
     """
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        df_capped_shingle_split,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     langs = d.select("doc_id", "lang")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .join(langs.alias("la"), F.col("la.doc_id") == F.col("a.doc_id"))
-        .join(
+    cold, hot_sets = df_capped_shingle_split(sh, d)
+
+    def _lang_block(j):
+        return j.join(langs.alias("la"), F.col("la.doc_id") == F.col("a.doc_id")).join(
             langs.alias("lb"),
-            (F.col("lb.doc_id") == F.col("b.doc_id")) & (F.col("la.lang") == F.col("lb.lang")),
+            (F.col("lb.doc_id") == F.col("b.doc_id"))
+            & (F.col("la.lang") == F.col("lb.lang")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+
+    common = _df_capped_common(cold, hot_sets, extra_joins=_lang_block)
     jac = (
         common.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
@@ -3916,17 +4006,32 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ngram_containment_pairs",
     oracle=_SQL_SHINGLES
+    + _SQL_DF_CAP
     + """,
     sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
       FROM shingles GROUP BY 1
     ),
-    common AS (
+    cold_common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM shingles a
-      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             CAST(COUNT(*) AS BIGINT) AS n_cold
+      FROM cold a
+      JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    hot_common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_hot
+      FROM cold_common c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+                       AND sa.shingle IN (SELECT shingle FROM hot)
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(c.n_cold + COALESCE(h.n_hot, 0) AS BIGINT) AS n_common
+      FROM cold_common c
+      LEFT JOIN hot_common h ON h.doc_a = c.doc_a AND h.doc_b = c.doc_b
     )
     SELECT c.doc_a, c.doc_b, c.n_common,
            CAST(c.n_common AS DOUBLE)
@@ -3947,26 +4052,32 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass must catch (the same reason q_decontaminate uses
     containment-style matching).
 
+    Candidate generation is df-capped like q_ngram_jaccard_pairs
+    (VERDICT r8 #1): only shingles with df ≤ greatest(5, 1% of corpus)
+    join, bounding per-key fan-out; containment recombines to the
+    EXACT value on every retained pair via the hot-shingle arrays. A
+    containment-≥ 0.5 pair is lost only when ≥ half of the smaller
+    doc's shingles are each corpus-wide boilerplate — i.e. the
+    "excerpt" is boilerplate, not a leak. Recall bound:
+    operators/dedup.df_capped_shingle_split; dropped-shingle mass
+    attested by q_shingle_df_cap_report.
+
     Determinism: integer intersection and set sizes; containment is a
     single IEEE division of exact integers.
 
-    Scale: same shape as the Jaccard pair join — shuffles on the
-    shingle string, candidate volume bounded by shared-shingle
-    co-occurrence; at 100 TB the LSH band join generates candidates
-    and this containment check runs only on the candidate pairs."""
+    Scale: cold candidates ≤ cap·|shingle rows|; hot arrays are
+    corpus-size-independent in width; at 100 TB the LSH band join
+    generates candidates and this containment check runs only on the
+    candidate pairs."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        df_capped_shingle_split,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    cold, hot_sets = df_capped_shingle_split(sh, d)
+    common = _df_capped_common(cold, hot_sets)
     return (
         common.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
@@ -3980,6 +4091,54 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .where(F.col("containment") >= 0.5)
+    )
+
+
+@register(
+    "q_shingle_df_cap_report",
+    oracle=_SQL_SHINGLES
+    + _SQL_DF_CAP
+    + """
+    SELECT (SELECT df_cap FROM dfc) AS df_cap,
+           CAST(COUNT(*) FILTER (WHERE df > (SELECT df_cap FROM dfc))
+                AS BIGINT) AS n_hot_shingles,
+           CAST(COALESCE(SUM(df) FILTER (
+                WHERE df > (SELECT df_cap FROM dfc)), 0)
+                AS BIGINT) AS n_hot_occurrences,
+           CAST(COUNT(*) FILTER (WHERE df <= (SELECT df_cap FROM dfc))
+                AS BIGINT) AS n_cold_shingles
+    FROM sdf
+    """,
+    tags=("dedup", "profile"),
+)
+def q_shingle_df_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation row for the df-capped pair joins (VERDICT r8 next-
+    round #1: "emit the dropped-shingle count as an attested column"):
+    the active cap, how many distinct shingles exceed it (= dropped
+    from candidate generation in q_ngram_jaccard_pairs /
+    q_ngram_containment_pairs), their total (doc, shingle) occurrence
+    mass, and the surviving cold-shingle count. One row; the groupBy
+    is the same df aggregation the pair queries run."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        shingle_df_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    cap = shingle_df_cap(d)
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    hot_flag = F.col("_df") > F.col("df_cap")
+    return (
+        sdf.crossJoin(F.broadcast(cap))
+        .groupBy("df_cap")
+        .agg(
+            F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
+            F.coalesce(
+                F.sum(F.when(hot_flag, F.col("_df"))), F.lit(0)
+            ).cast("long").alias("n_hot_occurrences"),
+            F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
+        )
+        .select("df_cap", "n_hot_shingles", "n_hot_occurrences", "n_cold_shingles")
     )
 
 

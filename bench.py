@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "q_top_revenue_supplier",
     "q_part_supplier_variety",
     "q_dominant_suppliers",
+    # r9: df-cap attestation row for the capped shingle pair joins
+    "q_shingle_df_cap_report",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
@@ -216,7 +218,13 @@ BENCH_QUERIES = [
 # exemptions (q_dup_clusters pointer jumping, q_dedup_keep_canonical
 # persisted labels) were pruned in r6: BENCH_r05 already times the
 # changed workloads, so the guard now covers them again.
-BASELINE_EXEMPT: set[str] = set()
+BASELINE_EXEMPT: set[str] = {
+    # r9: df-capped candidate generation (VERDICT r8 #1) added a df
+    # aggregation + hot-set recombination to the pair join — ~1.3× the
+    # r8-baseline workload. Prune once a BENCH under the capped
+    # workload is the baseline.
+    "q_ngram_containment_pairs",
+}
 # (r7's q_fuzzy_join_names exemption was pruned the same round: the
 # committed BENCH_LOCAL.json baseline is already recorded under the
 # deletion-neighborhood scheme.)

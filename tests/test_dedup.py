@@ -397,3 +397,75 @@ def test_delta_dedup_overlapping_id_superseded(spark):
     # corpus contains BOTH ids — 9 is stale
     got = minhash_lsh_pairs_against(batch, docs, n=3, threshold=0.3).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 9, 1.0)]
+
+
+def test_df_capped_split_bounds_hot_shingle_quadratic(spark):
+    """VERDICT r8 #1 adversarial case: one boilerplate phrase in 30%
+    of documents. The raw shingle self-join is quadratic on that
+    shingle (f docs → f² candidates on ONE shuffle key); the df-capped
+    split must (a) route it to the hot set, (b) keep candidate counts
+    bounded by genuinely-shared cold shingles, and (c) recombine the
+    EXACT intersection count for every retained pair."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        df_capped_shingle_split,
+    )
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _df_capped_common,
+    )
+
+    n, boiler_n = 200, 60  # 30% of docs carry the boilerplate
+    rows = []
+    for i in range(n):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        if i < boiler_n:
+            rows.append((i, uniq + " subscribe to our newsletter now"))
+        else:
+            rows.append((i, uniq + f" t{i}x t{i}y t{i}z"))
+    # one TRUE near-dup pair: many cold shared shingles + the boilerplate
+    rows.append((n, "alpha beta gamma delta epsilon zeta subscribe to our newsletter now"))
+    rows.append((n + 1, "alpha beta gamma delta epsilon zeta subscribe to our newsletter now really"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sh = shingle_sets(docs, 3)
+
+    cold, hot_sets = df_capped_shingle_split(sh, docs)
+    # (a) the boilerplate 3-grams left the cold relation entirely
+    assert (
+        cold.where(F.col("shingle") == "subscribe to our").count() == 0
+    ), "df>cap shingle must not enter the candidate self-join"
+
+    # uncapped pair volume on the hot shingle alone is quadratic
+    f = boiler_n + 2
+    uncapped = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    assert uncapped.count() >= f * (f - 1) // 2  # ≥ 1891 candidate pairs
+
+    # (b) capped candidates: only pairs sharing ≥1 cold shingle survive
+    capped = _df_capped_common(cold, hot_sets)
+    got = {(r["doc_a"], r["doc_b"]): r["n_common"] for r in capped.collect()}
+    assert len(got) < 20, f"capped candidates must stay bounded, got {len(got)}"
+    assert (n, n + 1) in got, "true near-dup pair must be retained"
+
+    # (c) exact recombination: n_common == brute-force intersection for
+    # every retained pair
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .collect()
+    }
+    for pair, n_common in got.items():
+        assert brute[pair] == n_common, f"inexact recombination for {pair}"
