@@ -48,26 +48,14 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _latest_round() -> int:
-    """Highest N among CORRECTNESS_r{N}.json driver artifacts (0 if
-    none) — used to vary the green-tail rotation each round."""
-    latest = 0
-    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
-        stem = os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")]
-        try:
-            latest = max(latest, int(stem))
-        except ValueError:
-            continue
-    return latest
-
-
-def _latest_status() -> dict[str, bool]:
-    """Per query name, whether its NEWEST row in any CORRECTNESS_r*.json
-    driver artifact is fully green (rows+schema+hash, no err). Rounds
-    are walked in ascending round-number order so a later round's row
-    overwrites an earlier one's — a query green in r1 but red in r4
-    reports False (VERDICT r5 Missing #1: union-across-rounds stranded
-    regressed queries in the attested tail)."""
+def _latest_rows() -> dict[str, tuple[int, bool]]:
+    """Per query name, (round, green) of its NEWEST row in any
+    CORRECTNESS_r*.json driver artifact — green means rows+schema+hash
+    all match with no err. Rounds are walked in ascending round-number
+    order so a later round's row overwrites an earlier one's — a query
+    green in r1 but red in r4 reports False (VERDICT r5 Missing #1:
+    union-across-rounds stranded regressed queries in the attested
+    tail)."""
     rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         stem = os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")]
@@ -75,8 +63,8 @@ def _latest_status() -> dict[str, bool]:
             rounds.append((int(stem), path))
         except ValueError:
             continue
-    status: dict[str, bool] = {}
-    for _, path in sorted(rounds):
+    latest: dict[str, tuple[int, bool]] = {}
+    for rnd, path in sorted(rounds):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -87,37 +75,46 @@ def _latest_status() -> dict[str, bool]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            status[name] = (
+            latest[name] = (
+                rnd,
                 rec.get("err") is None
                 and rec.get("rows_match", False)
                 and rec.get("schema_match", True)
-                and rec.get("hash_match", True)
+                and rec.get("hash_match", True),
             )
-    return status
+    return latest
+
+
+def _latest_status() -> dict[str, bool]:
+    """Per query name, whether its newest driver row is fully green."""
+    return {name: green for name, (_, green) in _latest_rows().items()}
 
 
 def ordered_names() -> list[str]:
     """Registry names ordered for the driver's fixed-size correctness
     window: (1) queries whose LATEST driver row is red — a regression
     or a healed break that must re-attest — then (2) queries never
-    attested at all, then (3) the latest-green tail ROTATED by the
-    upcoming round number so consecutive rounds re-check a different
-    green subset (VERDICT r2 #3 + r5 #2). NOTE: iteration order
-    therefore depends on the CORRECTNESS_r*.json artifacts at the repo
-    root — callers needing a stable order should sort; correctness
-    tests iterate QUERIES directly, which stays in registration
-    order."""
-    status = _latest_status()
+    attested at all, then (3) the latest-green tail ordered STALEST
+    FIRST (ascending latest-attestation round, registration order as
+    tiebreak). Stalest-first replaces r5's strided rotation (VERDICT
+    r8 next #5: the stride left 40 queries un-re-proven for 6+
+    rounds): every driver window now re-attests exactly the queries
+    whose proof is oldest, so no query's attestation age can exceed
+    ceil(|catalog| / window) rounds while the window keeps landing —
+    the bound tests/test_registry.py::test_attestation_freshness
+    enforces at HEAD. NOTE: iteration order therefore depends on the
+    CORRECTNESS_r*.json artifacts at the repo root — callers needing
+    a stable order should sort; correctness tests iterate QUERIES
+    directly, which stays in registration order."""
+    rows = _latest_rows()
     names = list(QUERIES)
-    latest_red = [n for n in names if status.get(n) is False]
-    pending = [n for n in names if n not in status]
-    tail = [n for n in names if status.get(n) is True]
-    if tail:
-        # Stride by the slots the green tail gets inside the driver's
-        # 50-row window so consecutive rounds tile the whole catalog.
-        stride = max(1, 50 - len(latest_red) - len(pending))
-        k = ((_latest_round() + 1) * stride) % len(tail)
-        tail = tail[k:] + tail[:k]
+    latest_red = [n for n in names if n in rows and not rows[n][1]]
+    pending = [n for n in names if n not in rows]
+    order = {n: i for i, n in enumerate(names)}
+    tail = sorted(
+        (n for n in names if n in rows and rows[n][1]),
+        key=lambda n: (rows[n][0], order[n]),
+    )
     return latest_red + pending + tail
 
 

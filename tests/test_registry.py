@@ -39,29 +39,60 @@ def test_regressed_green_reenters_window(tmp_path, monkeypatch):
     assert R.ordered_names()[0] == regressed
 
 
-def test_green_tail_rotation_tiles_catalog():
+def test_green_tail_stalest_first_tiles_catalog():
     """Simulated successive rounds must push every registered query
-    through a 50-row prefix within a bounded number of rounds. The
+    through a 50-row prefix within ceil(n/50) + 1 rounds, and keep
+    every query's attestation age ≤ ceil(n/50) forever after. The
     simulation mirrors the driver dynamic: a window's queries ATTEST
-    (turn green and join the rotating tail next round) — a static
-    head model deadlocks as soon as >47 queries are pending, which is
-    the normal state right after a round that lands many operators."""
-    status = R._latest_status()
-    green = {n for n, ok in status.items() if ok}
-    if len(green) < 10:
-        return  # nothing meaningful to rotate yet
+    (their latest round advances) and the stalest-first tail reorders
+    itself each round."""
+    rows = dict(R._latest_rows())
     names = list(R.QUERIES)
+    if sum(1 for _, g in rows.values() if g) < 10:
+        return  # nothing meaningful to order yet
+    order = {n: i for i, n in enumerate(names)}
+    cur = max((rnd for rnd, _ in rows.values()), default=0)
     seen: set[str] = set()
-    bound = -(-len(names) // 50) + 4  # drain rounds + one tail lap
-    for rnd in range(1, bound + 1):
-        head = [n for n in names if n not in green]
-        tail = [n for n in names if n in green]
-        stride = max(1, 50 - len(head))
-        k = (rnd * stride) % len(tail)
-        window = (head + tail[k:] + tail[:k])[:50]
+    laps = -(-len(names) // 50)
+    for rnd in range(cur + 1, cur + 3 * laps + 2):
+        head = [n for n in names if n not in rows or not rows[n][1]]
+        tail = sorted(
+            (n for n in names if n in rows and rows[n][1]),
+            key=lambda n: (rows[n][0], order[n]),
+        )
+        window = (head + tail)[:50]
         seen |= set(window)
-        green |= set(window)  # the driver attests the window
-    assert seen == set(names), sorted(set(names) - seen)
+        for n in window:  # the driver attests the window
+            rows[n] = (rnd, True)
+        if rnd == cur + laps + 1:
+            assert seen == set(names), sorted(set(names) - seen)
+        if rnd >= cur + laps + 1:
+            # steady state: no attestation older than one full lap
+            assert all(rnd - rows[n][0] <= laps for n in names)
+
+
+def test_attestation_freshness():
+    """VERDICT r8 next #5: '100% green' must mean 'recently re-proven'.
+    Every registered query must either (a) have a driver attestation at
+    most 5 rounds older than the newest CORRECTNESS artifact, or (b)
+    sit inside the upcoming driver window's 50-row prefix (stalest-
+    first ordering guarantees it re-attests next round, before its age
+    can reach 7). Fails when staleness outgrows what one window can
+    clear — i.e. when some query could exceed 6 rounds without a
+    re-proof."""
+    rows = R._latest_rows()
+    if not rows:
+        return  # pre-first-round repo
+    cur = max(rnd for rnd, _ in rows.values())
+    upcoming = set(R.ordered_names()[:50])
+    stale = [
+        (n, cur - rows[n][0])
+        for n in R.QUERIES
+        if n in rows and cur - rows[n][0] > 5 and n not in upcoming
+    ]
+    assert not stale, f"attestations about to exceed 6-round age: {stale}"
+    never = [n for n in R.QUERIES if n not in rows and n not in upcoming]
+    assert not never, f"never-attested queries outside the window: {never}"
 
 
 def test_oracle_map_subset_of_queries():
