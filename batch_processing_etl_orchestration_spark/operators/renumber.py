@@ -20,8 +20,9 @@ segmented-scan fix, same shape as operators/sessionize.py:
    back: ``idx = offset + local``.
 
 The result is EXACTLY the global ROW_NUMBER ordered by key (the
-bucketing is order-preserving; ties impossible — key must be unique,
-e.g. a primary key). NULL keys RAISE (detected in the
+bucketing is order-preserving; ties impossible — key uniqueness is
+VALIDATED in the stats pass and duplicates RAISE, ADVICE r8). NULL
+keys RAISE too (detected in the
 same stats pass) rather than silently dropping rows — the global
 ROW_NUMBER would number them, and a segmented scan cannot place them
 deterministically without a policy, so the caller must filter or fill
@@ -58,17 +59,31 @@ def dense_renumber(
             f"type, got {dtype}; string/decimal keys need an explicit "
             "surrogate (e.g. xxhash64) chosen by the caller"
         )
+    # count_distinct enforces the uniqueness CONTRACT the numbering
+    # relies on (ADVICE r8: duplicates would silently yield an
+    # arbitrary tie order). Exact, not approx — an HLL estimate could
+    # false-positive and reject a valid key. Cost: map-side partial
+    # distinct + one shuffle of distinct keys, on the stats scan the
+    # renumber already pays.
     stats = df.agg(
         F.min(key_col).alias("lo"),
         F.max(key_col).alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count(key_col).alias("n_keys"),
+        F.count_distinct(F.col(key_col)).alias("n_distinct"),
     ).collect()[0]
     if stats["n_rows"] != stats["n_keys"]:
         raise ValueError(
             f"dense_renumber: {stats['n_rows'] - stats['n_keys']} NULL "
             f"values in key column {key_col!r} — a segmented renumber "
             "cannot place them; filter or fill nulls first"
+        )
+    if stats["n_distinct"] != stats["n_keys"]:
+        raise ValueError(
+            f"dense_renumber: key column {key_col!r} has "
+            f"{stats['n_keys'] - stats['n_distinct']} duplicate values "
+            "— the dense index is only deterministic over a unique "
+            "key; deduplicate or choose a composite surrogate first"
         )
     if stats["n_rows"] == 0:
         return df.withColumn(idx_col, F.lit(None).cast("long"))

@@ -411,7 +411,21 @@ class PostingsIndex:
         returns to ~1 file per term, tombstone bitmaps are physically
         applied, and a crash at any point leaves the previous
         generation fully live (never a double-counting half-state).
-        Returns the number of segments folded."""
+        Returns the number of segments folded.
+
+        Concurrency (ADVICE r8): add_segment's RETRACT path renames a
+        segment dir away while we may be mid-read of its parquet files
+        — the fold then fails loudly (never corrupts; nothing was
+        published). We re-snapshot and retry once: the retracted
+        segment is absent from the fresh listing, so the retry folds a
+        consistent view. A second failure propagates — that's a real
+        error, not the known interleaving."""
+        try:
+            return self._compact_once(n_files)
+        except Exception:
+            return self._compact_once(n_files)
+
+    def _compact_once(self, n_files: int = 16) -> int:
         gen = self._gen()  # one consistent view across all three stores
         segs = self._segment_dirs(gen)
         tomb_dirs = self._tombstone_dirs(gen)
@@ -426,21 +440,32 @@ class PostingsIndex:
         id_col = meta["id_col"]
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, gen_name)
-        for store, sort_cols in (
-            ("postings", ["word", id_col]),
-            ("doclens", None),
-            ("positions", ["word", id_col, "pos"]),
-        ):
-            # one segment listing + one tombstone read for all three
-            # stores — also pins a single consistent view across them
-            merged = self._union_store(store, segs=segs, dead=dead, gen=gen)
-            if sort_cols:
-                merged = merged.repartitionByRange(
-                    n_files, "word"
-                ).sortWithinPartitions(*sort_cols)
-            merged.write.mode("errorifexists").parquet(
-                os.path.join(out, store)
-            )
+        try:
+            for store, sort_cols in (
+                ("postings", ["word", id_col]),
+                ("doclens", None),
+                ("positions", ["word", id_col, "pos"]),
+            ):
+                # one segment listing + one tombstone read for all
+                # three stores — also pins a single consistent view
+                merged = self._union_store(
+                    store, segs=segs, dead=dead, gen=gen
+                )
+                if sort_cols:
+                    merged = merged.repartitionByRange(
+                        n_files, "word"
+                    ).sortWithinPartitions(*sort_cols)
+                merged.write.mode("errorifexists").parquet(
+                    os.path.join(out, store)
+                )
+        except Exception:
+            # never publish a torn generation; reclaim the partial dir
+            # (a concurrent retract renaming a snapshotted segment away
+            # mid-read lands here — compact_segments retries once)
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         self._write_meta(out, id_col, meta["text_col"])
         # Record EXACTLY what this generation folded so a writer whose
         # rename raced the snapshot above can tell "already in this

@@ -141,6 +141,14 @@ def build_once(
     path = fixture_cache_dir(sf_dir, fixture_file, name, layout)
     ok = os.path.join(path, _BUILD_OK)
     if os.path.isfile(ok):
+        # Refresh the reap clock on every hit: readers holding lazy
+        # DataFrames over this tag don't update directory mtime, so
+        # without this a sibling build 10+ minutes later could reap a
+        # tag still in active use (ADVICE r8).
+        try:
+            os.utime(path)
+        except OSError:
+            pass
         return path
     shutil.rmtree(path, ignore_errors=True)
     build(path)

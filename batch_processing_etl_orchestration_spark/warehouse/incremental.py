@@ -187,11 +187,14 @@ _INTENT = "_REFRESH_INTENT.json"
 
 
 def pending_refresh(mv_path: str) -> list | None:
-    """Partition values (as strings) named by an UNFINISHED refresh's
-    intent journal, or None if no refresh is pending. A present intent
-    means a dynamic-overwrite died between replacing some touched
-    partitions and others — the MV slice it names is suspect and must
-    be healed before anyone reads it."""
+    """Partition values (strings, or None for the NULL partition)
+    named by an UNFINISHED refresh's intent journal, or None if no
+    refresh is pending. A present intent means a dynamic-overwrite
+    died between replacing some touched partitions and others — the
+    MV slice it names is suspect and must be healed before anyone
+    reads it. The journal encodes NULL as JSON null (never str(None)),
+    so a string-typed partition literally named 'None' is always
+    distinct from the NULL partition (ADVICE r8)."""
     import json
     import os
 
@@ -200,7 +203,10 @@ def pending_refresh(mv_path: str) -> list | None:
         return None
     try:
         with open(path) as f:
-            return [str(v) for v in json.load(f)["parts"]]
+            return [
+                None if v is None else str(v)
+                for v in json.load(f)["parts"]
+            ]
     except (OSError, ValueError, KeyError):
         return []  # unreadable journal: every partition is suspect
 
@@ -233,7 +239,9 @@ def _write_intent(mv_path: str, parts: list) -> None:
     target = os.path.join(mv_path, _INTENT)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump({"parts": [str(v) for v in parts]}, f)
+        json.dump(
+            {"parts": [None if v is None else str(v) for v in parts]}, f
+        )
     try:
         os.link(tmp, target)  # atomic, FAILS if an intent exists
     except FileExistsError:
@@ -296,9 +304,11 @@ def _part_filter(col: F.Column, parts: list) -> F.Column:
     its rows from every scoped read — delta merges would overwrite the
     stored NULL partition with delta-only partials and heal would
     recompute without it (review r8 finding). Accepts either raw
-    values or the journal's string forms (str(None) == 'None')."""
-    null_in = any(p is None or p == "None" for p in parts)
-    vals = [p for p in parts if p is not None and p != "None"]
+    values or the journal's decoded forms — NULL is Python None in
+    BOTH (the journal stores JSON null), so the literal string 'None'
+    only ever means a partition actually named 'None' (ADVICE r8)."""
+    null_in = any(p is None for p in parts)
+    vals = [p for p in parts if p is not None]
     pred = col.isin(vals) if vals else F.lit(False)
     if null_in:
         pred = pred | col.isNull()
@@ -427,7 +437,7 @@ def heal_mv(
     out = (agg_fn or spec.aggregate)(scoped).persist()
     try:
         recomputed = {
-            str(r[0])
+            None if r[0] is None else str(r[0])
             for r in out.select(spec.partition_col).distinct().collect()
         }
         _write_partitioned(out, spec, mv_path)
@@ -466,10 +476,11 @@ def _drop_stale_partitions(
         value = unquote(entry[len(prefix):])
         if value == "__HIVE_DEFAULT_PARTITION__":
             # Spark's dir name for a NULL partition value; `recomputed`
-            # and the journal carry str(None) — translate before
-            # comparing or a freshly healed null partition would read
-            # as stale and be deleted (review r8 finding).
-            value = "None"
+            # and the journal carry Python None for NULL — translate
+            # before comparing or a freshly healed null partition would
+            # read as stale and be deleted (review r8 finding). A
+            # partition literally named 'None' keeps its string form.
+            value = None
         if value in recomputed:
             continue
         if suspects and value not in suspects:

@@ -555,7 +555,7 @@ def test_concurrent_refreshers_exactly_one_wins(spark, sf_dir, tmp_path):
 
 def test_heal_keeps_recomputed_null_partition(spark, sf_dir, tmp_path):
     """Null partition values write as __HIVE_DEFAULT_PARTITION__ on
-    disk while the journal and the recompute set carry str(None) —
+    disk while the journal and the recompute set carry Python None —
     the stale-partition sweep must translate before comparing, or a
     freshly HEALED null partition reads as stale and is deleted
     (review r8 finding)."""
@@ -664,12 +664,75 @@ def test_null_partition_delta_merge_and_named_heal(spark, sf_dir, tmp_path):
     assert any(k[0] is None for k in got)
     assert got == snap(direct)  # null partition MERGED, not replaced
 
-    # named journal listing ONLY the null partition: heal must
-    # recompute it from the fact (null rows included) and keep it
+    # named journal listing ONLY the null partition (JSON null — the
+    # journal never encodes NULL as the string 'None', ADVICE r8):
+    # heal must recompute it from the fact (null rows included) and
+    # keep it
     with open(os.path.join(mv, _INTENT), "w") as f:
-        json.dump({"parts": ["None"]}, f)
+        json.dump({"parts": [None]}, f)
     healed = heal_mv(spark, ev, spec, mv)
-    assert healed == ["None"]
+    assert healed == [None]
     null_dir = os.path.join(mv, "p_date=__HIVE_DEFAULT_PARTITION__")
     assert os.path.isdir(null_dir)
     assert snap(mv) == snap(direct)
+
+
+def test_string_partition_named_None_distinct_from_null(spark, tmp_path):
+    """ADVICE r8: a string-typed partition literally named 'None' must
+    never be conflated with the NULL partition. A journal naming ONLY
+    the NULL partition heals without touching the 'None' string
+    partition, and one naming ONLY the string 'None' heals without
+    scoping or sweeping the NULL partition."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _INTENT,
+        build_mv,
+        heal_mv,
+        read_mv,
+    )
+
+    rows = [
+        ("None", "click", 10.0),
+        ("None", "view", 20.0),
+        (None, "click", 30.0),
+        (None, "view", 40.0),
+        ("other", "click", 50.0),
+    ]
+    ev = spark.createDataFrame(rows, "p_key STRING, event_type STRING, value DOUBLE")
+    spec = MergeableSpec(
+        partition_col="p_key",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    mv = str(tmp_path / "mv")
+    build_mv(ev, spec, mv)
+    none_dir = os.path.join(mv, "p_key=None")
+    null_dir = os.path.join(mv, "p_key=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(none_dir) and os.path.isdir(null_dir)
+
+    def snap():
+        return {
+            (r["p_key"], r["event_type"]): r["total_value"]
+            for r in read_mv(spark, spec, mv).collect()
+        }
+
+    want = snap()
+
+    # journal names ONLY the NULL partition: heal from a fact missing
+    # the string-'None' rows — if the sentinel conflated them, the
+    # 'None' partition would be scoped, recomputed empty, and swept
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        json.dump({"parts": [None]}, f)
+    assert heal_mv(spark, ev, spec, mv) == [None]
+    assert os.path.isdir(none_dir) and os.path.isdir(null_dir)
+    assert snap() == want
+
+    # journal names ONLY the string 'None' partition: the NULL
+    # partition must be neither scoped nor swept
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        json.dump({"parts": ["None"]}, f)
+    assert heal_mv(spark, ev, spec, mv) == ["None"]
+    assert os.path.isdir(none_dir) and os.path.isdir(null_dir)
+    assert snap() == want

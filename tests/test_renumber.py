@@ -118,3 +118,19 @@ def test_full_range_long_keys_no_overflow(spark):
     d = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
     got = {r["k"]: r["idx"] for r in dense_renumber(d, "k", n_buckets=8).collect()}
     assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+
+def test_duplicate_keys_raise(spark):
+    """ADVICE r8: the docstring promises uniqueness as a contract —
+    enforce it in the stats pass instead of silently numbering with an
+    arbitrary tie order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_orchestration_spark.operators.renumber import (
+        dense_renumber,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (2,), (5,)], "k LONG")
+    with pytest.raises(ValueError, match="duplicate"):
+        dense_renumber(df, "k").collect()

@@ -676,3 +676,53 @@ def test_compaction_rescues_segment_landed_during_fold(
     assert idx.compact_segments() == 1  # and folds cleanly
     got = {r["doc_id"] for r in idx.doclens().collect()}
     assert got == {1, 2, 3, 4}
+
+
+def test_compact_retries_once_on_vanished_segment(spark, tmp_path):
+    """ADVICE r8: a concurrent add_segment RETRACT renames a
+    snapshotted segment dir away mid-fold — the first fold attempt
+    fails loudly, and compact_segments must re-snapshot and retry once
+    (the retracted segment is absent from the fresh listing), leaving
+    a consistent published generation and no torn partial dir."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    idx = PostingsIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(1, "hash join scan"), (2, "scan scan filter")],
+            "doc_id BIGINT, text STRING",
+        ),
+        str(tmp_path / "idx"),
+    )
+    idx.add_segment(
+        spark.createDataFrame([(3, "join hash")], "doc_id BIGINT, text STRING"),
+        name="seg-a",
+    )
+
+    calls = {"n": 0}
+    orig = idx._union_store
+
+    def flaky(store, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise FileNotFoundError("segment renamed away mid-read")
+        return orig(store, **kw)
+
+    idx._union_store = flaky
+    assert idx.compact_segments() == 1  # retried and folded seg-a
+    idx._union_store = orig
+    # exactly two generations remain: the retired base and the
+    # published fold — the failed first attempt left no partial dir
+    gens = [d for d in os.listdir(idx.path) if d.startswith("gen-")]
+    assert len(gens) == 2, sorted(gens)
+    assert calls["n"] == 1  # the failure happened and was retried
+    # the folded index still serves both batches
+    got = {
+        r["doc_id"]
+        for r in idx.postings().where("word = 'hash'").collect()
+    }
+    assert got == {1, 3}
