@@ -2701,11 +2701,27 @@ def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle key — with partial map-side aggregation, and no
     suffix array in sight because 5-gram equality IS substring-≥5
     equality — and the shingle→doc join back, both key-partitioned
-    on the shingle. At 100 TB the shingle key would be a 64-bit hash
-    (collision-safe at corpus scale) rather than the raw string; the
-    raw string is kept here so the DuckDB oracle joins on the
-    identical key, trading only shuffle width."""
-    d = load_table(spark, sf_dir, "documents")
+    on the shingle.
+
+    Shuffle key (VERDICT r8 next #6): the registered query runs
+    HASH-KEYED — both shuffles key on xxhash64(shingle), an 8-byte
+    long, instead of the ~30-byte raw string (measured 3.7× narrower
+    shuffle keys on the fixture; SCALE.md). The OUTPUT never contains
+    the key, so the DuckDB oracle (raw-string keys) is unchanged, and
+    tests/test_dedup.py::test_span_dedup_hash_keyed_bit_equal pins
+    bit-equality against the hash_keyed=False variant. Collisions: a
+    64-bit hash collides only once per ~6·10⁹ distinct shingles
+    (birthday) and a collision merely merges two shingles' doc sets —
+    at 10¹²-shingle corpora, widen to 128 bits via a second seeded
+    hash column (xxhash64(lit(1), s)) on the same plan shape."""
+    return span_dedup_profile(load_table(spark, sf_dir, "documents"))
+
+
+def span_dedup_profile(d: DataFrame, hash_keyed: bool = True) -> DataFrame:
+    """Per-doc verbatim 5-gram duplication profile (see
+    q_exact_span_dedup). hash_keyed=False shuffles on the raw shingle
+    string — same results, ~3.7× wider shuffle keys; kept for the
+    bit-equality attestation."""
     t = F.split("text", " ")
     sh = (
         d.select("doc_id", t.alias("_t"), F.size(t).alias("_n"))
@@ -2720,10 +2736,12 @@ def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    nd = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("ndocs"))
+    key = F.xxhash64("s") if hash_keyed else F.col("s")
+    sh = sh.select("doc_id", key.alias("k"))
+    nd = sh.groupBy("k").agg(F.countDistinct("doc_id").alias("ndocs"))
     dup = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
     return (
-        sh.join(nd, "s")
+        sh.join(nd, "k")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -469,3 +469,31 @@ def test_df_capped_split_bounds_hot_shingle_quadratic(spark):
     }
     for pair, n_common in got.items():
         assert brute[pair] == n_common, f"inexact recombination for {pair}"
+
+
+def test_span_dedup_hash_keyed_bit_equal(spark, sf_dir):
+    """VERDICT r8 next #6: the hash-keyed span-dedup (xxhash64 shingle
+    shuffle keys) must be bit-equal to the raw-string-keyed variant on
+    the fixture — the key never reaches the output, so any difference
+    is a collision or a plan bug. Also attests the width saving the
+    hash buys: avg raw shingle key ≥ 3× the 8-byte long."""
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        span_dedup_profile,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = sorted(map(tuple, span_dedup_profile(d, hash_keyed=True).collect()))
+    raw = sorted(map(tuple, span_dedup_profile(d, hash_keyed=False).collect()))
+    assert hashed == raw and len(hashed) > 0
+
+    t = F.split("text", " ")
+    avg_len = (
+        d.select(F.explode(
+            F.expr("transform(sequence(1, size(split(text,' ')) - 4),"
+                   " i -> concat_ws(' ', slice(split(text,' '), i, 5)))")
+        ).alias("s"))
+        .agg(F.avg(F.length("s")))
+        .first()[0]
+    )
+    assert avg_len >= 24  # raw key ≥ 3× the 8-byte hashed key
