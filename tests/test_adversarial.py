@@ -1,0 +1,171 @@
+"""Adversarial-duplication fixture (VERDICT r8 next #2): boilerplate
+paragraph in 30% of documents + one user owning ~50% of events — the
+two skew shapes the sf1 replica construction cannot express. Built
+deterministically from sf0.01 by tools/make_adversarial.py; the sf0.1
+sweep (tools/verify_adversarial.py) numbers live in SCALE.md."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+@pytest.fixture(scope="module")
+def adv_dir(spark, tmp_path_factory):
+    import make_adversarial
+
+    out = str(tmp_path_factory.mktemp("adv"))
+    info = make_adversarial.build(spark, "/root/testdata/sf0.01", out)
+    assert info["n_boilered"] * 10 // info["n_docs"] == 3  # ~30%
+    assert info["hot_events"] * 10 // info["n_events"] == 5  # ~50%
+    return out
+
+
+def test_boiler_shingles_are_hot_and_capped(spark, adv_dir):
+    """Every 3-gram inside the boilerplate paragraph has df ≈ 30% of
+    the corpus — far beyond the 1% cap — so the df split must route
+    ALL of them out of the cold self-join, and the per-key fan-out of
+    the surviving join must stay ≤ the cap."""
+    import make_adversarial
+
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        df_capped_shingle_split,
+        shingle_sets,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    d = load_table(spark, adv_dir, "documents")
+    sh = shingle_sets(d, 3)
+    cold, hot_sets = df_capped_shingle_split(sh, d)
+
+    boiler_words = make_adversarial.BOILER.split(" ")
+    boiler_shingles = {
+        " ".join(boiler_words[i : i + 3])
+        for i in range(len(boiler_words) - 2)
+    }
+    cold_hits = cold.where(F.col("shingle").isin(list(boiler_shingles))).count()
+    assert cold_hits == 0, "boilerplate shingles leaked into the cold join"
+
+    n_docs = d.count()
+    cap = max(5, -(-n_docs // 100))
+    max_fanout = (
+        cold.groupBy("shingle").count().agg(F.max("count")).first()[0]
+    )
+    assert max_fanout <= cap
+
+    # every boilered doc carries its hot shingles for exact recombination
+    n_boilered = d.where(F.col("doc_id") % 100 < make_adversarial.BOILER_PCT).count()
+    assert hot_sets.count() >= n_boilered
+
+
+def test_capped_candidates_bounded_vs_uncapped_mass(spark, adv_dir):
+    """Per-stage candidate-count assertion: the pair mass the raw join
+    would put on hot shingle keys is ≥ (0.3·n)²/2 per boiler shingle,
+    while the capped candidate count stays ≤ cap · |cold rows| (the
+    linear Broder bound) — and the registered queries complete."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        df_capped_shingle_split,
+        shingle_sets,
+    )
+    from batch_processing_etl_orchestration_spark.plans import QUERIES
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _df_capped_common,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    d = load_table(spark, adv_dir, "documents")
+    sh = shingle_sets(d, 3)
+    n_docs = d.count()
+    cap = max(5, -(-n_docs // 100))
+
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot_mass = (
+        sdf.where(F.col("df") > cap)
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long"))
+        .first()[0]
+    )
+    boiler_f = int(n_docs * 0.3)
+    assert hot_mass >= boiler_f * (boiler_f - 1) // 2  # quadratic mode real
+
+    cold, hot_sets = df_capped_shingle_split(sh, d)
+    n_cold = cold.count()
+    n_cand = _df_capped_common(cold, hot_sets).count()
+    assert n_cand <= cap * n_cold  # linear bound holds
+    assert n_cand < hot_mass  # the avoided blowup is real
+
+    for q in ("q_ngram_jaccard_pairs", "q_ngram_containment_pairs"):
+        assert QUERIES[q].fn(spark, adv_dir).count() > 0
+
+
+def test_span_dedup_flags_boilerplate(spark, adv_dir):
+    """Exact span dedup must see the boilerplate: every boilered doc
+    shares the paragraph's internal 5-grams with ~30% of the corpus,
+    so its n_dup_shingles ≥ the paragraph's internal 5-gram count."""
+    import make_adversarial
+
+    from batch_processing_etl_orchestration_spark.plans import QUERIES
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    prof = QUERIES["q_exact_span_dedup"].fn(spark, adv_dir)
+    d = load_table(spark, adv_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 100 < make_adversarial.BOILER_PCT).alias("b")
+    )
+    n_internal = len(make_adversarial.BOILER.split(" ")) - 4
+    bad = (
+        prof.join(d, "doc_id")
+        .where(F.col("b") & (F.col("n_dup_shingles") < n_internal))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hot_user_sessionize_blocked_bounded_and_equal(spark, adv_dir):
+    """The hot entity owns ~50% of events — one window partition for
+    the plain sessionize. The blocked variant must bound the widest
+    task by rows-per-(user, day-block) while matching the plain
+    output row for row."""
+    from pyspark.sql import Window
+
+    from batch_processing_etl_orchestration_spark.operators.sessionize import (
+        sessionize_blocked,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    ev = load_table(spark, adv_dir, "events").select("user_id", "event_id", "ts")
+    gap_us = 30 * 60 * 1_000_000
+    us = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "cast(timestamp'1970-01-01 00:00:00' as timestamp_ntz), "
+        "cast(ts as timestamp_ntz))"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    plain = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    blocked = sessionize_blocked(ev, gap_us).select(
+        "user_id", "event_id", "session_id"
+    )
+    assert (
+        plain.exceptAll(blocked).count() == 0
+        and blocked.exceptAll(plain).count() == 0
+    )
+
+    widest_plain = ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    blk = F.floor(us / F.lit(24 * 60 * 60 * 1_000_000))
+    widest_blocked = (
+        ev.groupBy("user_id", blk.alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert widest_plain >= ev.count() * 45 // 100  # the skew is real
+    assert widest_blocked * 5 <= widest_plain  # and the bound bites

@@ -1,0 +1,110 @@
+"""Adversarial-duplication fixture (VERDICT r8 next #2): the two skew
+shapes the sf1 replica construction is structurally incapable of
+expressing —
+
+(a) BOILERPLATE: one fixed paragraph appended to p% (default 30%) of
+    documents. Every shingle inside it has document frequency p·|docs|,
+    so a raw shingle self-join would put (p·|docs|)² candidate pairs on
+    each of its shingle keys — the hot-shingle quadratic mode the
+    df-cap (operators/dedup.df_capped_shingle_split) exists to bound.
+(b) HOT ENTITY: ~50% of events remapped to ONE user_id — the window-
+    skew shape AQE cannot split (a window partition is one task),
+    countered by operators/sessionize.sessionize_blocked.
+
+Deterministic (doc_id / event_id modulus — no RNG). Other tables are
+byte-copied so the full catalog still runs against the output dir.
+
+Usage: python tools/make_adversarial.py [src_dir] [out_dir]
+       (defaults: /root/testdata/sf0.1 → /root/repo/.tmp/adversarial)
+Verification sweep + SCALE.md numbers: tools/verify_adversarial.py;
+fixture-scale assertions: tests/test_adversarial.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BOILER = (
+    "subscribe to our newsletter for weekly updates and exclusive offers "
+    "delivered straight to your inbox today"
+)
+BOILER_PCT = 30  # doc_id % 100 < BOILER_PCT gets the paragraph
+HOT_EVENT_MOD = 2  # event_id % HOT_EVENT_MOD == 0 → hot user (50%)
+
+
+def build(spark, src: str, out: str) -> dict:
+    """Write the adversarial tables; returns summary counts."""
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    os.makedirs(out, exist_ok=True)
+
+    d = load_table(spark, src, "documents")
+    boilered = F.col("doc_id") % 100 < BOILER_PCT
+    docs = d.withColumn(
+        "text",
+        F.when(boilered, F.concat("text", F.lit(" " + BOILER))).otherwise(
+            F.col("text")
+        ),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    ev = load_table(spark, src, "events")
+    hot_user = ev.agg(F.min("user_id")).first()[0]
+    events = ev.withColumn(
+        "user_id",
+        F.when(
+            F.col("event_id") % HOT_EVENT_MOD == 0, F.lit(hot_user)
+        ).otherwise(F.col("user_id")),
+    )
+    events.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "embeddings",
+    ):
+        src_p = os.path.join(src, f"{name}.parquet")
+        dst_p = os.path.join(out, f"{name}.parquet")
+        if os.path.isdir(src_p):
+            shutil.rmtree(dst_p, ignore_errors=True)
+            shutil.copytree(src_p, dst_p)
+        else:
+            shutil.copyfile(src_p, dst_p)
+
+    n_docs = docs.count()
+    return {
+        "out": out,
+        "n_docs": n_docs,
+        "n_boilered": docs.where(boilered).count(),
+        "n_events": events.count(),
+        "hot_user": hot_user,
+        "hot_events": events.where(F.col("user_id") == hot_user).count(),
+    }
+
+
+def main() -> None:
+    from batch_processing_etl_orchestration_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.tmp/adversarial"
+    spark = get_spark(
+        "make-adversarial",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(build(spark, src, out))
+
+
+if __name__ == "__main__":
+    main()
