@@ -31,7 +31,7 @@ from batch_processing_etl_orchestration_spark.session import get_spark
 from batch_processing_etl_orchestration_spark.tables import load_table
 
 SRC = "/root/testdata/sf0.1"
-OUT = "/root/repo/.tmp/sf1"
+OUT = "/root/repo/.tmp/sf1"  # default for 10 replicas; sfN/10 otherwise
 
 # (table, key columns to offset by that table's own entity count,
 #  foreign keys to offset by the referenced table's count)
@@ -51,7 +51,16 @@ def _replicate(df: DataFrame, r: int, offsets: dict[str, int]) -> DataFrame:
     return df
 
 
-def main(replicas: int = 10) -> None:
+def main(replicas: int = 10, out: str | None = None) -> None:
+    """replicas=10 → the sf1 fixture; any other N writes
+    /root/repo/.tmp/sf{N/10:g} (e.g. 100 → .tmp/sf10, VERDICT r8 next
+    #4's second scaling decade). Same deterministic key-offset
+    construction at every N."""
+    global OUT
+    if out is not None:
+        OUT = out
+    elif replicas != 10:
+        OUT = f"/root/repo/.tmp/sf{replicas / 10:g}"
     spark = get_spark("make-sf1", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     os.makedirs(OUT, exist_ok=True)
 
@@ -134,4 +143,7 @@ def main(replicas: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 10,
+        sys.argv[2] if len(sys.argv) > 2 else None,
+    )

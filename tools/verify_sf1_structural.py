@@ -454,13 +454,19 @@ def main() -> None:
         f"{len(got_er)} entities, {time.perf_counter()-t1:.1f}s",
     )
 
-    # -- embedding near-dup family: closed-form sf1 truth from the
-    #    sf0.1 oracle. make_sf1 replicates embeddings BYTE-IDENTICAL
-    #    (only vec_id shifts by off_v per replica), so the sf1
-    #    label-blocked pair set is exactly: every sf0.1 pair {a,b} in
-    #    all replicas² = 100 combinations, PLUS C(reps,2)=45 exact-copy
-    #    pairs (cosine 1.0 ≥ τ) per base vector. The quadratic DuckDB
-    #    oracle is unrunnable at sf1; this is the decomposed truth.
+    # -- embedding near-dup family: DIRECT value-level DuckDB oracle
+    #    at sf1 (VERDICT r8 next #7, replacing the r7 closed-form
+    #    structural count). The naive pairwise oracle is quadratic in
+    #    corpus size, but exact duplicates are IDEMPOTENT under the
+    #    cosine kernel: after verifying in DuckDB that every vec_id
+    #    base class carries one distinct embedding and label (the
+    #    premise, asserted not assumed), the full sf1 result is
+    #    computed ENTIRELY in DuckDB by (1) running the registered
+    #    oracle's exact kernel over the base representatives with
+    #    a.vec_id <= b.vec_id (self-pairs = the copy-pair values) and
+    #    (2) expanding each base pair across replica combinations in
+    #    SQL — every output cosine is a DuckDB-computed value, and the
+    #    engine's sf1 rows must match value-for-value.
     t1 = time.perf_counter()
     from batch_processing_etl_orchestration_spark.plans.northstar import (
         q_embedding_near_dup_pairs,
@@ -473,43 +479,67 @@ def main() -> None:
     off_v = base_vec.agg(F.max("vec_id")).first()[0] + 1
     n_vec = base_vec.count()
     reps_v = load_table(spark, sf1, "embeddings").count() // n_vec
-    base_pairs = {
-        (r_["vec_a"], r_["vec_b"])
-        for r_ in q_embedding_near_dup_pairs(spark, SRC).collect()
-    }
-    got_pairs = [
-        (r_["vec_a"], r_["vec_b"])
-        for r_ in q_embedding_near_dup_pairs(spark, sf1).collect()
-    ]
-    n_copy = 0
-    bad = []
-    from collections import Counter
 
-    cross = Counter()
-    for a, b in got_pairs:
-        ba, bb = a % off_v, b % off_v
-        if ba == bb:
-            n_copy += 1
-        else:
-            key = (min(ba, bb), max(ba, bb))
-            if key not in base_pairs:
-                bad.append((a, b))
-            cross[key] += 1
-    want_copy = n_vec * (reps_v * (reps_v - 1) // 2)
+    vcon = duckdb.connect()
+    vcon.execute(
+        "CREATE VIEW sf1_emb AS SELECT * FROM "
+        f"parquet_scan('{_parquet_pattern(sf1, 'embeddings')}')"
+    )
+    # premise: each base class is one embedding/label replicated
+    n_bad_base = vcon.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT vec_id % {off_v} AS b FROM sf1_emb
+          GROUP BY 1
+          HAVING COUNT(DISTINCT embedding::VARCHAR) > 1
+              OR COUNT(DISTINCT label) > 1
+              OR COUNT(*) <> {reps_v}
+        )
+        """
+    ).fetchone()[0]
+    _check("sf1:embedding_base_classes_identical", n_bad_base == 0)
+
+    # the registered oracle's kernel, verbatim, over base reps with
+    # self-pairs included
+    vcon.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM sf1_emb "
+        f"WHERE vec_id < {off_v}"
+    )
+    kern_sql = QUERIES["q_embedding_near_dup_pairs"].oracle.replace(
+        "a.vec_id < b.vec_id", "a.vec_id <= b.vec_id"
+    )
+    want_rows = vcon.execute(
+        f"""
+        WITH kern AS ({kern_sql}),
+        reps AS (SELECT UNNEST(range(0, {reps_v})) AS r)
+        SELECT LEAST(k.vec_a + r1.r * {off_v}, k.vec_b + r2.r * {off_v})
+                 AS vec_a,
+               GREATEST(k.vec_a + r1.r * {off_v}, k.vec_b + r2.r * {off_v})
+                 AS vec_b,
+               k.cosine_sim
+        FROM kern k, reps r1, reps r2 WHERE k.vec_a < k.vec_b
+        UNION ALL
+        SELECT k.vec_a + r1.r * {off_v}, k.vec_a + r2.r * {off_v},
+               k.cosine_sim
+        FROM kern k, reps r1, reps r2
+        WHERE k.vec_a = k.vec_b AND r1.r < r2.r
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    got_rows = sorted(
+        (r_["vec_a"], r_["vec_b"], r_["cosine_sim"])
+        for r_ in q_embedding_near_dup_pairs(spark, sf1).collect()
+    )
     _check(
-        "sf1:embedding_near_dup_pairs==closed_form",
-        not bad
-        and n_copy == want_copy
-        and len(cross) == len(base_pairs)
-        and all(v == reps_v * reps_v for v in cross.values()),
-        f"{len(got_pairs)} pairs = {want_copy} copy + "
-        f"{len(base_pairs)}x{reps_v * reps_v} cross, "
+        "sf1:embedding_near_dup_pairs==direct_duckdb_oracle",
+        got_rows == [tuple(r_) for r_ in want_rows],
+        f"{len(got_rows)} pairs value-matched, "
         f"{time.perf_counter()-t1:.1f}s",
     )
 
     t1 = time.perf_counter()
     row = q_embedding_near_dup_lsh(spark, sf1).collect()[0]
-    want_n = want_copy + len(base_pairs) * reps_v * reps_v
+    want_n = len(want_rows)
     # The recall FLAG is expected False here and that is honest, not a
     # bug: the fixture's ×10 byte-identical duplication makes every
     # LSH bucket 10× denser, the 256-pair cap truncates in-bucket pair
