@@ -494,35 +494,43 @@ class PostingsIndex:
         # appeared in the retired generation beyond our snapshot. A
         # rename losing to the writer's own chase is fine
         # (FileNotFoundError → already moved).
-        folded_segs = {os.path.basename(s) for s in segs}
-        folded_tombs = {os.path.basename(t) for t in tomb_dirs}
-        for sub, known in (
-            ("segments", folded_segs),
-            ("tombstones", folded_tombs),
-        ):
-            root = os.path.join(gen, sub)
-            if not os.path.isdir(root):
-                continue
-            for d in sorted(os.listdir(root)):
-                if d.startswith("_tmp-") or d in known:
+        # Best-effort and exception-CONTAINED: the generation is already
+        # published, so a failure here must not propagate — the
+        # writer-side chase closes the same window, and letting an
+        # OSError escape would make compact_segments' retry re-fold an
+        # already-published generation and report 0 segments folded.
+        try:
+            folded_segs = {os.path.basename(s) for s in segs}
+            folded_tombs = {os.path.basename(t) for t in tomb_dirs}
+            for sub, known in (
+                ("segments", folded_segs),
+                ("tombstones", folded_tombs),
+            ):
+                root = os.path.join(gen, sub)
+                if not os.path.isdir(root):
                     continue
-                if sub == "tombstones" and not os.path.isfile(
-                    os.path.join(root, d, "_SUCCESS")
-                ):
-                    # tombstones write in place (no tmp+rename): a dir
-                    # without _SUCCESS is a write still in flight —
-                    # moving it mid-write would tear it. Its writer
-                    # finishes after our publish, so its own chase
-                    # sees the new pointer and moves it.
-                    continue
-                dst_root = os.path.join(out, sub)
-                os.makedirs(dst_root, exist_ok=True)
-                try:
-                    os.rename(
-                        os.path.join(root, d), os.path.join(dst_root, d)
-                    )
-                except OSError:
-                    pass  # writer's chase moved it / landed elsewhere
+                for d in sorted(os.listdir(root)):
+                    if d.startswith("_tmp-") or d in known:
+                        continue
+                    if sub == "tombstones" and not os.path.isfile(
+                        os.path.join(root, d, "_SUCCESS")
+                    ):
+                        # tombstones write in place (no tmp+rename): a
+                        # dir without _SUCCESS is a write still in
+                        # flight — moving it mid-write would tear it.
+                        # Its writer finishes after our publish, so its
+                        # own chase sees the new pointer and moves it.
+                        continue
+                    dst_root = os.path.join(out, sub)
+                    os.makedirs(dst_root, exist_ok=True)
+                    try:
+                        os.rename(
+                            os.path.join(root, d), os.path.join(dst_root, d)
+                        )
+                    except OSError:
+                        pass  # writer's chase moved it / landed elsewhere
+        except OSError:
+            pass  # rescue is advisory; the publish already succeeded
         return len(segs)
 
     def delete_docs(self, doc_ids: DataFrame, id_col: str | None = None) -> None:

@@ -116,12 +116,21 @@ _SQL_SHINGLES = """
 """
 
 
+from batch_processing_etl_orchestration_spark.operators.dedup import (  # noqa: E402
+    DF_CAP_FRAC,
+    DF_CAP_MIN,
+)
+
 # MATERIALIZED: without it DuckDB re-inlines sdf/hot/cold into the
 # downstream self-join and mis-plans the NOT IN as a nested scan
 # (262 s → 4.5 s at sf1; see memory duckdb-oracle-planner-hazards).
-_SQL_DF_CAP = """,
+# The cap constants interpolate from operators/dedup so the Spark
+# split and every oracle move together (review r9).
+_SQL_DF_CAP = f""",
     dfc AS (
-      SELECT GREATEST(5, CAST(CEIL(COUNT(*) * 0.01) AS BIGINT)) AS df_cap
+      SELECT GREATEST({DF_CAP_MIN},
+                      CAST(CEIL(COUNT(*) * {DF_CAP_FRAC}) AS BIGINT))
+               AS df_cap
       FROM documents
     ),
     sdf AS MATERIALIZED (
@@ -135,7 +144,7 @@ _SQL_DF_CAP = """,
 """
 
 
-def _df_capped_common(cold, hot_sets, extra_cond=None, extra_joins=None):
+def _df_capped_common(cold, hot_sets, extra_joins=None):
     """(doc_a, doc_b, n_common) with candidates from the COLD shingle
     self-join and exact intersection counts recombined from each
     side's hot-shingle array (operators/dedup.df_capped_shingle_split
@@ -246,7 +255,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d, 3)
+    # four DAG branches read the shingle relation (df agg, anti-join
+    # probe, hot-set build, sizes) — materialize the explode once
+    # instead of re-scanning documents per branch (review r9; same
+    # pattern as minhash_lsh_pairs)
+    sh = _shingles(d, 3).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     langs = d.select("doc_id", "lang")
     cold, hot_sets = df_capped_shingle_split(sh, d)
@@ -4092,7 +4105,9 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d, 3)
+    # materialize the explode once for the four consuming branches
+    # (review r9; same pattern as minhash_lsh_pairs)
+    sh = _shingles(d, 3).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cold, hot_sets = df_capped_shingle_split(sh, d)
     common = _df_capped_common(cold, hot_sets)
@@ -4143,20 +4158,24 @@ def q_shingle_df_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
-    cap = shingle_df_cap(d)
+    # 1-row metadata collect (the cap scalar), so the report keeps the
+    # oracle's ungrouped-aggregate shape: exactly ONE row even on a
+    # corpus with zero shingles, where a groupBy over the empty df
+    # table would emit none (review r9).
+    cap = shingle_df_cap(d).first()["df_cap"]
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    hot_flag = F.col("_df") > F.col("df_cap")
-    return (
-        sdf.crossJoin(F.broadcast(cap))
-        .groupBy("df_cap")
-        .agg(
-            F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
-            F.coalesce(
-                F.sum(F.when(hot_flag, F.col("_df"))), F.lit(0)
-            ).cast("long").alias("n_hot_occurrences"),
-            F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
-        )
-        .select("df_cap", "n_hot_shingles", "n_hot_occurrences", "n_cold_shingles")
+    hot_flag = F.col("_df") > F.lit(cap)
+    return sdf.agg(
+        F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
+        F.coalesce(F.sum(F.when(hot_flag, F.col("_df"))), F.lit(0))
+        .cast("long")
+        .alias("n_hot_occurrences"),
+        F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
+    ).select(
+        F.lit(cap).cast("long").alias("df_cap"),
+        "n_hot_shingles",
+        "n_hot_occurrences",
+        "n_cold_shingles",
     )
 
 

@@ -203,10 +203,15 @@ def pending_refresh(mv_path: str) -> list | None:
         return None
     try:
         with open(path) as f:
-            return [
-                None if v is None else str(v)
-                for v in json.load(f)["parts"]
-            ]
+            doc = json.load(f)
+        if doc.get("v") != 2:
+            # legacy journal (pre-v2 encoded NULL as str(None), which is
+            # ambiguous against a partition literally named 'None') —
+            # treat as torn: every partition suspect, full heal (safe)
+            return []
+        return [
+            None if v is None else str(v) for v in doc["parts"]
+        ]
     except (OSError, ValueError, KeyError):
         return []  # unreadable journal: every partition is suspect
 
@@ -240,7 +245,8 @@ def _write_intent(mv_path: str, parts: list) -> None:
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(
-            {"parts": [None if v is None else str(v) for v in parts]}, f
+            {"v": 2, "parts": [None if v is None else str(v) for v in parts]},
+            f,
         )
     try:
         os.link(tmp, target)  # atomic, FAILS if an intent exists

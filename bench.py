@@ -456,10 +456,12 @@ def main() -> None:
         with open(local_path) as f:
             baseline_sf = json.load(f).get("sf")
     except (OSError, ValueError):
-        # Missing/corrupt baseline: promote only a run at the
-        # documented headline sf (0.1) — otherwise an sf0.01 iteration
-        # run would install itself as the committed regression
-        # baseline (ADVICE r8).
+        baseline_sf = None
+    if baseline_sf is None:
+        # Missing/corrupt baseline, or one without an sf field:
+        # promote only a run at the documented headline sf (0.1) —
+        # otherwise an sf0.01 iteration run would install itself as
+        # the committed regression baseline (ADVICE r8).
         baseline_sf = 0.1
     if baseline_sf == sf:
         try:

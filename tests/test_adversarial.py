@@ -34,6 +34,7 @@ def test_boiler_shingles_are_hot_and_capped(spark, adv_dir):
 
     from batch_processing_etl_orchestration_spark.operators.dedup import (
         df_capped_shingle_split,
+        shingle_df_cap,
         shingle_sets,
     )
     from batch_processing_etl_orchestration_spark.tables import load_table
@@ -50,8 +51,7 @@ def test_boiler_shingles_are_hot_and_capped(spark, adv_dir):
     cold_hits = cold.where(F.col("shingle").isin(list(boiler_shingles))).count()
     assert cold_hits == 0, "boilerplate shingles leaked into the cold join"
 
-    n_docs = d.count()
-    cap = max(5, -(-n_docs // 100))
+    cap = shingle_df_cap(d).first()["df_cap"]
     max_fanout = (
         cold.groupBy("shingle").count().agg(F.max("count")).first()[0]
     )
@@ -69,6 +69,7 @@ def test_capped_candidates_bounded_vs_uncapped_mass(spark, adv_dir):
     linear Broder bound) — and the registered queries complete."""
     from batch_processing_etl_orchestration_spark.operators.dedup import (
         df_capped_shingle_split,
+        shingle_df_cap,
         shingle_sets,
     )
     from batch_processing_etl_orchestration_spark.plans import QUERIES
@@ -80,7 +81,7 @@ def test_capped_candidates_bounded_vs_uncapped_mass(spark, adv_dir):
     d = load_table(spark, adv_dir, "documents")
     sh = shingle_sets(d, 3)
     n_docs = d.count()
-    cap = max(5, -(-n_docs // 100))
+    cap = shingle_df_cap(d).first()["df_cap"]
 
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     hot_mass = (

@@ -394,7 +394,7 @@ def test_crashed_refresh_is_loud_and_healable(spark, sf_dir, tmp_path):
         for r in ev.select("p_date").distinct().orderBy("p_date").collect()
     ][:2]
     with open(os.path.join(mv, _INTENT), "w") as f:
-        json.dump({"parts": [str(v) for v in suspect]}, f)
+        json.dump({"v": 2, "parts": [str(v) for v in suspect]}, f)
 
     with pytest.raises(RuntimeError, match="unfinished refresh"):
         read_mv(spark, spec, mv).collect()
@@ -462,7 +462,7 @@ def test_heal_removes_journaled_partition_with_no_fact_rows(
         ev.select("p_date").distinct().orderBy("p_date").collect()[0]["p_date"]
     )
     with open(os.path.join(mv, _INTENT), "w") as f:
-        json.dump({"parts": [real, ghost]}, f)
+        json.dump({"v": 2, "parts": [real, ghost]}, f)
 
     healed = heal_mv(spark, ev, spec, mv)
     assert sorted(healed) == sorted([real, ghost])
@@ -669,7 +669,7 @@ def test_null_partition_delta_merge_and_named_heal(spark, sf_dir, tmp_path):
     # heal must recompute it from the fact (null rows included) and
     # keep it
     with open(os.path.join(mv, _INTENT), "w") as f:
-        json.dump({"parts": [None]}, f)
+        json.dump({"v": 2, "parts": [None]}, f)
     healed = heal_mv(spark, ev, spec, mv)
     assert healed == [None]
     null_dir = os.path.join(mv, "p_date=__HIVE_DEFAULT_PARTITION__")
@@ -724,7 +724,7 @@ def test_string_partition_named_None_distinct_from_null(spark, tmp_path):
     # the string-'None' rows — if the sentinel conflated them, the
     # 'None' partition would be scoped, recomputed empty, and swept
     with open(os.path.join(mv, _INTENT), "w") as f:
-        json.dump({"parts": [None]}, f)
+        json.dump({"v": 2, "parts": [None]}, f)
     assert heal_mv(spark, ev, spec, mv) == [None]
     assert os.path.isdir(none_dir) and os.path.isdir(null_dir)
     assert snap() == want
@@ -732,7 +732,45 @@ def test_string_partition_named_None_distinct_from_null(spark, tmp_path):
     # journal names ONLY the string 'None' partition: the NULL
     # partition must be neither scoped nor swept
     with open(os.path.join(mv, _INTENT), "w") as f:
-        json.dump({"parts": ["None"]}, f)
+        json.dump({"v": 2, "parts": ["None"]}, f)
     assert heal_mv(spark, ev, spec, mv) == ["None"]
     assert os.path.isdir(none_dir) and os.path.isdir(null_dir)
     assert snap() == want
+
+
+def test_legacy_unversioned_journal_heals_everything(spark, tmp_path):
+    """A journal without the v=2 marker predates the NULL-vs-'None'
+    encoding fix — its 'None' entries are ambiguous, so heal must
+    treat it as torn (every partition suspect, full recompute) rather
+    than mis-scope the NULL partition (review r9)."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        _INTENT,
+        build_mv,
+        heal_mv,
+        pending_refresh,
+        read_mv,
+    )
+
+    ev = spark.createDataFrame(
+        [(None, "click", 1.0), ("alpha", "view", 2.0)],
+        "p_key STRING, event_type STRING, value DOUBLE",
+    )
+    spec = MergeableSpec(
+        partition_col="p_key",
+        group_cols=("event_type",),
+        sum_cols={"total_value": "value"},
+    )
+    mv = str(tmp_path / "mv")
+    build_mv(ev, spec, mv)
+    with open(os.path.join(mv, _INTENT), "w") as f:
+        json.dump({"parts": ["None"]}, f)  # legacy encoding, no "v"
+    assert pending_refresh(mv) == []  # torn: every partition suspect
+    assert heal_mv(spark, ev, spec, mv) == ["<all>"]
+    got = {
+        (r["p_key"], r["event_type"]): r["total_value"]
+        for r in read_mv(spark, spec, mv).collect()
+    }
+    assert got == {(None, "click"): 1.0, ("alpha", "view"): 2.0}

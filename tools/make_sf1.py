@@ -51,18 +51,18 @@ def _replicate(df: DataFrame, r: int, offsets: dict[str, int]) -> DataFrame:
     return df
 
 
-def main(replicas: int = 10, out: str | None = None) -> None:
+def main(replicas: int = 10, out_dir: str | None = None) -> None:
     """replicas=10 → the sf1 fixture; any other N writes
     /root/repo/.tmp/sf{N/10:g} (e.g. 100 → .tmp/sf10, VERDICT r8 next
     #4's second scaling decade). Same deterministic key-offset
-    construction at every N."""
-    global OUT
-    if out is not None:
-        OUT = out
-    elif replicas != 10:
-        OUT = f"/root/repo/.tmp/sf{replicas / 10:g}"
+    construction at every N; the destination is a local, so repeated
+    in-process calls stay order-independent (review r9)."""
+    if out_dir is None:
+        out_dir = (
+            OUT if replicas == 10 else f"/root/repo/.tmp/sf{replicas / 10:g}"
+        )
     spark = get_spark("make-sf1", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     cust_off = _maxp1(spark, "customer", "c_custkey")
     supp_off = _maxp1(spark, "supplier", "s_suppkey")
@@ -130,12 +130,12 @@ def main(replicas: int = 10, out: str | None = None) -> None:
         out = reps[0]
         for df in reps[1:]:
             out = out.unionByName(df)
-        dest = os.path.join(OUT, f"{name}.parquet")
+        dest = os.path.join(out_dir, f"{name}.parquet")
         out.write.mode("overwrite").parquet(dest)
         print(f"{name}: {spark.read.parquet(dest).count()} rows -> {dest}")
 
     for name in ("nation", "region"):
-        dest = os.path.join(OUT, f"{name}.parquet")
+        dest = os.path.join(out_dir, f"{name}.parquet")
         load_table(spark, SRC, name).write.mode("overwrite").parquet(dest)
         print(f"{name}: copied")
 

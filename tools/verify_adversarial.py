@@ -27,6 +27,7 @@ def stage(name, fn):
 def main() -> None:
     from batch_processing_etl_orchestration_spark.operators.dedup import (
         df_capped_shingle_split,
+        shingle_df_cap,
     )
     from batch_processing_etl_orchestration_spark.operators.sessionize import (
         sessionize_blocked,
@@ -54,7 +55,7 @@ def main() -> None:
     def cap_stage():
         sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         n_docs = d.count()
-        cap = max(5, -(-n_docs // 100))
+        cap = shingle_df_cap(d).first()["df_cap"]
         hot = sdf.where(F.col("df") > cap)
         mass = hot.agg(
             F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long")
