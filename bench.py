@@ -218,13 +218,10 @@ BENCH_QUERIES = [
 # exemptions (q_dup_clusters pointer jumping, q_dedup_keep_canonical
 # persisted labels) were pruned in r6: BENCH_r05 already times the
 # changed workloads, so the guard now covers them again.
-BASELINE_EXEMPT: set[str] = {
-    # r9: df-capped candidate generation (VERDICT r8 #1) added a df
-    # aggregation + hot-set recombination to the pair join — ~1.3× the
-    # r8-baseline workload. Prune once a BENCH under the capped
-    # workload is the baseline.
-    "q_ngram_containment_pairs",
-}
+BASELINE_EXEMPT: set[str] = set()
+# (r9's q_ngram_containment_pairs exemption — df-capped candidate
+# generation changed the workload — was pruned the same round: the
+# promoted BENCH_LOCAL.json baseline already times the capped shape.)
 # (r7's q_fuzzy_join_names exemption was pruned the same round: the
 # committed BENCH_LOCAL.json baseline is already recorded under the
 # deletion-neighborhood scheme.)
