@@ -644,3 +644,17 @@ def test_dominant_suppliers_prunes_and_broadcasts_parts(spark, sf_dir):
     assert any("l_shipdate" in ln for ln in pushed), pushed
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_df_capped_pair_join_plan_shape(spark, sf_dir):
+    """r9 df-cap (VERDICT r8 #1): the hot-shingle set must BROADCAST
+    into both the cold split (LeftAnti) and the hot-array membership
+    join — its size is corpus-size-independent (≤ Σdf/cap entries) —
+    and the only shuffle joins are the candidate self-join and the
+    candidate-sized recombination joins. No cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "q_ngram_containment_pairs")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row df_cap relation enters via a broadcast nested loop,
+    # never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
