@@ -41,6 +41,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _is_file_vanished(exc: BaseException) -> bool:
+    """True when an exception (or anything in its cause/context chain)
+    is the file-vanished signature of a concurrent segment retract:
+    a path the fold snapshotted was renamed away mid-read. Matches
+    Python's FileNotFoundError and the JVM-side forms PySpark
+    surfaces — AnalysisException [PATH_NOT_FOUND] at plan time, or an
+    executor SparkException wrapping java.io.FileNotFoundException.
+    Used by compact_segments to gate its retry-once: only THIS failure
+    class is the documented benign interleaving (ADVICE r9)."""
+    seen: set[int] = set()
+    while exc is not None and id(exc) not in seen:
+        seen.add(id(exc))
+        if isinstance(exc, FileNotFoundError):
+            return True
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "FileNotFoundException" in msg
+            or "does not exist" in msg
+        ):
+            return True
+        exc = exc.__cause__ or exc.__context__
+    return False
+
+
 def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
@@ -418,12 +443,22 @@ class PostingsIndex:
         — the fold then fails loudly (never corrupts; nothing was
         published). We re-snapshot and retry once: the retracted
         segment is absent from the fresh listing, so the retry folds a
-        consistent view. A second failure propagates — that's a real
-        error, not the known interleaving."""
+        consistent view. The retry is gated to FILE-VANISHED failures
+        only (ADVICE r9: a deterministic error — bad data, OOM, disk
+        full — must not re-run the expensive fold and then mask its
+        own root cause); anything else propagates immediately. A
+        retried fold that fails again re-raises with the FIRST
+        exception chained (`raise ... from`) so the original traceback
+        survives triage."""
         try:
             return self._compact_once(n_files)
-        except Exception:
-            return self._compact_once(n_files)
+        except Exception as first:
+            if not _is_file_vanished(first):
+                raise
+            try:
+                return self._compact_once(n_files)
+            except Exception as second:
+                raise second from first
 
     def _compact_once(self, n_files: int = 16) -> int:
         gen = self._gen()  # one consistent view across all three stores
@@ -458,31 +493,36 @@ class PostingsIndex:
                 merged.write.mode("errorifexists").parquet(
                     os.path.join(out, store)
                 )
+            self._write_meta(out, id_col, meta["text_col"])
+            # Record EXACTLY what this generation folded so a writer
+            # whose rename raced the snapshot above can tell "already
+            # in this base" from "stranded in the retired gen"
+            # (_chase).
+            import json
+
+            with open(os.path.join(out, self._FOLDED), "w") as f:
+                json.dump(
+                    {
+                        "from_gen": os.path.basename(os.path.normpath(gen)),
+                        "segments": [os.path.basename(s) for s in segs],
+                        "tombstones": [
+                            os.path.basename(t) for t in tomb_dirs
+                        ],
+                    },
+                    f,
+                )
         except Exception:
-            # never publish a torn generation; reclaim the partial dir
-            # (a concurrent retract renaming a snapshotted segment away
-            # mid-read lands here — compact_segments retries once)
+            # Never publish a torn generation; reclaim the partial dir.
+            # The cleanup covers EVERYTHING up to (but not including)
+            # _publish — a failure in _write_meta or the _FOLDED
+            # journal write must not leak an unpublished gen-* dir to
+            # the 600s age-based reap (ADVICE r9). A concurrent retract
+            # renaming a snapshotted segment away mid-read lands here
+            # too — compact_segments retries that class once.
             import shutil
 
             shutil.rmtree(out, ignore_errors=True)
             raise
-        self._write_meta(out, id_col, meta["text_col"])
-        # Record EXACTLY what this generation folded so a writer whose
-        # rename raced the snapshot above can tell "already in this
-        # base" from "stranded in the retired gen" (_chase).
-        import json
-
-        with open(os.path.join(out, self._FOLDED), "w") as f:
-            json.dump(
-                {
-                    "from_gen": os.path.basename(os.path.normpath(gen)),
-                    "segments": [os.path.basename(s) for s in segs],
-                    "tombstones": [
-                        os.path.basename(t) for t in tomb_dirs
-                    ],
-                },
-                f,
-            )
         self._publish(gen_name)
         # Post-publish rescue: a writer that RENAMED into the old
         # generation after our snapshot but read the generation

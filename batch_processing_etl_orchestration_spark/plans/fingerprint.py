@@ -1,0 +1,98 @@
+"""Source fingerprints for registered queries (VERDICT r9 next #1).
+
+A driver attestation proves the query CODE that ran, not the query
+NAME — r9 rewired ``q_ngram_containment_pairs`` and
+``q_exact_span_dedup`` and both kept riding their r8 greens because
+the rotation keyed on age alone. The fix: hash each query's source
+(the registered fn, which includes its ``@register(...)`` decorator
+and therefore the oracle SQL, plus the oracle string explicitly and
+one level of direct package callees) and record that hash at the
+round of the query's latest green attestation
+(``plans/fingerprints.json``, written by ``tools/record_fingerprints
+.py`` from the git tree the driver actually tested). A query whose
+CURRENT fingerprint differs from its recorded one sorts with the
+never-attested queries — ahead of the stalest-first green tail — so
+a rewire re-enters the very next driver window.
+
+This module is deliberately STDLIB-ONLY and free of package imports:
+the bootstrap tool loads it by file path inside a subprocess whose
+``sys.path`` points at a historical git tree, so the same algorithm
+fingerprints old code without the current package shadowing the old
+one.
+
+Scope note: the hash covers the query fn's own source, its oracle
+SQL, and functions it references directly (module globals its code
+object names, plus ``from <pkg> import x`` statements in its body).
+A rewire two call levels down (a helper's helper) is NOT traced —
+that residual blind spot is accepted and documented; the sf1 sweep
+remains the backstop for it.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import importlib
+import inspect
+import types
+
+PKG = "batch_processing_etl_orchestration_spark"
+
+
+def _direct_package_callees(fn: types.FunctionType) -> list[types.FunctionType]:
+    """Functions one call level below ``fn`` that live in our package,
+    sorted by qualified name (deterministic hash input). Two discovery
+    routes: (a) module-global names referenced by the fn's code object
+    (including nested lambdas/closures), (b) ``from <pkg>.x import y``
+    statements inside the body — the registered-query idiom for
+    operator helpers, which never land in ``__globals__``."""
+    out: dict[str, types.FunctionType] = {}
+    names: set[str] = set()
+    stack = [fn.__code__]
+    while stack:
+        code = stack.pop()
+        names.update(code.co_names)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    g = getattr(fn, "__globals__", {})
+    cands = [g[n] for n in names if n in g]
+    try:
+        tree = ast.parse(inspect.getsource(fn))
+    except (OSError, SyntaxError, TypeError):
+        tree = None
+    if tree is not None:
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.ImportFrom)
+                and node.module
+                and node.module.startswith(PKG)
+            ):
+                try:
+                    mod = importlib.import_module(node.module)
+                except ImportError:
+                    continue
+                for alias in node.names:
+                    obj = getattr(mod, alias.name, None)
+                    if obj is not None:
+                        cands.append(obj)
+    for obj in cands:
+        if isinstance(obj, types.FunctionType) and getattr(
+            obj, "__module__", ""
+        ).startswith(PKG):
+            out[f"{obj.__module__}.{obj.__qualname__}"] = obj
+    return [out[k] for k in sorted(out)]
+
+
+def query_fingerprint(fn: types.FunctionType, oracle: str | None) -> str:
+    """16-hex-char sha256 over (fn source, oracle SQL, direct package
+    callee sources). Stable across processes and rounds as long as
+    none of those sources change."""
+    parts = [inspect.getsource(fn), oracle or ""]
+    for helper in _direct_package_callees(fn):
+        try:
+            parts.append(inspect.getsource(helper))
+        except (OSError, TypeError):
+            pass  # builtins / C-level callables carry no source
+    digest = hashlib.sha256("\x00".join(parts).encode("utf-8")).hexdigest()
+    return digest[:16]

@@ -258,8 +258,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four DAG branches read the shingle relation (df agg, anti-join
     # probe, hot-set build, sizes) — materialize the explode once
     # instead of re-scanning documents per branch (review r9; same
-    # pattern as minhash_lsh_pairs)
-    sh = _shingles(d, 3).localCheckpoint(eager=True)
+    # pattern as minhash_lsh_pairs). LAZY checkpoint (ADVICE r9):
+    # the block-manager cache still computes the explode once on the
+    # first action, but plan-only callers (explain/plan-shape tests)
+    # pay nothing at construction time.
+    sh = _shingles(d, 3).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     langs = d.select("doc_id", "lang")
     cold, hot_sets = df_capped_shingle_split(sh, d)
@@ -4106,8 +4109,9 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     # materialize the explode once for the four consuming branches
-    # (review r9; same pattern as minhash_lsh_pairs)
-    sh = _shingles(d, 3).localCheckpoint(eager=True)
+    # (review r9; same pattern as minhash_lsh_pairs) — lazy, so plan
+    # construction stays free (ADVICE r9; see q_ngram_jaccard_pairs)
+    sh = _shingles(d, 3).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cold, hot_sets = df_capped_shingle_split(sh, d)
     common = _df_capped_common(cold, hot_sets)
@@ -4158,24 +4162,33 @@ def q_shingle_df_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
-    # 1-row metadata collect (the cap scalar), so the report keeps the
-    # oracle's ungrouped-aggregate shape: exactly ONE row even on a
-    # corpus with zero shingles, where a groupBy over the empty df
-    # table would emit none (review r9).
-    cap = shingle_df_cap(d).first()["df_cap"]
+    # The cap rides as a broadcast 1-row relation on BOTH sides of the
+    # aggregate (never a plan-time .first() collect — ADVICE r9 flagged
+    # the eager fetch: registered fns must stay lazy so plan-only
+    # callers pay nothing). The ungrouped agg emits exactly one row
+    # even on a corpus with zero shingles (review r9), and the trailing
+    # crossJoin re-attaches df_cap to that row — correct even in the
+    # docs-but-no-shingles corner where a per-row cap column would
+    # aggregate to NULL.
+    cap = shingle_df_cap(d)
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    hot_flag = F.col("_df") > F.lit(cap)
-    return sdf.agg(
-        F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
-        F.coalesce(F.sum(F.when(hot_flag, F.col("_df"))), F.lit(0))
-        .cast("long")
-        .alias("n_hot_occurrences"),
-        F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
-    ).select(
-        F.lit(cap).cast("long").alias("df_cap"),
-        "n_hot_shingles",
-        "n_hot_occurrences",
-        "n_cold_shingles",
+    hot_flag = F.col("_df") > F.col("df_cap")
+    return (
+        sdf.crossJoin(F.broadcast(cap))
+        .agg(
+            F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
+            F.coalesce(F.sum(F.when(hot_flag, F.col("_df"))), F.lit(0))
+            .cast("long")
+            .alias("n_hot_occurrences"),
+            F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
+        )
+        .crossJoin(F.broadcast(cap))
+        .select(
+            F.col("df_cap").cast("long").alias("df_cap"),
+            "n_hot_shingles",
+            "n_hot_occurrences",
+            "n_cold_shingles",
+        )
     )
 
 

@@ -90,29 +90,83 @@ def _latest_status() -> dict[str, bool]:
     return {name: green for name, (_, green) in _latest_rows().items()}
 
 
+_fp_cache: dict[str, tuple[int, str]] = {}
+
+
+def current_fingerprint(name: str) -> str:
+    """The query's source fingerprint at HEAD (plans/fingerprint.py),
+    memoized per fn identity — ordered_names() is called repeatedly
+    (all_queries + all_oracle_sql in one driver import) and getsource
+    over 200+ fns is not free."""
+    from batch_processing_etl_orchestration_spark.plans.fingerprint import (
+        query_fingerprint,
+    )
+
+    spec = QUERIES[name]
+    hit = _fp_cache.get(name)
+    if hit is not None and hit[0] == id(spec.fn):
+        return hit[1]
+    fp = query_fingerprint(spec.fn, spec.oracle)
+    _fp_cache[name] = (id(spec.fn), fp)
+    return fp
+
+
+def _recorded_fingerprints() -> dict[str, dict]:
+    """plans/fingerprints.json: per query, the fingerprint of the code
+    its latest GREEN driver attestation actually tested (recorded by
+    tools/record_fingerprints.py from the corresponding git tree).
+    Missing/unreadable file → empty map (every green then counts as
+    changed — conservative: it re-attests)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fingerprints.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    qs = doc.get("queries")
+    return qs if isinstance(qs, dict) else {}
+
+
 def ordered_names() -> list[str]:
     """Registry names ordered for the driver's fixed-size correctness
     window: (1) queries whose LATEST driver row is red — a regression
     or a healed break that must re-attest — then (2) queries never
-    attested at all, then (3) the latest-green tail ordered STALEST
-    FIRST (ascending latest-attestation round, registration order as
-    tiebreak). Stalest-first replaces r5's strided rotation (VERDICT
-    r8 next #5: the stride left 40 queries un-re-proven for 6+
-    rounds): every driver window now re-attests exactly the queries
-    whose proof is oldest, so no query's attestation age can exceed
-    ceil(|catalog| / window) rounds while the window keeps landing —
-    the bound tests/test_registry.py::test_attestation_freshness
-    enforces at HEAD. NOTE: iteration order therefore depends on the
-    CORRECTNESS_r*.json artifacts at the repo root — callers needing
-    a stable order should sort; correctness tests iterate QUERIES
+    attested at all PLUS green queries whose source fingerprint no
+    longer matches the one recorded at their latest green attestation
+    (VERDICT r9 next #1: a green row proves the code that RAN, so a
+    rewired query is as unproven as a new one and must not ride a
+    pre-rewire green), then (3) the latest-green fingerprint-stable
+    tail ordered STALEST FIRST (ascending latest-attestation round,
+    registration order as tiebreak). Stalest-first replaces r5's
+    strided rotation (VERDICT r8 next #5: the stride left 40 queries
+    un-re-proven for 6+ rounds): every driver window re-attests
+    exactly the queries whose proof is oldest, so no query's
+    attestation age can exceed ceil(|catalog| / window) rounds while
+    the window keeps landing — the bound tests/test_registry.py::
+    test_attestation_freshness enforces at HEAD. NOTE: iteration
+    order therefore depends on the CORRECTNESS_r*.json artifacts at
+    the repo root and plans/fingerprints.json — callers needing a
+    stable order should sort; correctness tests iterate QUERIES
     directly, which stays in registration order."""
     rows = _latest_rows()
+    rec = _recorded_fingerprints()
     names = list(QUERIES)
+
+    def _fp_changed(n: str) -> bool:
+        entry = rec.get(n)
+        return (
+            not isinstance(entry, dict)
+            or entry.get("fp") != current_fingerprint(n)
+        )
+
     latest_red = [n for n in names if n in rows and not rows[n][1]]
-    pending = [n for n in names if n not in rows]
+    pending = [
+        n for n in names if n not in rows or (rows[n][1] and _fp_changed(n))
+    ]
     order = {n: i for i, n in enumerate(names)}
     tail = sorted(
-        (n for n in names if n in rows and rows[n][1]),
+        (n for n in names if n in rows and rows[n][1] and not _fp_changed(n)),
         key=lambda n: (rows[n][0], order[n]),
     )
     return latest_red + pending + tail

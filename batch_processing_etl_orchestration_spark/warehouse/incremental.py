@@ -204,7 +204,18 @@ def pending_refresh(mv_path: str) -> list | None:
     try:
         with open(path) as f:
             doc = json.load(f)
-        if doc.get("v") != 2:
+        v = doc.get("v")
+        if isinstance(v, (int, float)) and v > 2:
+            # A FUTURE journal format this code predates. Silently
+            # degrading it to "torn → full rebuild" would hide every
+            # format bump behind an expensive, wrong heal (ADVICE r9)
+            # — fail visibly so the operator upgrades the reader.
+            raise RuntimeError(
+                f"MV intent journal at {path} has version {v}, newer "
+                "than this reader understands (max 2); upgrade before "
+                "healing or reading this MV"
+            )
+        if v != 2:
             # legacy journal (pre-v2 encoded NULL as str(None), which is
             # ambiguous against a partition literally named 'None') —
             # treat as torn: every partition suspect, full heal (safe)

@@ -95,6 +95,80 @@ def test_attestation_freshness():
     assert not never, f"never-attested queries outside the window: {never}"
 
 
+def test_changed_fingerprint_sorts_with_never_attested(tmp_path, monkeypatch):
+    """VERDICT r9 next #1: a green query whose source fingerprint no
+    longer matches the one recorded at its latest green attestation
+    must sort WITH the never-attested queries — ahead of the
+    stalest-first green tail — so a rewire re-enters the very next
+    driver window instead of riding a pre-rewire green for up to 6
+    rounds (the r9 governance gap: q_ngram_containment_pairs and
+    q_exact_span_dedup)."""
+    import json
+
+    names = list(R.QUERIES)
+    assert len(names) >= 4
+    rewired, stale_green, fresh_green, never = (
+        names[0], names[1], names[2], names[3]
+    )
+    green = {"err": None, "rows_match": True, "schema_match": True,
+             "hash_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({rewired: green, stale_green: green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: green for n in names if n not in
+                    (rewired, stale_green, never)})
+    )
+    monkeypatch.setattr(R, "_repo_root", lambda: str(tmp_path))
+    # recorded fingerprints match HEAD for everyone except `rewired`,
+    # whose recorded hash predates a (simulated) source change
+    rec = {n: {"round": 1, "fp": R.current_fingerprint(n)} for n in names}
+    rec[rewired] = {"round": 1, "fp": "0" * 16}
+    monkeypatch.setattr(R, "_recorded_fingerprints", lambda: rec)
+
+    ordered = R.ordered_names()
+    # never-attested and changed-fp lead (registration order), then the
+    # fingerprint-stable green tail stalest-first
+    assert ordered.index(rewired) < ordered.index(stale_green)
+    assert ordered.index(never) < ordered.index(stale_green)
+    assert ordered.index(stale_green) < ordered.index(fresh_green)
+
+
+def test_missing_fingerprint_record_treated_as_changed(monkeypatch):
+    """No recorded fingerprint for a green query → conservative: it
+    re-attests (sorts with never-attested)."""
+    import json
+
+    names = list(R.QUERIES)
+    rows = {n: (1, True) for n in names}
+    monkeypatch.setattr(R, "_latest_rows", lambda: rows)
+    rec = {n: {"round": 1, "fp": R.current_fingerprint(n)} for n in names}
+    del rec[names[-1]]
+    monkeypatch.setattr(R, "_recorded_fingerprints", lambda: rec)
+    assert R.ordered_names()[0] == names[-1]
+
+
+def test_fingerprints_recorded_for_every_green():
+    """Forcing function for the round protocol: every query with a
+    green driver attestation must have a fingerprint recorded AT that
+    attestation's round. Fails the moment a new CORRECTNESS_r*.json
+    lands without re-running the recorder — run
+    `python tools/record_fingerprints.py` at round start (it is
+    incremental and only archives the rounds it needs)."""
+    rows = R._latest_rows()
+    rec = R._recorded_fingerprints()
+    missing = [
+        (n, rnd)
+        for n, (rnd, g) in rows.items()
+        if g and n in R.QUERIES
+        and (not isinstance(rec.get(n), dict) or rec[n].get("round") != rnd)
+    ]
+    assert not missing, (
+        f"stale fingerprint store for {missing[:5]}… — run "
+        "`python tools/record_fingerprints.py`"
+    )
+
+
 def test_oracle_map_subset_of_queries():
     from batch_processing_etl_orchestration_spark.plans.registry import (
         all_oracle_sql,
