@@ -1,0 +1,128 @@
+"""Tokenizer-exact BPE token counting (VERDICT r9 next #2) — the last
+first-class LLM-pipeline operator the catalog lacked: every token
+budget so far (q_token_count_regex, q_pack_sequences,
+q_token_budget_sample, q_chunk_documents) counts whitespace/regex
+tokens, but a training-data pipeline budgets in TOKENIZER tokens and
+whitespace proxies drift 20-40% by language.
+
+Design — the same Python-boundary pattern as the multimodal kernels:
+
+- The merge list is a SMALL COMMITTED CONSTANT (bpe_merges.json,
+  trained deterministically by tools/train_bpe.py — frequency then
+  lexicographic tie-break). At 100 TB a real tokenizer's merges table
+  is ~100k rows ≈ a few MB: it rides to executors as a task-closure
+  broadcast exactly like this one; nothing here scales with data.
+- Encoding is classic Sennrich BPE: a word starts as its character
+  sequence and each merge, in learned priority order, rewrites all
+  its adjacent occurrences LEFT-TO-RIGHT, exhaustively, before the
+  next merge applies. Merges never cross word boundaries.
+- ``bpe_token_counts`` is an Arrow-batched ``mapInPandas`` kernel
+  (never a row-at-a-time UDF): per executor it memoizes word →
+  token-count in a dict, so the Zipf head of the vocabulary is
+  encoded once per task, not once per occurrence.
+
+The DuckDB oracle replays the SAME algorithm in SQL (northstar.py):
+tokens render as ``(tok)(tok)...`` strings and each merge step is one
+``replace('(a)(b)','(ab)')`` — SQL ``replace`` rewrites non-
+overlapping occurrences left-to-right, exactly the BPE merge rule —
+inside a recursive CTE over merge priority. Character-level identity
+between the two engines is what q_bpe_token_count's hash attests.
+
+Reference analog: none (BASELINE.json north-star LLM-data-pipeline
+contract; the reference ETL has no tokenizer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_MERGES_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bpe_merges.json"
+)
+
+
+def load_merges() -> list[tuple[str, str]]:
+    """The committed, deterministic merge list in priority order."""
+    with open(_MERGES_FILE) as f:
+        doc = json.load(f)
+    return [tuple(m) for m in doc["merges"]]
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sennrich-style BPE segmentation of one word: apply each merge
+    in priority order, exhaustively, scanning left to right. Lossless:
+    ''.join(result) == word (pinned in tests/test_bpe.py)."""
+    toks = list(word)
+    for a, b in merges:
+        if len(toks) < 2:
+            break
+        out = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(id, ws_tokens, bpe_tokens) per document — whitespace token
+    count beside the tokenizer-exact count, Arrow-batched. The merge
+    list rides in the task closure (a broadcast in cluster terms); the
+    per-task word→count memo makes the cost proportional to DISTINCT
+    words per task, not total tokens."""
+    merge_list = load_merges() if merges is None else merges
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def count(word: str) -> int:
+            hit = memo.get(word)
+            if hit is None:
+                hit = memo[word] = len(encode_word(word, merge_list))
+            return hit
+
+        for pdf in batches:
+            ws = []
+            bpe = []
+            for text in pdf[text_col].to_numpy():
+                words = str(text).split(" ") if text is not None else []
+                words = [w for w in words if w]
+                ws.append(len(words))
+                bpe.append(sum(count(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ws_tokens": pd.Series(ws, dtype="int64"),
+                    "bpe_tokens": pd.Series(bpe, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} BIGINT, ws_tokens BIGINT, bpe_tokens BIGINT"
+    )
+
+
+def merges_sql_values() -> str:
+    """The merge list as a SQL VALUES body ``(pri, a, b), ...`` for
+    the recursive-CTE oracle replay."""
+    return ", ".join(
+        f"({i + 1}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(load_merges())
+    )

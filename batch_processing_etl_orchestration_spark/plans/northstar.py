@@ -1836,7 +1836,7 @@ _PACK_SCHEMA = (
 )
 
 
-def _next_fit_bins(d: DataFrame) -> DataFrame:
+def _next_fit_bins(d: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
     """Shared next-fit packing walk over (doc_id, packer, n_tokens):
     one hash shuffle on packer, an in-partition sort, then a streaming
     `mapInPandas` pass. Rows for a packer arrive contiguous and
@@ -1844,7 +1844,8 @@ def _next_fit_bins(d: DataFrame) -> DataFrame:
     (bin_idx, bin_fill, n_docs, total_tokens, first_doc_id) across
     batch boundaries and emits a bin the moment it closes — no group
     is ever materialized whole, so a packer group larger than executor
-    memory still streams. Used by q_pack_sequences and the
+    memory still streams. Used by q_pack_sequences (whitespace-token
+    budget), q_pack_sequences_bpe (tokenizer-token budget), and the
     corpus-assembly pipeline."""
 
     def walk(batches):
@@ -1867,7 +1868,7 @@ def _next_fit_bins(d: DataFrame) -> DataFrame:
                         closed.append((packer, bin_idx, n_docs, total, first))
                     packer, bin_idx = p, 0
                     bin_fill, n_docs, total, first = nt, 1, nt, did
-                elif bin_fill + nt > _PACK_BUDGET:  # close bin, open next
+                elif bin_fill + nt > budget:  # close bin, open next
                     closed.append((packer, bin_idx, n_docs, total, first))
                     bin_idx += 1
                     bin_fill, n_docs, total, first = nt, 1, nt, did
@@ -4448,4 +4449,361 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-exact (BPE) token counting — VERDICT r9 next #2, the last
+# first-class LLM-pipeline operator the catalog lacked: every earlier
+# token budget (q_token_count_regex, q_pack_sequences,
+# q_token_budget_sample, q_chunk_documents) counts whitespace/regex
+# tokens, a proxy that drifts 20-40% by language. The merge list is a
+# committed deterministic constant (functions/bpe_merges.json, trained
+# by tools/train_bpe.py); the oracle replays the EXACT merge algorithm
+# in SQL — tokens render as "(tok)(tok)" strings and each merge step
+# is one replace('(a)(b)','(ab)') inside a recursive CTE (SQL replace
+# rewrites non-overlapping occurrences left-to-right, which IS the BPE
+# merge rule), so the hash check attests token-level identity between
+# the Arrow kernel and an independent engine.
+# ---------------------------------------------------------------------------
+
+from batch_processing_etl_orchestration_spark.functions.bpe import (  # noqa: E402
+    load_merges as _bpe_load_merges,
+    merges_sql_values as _bpe_merges_sql_values,
+)
+
+_BPE_N_MERGES = len(_bpe_load_merges())
+
+# Shared oracle stages: unique words -> character tokens -> one merge
+# per recursion step -> per-word BPE token count -> per-doc sums.
+# bpe_counts/bpe_per_doc (and the pack walk's toks) are MATERIALIZED:
+# q_pack_sequences_bpe's recursive next-fit walk joins toks every
+# iteration, and without materialization DuckDB re-evaluates the whole
+# BPE chain (explode + enc recursion + join) per iteration — ~6k
+# iterations x 0.5 s hung the sf1 check (the CROSS_PRODUCT/re-inline
+# planner hazard class; see the _SQL_DF_CAP note).
+_SQL_BPE_PER_DOC = f"""
+    merges(pri, a, b) AS (VALUES {_bpe_merges_sql_values()}),
+    bpe_words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    bpe_vocab AS (SELECT DISTINCT w FROM bpe_words WHERE w <> ''),
+    bpe_enc AS (
+      SELECT 0 AS pri, w, regexp_replace(w, '(.)', '(\\1)', 'g') AS toks
+      FROM bpe_vocab
+      UNION ALL
+      SELECT m.pri, e.w,
+             replace(e.toks, '(' || m.a || ')(' || m.b || ')',
+                     '(' || m.a || m.b || ')')
+      FROM bpe_enc e JOIN merges m ON m.pri = e.pri + 1
+    ),
+    bpe_counts AS MATERIALIZED (
+      SELECT w,
+             CAST(length(toks) - length(replace(toks, '(', '')) AS BIGINT)
+               AS n_bpe
+      FROM bpe_enc WHERE pri = {_BPE_N_MERGES}
+    ),
+    bpe_per_doc AS MATERIALIZED (
+      SELECT wo.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+             CAST(SUM(c.n_bpe) AS BIGINT) AS bpe_tokens
+      FROM bpe_words wo JOIN bpe_counts c ON c.w = wo.w
+      GROUP BY 1
+    )
+"""
+
+
+@register(
+    "q_bpe_token_count",
+    oracle="WITH RECURSIVE "
+    + _SQL_BPE_PER_DOC
+    + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(p.bpe_tokens) AS BIGINT) AS bpe_tokens
+    FROM documents d JOIN bpe_per_doc p USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-exact corpus token budget by source: per source, doc
+    count and BOTH token counts — whitespace (the proxy every earlier
+    budget used) and BPE (what a training run actually pays) — so the
+    proxy's drift is a first-class, hash-attested number.
+
+    Encoding is Sennrich BPE over the committed deterministic merge
+    list (functions/bpe.py): per word, character tokens, then each
+    merge in priority order rewrites left-to-right exhaustively.
+    The oracle replays the same walk in a recursive CTE, so the
+    attestation is token-level cross-engine identity, not just
+    plausible totals.
+
+    Scale: the merge table is a broadcast constant (a real tokenizer's
+    ~100k merges ≈ a few MB — same posture); the Arrow kernel memoizes
+    word→count per task so cost tracks DISTINCT words per task (Zipf
+    head encodes once); the only shuffle is the final per-source
+    aggregate over |docs| rows. Reference analog: none (north-star
+    LLM-pipeline brief)."""
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(d)
+    return (
+        counts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+    )
+
+
+_PACK_BUDGET_BPE = 640  # BPE tokens per bin
+
+
+@register(
+    "q_pack_sequences_bpe",
+    oracle="WITH RECURSIVE "
+    + _SQL_BPE_PER_DOC
+    + f""",
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             doc_id % {_N_PACKERS} AS packer,
+             bpe_tokens AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % {_N_PACKERS}
+                                ORDER BY doc_id) AS rn
+      FROM bpe_per_doc
+    ),
+    walk(packer, rn, doc_id, n_tokens, bin_idx, bin_fill) AS (
+      SELECT packer, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.packer, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.bin_fill + t.n_tokens > {_PACK_BUDGET_BPE}
+                  THEN w.bin_idx + 1 ELSE w.bin_idx END,
+             CASE WHEN w.bin_fill + t.n_tokens > {_PACK_BUDGET_BPE}
+                  THEN t.n_tokens ELSE w.bin_fill + t.n_tokens END
+      FROM walk w
+      JOIN toks t ON t.packer = w.packer AND t.rn = w.rn + 1
+    )
+    SELECT packer, bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM walk GROUP BY 1, 2
+    """,
+    tags=("text", "packing", "tokenizer", "bpe"),
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pack_sequences with the budget in TOKENIZER tokens: next-fit
+    packing of documents into {_PACK_BUDGET_BPE}-BPE-token training
+    bins. This is the form a real pipeline runs — a whitespace budget
+    under-fills or overflows the context window by exactly the
+    proxy drift q_bpe_token_count attests — while the walk itself
+    (one shuffle on packer, streaming mapInPandas, O(1) state) is the
+    identical scale shape already proven for the whitespace variant.
+
+    The BPE counts come from the same Arrow kernel as
+    q_bpe_token_count; the oracle chains the recursive merge replay
+    into the recursive next-fit walk, so one hash covers tokenizer
+    identity AND packing identity."""
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(d).select(
+        "doc_id",
+        (F.col("doc_id") % _N_PACKERS).alias("packer"),
+        F.col("bpe_tokens").alias("n_tokens"),
+    )
+    return _next_fit_bins(counts, budget=_PACK_BUDGET_BPE)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-shape attestation (VERDICT r9 next #6): the two skew
+# shapes tools/make_adversarial.py generates — corpus-wide boilerplate
+# and a one-user hot-entity — injected INLINE as pure deterministic
+# transforms of the sf_dir tables, so the DRIVER hash-checks the
+# capped-candidate math and the skew-block bound every rotation, at
+# whatever sf it runs, with no dependence on an out-of-repo fixture
+# dir. The constants come from fixtures.py (single definition shared
+# with the generator and tests/test_adversarial.py).
+# ---------------------------------------------------------------------------
+
+from batch_processing_etl_orchestration_spark.fixtures import (  # noqa: E402
+    ADVERSARIAL_BOILER,
+    ADVERSARIAL_BOILER_PCT,
+    ADVERSARIAL_HOT_EVENT_MOD,
+)
+
+
+@register(
+    "q_adversarial_skew_report",
+    oracle=f"""
+    WITH adocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 100 < {ADVERSARIAL_BOILER_PCT}
+                  THEN text || ' {ADVERSARIAL_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM adocs
+    ),
+    grams AS (
+      SELECT doc_id,
+             word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+               AS shingle,
+             lead(word, 2) OVER w AS _tail
+      FROM words
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM grams WHERE _tail IS NOT NULL
+    ),
+    dfc AS (
+      SELECT GREATEST({DF_CAP_MIN},
+                      CAST(CEIL(COUNT(*) * {DF_CAP_FRAC}) AS BIGINT))
+               AS df_cap
+      FROM adocs
+    ),
+    sdf AS MATERIALIZED (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM shingles GROUP BY 1
+    ),
+    doc_side AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE df > (SELECT df_cap FROM dfc))
+                  AS BIGINT) AS n_hot_shingles,
+             CAST(COUNT(*) FILTER (WHERE df <= (SELECT df_cap FROM dfc))
+                  AS BIGINT) AS n_cold_shingles,
+             CAST(COALESCE(SUM(df * (df - 1) // 2), 0) AS BIGINT)
+               AS uncapped_pair_mass,
+             CAST(COALESCE(SUM(df * (df - 1) // 2) FILTER (
+                  WHERE df <= (SELECT df_cap FROM dfc)), 0) AS BIGINT)
+               AS capped_pair_mass
+      FROM sdf
+    ),
+    hotu AS (SELECT MIN(user_id) AS hot_user FROM events),
+    ev2 AS (
+      SELECT CASE WHEN event_id % {ADVERSARIAL_HOT_EVENT_MOD} = 0
+                  THEN (SELECT hot_user FROM hotu)
+                  ELSE user_id END AS user_id,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    blocks AS (
+      SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev2 GROUP BY 1, 2
+    ),
+    ev_side AS (
+      SELECT CAST(COALESCE(SUM(n) FILTER (
+                  WHERE user_id = (SELECT hot_user FROM hotu)), 0)
+                  AS BIGINT) AS hot_user_rows,
+             CAST(MAX(n) AS BIGINT) AS widest_block_rows
+      FROM blocks
+    )
+    SELECT (SELECT df_cap FROM dfc) AS df_cap,
+           d.n_hot_shingles, d.n_cold_shingles,
+           d.uncapped_pair_mass, d.capped_pair_mass,
+           e.hot_user_rows, e.widest_block_rows
+    FROM doc_side d, ev_side e
+    """,
+    tags=("dedup", "adversarial", "profile"),
+)
+def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row attestation of the engine's two skew defenses against
+    ADVERSARIAL-BY-CONSTRUCTION inputs, built inline from the sf_dir
+    tables (same deterministic transforms as tools/make_adversarial.py
+    via fixtures.py):
+
+    - Boilerplate corpus: a fixed paragraph in {ADVERSARIAL_BOILER_PCT}%
+      of documents. `uncapped_pair_mass` = Σ df·(df−1)/2 over shingles
+      is EXACTLY the candidate-pair count a raw self-join would emit —
+      quadratic in corpus size through the hot keys (SCALE.md measured
+      15.76M → 1.575B at 10× docs) — while `capped_pair_mass` (df ≤
+      cap terms only) is what the df-capped join actually emits,
+      bounded by cap·|cold rows| (linear). Both are cheap aggregates
+      over the df table: the attestation PRICES the avoided join
+      without running it.
+    - Hot entity: {100 // ADVERSARIAL_HOT_EVENT_MOD}% of events on one
+      user. `widest_block_rows` is the largest (user, day) task the
+      blocked sessionizer would see vs `hot_user_rows` on that user —
+      the bound that keeps one executor from receiving the whole hot
+      partition (a window partition is one task; AQE cannot split it).
+
+    Scale: shingle explode + one df groupBy (the pair queries' own
+    stage), one events groupBy on (user, day); the caps/hot-user
+    scalars ride as broadcast 1-row relations, never a collect."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        shingle_df_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    boilered = F.col("doc_id") % 100 < ADVERSARIAL_BOILER_PCT
+    adocs = d.select(
+        "doc_id",
+        F.when(boilered, F.concat("text", F.lit(" " + ADVERSARIAL_BOILER)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cap = shingle_df_cap(adocs)
+    sdf = _shingles(adocs, 3).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    hot_flag = F.col("_df") > F.col("df_cap")
+    pair_mass = F.expr("_df * (_df - 1) DIV 2")
+    doc_side = (
+        sdf.crossJoin(F.broadcast(cap))
+        .agg(
+            F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
+            F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
+            F.coalesce(F.sum(pair_mass), F.lit(0))
+            .cast("long")
+            .alias("uncapped_pair_mass"),
+            F.coalesce(F.sum(F.when(~hot_flag, pair_mass)), F.lit(0))
+            .cast("long")
+            .alias("capped_pair_mass"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hotu = ev.agg(F.min("user_id").alias("hot_user"))
+    ev2 = ev.crossJoin(F.broadcast(hotu)).select(
+        F.when(
+            F.col("event_id") % ADVERSARIAL_HOT_EVENT_MOD == 0,
+            F.col("hot_user"),
+        )
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.to_date("ts").alias("day"),
+    )
+    blocks = ev2.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    ev_side = blocks.crossJoin(F.broadcast(hotu)).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") == F.col("hot_user"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("hot_user_rows"),
+        F.max("n").cast("long").alias("widest_block_rows"),
+    )
+    return (
+        doc_side.crossJoin(ev_side)
+        .crossJoin(F.broadcast(cap))
+        .select(
+            F.col("df_cap").cast("long").alias("df_cap"),
+            "n_hot_shingles",
+            "n_cold_shingles",
+            "uncapped_pair_mass",
+            "capped_pair_mass",
+            "hot_user_rows",
+            "widest_block_rows",
+        )
     )

@@ -210,6 +210,11 @@ BENCH_QUERIES = [
     "q_dominant_suppliers",
     # r9: df-cap attestation row for the capped shingle pair joins
     "q_shingle_df_cap_report",
+    # r10: tokenizer-exact BPE counting + BPE-budget packing (VERDICT
+    # r9 #2), inline adversarial-shape attestation (r9 #6)
+    "q_bpe_token_count",
+    "q_pack_sequences_bpe",
+    "q_adversarial_skew_report",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
@@ -227,33 +232,44 @@ BASELINE_EXEMPT: set[str] = set()
 # deletion-neighborhood scheme.)
 
 
-def _baseline(sf: float) -> tuple[dict[str, float], float | None]:
-    """(per-query seconds, calibration-probe seconds or None) from the
-    newest committed BENCH artifact whose sf matches. The committed
-    BENCH_LOCAL.json (full result written by the previous round's
-    bench run) is preferred as newest — the driver's BENCH_r*.json
-    tail-capture can truncate the queries dict (r6 landed parsed=null)
-    while the local file always carries the complete object. Falls
-    back to the newest parseable BENCH_r*.json ({"parsed": {...}}
-    driver shape); rounds before r6 predate the probe and return None
-    for it."""
+def _baseline(sf: float) -> tuple[
+    dict[str, float], float | None, float | None, dict[str, int]
+]:
+    """(per-query seconds, scan-probe seconds, shuffle-probe seconds,
+    per-query output row counts) from the newest committed BENCH
+    artifact whose sf matches; absent fields → None / {}. The
+    committed BENCH_LOCAL.json (full result written by the previous
+    round's bench run) is preferred as newest — the driver's
+    BENCH_r*.json tail-capture can truncate the queries dict (r6
+    landed parsed=null) while the local file always carries the
+    complete object. Falls back to the newest parseable BENCH_r*.json
+    ({"parsed": {...}} driver shape); rounds before r6 predate the
+    probes and rounds before r10 predate the shuffle probe and row
+    counts."""
     import glob
     import re
+
+    def _unpack(rec):
+        p = rec.get("probe_sec")
+        ps = rec.get("probe_shuffle_sec")
+        rows = rec.get("rows")
+        return (
+            rec["queries"],
+            float(p) if isinstance(p, (int, float)) and p > 0 else None,
+            float(ps) if isinstance(ps, (int, float)) and ps > 0 else None,
+            rows if isinstance(rows, dict) else {},
+        )
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
             rec = json.load(f)
         if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
-            p = rec.get("probe_sec")
-            return rec["queries"], (
-                float(p) if isinstance(p, (int, float)) and p > 0 else None
-            )
+            return _unpack(rec)
     except (OSError, ValueError):
         pass
 
-    best: dict[str, float] = {}
-    best_probe: float | None = None
+    best: tuple = ({}, None, None, {})
     best_round = -1
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -266,10 +282,8 @@ def _baseline(sf: float) -> tuple[dict[str, float], float | None]:
             continue
         parsed = rec.get("parsed") or {}
         if rec.get("sf") == sf and isinstance(parsed.get("queries"), dict):
-            best, best_round = parsed["queries"], int(m.group(1))
-            p = parsed.get("probe_sec")
-            best_probe = float(p) if isinstance(p, (int, float)) and p > 0 else None
-    return best, best_probe
+            best, best_round = _unpack(parsed), int(m.group(1))
+    return best
 
 
 def _calibration_probe(spark) -> float:
@@ -290,6 +304,38 @@ def _calibration_probe(spark) -> float:
         spark.range(0, 200_000_000, 1, 32).agg(
             F.sum(F.xxhash64("id"))
         ).collect()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 4)
+
+
+def _calibration_probe_shuffle(spark) -> float:
+    """Second fixed-work probe, SHUFFLE-shaped (VERDICT r9 next #4):
+    a pinned-size groupBy over generated strings (20M rows → 1M
+    distinct keys, 32 splits) that exercises hash-shuffle write/read,
+    string hashing, and hash aggregation — the stage mix most headline
+    queries actually spend their time in, which the scan-shaped
+    xxhash64 probe does not touch. r9 showed the failure mode of a
+    single probe shape: the scan probe moved 8% faster while the mixed
+    workload stayed flat, so every probe-calibrated comparison read
+    ~1.10x "slower" uniformly. With both shapes the guard flags a
+    query only when it regresses under the MORE generous calibration
+    (see main) — a real plan regression is probe-independent, while
+    probe/workload divergence moves one shape but not both.
+    Best-of-3 discards transient scheduler noise."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(F.concat(F.lit("k"), F.col("id") % 1_000_000).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
         times.append(time.perf_counter() - t0)
     return round(min(times), 4)
 
@@ -316,6 +362,7 @@ def main() -> None:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     probe_sec = _calibration_probe(spark)
+    probe_shuffle_sec = _calibration_probe_shuffle(spark)
 
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -328,6 +375,20 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
+
+    # Row-count pass (VERDICT r9 next #3): an UNTIMED .count() per
+    # headline query, recorded beside the wall times and guarded
+    # against the baseline. Row counts at a fixed sf are deterministic
+    # (test_determinism.py), so ANY delta is a correctness regression
+    # — the class bench was blind to until now (the r8 pathGlobFilter
+    # bug silently drained 9 streams empty with rc=0, caught only by
+    # the next sf1 oracle sweep). Separate pass so the timed numbers
+    # keep measuring the plan's own write-bound execution, not a
+    # count's pruned twin.
+    row_counts: dict[str, int] = {}
+    for name in per_query:
+        fn = QUERIES[name].fn if name in QUERIES else KERNEL_BENCH[name]
+        row_counts[name] = fn(spark, sf_dir).count()
 
     # Regression guard (VERDICT r2 #7): fail if any query runs >1.5x its
     # newest committed same-sf baseline AFTER normalizing for machine-
@@ -345,19 +406,32 @@ def main() -> None:
     # including them would inflate the median and loosen the guard for
     # everyone). The +0.75s absolute slack keeps sub-second queries
     # from flaking on scheduler noise.
-    baseline, base_probe = _baseline(sf)
+    baseline, base_probe, base_probe_shuffle, base_rows = _baseline(sf)
+    # Two probe shapes, one rule (VERDICT r9 next #4): calibrate by
+    # the MORE generous of the two probe ratios. A genuine plan
+    # regression slows the query without moving either probe, so it
+    # exceeds the threshold under both; a probe/workload divergence
+    # (r9: the scan probe alone sped up 8%) moves one shape only and
+    # no longer taints every comparison. Baselines recorded before r10
+    # carry no shuffle probe — the scan ratio then stands alone, as
+    # before.
+    ratios = []
     if base_probe:
-        med = probe_sec / base_probe
-        how = f"probe x{med:.2f}"
+        ratios.append(probe_sec / base_probe)
+    if base_probe_shuffle:
+        ratios.append(probe_shuffle_sec / base_probe_shuffle)
+    if ratios:
+        med = max(ratios)
+        how = "probe x" + "/".join(f"{r:.2f}" for r in ratios)
     else:
-        ratios = sorted(
+        env = sorted(
             t / baseline[name]
             for name, t in per_query.items()
             if name in baseline
             and name not in BASELINE_EXEMPT
             and baseline[name] > 0
         )
-        med = ratios[len(ratios) // 2] if ratios else 1.0
+        med = env[len(env) // 2] if env else 1.0
         how = f"env median x{med:.2f}"
     calib = max(1.0, med)  # a faster machine must not loosen the guard
 
@@ -388,8 +462,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             per_query[name] = min(per_query[name], round(time.perf_counter() - t0, 3))
-        retry_probe = _calibration_probe(spark)
-        calib = max(calib, med * retry_probe / probe_sec)
+        scale = max(
+            _calibration_probe(spark) / probe_sec,
+            _calibration_probe_shuffle(spark) / probe_shuffle_sec,
+        )
+        calib = max(calib, med * scale)
 
     total = round(sum(per_query.values()), 3)
     result = {
@@ -397,8 +474,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "rows": row_counts,
         "sf": sf,
         "probe_sec": probe_sec,
+        "probe_shuffle_sec": probe_shuffle_sec,
     }
     print(json.dumps(result))
     # The driver archives only a tail window of this output, and the
@@ -429,6 +508,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "probe_sec": probe_sec,
+                "probe_shuffle_sec": probe_shuffle_sec,
                 "n_queries": len(per_query),
                 "queries_file": "BENCH_LOCAL.json",
             }
@@ -440,8 +520,27 @@ def main() -> None:
         for name in suspects
         if _over(name, per_query[name])
     ]
-    if regressions:
-        print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
+    # Row-count guard (VERDICT r9 next #3): counts at a fixed sf are
+    # deterministic, so a single row of drift vs the baseline is a
+    # correctness regression — fail hard, never promote. No calibration
+    # and no slack: this is an equality check, not a timing.
+    row_regressions = [
+        f"{name}: {row_counts[name]} rows vs baseline {base_rows[name]}"
+        for name in row_counts
+        if name in base_rows
+        and name not in BASELINE_EXEMPT
+        and row_counts[name] != base_rows[name]
+    ]
+    if regressions or row_regressions:
+        if regressions:
+            print(
+                "BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr
+            )
+        if row_regressions:
+            print(
+                "BENCH ROW-COUNT REGRESSION: " + "; ".join(row_regressions),
+                file=sys.stderr,
+            )
         sys.exit(1)
     # Guard passed: promote this run's full result to the committed
     # baseline file (atomic rename — a crash mid-promote leaves the

@@ -1,0 +1,94 @@
+"""Tokenizer-exact BPE counting (VERDICT r9 next #2): segmentation is
+lossless, deterministic, matches an independent replay of the SQL
+oracle's string-rewrite semantics, and the Arrow kernel agrees with a
+pure-Python walk over real fixture docs."""
+
+from __future__ import annotations
+
+import duckdb
+
+from batch_processing_etl_orchestration_spark.functions.bpe import (
+    bpe_token_counts,
+    encode_word,
+    load_merges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fixture_words() -> list[str]:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM read_parquet('{SF}/documents.parquet*') ORDER BY 1"""
+    ).fetchall()
+    return [r[0] for r in rows if r[0]]
+
+
+def test_merges_committed_and_wellformed():
+    merges = load_merges()
+    assert len(merges) >= 16
+    assert all(
+        isinstance(a, str) and isinstance(b, str) and a and b
+        for a, b in merges
+    )
+    # delimiters of the SQL replay must never appear inside tokens
+    assert all("(" not in a + b and ")" not in a + b for a, b in merges)
+
+
+def test_encode_lossless_on_fixture_vocab():
+    merges = load_merges()
+    for w in _fixture_words():
+        toks = encode_word(w, merges)
+        assert "".join(toks) == w
+        assert all(toks)
+
+
+def test_encode_matches_sql_replace_semantics():
+    """The oracle applies each merge as one SQL replace over a
+    '(tok)(tok)' rendering — non-overlapping, left-to-right. Replay
+    that EXACT semantics with str.replace and require token-level
+    identity with encode_word, on fixture words plus adversarial
+    repeats (overlapping-pair cases like 'aaaa')."""
+    merges = load_merges()
+    words = _fixture_words() + ["aaaa", "ababab", "zz", "q"]
+    for w in words:
+        s = "".join(f"({c})" for c in w)
+        for a, b in merges:
+            s = s.replace(f"({a})({b})", f"({a}{b})")
+        sql_toks = s[1:-1].split(")(") if s else []
+        assert sql_toks == encode_word(w, merges), w
+
+
+def test_greedy_left_to_right():
+    # one merge (a,a): 'aaa' -> ['aa','a'], 'aaaa' -> ['aa','aa']
+    merges = [("a", "a")]
+    assert encode_word("aaa", merges) == ["aa", "a"]
+    assert encode_word("aaaa", merges) == ["aa", "aa"]
+    # priority order matters: (a,b) before (b,c) consumes the b
+    assert encode_word("abc", [("a", "b"), ("b", "c")]) == ["ab", "c"]
+    assert encode_word("abc", [("b", "c"), ("a", "b")]) == ["a", "bc"]
+
+
+def test_kernel_matches_pure_python(spark):
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    merges = load_merges()
+    d = load_table(spark, SF, "documents")
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in bpe_token_counts(d).collect()
+    }
+    memo: dict[str, int] = {}
+    for row in d.select("doc_id", "text").collect():
+        words = [w for w in (row["text"] or "").split(" ") if w]
+        want_bpe = 0
+        for w in words:
+            if w not in memo:
+                memo[w] = len(encode_word(w, merges))
+            want_bpe += memo[w]
+        assert got[row["doc_id"]] == (len(words), want_bpe)
+    assert len(got) == d.count()
+    # the tokenizer budget must differ from the whitespace proxy
+    # somewhere, or the operator attests nothing
+    assert any(ws != bpe for ws, bpe in got.values())

@@ -32,6 +32,16 @@ HEAVY = [
     "q_profile_events",
     "q_sessionize_skew_safe",
     "q_fuzzy_join_names",
+    # r10 (VERDICT r9 next #5): the streaming drains. Micro-batch
+    # COUNT is pinned by each scenario (6 range files / fixed CDC
+    # batches), so a decade step multiplies rows-per-batch by 10 —
+    # the scaling axis a streaming job actually faces. Their "warm"
+    # run re-executes the full drain (each scenario resets its own
+    # run dir), so warm≈cold here; the ratio still carries the
+    # signal.
+    "q_stream_incremental_mv",
+    "q_stream_merge_upserts",
+    "q_stream_sessionize_capped",
 ]
 
 SF1 = "/root/repo/.tmp/sf1"

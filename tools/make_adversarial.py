@@ -30,12 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-BOILER = (
-    "subscribe to our newsletter for weekly updates and exclusive offers "
-    "delivered straight to your inbox today"
+from batch_processing_etl_orchestration_spark.fixtures import (
+    ADVERSARIAL_BOILER as BOILER,
+    ADVERSARIAL_BOILER_PCT as BOILER_PCT,
+    ADVERSARIAL_HOT_EVENT_MOD as HOT_EVENT_MOD,
 )
-BOILER_PCT = 30  # doc_id % 100 < BOILER_PCT gets the paragraph
-HOT_EVENT_MOD = 2  # event_id % HOT_EVENT_MOD == 0 → hot user (50%)
+
+# Constants live in the package (fixtures.py) so the registered
+# attestation query q_adversarial_skew_report and this generator can
+# never drift apart; the local names keep this module's CLI/test
+# surface unchanged.
 
 
 def build(spark, src: str, out: str) -> dict:

@@ -1,0 +1,107 @@
+"""Train the repo's deterministic BPE merge list (VERDICT r9 next #2)
+and write it to batch_processing_etl_orchestration_spark/functions/
+bpe_merges.json (committed — the encoder and every oracle replay read
+the same constant).
+
+Classic Sennrich-style training over the sf0.001 documents fixture:
+words are whitespace tokens (the corpus alphabet is [a-z0-9 ],
+asserted below), each word starts as a character sequence, and each
+step merges the adjacent pair with the highest corpus frequency
+(weighted by word frequency), tie-broken LEXICOGRAPHICALLY on the
+pair — no hash order, no randomness, so retraining on the same
+fixture reproduces the identical list. Training stops at N_MERGES or
+when no pair occurs twice.
+
+Run once; rerun only if the driver regenerates testdata with a new
+word distribution (the committed JSON records the corpus it was
+trained on).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter
+
+import duckdb
+
+N_MERGES = 48
+CORPUS = "/root/testdata/sf0.001/documents.parquet"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "batch_processing_etl_orchestration_spark", "functions",
+    "bpe_merges.json",
+)
+
+
+def train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    words: dict[tuple[str, ...], int] = {
+        tuple(w): f for w, f in word_freq.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for toks, f in words.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += f
+        if not pairs:
+            break
+        # highest frequency, then lexicographically smallest pair —
+        # a total order, so training is reproducible
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for toks, f in words.items():
+            out = []
+            i = 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == best[0]
+                    and toks[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        words = nxt
+    return merges
+
+
+def main() -> None:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT w, CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM read_parquet('{CORPUS}*')
+            ) GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    word_freq = {w: int(f) for w, f in rows if w}
+    assert all(re.fullmatch(r"[a-z0-9]+", w) for w in word_freq), (
+        "corpus words must be [a-z0-9]+ — the SQL oracle replay uses "
+        "( ) as token delimiters"
+    )
+    merges = train(word_freq, N_MERGES)
+    with open(OUT, "w") as f:
+        json.dump(
+            {
+                "v": 1,
+                "trained_on": CORPUS,
+                "n_words": len(word_freq),
+                "merges": [list(m) for m in merges],
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(f"wrote {len(merges)} merges over {len(word_freq)} words to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
