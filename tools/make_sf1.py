@@ -51,6 +51,28 @@ def _replicate(df: DataFrame, r: int, offsets: dict[str, int]) -> DataFrame:
     return df
 
 
+def doc_transform(df: DataFrame, r: int) -> DataFrame:
+    """Replica-r document texts: suffix every 3rd word with a replica
+    token so no 3-word shingle window survives across replicas —
+    cross-replica Jaccard ≈ 0 and near-dup density stays CONSTANT as
+    replicas grow (module-level so tools/bench_sf100.py builds its
+    docs-only third decade with the identical construction)."""
+    if r == 0:
+        return df
+    return df.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(
+                    i % 3 == 2, F.concat(w, F.lit(f"z{r}"))
+                ).otherwise(w),
+            ),
+            " ",
+        ),
+    ).withColumn("n_chars", F.length("text"))
+
+
 def main(replicas: int = 10, out_dir: str | None = None) -> None:
     """replicas=10 → the sf1 fixture; any other N writes
     /root/repo/.tmp/sf{N/10:g} (e.g. 100 → .tmp/sf10, VERDICT r8 next
@@ -83,24 +105,6 @@ def main(replicas: int = 10, out_dir: str | None = None) -> None:
                 df = transform(df, r)
             reps.append(df)
         plans[name] = reps
-
-    def doc_transform(df: DataFrame, r: int) -> DataFrame:
-        if r == 0:
-            return df
-        # suffix every 3rd word with a replica token: no 3-word window
-        # survives across replicas, so cross-replica Jaccard ≈ 0
-        return df.withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda w, i: F.when(
-                        i % 3 == 2, F.concat(w, F.lit(f"z{r}"))
-                    ).otherwise(w),
-                ),
-                " ",
-            ),
-        ).withColumn("n_chars", F.length("text"))
 
     def cust_transform(df: DataFrame, r: int) -> DataFrame:
         # Keep c_name consistent with the offset key: a real 10×
