@@ -232,7 +232,7 @@ BASELINE_EXEMPT: set[str] = set()
 # deletion-neighborhood scheme.)
 
 
-def _baseline(sf: float) -> tuple[
+def _baseline(sf: float, here: str | None = None) -> tuple[
     dict[str, float], float | None, float | None, dict[str, int]
 ]:
     """(per-query seconds, scan-probe seconds, shuffle-probe seconds,
@@ -260,7 +260,8 @@ def _baseline(sf: float) -> tuple[
             rows if isinstance(rows, dict) else {},
         )
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
             rec = json.load(f)
@@ -284,6 +285,27 @@ def _baseline(sf: float) -> tuple[
         if rec.get("sf") == sf and isinstance(parsed.get("queries"), dict):
             best, best_round = _unpack(parsed), int(m.group(1))
     return best
+
+
+def _row_regressions(
+    row_counts: dict[str, int],
+    base_rows: dict[str, int],
+    exempt: set[str],
+) -> list[str]:
+    """Row-count guard core (VERDICT r9 next #3), pure so tests can pin
+    it: counts at a fixed sf are deterministic (test_determinism.py),
+    so a single row of drift vs the baseline is a correctness
+    regression. Equality check — no calibration, no slack. Queries
+    absent from the baseline (new this round) and BASELINE_EXEMPT
+    (workload changed) are skipped; they enter the baseline on the
+    next guarded promotion."""
+    return [
+        f"{name}: {row_counts[name]} rows vs baseline {base_rows[name]}"
+        for name in row_counts
+        if name in base_rows
+        and name not in exempt
+        and row_counts[name] != base_rows[name]
+    ]
 
 
 def _calibration_probe(spark) -> float:
@@ -520,17 +542,8 @@ def main() -> None:
         for name in suspects
         if _over(name, per_query[name])
     ]
-    # Row-count guard (VERDICT r9 next #3): counts at a fixed sf are
-    # deterministic, so a single row of drift vs the baseline is a
-    # correctness regression — fail hard, never promote. No calibration
-    # and no slack: this is an equality check, not a timing.
-    row_regressions = [
-        f"{name}: {row_counts[name]} rows vs baseline {base_rows[name]}"
-        for name in row_counts
-        if name in base_rows
-        and name not in BASELINE_EXEMPT
-        and row_counts[name] != base_rows[name]
-    ]
+    # Row-count guard (VERDICT r9 next #3): fail hard, never promote.
+    row_regressions = _row_regressions(row_counts, base_rows, BASELINE_EXEMPT)
     if regressions or row_regressions:
         if regressions:
             print(

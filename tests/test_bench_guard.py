@@ -1,0 +1,62 @@
+"""Pins for bench.py's guard plumbing (no Spark session needed):
+the row-count guard (VERDICT r9 next #3), the two-probe baseline
+unpacking (r9 next #4), and the committed baseline's integrity —
+a BENCH_LOCAL.json without rows/probes would silently disarm both
+guards for a round."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_row_regression_detects_any_delta():
+    base = {"q_a": 10, "q_b": 0, "q_c": 7}
+    assert bench._row_regressions({"q_a": 10, "q_b": 0}, base, set()) == []
+    hits = bench._row_regressions({"q_a": 9, "q_b": 1}, base, set())
+    assert len(hits) == 2 and any("q_a" in h for h in hits)
+    # exemption and new-query (absent from baseline) skips
+    assert bench._row_regressions({"q_a": 9}, base, {"q_a"}) == []
+    assert bench._row_regressions({"q_new": 5}, base, set()) == []
+
+
+def test_baseline_unpacks_rows_and_both_probes(tmp_path):
+    rec = {
+        "sf": 0.1,
+        "queries": {"q_a": 1.0},
+        "rows": {"q_a": 42},
+        "probe_sec": 0.1,
+        "probe_shuffle_sec": 1.5,
+    }
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(rec))
+    q, p, ps, rows = bench._baseline(0.1, here=str(tmp_path))
+    assert q == {"q_a": 1.0} and p == 0.1 and ps == 1.5 and rows == {"q_a": 42}
+    # sf mismatch → empty baseline (an sf0.01 run must not be guarded
+    # against the sf0.1 record)
+    q, p, ps, rows = bench._baseline(0.01, here=str(tmp_path))
+    assert q == {} and p is None and ps is None and rows == {}
+    # pre-r10 baseline (no rows / shuffle probe) → guards disarm
+    # gracefully instead of erroring
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q_a": 1.0}, "probe_sec": 0.1})
+    )
+    q, p, ps, rows = bench._baseline(0.1, here=str(tmp_path))
+    assert q == {"q_a": 1.0} and p == 0.1 and ps is None and rows == {}
+
+
+def test_committed_baseline_carries_rows_and_probes():
+    """The promoted BENCH_LOCAL.json must keep the guard armed: every
+    headline query timed AND counted, both probes present."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+        rec = json.load(f)
+    if rec.get("sf") != 0.1:
+        return  # an iteration run at another sf never promotes (guarded)
+    assert rec.get("probe_sec", 0) > 0
+    assert rec.get("probe_shuffle_sec", 0) > 0
+    assert set(rec.get("rows", {})) == set(rec["queries"])
