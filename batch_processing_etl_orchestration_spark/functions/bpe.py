@@ -79,12 +79,17 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     merges: list[tuple[str, str]] | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, ws_tokens, bpe_tokens) per document — whitespace token
-    count beside the tokenizer-exact count, Arrow-batched. The merge
-    list rides in the task closure (a broadcast in cluster terms); the
-    per-task word→count memo makes the cost proportional to DISTINCT
-    words per task, not total tokens."""
+    """(id, *passthrough, ws_tokens, bpe_tokens) per document —
+    whitespace token count beside the tokenizer-exact count,
+    Arrow-batched. The merge list rides in the task closure (a
+    broadcast in cluster terms); the per-task word→count memo makes
+    the cost proportional to DISTINCT words per task, not total
+    tokens. ``passthrough`` carries string-typed grouping columns
+    (e.g. ``source``) through the kernel so callers aggregate WITHOUT
+    a join-back to the table — one scan, no extra shuffle (review
+    r10)."""
     merge_list = load_merges() if merges is None else merges
 
     def kernel(batches: Iterator) -> Iterator:
@@ -106,16 +111,17 @@ def bpe_token_counts(
                 words = [w for w in words if w]
                 ws.append(len(words))
                 bpe.append(sum(count(w) for w in words))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "ws_tokens": pd.Series(ws, dtype="int64"),
-                    "bpe_tokens": pd.Series(bpe, dtype="int64"),
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for col in passthrough:
+                out[col] = pdf[col]
+            out["ws_tokens"] = pd.Series(ws, dtype="int64")
+            out["bpe_tokens"] = pd.Series(bpe, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(
-        kernel, f"{id_col} BIGINT, ws_tokens BIGINT, bpe_tokens BIGINT"
+    extra = "".join(f", {c} STRING" for c in passthrough)
+    return docs.select(id_col, *passthrough, text_col).mapInPandas(
+        kernel,
+        f"{id_col} BIGINT{extra}, ws_tokens BIGINT, bpe_tokens BIGINT",
     )
 
 

@@ -55,12 +55,14 @@ def _is_file_vanished(exc: BaseException) -> bool:
         seen.add(id(exc))
         if isinstance(exc, FileNotFoundError):
             return True
+        # Exactly two JVM signatures and no broader substring (review
+        # r10: "does not exist" also matches deterministic
+        # misconfiguration errors): PATH_NOT_FOUND is Spark 4's
+        # plan-time error class for a vanished path, and
+        # java.io.FileNotFoundException is the executor-side mid-read
+        # form. Both are what a concurrent retract produces.
         msg = str(exc)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "FileNotFoundException" in msg
-            or "does not exist" in msg
-        ):
+        if "PATH_NOT_FOUND" in msg or "FileNotFoundException" in msg:
             return True
         exc = exc.__cause__ or exc.__context__
     return False

@@ -39,14 +39,20 @@ import types
 PKG = "batch_processing_etl_orchestration_spark"
 
 
-def _direct_package_callees(fn: types.FunctionType) -> list[types.FunctionType]:
-    """Functions one call level below ``fn`` that live in our package,
-    sorted by qualified name (deterministic hash input). Two discovery
-    routes: (a) module-global names referenced by the fn's code object
-    (including nested lambdas/closures), (b) ``from <pkg>.x import y``
-    statements inside the body — the registered-query idiom for
-    operator helpers, which never land in ``__globals__``."""
-    out: dict[str, types.FunctionType] = {}
+def _direct_package_callees(fn: types.FunctionType) -> list:
+    """Functions AND classes one call level below ``fn`` that live in
+    our package, sorted by qualified name (deterministic hash input).
+    Classes matter as much as functions (review r10): registered
+    queries instantiate operator classes directly (PostingsIndex,
+    IvfIndex, VersionedTable, ...), and a method rewire must drift the
+    query's fingerprint exactly like a helper-function rewire —
+    ``inspect.getsource`` of the class covers every method. Two
+    discovery routes: (a) module-global names referenced by the fn's
+    code object (including nested lambdas/closures), (b) ``from
+    <pkg>.x import y`` statements inside the body — the
+    registered-query idiom for operator helpers, which never land in
+    ``__globals__``."""
+    out: dict[str, object] = {}
     names: set[str] = set()
     stack = [fn.__code__]
     while stack:
@@ -77,7 +83,7 @@ def _direct_package_callees(fn: types.FunctionType) -> list[types.FunctionType]:
                     if obj is not None:
                         cands.append(obj)
     for obj in cands:
-        if isinstance(obj, types.FunctionType) and getattr(
+        if isinstance(obj, (types.FunctionType, type)) and getattr(
             obj, "__module__", ""
         ).startswith(PKG):
             out[f"{obj.__module__}.{obj.__qualname__}"] = obj

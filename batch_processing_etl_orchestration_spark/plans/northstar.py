@@ -95,12 +95,18 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     return shingle_sets(d, n)
 
 
-_SQL_SHINGLES = """
-    WITH words AS (
+def _sql_shingles_body(doc_table: str = "documents") -> str:
+    """The word-3-gram shingle CTE chain over ``doc_table`` (any
+    relation with doc_id + text). ONE definition for every consumer —
+    the pair queries' oracles AND the adversarial attestation's
+    boilerplate-injected corpus (review r10: a second verbatim copy
+    would let the attested shingle semantics silently drift from the
+    queries it prices)."""
+    return f"""words AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS word
-      FROM documents
+      FROM {doc_table}
     ),
     grams AS (
       SELECT doc_id,
@@ -116,6 +122,9 @@ _SQL_SHINGLES = """
 """
 
 
+_SQL_SHINGLES = "\n    WITH " + _sql_shingles_body()
+
+
 from batch_processing_etl_orchestration_spark.operators.dedup import (  # noqa: E402
     DF_CAP_FRAC,
     DF_CAP_MIN,
@@ -126,16 +135,25 @@ from batch_processing_etl_orchestration_spark.operators.dedup import (  # noqa: 
 # (262 s → 4.5 s at sf1; see memory duckdb-oracle-planner-hazards).
 # The cap constants interpolate from operators/dedup so the Spark
 # split and every oracle move together (review r9).
-_SQL_DF_CAP = f""",
+
+
+def _sql_dfc_sdf(doc_table: str = "documents") -> str:
+    """The df-cap scalar + shingle-df CTEs over ``doc_table`` — the
+    shared prefix of _SQL_DF_CAP, parameterized for the adversarial
+    attestation (review r10: one definition of the cap formula)."""
+    return f""",
     dfc AS (
       SELECT GREATEST({DF_CAP_MIN},
                       CAST(CEIL(COUNT(*) * {DF_CAP_FRAC}) AS BIGINT))
                AS df_cap
-      FROM documents
+      FROM {doc_table}
     ),
     sdf AS MATERIALIZED (
       SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1
-    ),
+    )"""
+
+
+_SQL_DF_CAP = _sql_dfc_sdf() + """,
     hot AS MATERIALIZED (SELECT shingle FROM sdf, dfc WHERE df > df_cap),
     cold AS MATERIALIZED (
       SELECT s.doc_id, s.shingle FROM shingles s
@@ -4520,9 +4538,9 @@ _SQL_BPE_PER_DOC = f"""
     + """
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(p.ws_tokens) AS BIGINT) AS ws_tokens,
-           CAST(SUM(p.bpe_tokens) AS BIGINT) AS bpe_tokens
-    FROM documents d JOIN bpe_per_doc p USING (doc_id)
+           CAST(SUM(COALESCE(p.ws_tokens, 0)) AS BIGINT) AS ws_tokens,
+           CAST(SUM(COALESCE(p.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens
+    FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
     GROUP BY 1
     """,
     tags=("text", "tokenizer", "bpe"),
@@ -4551,15 +4569,13 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    counts = bpe_token_counts(d)
-    return (
-        counts.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
-            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
-        )
+    # source rides THROUGH the kernel: one scan, no join-back shuffle
+    # (review r10) — the aggregate is the plan's only exchange
+    counts = bpe_token_counts(d, passthrough=("source",))
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
     )
 
 
@@ -4572,12 +4588,12 @@ _PACK_BUDGET_BPE = 640  # BPE tokens per bin
     + _SQL_BPE_PER_DOC
     + f""",
     toks AS MATERIALIZED (
-      SELECT doc_id,
-             doc_id % {_N_PACKERS} AS packer,
-             bpe_tokens AS n_tokens,
-             row_number() OVER (PARTITION BY doc_id % {_N_PACKERS}
-                                ORDER BY doc_id) AS rn
-      FROM bpe_per_doc
+      SELECT d.doc_id,
+             d.doc_id % {_N_PACKERS} AS packer,
+             COALESCE(p.bpe_tokens, 0) AS n_tokens,
+             row_number() OVER (PARTITION BY d.doc_id % {_N_PACKERS}
+                                ORDER BY d.doc_id) AS rn
+      FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
     ),
     walk(packer, rn, doc_id, n_tokens, bin_idx, bin_fill) AS (
       SELECT packer, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -4653,32 +4669,8 @@ from batch_processing_etl_orchestration_spark.fixtures import (  # noqa: E402
                   ELSE text END AS text
       FROM documents
     ),
-    words AS (
-      SELECT doc_id,
-             generate_subscripts(string_split(text, ' '), 1) AS pos,
-             unnest(string_split(text, ' ')) AS word
-      FROM adocs
-    ),
-    grams AS (
-      SELECT doc_id,
-             word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
-               AS shingle,
-             lead(word, 2) OVER w AS _tail
-      FROM words
-      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id, shingle FROM grams WHERE _tail IS NOT NULL
-    ),
-    dfc AS (
-      SELECT GREATEST({DF_CAP_MIN},
-                      CAST(CEIL(COUNT(*) * {DF_CAP_FRAC}) AS BIGINT))
-               AS df_cap
-      FROM adocs
-    ),
-    sdf AS MATERIALIZED (
-      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM shingles GROUP BY 1
-    ),
+    {_sql_shingles_body("adocs")}
+    {_sql_dfc_sdf("adocs")},
     doc_side AS (
       SELECT CAST(COUNT(*) FILTER (WHERE df > (SELECT df_cap FROM dfc))
                   AS BIGINT) AS n_hot_shingles,

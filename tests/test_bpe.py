@@ -70,6 +70,32 @@ def test_greedy_left_to_right():
     assert encode_word("abc", [("b", "c"), ("a", "b")]) == ["a", "bc"]
 
 
+def test_kernel_zero_token_docs(spark):
+    """Empty/NULL/whitespace-only texts count as (0, 0) and are never
+    dropped — the oracle mirrors this with LEFT JOIN + COALESCE, so a
+    regenerated corpus containing an empty doc cannot flip the
+    attestation (review r10)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, " "), (4, "the fast")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in bpe_token_counts(df).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[4][0] == 2 and got[4][1] >= 2
+
+
+def test_kernel_passthrough_source(spark):
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    out = bpe_token_counts(d, passthrough=("source",))
+    assert out.columns == ["doc_id", "source", "ws_tokens", "bpe_tokens"]
+    assert out.where("source IS NULL").count() == 0
+
+
 def test_kernel_matches_pure_python(spark):
     from batch_processing_etl_orchestration_spark.tables import load_table
 

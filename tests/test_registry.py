@@ -11,11 +11,29 @@ from batch_processing_etl_orchestration_spark.plans import registry as R
 
 def test_latest_red_then_pending_lead():
     status = R._latest_status()
+    rec = R._recorded_fingerprints()
     names = R.ordered_names()
+
+    def changed(n: str) -> bool:
+        e = rec.get(n)
+        return not isinstance(e, dict) or e.get("fp") != R.current_fingerprint(n)
+
+    # "pending" = never attested OR green-with-drifted-fingerprint
+    # (r10: a green row only proves the code that ran)
     n_red = sum(1 for n in names if status.get(n) is False)
-    n_pending = sum(1 for n in names if n not in status)
+    n_pending = sum(
+        1 for n in names if n not in status or (status[n] and changed(n))
+    )
     assert all(status.get(n) is False for n in names[:n_red])
-    assert all(n not in status for n in names[n_red : n_red + n_pending])
+    assert all(
+        n not in status or (status[n] and changed(n))
+        for n in names[n_red : n_red + n_pending]
+    )
+    # the fingerprint-stable green tail follows
+    assert all(
+        status.get(n) is True and not changed(n)
+        for n in names[n_red + n_pending :]
+    )
     assert set(names) == set(R.QUERIES)
 
 
