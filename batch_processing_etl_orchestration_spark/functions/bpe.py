@@ -132,3 +132,78 @@ def merges_sql_values() -> str:
         f"({i + 1}, '{a}', '{b}')"
         for i, (a, b) in enumerate(load_merges())
     )
+
+
+VOCAB_BASE = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def vocab() -> dict[str, int]:
+    """token surface → id: the 36 base characters (ids 0–35, fixed
+    order — the corpus alphabet is [a-z0-9], asserted at training),
+    then each merge's product in priority order. Two merges CAN
+    produce the same surface (('a','bc') and ('ab','c') → 'abc'); the
+    first occurrence keeps its id, matching the SQL VALUES rendering
+    below, so both engines map surfaces identically."""
+    v: dict[str, int] = {c: i for i, c in enumerate(VOCAB_BASE)}
+    for a, b in load_merges():
+        tok = a + b
+        if tok not in v:
+            v[tok] = len(v)
+    return v
+
+
+def vocab_sql_values() -> str:
+    """The vocab as a SQL VALUES body ``(token, token_id), ...``."""
+    return ", ".join(f"('{t}', {i})" for t, i in vocab().items())
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, word_pos, tok_pos, token_id) — the actual token-id stream
+    a training run would consume, one row per BPE token (positions
+    1-based to match SQL generate_subscripts). Same Arrow/memo pattern
+    as bpe_token_counts; the memo caches each word's ID LIST. Callers
+    sample docs BEFORE this kernel (the sample predicate pushes to the
+    scan); the kernel itself is a pure per-row flatMap."""
+    merge_list = load_merges()
+    voc = vocab()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+
+        def ids(word: str) -> list[int]:
+            hit = memo.get(word)
+            if hit is None:
+                hit = memo[word] = [
+                    voc.get(t, -1) for t in encode_word(word, merge_list)
+                ]
+            return hit
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(
+                pdf[id_col].to_numpy(), pdf[text_col].to_numpy()
+            ):
+                words = str(text).split(" ") if text is not None else []
+                wpos = 0
+                for w in words:
+                    wpos += 1  # 1-based over ALL split positions
+                    if not w:
+                        continue
+                    for tpos, tid in enumerate(ids(w), start=1):
+                        rows.append((int(did), wpos, tpos, tid))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "word_pos", "tok_pos", "token_id"],
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} BIGINT, word_pos BIGINT, tok_pos BIGINT, token_id BIGINT",
+    )

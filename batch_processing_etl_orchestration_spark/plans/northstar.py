@@ -4488,6 +4488,7 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 from batch_processing_etl_orchestration_spark.functions.bpe import (  # noqa: E402
     load_merges as _bpe_load_merges,
     merges_sql_values as _bpe_merges_sql_values,
+    vocab_sql_values as _bpe_vocab_sql_values,
 )
 
 _BPE_N_MERGES = len(_bpe_load_merges())
@@ -4799,3 +4800,77 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "widest_block_rows",
         )
     )
+
+
+_BPE_SAMPLE_MOD = 97  # deterministic ~1% doc sample for the id stream
+
+
+@register(
+    "q_bpe_encode_ids",
+    oracle=f"""
+    WITH RECURSIVE merges(pri, a, b) AS (VALUES {_bpe_merges_sql_values()}),
+    vocab(token, token_id) AS (VALUES {_bpe_vocab_sql_values()}),
+    sdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_BPE_SAMPLE_MOD} = 0
+    ),
+    swords AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS word_pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM sdocs
+    ),
+    svocab AS (SELECT DISTINCT w FROM swords WHERE w <> ''),
+    enc AS (
+      SELECT 0 AS pri, w, regexp_replace(w, '(.)', '(\\1)', 'g') AS toks
+      FROM svocab
+      UNION ALL
+      SELECT m.pri, e.w,
+             replace(e.toks, '(' || m.a || ')(' || m.b || ')',
+                     '(' || m.a || m.b || ')')
+      FROM enc e JOIN merges m ON m.pri = e.pri + 1
+    ),
+    toklists AS MATERIALIZED (
+      SELECT w,
+             string_split(substr(toks, 2, length(toks) - 2), ')(') AS toks
+      FROM enc WHERE pri = {_BPE_N_MERGES}
+    ),
+    exploded AS (
+      SELECT wo.doc_id, wo.word_pos,
+             generate_subscripts(t.toks, 1) AS tok_pos,
+             unnest(t.toks) AS tok
+      FROM swords wo JOIN toklists t ON t.w = wo.w
+    )
+    SELECT e.doc_id,
+           CAST(e.word_pos AS BIGINT) AS word_pos,
+           CAST(e.tok_pos AS BIGINT) AS tok_pos,
+           CAST(v.token_id AS BIGINT) AS token_id
+    FROM exploded e JOIN vocab v ON v.token = e.tok
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-ID stream itself, attested id-by-id: a deterministic
+    ~1% doc sample (doc_id % {_BPE_SAMPLE_MOD} == 0) encoded to
+    (doc_id, word_pos, tok_pos, token_id) rows — what a training run
+    actually consumes after packing. Completes the tokenizer
+    attestation ladder: counts (q_bpe_token_count) → budgets
+    (q_pack_sequences_bpe) → the ids themselves. The vocab is a pure
+    function of the committed merge list (36 base chars, then merge
+    products in priority order, first surface occurrence wins); the
+    oracle rebuilds it as a VALUES table and splits the replayed
+    "(tok)(tok)" strings back into per-position tokens, so a single
+    id off by one position anywhere in the sample flips the hash.
+
+    Scale: the sample predicate pushes to the parquet scan; the
+    kernel is a stateless flatMap with a per-task word→ids memo; no
+    shuffle at all (the output needs no aggregation). At 100 TB the
+    same kernel IS the production tokenize step — this query is the
+    attestation-sized twin."""
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_encode_ids,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _BPE_SAMPLE_MOD == 0
+    )
+    return bpe_encode_ids(d)

@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "q_bpe_token_count",
     "q_pack_sequences_bpe",
     "q_adversarial_skew_report",
+    "q_bpe_encode_ids",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

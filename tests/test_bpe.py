@@ -70,6 +70,47 @@ def test_greedy_left_to_right():
     assert encode_word("abc", [("b", "c"), ("a", "b")]) == ["a", "bc"]
 
 
+def test_vocab_mapping_deterministic_and_covering():
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        VOCAB_BASE,
+        encode_word,
+        vocab,
+    )
+
+    v = vocab()
+    # base chars fixed ids; merges appended in priority order,
+    # first-surface-occurrence wins (both engines must agree)
+    assert all(v[c] == i for i, c in enumerate(VOCAB_BASE))
+    assert len(set(v.values())) == len(v)
+    merges = load_merges()
+    for w in _fixture_words():
+        for t in encode_word(w, merges):
+            assert t in v, t  # every emitted token has an id
+
+
+def test_encode_ids_positions(spark):
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_encode_ids,
+        vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the fast"), (97, ""), (194, None)],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        (r["doc_id"], r["word_pos"], r["tok_pos"], r["token_id"])
+        for r in bpe_encode_ids(df).collect()
+    )
+    v = vocab()
+    merges = load_merges()
+    want = []
+    for wpos, w in ((1, "the"), (2, "fast")):
+        for tpos, t in enumerate(encode_word(w, merges), start=1):
+            want.append((0, wpos, tpos, v[t]))
+    assert rows == sorted(want)  # empty/NULL docs emit nothing
+
+
 def test_kernel_zero_token_docs(spark):
     """Empty/NULL/whitespace-only texts count as (0, 0) and are never
     dropped — the oracle mirrors this with LEFT JOIN + COALESCE, so a

@@ -658,3 +658,53 @@ def test_df_capped_pair_join_plan_shape(spark, sf_dir):
     # the 1-row df_cap relation enters via a broadcast nested loop,
     # never a shuffle
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical NODES of a type in explain('formatted') output —
+    each node prints twice (tree line + '(N) Op' detail header), so
+    substring counts double-count; the detail header is unambiguous."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_bpe_token_count_single_exchange(spark, sf_dir):
+    """r10 (review): source rides THROUGH the Arrow kernel, so the
+    plan has exactly one scan of documents, no join of any kind, and
+    the per-source aggregate's shuffle is the only exchange."""
+    plan = _plan(spark, sf_dir, "q_bpe_token_count")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_pack_sequences_bpe_one_shuffle(spark, sf_dir):
+    """The BPE-budget packing walk keeps the whitespace variant's
+    scale shape: one hash exchange on packer feeding the streaming
+    mapInPandas walk — the BPE kernel adds NO shuffle of its own."""
+    plan = _plan(spark, sf_dir, "q_pack_sequences_bpe")
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_adversarial_skew_report_broadcast_scalars(spark, sf_dir):
+    """The cap and hot-user scalars enter as broadcast 1-row
+    relations (BroadcastNestedLoopJoin), never a shuffle join or a
+    plan-time collect; the corpus-sized work is the shingle df groupBy
+    and the (user, day) block groupBy only."""
+    plan = _plan(spark, sf_dir, "q_adversarial_skew_report")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_ids_zero_shuffle(spark, sf_dir):
+    """The sampled token-id stream is a pure flatMap: the sample
+    predicate reaches the scan (PushedFilters) and the plan has no
+    Exchange at all."""
+    plan = _plan(spark, sf_dir, "q_bpe_encode_ids")
+    assert _nodes(plan, "Exchange") == 0
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
