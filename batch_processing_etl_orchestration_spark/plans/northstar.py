@@ -4501,21 +4501,35 @@ _BPE_N_MERGES = len(_bpe_load_merges())
 # BPE chain (explode + enc recursion + join) per iteration — ~6k
 # iterations x 0.5 s hung the sf1 check (the CROSS_PRODUCT/re-inline
 # planner hazard class; see the _SQL_DF_CAP note).
-_SQL_BPE_PER_DOC = f"""
-    merges(pri, a, b) AS (VALUES {_bpe_merges_sql_values()}),
-    bpe_words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-    ),
-    bpe_vocab AS (SELECT DISTINCT w FROM bpe_words WHERE w <> ''),
-    bpe_enc AS (
+_SQL_BPE_MERGES = f"merges(pri, a, b) AS (VALUES {_bpe_merges_sql_values()})"
+
+
+def _sql_bpe_enc(vocab_cte: str, enc_name: str) -> str:
+    """THE merge replay — the cross-engine identity core: per word,
+    character tokens rendered "(c)(c)...", then one recursion step per
+    merge priority, each a single string replace (non-overlapping,
+    left-to-right — exactly the BPE merge rule). ONE definition
+    (review r10): both the per-doc counting chain and the id-stream
+    oracle consume this builder, so an escaping or planner fix can
+    never be applied to one copy and missed in the other."""
+    return f"""{enc_name} AS (
       SELECT 0 AS pri, w, regexp_replace(w, '(.)', '(\\1)', 'g') AS toks
-      FROM bpe_vocab
+      FROM {vocab_cte}
       UNION ALL
       SELECT m.pri, e.w,
              replace(e.toks, '(' || m.a || ')(' || m.b || ')',
                      '(' || m.a || m.b || ')')
-      FROM bpe_enc e JOIN merges m ON m.pri = e.pri + 1
+      FROM {enc_name} e JOIN merges m ON m.pri = e.pri + 1
+    )"""
+
+
+_SQL_BPE_PER_DOC = f"""
+    {_SQL_BPE_MERGES},
+    bpe_words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
+    bpe_vocab AS (SELECT DISTINCT w FROM bpe_words WHERE w <> ''),
+    {_sql_bpe_enc("bpe_vocab", "bpe_enc")},
     bpe_counts AS MATERIALIZED (
       SELECT w,
              CAST(length(toks) - length(replace(toks, '(', '')) AS BIGINT)
@@ -4618,8 +4632,7 @@ _PACK_BUDGET_BPE = 640  # BPE tokens per bin
 )
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_pack_sequences with the budget in TOKENIZER tokens: next-fit
-    packing of documents into {_PACK_BUDGET_BPE}-BPE-token training
-    bins. This is the form a real pipeline runs — a whitespace budget
+    packing of documents into 640-BPE-token training bins. This is the form a real pipeline runs — a whitespace budget
     under-fills or overflows the context window by exactly the
     proxy drift q_bpe_token_count attests — while the walk itself
     (one shuffle on packer, streaming mapInPandas, O(1) state) is the
@@ -4717,8 +4730,7 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (same deterministic transforms as tools/make_adversarial.py
     via fixtures.py):
 
-    - Boilerplate corpus: a fixed paragraph in {ADVERSARIAL_BOILER_PCT}%
-      of documents. `uncapped_pair_mass` = Σ df·(df−1)/2 over shingles
+    - Boilerplate corpus: a fixed paragraph in 30% of documents. `uncapped_pair_mass` = Σ df·(df−1)/2 over shingles
       is EXACTLY the candidate-pair count a raw self-join would emit —
       quadratic in corpus size through the hot keys (SCALE.md measured
       15.76M → 1.575B at 10× docs) — while `capped_pair_mass` (df ≤
@@ -4726,8 +4738,7 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       bounded by cap·|cold rows| (linear). Both are cheap aggregates
       over the df table: the attestation PRICES the avoided join
       without running it.
-    - Hot entity: {100 // ADVERSARIAL_HOT_EVENT_MOD}% of events on one
-      user. `widest_block_rows` is the largest (user, day) task the
+    - Hot entity: 50% of events on one user. `widest_block_rows` is the largest (user, day) task the
       blocked sessionizer would see vs `hot_user_rows` on that user —
       the bound that keeps one executor from receiving the whole hot
       partition (a window partition is one task; AQE cannot split it).
@@ -4808,7 +4819,7 @@ _BPE_SAMPLE_MOD = 97  # deterministic ~1% doc sample for the id stream
 @register(
     "q_bpe_encode_ids",
     oracle=f"""
-    WITH RECURSIVE merges(pri, a, b) AS (VALUES {_bpe_merges_sql_values()}),
+    WITH RECURSIVE {_SQL_BPE_MERGES},
     vocab(token, token_id) AS (VALUES {_bpe_vocab_sql_values()}),
     sdocs AS (
       SELECT doc_id, text FROM documents WHERE doc_id % {_BPE_SAMPLE_MOD} = 0
@@ -4820,15 +4831,7 @@ _BPE_SAMPLE_MOD = 97  # deterministic ~1% doc sample for the id stream
       FROM sdocs
     ),
     svocab AS (SELECT DISTINCT w FROM swords WHERE w <> ''),
-    enc AS (
-      SELECT 0 AS pri, w, regexp_replace(w, '(.)', '(\\1)', 'g') AS toks
-      FROM svocab
-      UNION ALL
-      SELECT m.pri, e.w,
-             replace(e.toks, '(' || m.a || ')(' || m.b || ')',
-                     '(' || m.a || m.b || ')')
-      FROM enc e JOIN merges m ON m.pri = e.pri + 1
-    ),
+    {_sql_bpe_enc("svocab", "enc")},
     toklists AS MATERIALIZED (
       SELECT w,
              string_split(substr(toks, 2, length(toks) - 2), ')(') AS toks
@@ -4843,29 +4846,37 @@ _BPE_SAMPLE_MOD = 97  # deterministic ~1% doc sample for the id stream
     SELECT e.doc_id,
            CAST(e.word_pos AS BIGINT) AS word_pos,
            CAST(e.tok_pos AS BIGINT) AS tok_pos,
-           CAST(v.token_id AS BIGINT) AS token_id
-    FROM exploded e JOIN vocab v ON v.token = e.tok
+           CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+    FROM exploded e LEFT JOIN vocab v ON v.token = e.tok
     """,
     tags=("text", "tokenizer", "bpe"),
 )
 def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The token-ID stream itself, attested id-by-id: a deterministic
-    ~1% doc sample (doc_id % {_BPE_SAMPLE_MOD} == 0) encoded to
-    (doc_id, word_pos, tok_pos, token_id) rows — what a training run
-    actually consumes after packing. Completes the tokenizer
-    attestation ladder: counts (q_bpe_token_count) → budgets
-    (q_pack_sequences_bpe) → the ids themselves. The vocab is a pure
-    function of the committed merge list (36 base chars, then merge
-    products in priority order, first surface occurrence wins); the
-    oracle rebuilds it as a VALUES table and splits the replayed
-    "(tok)(tok)" strings back into per-position tokens, so a single
-    id off by one position anywhere in the sample flips the hash.
+    ~1% doc sample (doc_id % 97 == 0) encoded to (doc_id, word_pos,
+    tok_pos, token_id) rows — what a training run actually consumes
+    after packing. Completes the tokenizer attestation ladder: counts
+    (q_bpe_token_count) → budgets (q_pack_sequences_bpe) → the ids
+    themselves. The vocab is a pure function of the committed merge
+    list (36 base chars, then merge products in priority order, first
+    surface occurrence wins); the oracle rebuilds it as a VALUES table
+    and splits the replayed "(tok)(tok)" strings back into
+    per-position tokens, so a single id off by one position anywhere
+    in the sample flips the hash. An out-of-vocab token (a character
+    outside the trained [a-z0-9] alphabet after a corpus regen) maps
+    to the sentinel id -1 in BOTH engines (kernel fallback; oracle
+    LEFT JOIN + COALESCE), so alphabet drift surfaces as visible -1
+    ids instead of silent cross-engine divergence.
 
-    Scale: the sample predicate pushes to the parquet scan; the
-    kernel is a stateless flatMap with a per-task word→ids memo; no
-    shuffle at all (the output needs no aggregation). At 100 TB the
-    same kernel IS the production tokenize step — this query is the
-    attestation-sized twin."""
+    Scale: a modulo predicate is NOT pushable into a parquet scan
+    (the plan shows it as a post-scan Filter; only IsNotNull pushes),
+    so the sample still reads the (doc_id, text) columns of every row
+    group — at 100 TB a production 1% sample would partition or
+    bucket by a sample key to get scan pruning. Everything after is a
+    stateless flatMap with a per-task word→ids memo; no shuffle at
+    all (the output needs no aggregation). The kernel itself IS the
+    production tokenize step — this query is the attestation-sized
+    twin."""
     from batch_processing_etl_orchestration_spark.functions.bpe import (
         bpe_encode_ids,
     )

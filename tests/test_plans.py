@@ -701,10 +701,16 @@ def test_adversarial_skew_report_broadcast_scalars(spark, sf_dir):
 
 
 def test_bpe_encode_ids_zero_shuffle(spark, sf_dir):
-    """The sampled token-id stream is a pure flatMap: the sample
-    predicate reaches the scan (PushedFilters) and the plan has no
-    Exchange at all."""
+    """The sampled token-id stream is a pure flatMap: no Exchange, no
+    join, one scan. The modulo sample predicate is NOT pushable into
+    parquet (review r10 caught the earlier claim that it was) — assert
+    what is actually true: it applies as a Filter node between the
+    single scan and the kernel, and the scan reads only (doc_id,
+    text)."""
     plan = _plan(spark, sf_dir, "q_bpe_encode_ids")
     assert _nodes(plan, "Exchange") == 0
     assert "Join" not in plan and "CartesianProduct" not in plan
-    assert "PushedFilters: [" in plan
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Filter") == 1 and "% 97" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
