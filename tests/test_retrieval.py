@@ -726,3 +726,32 @@ def test_compact_retries_once_on_vanished_segment(spark, tmp_path):
         for r in idx.postings().where("word = 'hash'").collect()
     }
     assert got == {1, 3}
+
+
+def test_is_file_vanished_gates_retry_classes():
+    """compact_segments' retry gate (ADVICE r9): only the two vanished-
+    file signatures retry — chained causes are walked, deterministic
+    errors are not retried, and cycles in the cause chain terminate."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        _is_file_vanished,
+    )
+
+    assert _is_file_vanished(FileNotFoundError("gone"))
+    assert _is_file_vanished(
+        RuntimeError("[PATH_NOT_FOUND] Path does not exist: /x")
+    )
+    assert _is_file_vanished(
+        Exception("java.io.FileNotFoundException: part-0000.parquet")
+    )
+    # chained cause is walked
+    outer = RuntimeError("fold failed")
+    outer.__cause__ = FileNotFoundError("renamed away")
+    assert _is_file_vanished(outer)
+    # deterministic errors do NOT retry (review r10 narrowed the match:
+    # a bare 'does not exist' misconfiguration message no longer gates)
+    assert not _is_file_vanished(ValueError("schema mismatch"))
+    assert not _is_file_vanished(RuntimeError("Path does not exist: /x"))
+    # a cause-chain cycle terminates
+    a, b = RuntimeError("a"), RuntimeError("b")
+    a.__cause__, b.__cause__ = b, a
+    assert not _is_file_vanished(a)
