@@ -21,11 +21,14 @@ fingerprints old code without the current package shadowing the old
 one.
 
 Scope note: the hash covers the query fn's own source, its oracle
-SQL, and functions it references directly (module globals its code
-object names, plus ``from <pkg> import x`` statements in its body).
-A rewire two call levels down (a helper's helper) is NOT traced —
-that residual blind spot is accepted and documented; the sf1 sweep
-remains the backstop for it.
+SQL, and the TRANSITIVE closure of package callees (VERDICT r10 next
+#2 — v1 stopped one call level down, so a rewire in a helper's helper
+rode an old green; v2 walks ``_direct_package_callees`` recursively
+with a visited set, descending through classes via their methods and
+package bases). Bump ``ALGO_VERSION`` whenever the hash input
+changes — tools/record_fingerprints.py re-records every round's tree
+on a version mismatch so stale-algorithm fingerprints never masquerade
+as drift (or worse, as stability).
 """
 
 from __future__ import annotations
@@ -37,6 +40,10 @@ import inspect
 import types
 
 PKG = "batch_processing_etl_orchestration_spark"
+
+#: Hash-input schema version. v1 = one-level callees; v2 = transitive
+#: callee closure (classes descend through methods and package bases).
+ALGO_VERSION = 2
 
 
 def _direct_package_callees(fn: types.FunctionType) -> list:
@@ -90,12 +97,63 @@ def _direct_package_callees(fn: types.FunctionType) -> list:
     return [out[k] for k in sorted(out)]
 
 
+def _unwrap_method(attr: object) -> types.FunctionType | None:
+    """The plain function behind a class attribute, if any —
+    staticmethod/classmethod wrappers and property getters included."""
+    if isinstance(attr, (staticmethod, classmethod)):
+        attr = attr.__func__
+    elif isinstance(attr, property):
+        attr = attr.fget
+    return attr if isinstance(attr, types.FunctionType) else None
+
+
+def _callees_of(obj: object) -> list:
+    """One level of package callees below ``obj``. Functions reuse
+    ``_direct_package_callees``; classes contribute their package base
+    classes plus the callees of every method (base sources matter:
+    ``inspect.getsource`` of a subclass does NOT include inherited
+    method bodies)."""
+    if isinstance(obj, types.FunctionType):
+        return _direct_package_callees(obj)
+    if isinstance(obj, type):
+        out: dict[str, object] = {}
+        for base in obj.__bases__:
+            if getattr(base, "__module__", "").startswith(PKG):
+                out[f"{base.__module__}.{base.__qualname__}"] = base
+        for attr in vars(obj).values():
+            meth = _unwrap_method(attr)
+            if meth is None:
+                continue
+            for c in _direct_package_callees(meth):
+                out[f"{c.__module__}.{c.__qualname__}"] = c
+        return [out[k] for k in sorted(out)]
+    return []
+
+
+def _transitive_package_callees(fn: types.FunctionType) -> list:
+    """The full cycle-guarded closure of package callees under ``fn``
+    (VERDICT r10 next #2): BFS over ``_callees_of`` with a visited set
+    keyed by qualified name, result sorted for a deterministic hash
+    input. Depth is bounded by the package's call graph (small); the
+    visited set guards mutual recursion."""
+    seen: dict[str, object] = {}
+    frontier = list(_direct_package_callees(fn))
+    while frontier:
+        obj = frontier.pop()
+        key = f"{obj.__module__}.{obj.__qualname__}"
+        if key in seen:
+            continue
+        seen[key] = obj
+        frontier.extend(_callees_of(obj))
+    return [seen[k] for k in sorted(seen)]
+
+
 def query_fingerprint(fn: types.FunctionType, oracle: str | None) -> str:
-    """16-hex-char sha256 over (fn source, oracle SQL, direct package
-    callee sources). Stable across processes and rounds as long as
-    none of those sources change."""
+    """16-hex-char sha256 over (fn source, oracle SQL, transitive
+    package callee-closure sources). Stable across processes and
+    rounds as long as none of those sources change."""
     parts = [inspect.getsource(fn), oracle or ""]
-    for helper in _direct_package_callees(fn):
+    for helper in _transitive_package_callees(fn):
         try:
             parts.append(inspect.getsource(helper))
         except (OSError, TypeError):

@@ -1,0 +1,186 @@
+"""Fingerprint algorithm contract (VERDICT r10 next #2): the hash
+must cover the TRANSITIVE callee closure, so a rewire two call levels
+down (a helper's helper — the r9 incident class, one level deeper)
+drifts the query's fingerprint and re-enters the driver window. v1
+stopped at direct callees and was blind to exactly this."""
+
+from __future__ import annotations
+
+import importlib
+import linecache
+import sys
+import textwrap
+
+import pytest
+
+from batch_processing_etl_orchestration_spark.plans import fingerprint as FP
+from batch_processing_etl_orchestration_spark.plans import registry as R
+
+PKG_SRC = {
+    "__init__.py": "",
+    "deep.py": """
+        def leaf(x):
+            return x + 1
+    """,
+    "mid.py": """
+        from fpdemo_pkg.deep import leaf
+
+        def helper(x):
+            return leaf(x) * 2
+    """,
+    "ops.py": """
+        from fpdemo_pkg.deep import leaf
+
+        class Engine:
+            def run(self, x):
+                return leaf(x) - 1
+    """,
+    "query.py": """
+        from fpdemo_pkg.mid import helper
+        from fpdemo_pkg.ops import Engine
+
+        def q_demo(spark, sf_dir):
+            return helper(1)
+
+        def q_class_demo(spark, sf_dir):
+            return Engine().run(1)
+    """,
+}
+
+
+@pytest.fixture
+def demo_pkg(tmp_path, monkeypatch):
+    pkg = tmp_path / "fpdemo_pkg"
+    pkg.mkdir()
+    for fname, src in PKG_SRC.items():
+        (pkg / fname).write_text(textwrap.dedent(src))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(FP, "PKG", "fpdemo_pkg")
+    yield pkg
+    for mod in list(sys.modules):
+        if mod.startswith("fpdemo_pkg"):
+            del sys.modules[mod]
+    linecache.clearcache()
+
+
+def _fresh_import():
+    for mod in list(sys.modules):
+        if mod.startswith("fpdemo_pkg"):
+            del sys.modules[mod]
+    linecache.clearcache()
+    importlib.invalidate_caches()
+    return importlib.import_module("fpdemo_pkg.query")
+
+
+def _rewire_leaf(pkg):
+    (pkg / "deep.py").write_text(
+        textwrap.dedent(
+            """
+            def leaf(x):
+                return x + 2  # rewired two levels below the query
+            """
+        )
+    )
+
+
+def test_depth2_rewire_drifts_fingerprint(demo_pkg):
+    """q_demo -> helper -> leaf: changing leaf (depth 2) must change
+    q_demo's fingerprint even though q_demo's and helper's own sources
+    are byte-identical before and after."""
+    q = _fresh_import()
+    assert any(
+        o.__qualname__ == "leaf" for o in FP._transitive_package_callees(q.q_demo)
+    ), "closure must reach the depth-2 helper"
+    assert not any(
+        o.__qualname__ == "leaf" for o in FP._direct_package_callees(q.q_demo)
+    ), "precondition: leaf is NOT a direct callee (depth 2 only)"
+    before = FP.query_fingerprint(q.q_demo, "SELECT 1")
+
+    _rewire_leaf(demo_pkg)
+    q2 = _fresh_import()
+    after = FP.query_fingerprint(q2.q_demo, "SELECT 1")
+    assert before != after
+
+
+def test_depth2_rewire_through_class_method(demo_pkg):
+    """q_class_demo -> Engine.run -> leaf: the closure must descend
+    through class METHODS, not just inspect.getsource of the class."""
+    q = _fresh_import()
+    before = FP.query_fingerprint(q.q_class_demo, None)
+    _rewire_leaf(demo_pkg)
+    q2 = _fresh_import()
+    after = FP.query_fingerprint(q2.q_class_demo, None)
+    assert before != after
+
+
+def test_cycle_guarded(demo_pkg):
+    """Mutually recursive helpers must not hang the closure walk."""
+    (demo_pkg / "mid.py").write_text(
+        textwrap.dedent(
+            """
+            from fpdemo_pkg.deep import leaf
+
+            def helper(x):
+                return other(leaf(x))
+
+            def other(x):
+                return helper(x) if x < 0 else x
+            """
+        )
+    )
+    q = _fresh_import()
+    names = {o.__qualname__ for o in FP._transitive_package_callees(q.q_demo)}
+    assert {"helper", "other", "leaf"} <= names
+
+
+def test_depth2_rewire_sorts_query_with_never_attested(
+    demo_pkg, tmp_path, monkeypatch
+):
+    """End-to-end through the registry: a GREEN query whose depth-2
+    helper was rewired after its attestation must sort with the
+    never-attested queries, ahead of the fingerprint-stable tail."""
+    import json
+
+    q = _fresh_import()
+    spec = R.QuerySpec(name="q_fp_demo", fn=q.q_demo, oracle="SELECT 1")
+    monkeypatch.setitem(R.QUERIES, "q_fp_demo", spec)
+    green = {"err": None, "rows_match": True, "schema_match": True,
+             "hash_match": True}
+    stable = next(iter(R.QUERIES))  # a real query, fp recorded at HEAD
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_fp_demo": green, stable: green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({stable: green})
+    )
+    monkeypatch.setattr(R, "_repo_root", lambda: str(tmp_path))
+    rec = {
+        "q_fp_demo": {"round": 1, "fp": R.current_fingerprint("q_fp_demo")},
+        stable: {"round": 2, "fp": R.current_fingerprint(stable)},
+    }
+    monkeypatch.setattr(R, "_recorded_fingerprints", lambda: rec)
+    ordered = R.ordered_names()
+    # pre-rewire: fingerprint-stable, so it sits in the green tail
+    # STALEST first — i.e. ahead of `stable` (round 1 < round 2) but
+    # still in the tail section, not the pending head
+    assert ordered.index("q_fp_demo") < ordered.index(stable)
+
+    _rewire_leaf(demo_pkg)
+    q2 = _fresh_import()
+    monkeypatch.setitem(
+        R.QUERIES, "q_fp_demo",
+        R.QuerySpec(name="q_fp_demo", fn=q2.q_demo, oracle="SELECT 1"),
+    )
+    ordered = R.ordered_names()
+    # post-rewire: drifted-green sorts with the pending (never-attested)
+    # section, ahead of EVERY fingerprint-stable green — despite being
+    # attested more recently than nothing and green at its last row
+    assert ordered.index("q_fp_demo") < ordered.index(stable)
+    rows = R._latest_rows()
+    stable_greens = [
+        n for n in ordered
+        if n != "q_fp_demo" and n in rows and rows[n][1]
+    ]
+    assert all(
+        ordered.index("q_fp_demo") < ordered.index(n) for n in stable_greens
+    )

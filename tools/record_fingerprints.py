@@ -75,15 +75,36 @@ def _tree_fingerprints(sha: str) -> dict[str, str]:
         return json.loads(proc.stdout)
 
 
+def _write_store(recorded: dict, algo: int) -> None:
+    with open(FP_FILE, "w") as f:
+        json.dump(
+            {"v": 1, "algo": algo,
+             "queries": {k: recorded[k] for k in sorted(recorded)}},
+            f, indent=1,
+        )
+        f.write("\n")
+
+
 def main() -> None:
     sys.path.insert(0, REPO)
     from batch_processing_etl_orchestration_spark.plans import registry as R
+    from batch_processing_etl_orchestration_spark.plans.fingerprint import (
+        ALGO_VERSION,
+    )
 
     latest = R._latest_rows()
     try:
         with open(FP_FILE) as f:
-            recorded = json.load(f).get("queries", {})
+            doc = json.load(f)
+        recorded = doc.get("queries", {})
+        stored_algo = doc.get("algo", 1)
     except (OSError, ValueError):
+        recorded, stored_algo = {}, ALGO_VERSION
+    if stored_algo != ALGO_VERSION:
+        # Hash-input schema changed: every stored fp was computed by a
+        # different algorithm and would read as spurious drift (or
+        # spurious stability). Re-fingerprint every attested tree.
+        print(f"algo {stored_algo} -> {ALGO_VERSION}: re-recording all")
         recorded = {}
 
     # rounds whose tree we must fingerprint = latest-GREEN rounds of
@@ -97,13 +118,26 @@ def main() -> None:
             continue
         need.setdefault(rnd, []).append(name)
 
+    failures = 0
     for rnd in sorted(need):
         sha = _round_commit(rnd)
         if sha is None:
             print(f"WARN: no driver commit found for round {rnd}; "
                   f"skipping {len(need[rnd])} queries", file=sys.stderr)
             continue
-        fps = _tree_fingerprints(sha)
+        # One unfingerprintable historical tree must not discard the
+        # fingerprints of every other round in the run (ADVICE r10 #3):
+        # degrade to missing-entry (ordered_names re-attests) and keep
+        # going; the store is flushed after EVERY round below.
+        try:
+            fps = _tree_fingerprints(sha)
+        except (RuntimeError, subprocess.CalledProcessError,
+                ValueError, OSError) as exc:
+            print(f"WARN: round {rnd} ({sha[:8]}) dump failed: {exc}; "
+                  f"leaving {len(need[rnd])} queries unrecorded",
+                  file=sys.stderr)
+            failures += 1
+            continue
         hit = miss = 0
         for name in need[rnd]:
             if name in fps:
@@ -113,14 +147,12 @@ def main() -> None:
                 recorded.pop(name, None)  # absent in attested tree →
                 miss += 1                 # treat as changed (re-attest)
         print(f"round {rnd} ({sha[:8]}): recorded {hit}, missing {miss}")
+        _write_store(recorded, ALGO_VERSION)  # incremental flush
 
-    with open(FP_FILE, "w") as f:
-        json.dump(
-            {"v": 1, "queries": {k: recorded[k] for k in sorted(recorded)}},
-            f, indent=1,
-        )
-        f.write("\n")
-    print(f"wrote {len(recorded)} fingerprints to {FP_FILE}")
+    _write_store(recorded, ALGO_VERSION)
+    print(f"wrote {len(recorded)} fingerprints to {FP_FILE}"
+          + (f" ({failures} round(s) failed — rerun after fixing)"
+             if failures else ""))
 
 
 if __name__ == "__main__":
