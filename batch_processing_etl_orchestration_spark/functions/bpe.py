@@ -12,10 +12,15 @@ Design — the same Python-boundary pattern as the multimodal kernels:
   lexicographic tie-break). At 100 TB a real tokenizer's merges table
   is ~100k rows ≈ a few MB: it rides to executors as a task-closure
   broadcast exactly like this one; nothing here scales with data.
-- Encoding is classic Sennrich BPE: a word starts as its character
-  sequence and each merge, in learned priority order, rewrites all
-  its adjacent occurrences LEFT-TO-RIGHT, exhaustively, before the
-  next merge applies. Merges never cross word boundaries.
+- Encoding semantics are classic Sennrich BPE: a word starts as its
+  character sequence and each merge, in learned priority order,
+  rewrites all its adjacent occurrences LEFT-TO-RIGHT, exhaustively,
+  before the next merge applies. Merges never cross word boundaries.
+  The PRODUCTION encoder realizes those semantics with rank-dict pair
+  merging (GPT-2 style, VERDICT r10 next #3): per-word cost is
+  O(|word|^2), independent of the merge-table size, with equivalence
+  to the priority-order pass guaranteed by a structural invariant
+  validate_merges enforces and tests pin bit-for-bit.
 - ``bpe_token_counts`` is an Arrow-batched ``mapInPandas`` kernel
   (never a row-at-a-time UDF): per executor it memoizes word →
   token-count in a dict, so the Zipf head of the vocabulary is
@@ -36,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -44,18 +50,123 @@ _MERGES_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bpe_merges.json"
 )
 
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def validate_merges(merges: list[tuple[str, str]]) -> None:
+    """Two invariants every committed/loaded merge table must hold:
+
+    1. Token surfaces are [a-z0-9]+ (ADVICE r10 #4): the SQL oracle
+       replay renders tokens inside '(...)' delimiters and interpolates
+       them into VALUES literals UNQUOTED-UNSAFELY otherwise — a quote
+       or paren in a surface would corrupt (or inject into) the oracle.
+    2. No merge's operand equals a LATER merge's product (checked on
+       surfaces). This is the precondition under which the rank-dict
+       encoder below is EXACTLY the priority-order pass the SQL oracle
+       replays: a later merge can then never create a fresh occurrence
+       of an earlier pair, so 'apply merges in priority order, each
+       exhaustively' and 'repeatedly merge the lowest-ranked pair
+       present' produce identical segmentations for every input.
+       tools/train_bpe.py asserts the same before writing the table.
+    """
+    for a, b in merges:
+        if not (_TOKEN_RE.fullmatch(a) and _TOKEN_RE.fullmatch(b)):
+            raise ValueError(f"merge operand not [a-z0-9]+: ({a!r}, {b!r})")
+    later_products: set[str] = set()
+    for a, b in reversed(merges):
+        if a in later_products or b in later_products:
+            raise ValueError(
+                f"merge ({a!r}, {b!r}) has an operand produced by a LATER "
+                "merge — rank-dict encoding would diverge from the "
+                "priority-order SQL oracle replay"
+            )
+        later_products.add(a + b)
+
+
+_merges_cache: list[tuple[str, str]] | None = None
+
 
 def load_merges() -> list[tuple[str, str]]:
-    """The committed, deterministic merge list in priority order."""
-    with open(_MERGES_FILE) as f:
-        doc = json.load(f)
-    return [tuple(m) for m in doc["merges"]]
+    """The committed, deterministic merge list in priority order,
+    validated (see validate_merges) and cached per process."""
+    global _merges_cache
+    if _merges_cache is None:
+        with open(_MERGES_FILE) as f:
+            doc = json.load(f)
+        merges = [tuple(m) for m in doc["merges"]]
+        validate_merges(merges)
+        _merges_cache = merges
+    return _merges_cache
 
 
-def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Sennrich-style BPE segmentation of one word: apply each merge
-    in priority order, exhaustively, scanning left to right. Lossless:
-    ''.join(result) == word (pinned in tests/test_bpe.py)."""
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """pair → priority (lower merges first). Built ONCE per task and
+    passed to encode_word — the whole point of the rank-dict encoder
+    is that per-word cost never touches the table size. Duplicate
+    pairs keep their first (highest-priority) rank, matching the
+    priority-order pass where the second application is a no-op."""
+    ranks: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
+    return ranks
+
+
+def encode_word(
+    word: str,
+    merges: list[tuple[str, str]] | None = None,
+    *,
+    ranks: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
+    """BPE segmentation of one word via rank-dict pair merging (GPT-2
+    style, VERDICT r10 next #3): repeatedly look up the word's CURRENT
+    adjacent pairs in the rank dict, merge every left-to-right
+    non-overlapping occurrence of the best-ranked one, repeat until no
+    pair is in the table. Per-word cost is O(|word|^2) and INDEPENDENT
+    of the merge-table size — at a production ~100k-merge table the
+    old priority-order pass paid O(|merges|*|word|) per distinct word.
+
+    Output is identical to the priority-order pass (the semantics the
+    SQL oracle replays) for every table satisfying validate_merges —
+    pinned bit-for-bit against the reference implementation in
+    tests/test_bpe.py. Lossless: ''.join(result) == word."""
+    if ranks is None:
+        ranks = merge_ranks(merges or [])
+    toks = list(word)
+    while len(toks) >= 2:
+        best_rank = None
+        best = None
+        prev = toks[0]
+        for cur in toks[1:]:
+            r = ranks.get((prev, cur))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (prev, cur)
+            prev = cur
+        if best is None:
+            break
+        a, b = best
+        out = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def encode_word_priority_pass(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """REFERENCE implementation — the specification encode_word must
+    match and the exact algorithm the DuckDB oracle replays (one SQL
+    replace per merge, priority order, left-to-right): apply each
+    merge in priority order, exhaustively, scanning left to right.
+    O(|merges|*|word|) per word, so tests use it as the ground truth
+    while production code uses the rank-dict path."""
     toks = list(word)
     for a, b in merges:
         if len(toks) < 2:
@@ -95,12 +206,13 @@ def bpe_token_counts(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        ranks = merge_ranks(merge_list)  # once per task, O(|merges|)
         memo: dict[str, int] = {}
 
         def count(word: str) -> int:
             hit = memo.get(word)
             if hit is None:
-                hit = memo[word] = len(encode_word(word, merge_list))
+                hit = memo[word] = len(encode_word(word, ranks=ranks))
             return hit
 
         for pdf in batches:
@@ -174,13 +286,14 @@ def bpe_encode_ids(
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        ranks = merge_ranks(merge_list)  # once per task, O(|merges|)
         memo: dict[str, list[int]] = {}
 
         def ids(word: str) -> list[int]:
             hit = memo.get(word)
             if hit is None:
                 hit = memo[word] = [
-                    voc.get(t, -1) for t in encode_word(word, merge_list)
+                    voc.get(t, -1) for t in encode_word(word, ranks=ranks)
                 ]
             return hit
 

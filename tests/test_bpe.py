@@ -7,10 +7,15 @@ from __future__ import annotations
 
 import duckdb
 
+import pytest
+
 from batch_processing_etl_orchestration_spark.functions.bpe import (
     bpe_token_counts,
     encode_word,
+    encode_word_priority_pass,
     load_merges,
+    merge_ranks,
+    validate_merges,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -32,8 +37,87 @@ def test_merges_committed_and_wellformed():
         isinstance(a, str) and isinstance(b, str) and a and b
         for a, b in merges
     )
-    # delimiters of the SQL replay must never appear inside tokens
-    assert all("(" not in a + b and ")" not in a + b for a, b in merges)
+    # surfaces must be [a-z0-9]+ (ADVICE r10 #4): the SQL replay uses
+    # ( ) as token delimiters AND interpolates surfaces into VALUES
+    # string literals — a quote or paren would corrupt/inject oracle
+    # SQL. validate_merges (run by load_merges) enforces it; assert
+    # directly too so the committed file is covered even if loading
+    # changes.
+    import re
+
+    assert all(
+        re.fullmatch(r"[a-z0-9]+", a) and re.fullmatch(r"[a-z0-9]+", b)
+        for a, b in merges
+    )
+
+
+def test_validate_merges_rejects_unsafe_surfaces():
+    with pytest.raises(ValueError, match=r"\[a-z0-9\]\+"):
+        validate_merges([("a'", "b")])
+    with pytest.raises(ValueError, match=r"\[a-z0-9\]\+"):
+        validate_merges([("a", "(b)")])
+    with pytest.raises(ValueError, match=r"\[a-z0-9\]\+"):
+        validate_merges([("A", "b")])
+
+
+def test_validate_merges_rejects_operand_of_later_product():
+    """The structural precondition for rank-dict == priority-pass:
+    ('x','abc') before ('ab','c') means the later merge could create a
+    fresh 'abc' the earlier pass already ran past."""
+    with pytest.raises(ValueError, match="LATER"):
+        validate_merges(
+            [("a", "bc"), ("x", "abc"), ("a", "b"), ("ab", "c")]
+        )
+    # same pairs with the producer FIRST are fine
+    validate_merges([("a", "b"), ("ab", "c"), ("x", "abc")])
+
+
+def test_rank_dict_matches_priority_pass_reference():
+    """VERDICT r10 next #3 done-criterion: the rank-dict encoder is
+    bit-equal to the priority-order reference (the algorithm the SQL
+    oracle replays) on the committed table — fixture vocabulary plus
+    adversarial overlap/repeat words."""
+    merges = load_merges()
+    ranks = merge_ranks(merges)
+    words = _fixture_words() + [
+        "aaaa", "ababab", "zz", "q", "thethethe", "aandthe", "0a1b2c",
+    ]
+    for w in words:
+        assert encode_word(w, ranks=ranks) == encode_word_priority_pass(
+            w, merges
+        ), w
+
+
+def test_rank_dict_matches_priority_pass_random_tables():
+    """Property check over RANDOM valid tables (seeded): generate a
+    merge list bottom-up the way training does (operands always exist
+    before the merge), keep only tables validate_merges accepts, and
+    require bit-equality on random words."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = "abcd"
+    for _ in range(25):
+        tokens = list(alphabet)
+        merges = []
+        while len(merges) < 30:
+            a, b = rng.choice(tokens), rng.choice(tokens)
+            if (a, b) in merges or len(a + b) > 8:
+                continue
+            merges.append((a, b))
+            tokens.append(a + b)
+        try:
+            validate_merges(merges)
+        except ValueError:
+            continue  # rare surface collision — not a valid table
+        ranks = merge_ranks(merges)
+        for _ in range(40):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 14))
+            )
+            assert encode_word(w, ranks=ranks) == (
+                encode_word_priority_pass(w, merges)
+            ), (w, merges)
 
 
 def test_encode_lossless_on_fixture_vocab():
@@ -161,42 +245,62 @@ def test_kernel_matches_pure_python(spark):
     assert any(ws != bpe for ws, bpe in got.values())
 
 
-def test_encoder_at_realistic_merge_scale():
-    """SURVEY claims a real tokenizer's ~100k-merge table rides the
-    same closure-broadcast path. Back it with numbers: a synthetic
-    10k-merge list (pairing progressively longer prefixes, BPE-shaped)
-    still encodes correctly — lossless, deterministic, and the
-    priority-order scan stays O(|merges| · |word|) per UNIQUE word,
-    which the memo amortizes across occurrences."""
-    import time
-
-    # synthetic merges over a 4-char alphabet: all pairs of tokens the
-    # previous generation produced — the growth pattern real BPE has
-    alphabet = "abcd"
-    toks = list(alphabet)
+def _synthetic_merges(n: int, alphabet: str = "abcd") -> list:
+    """A VALID n-merge table BPE-shaped by construction: every
+    generation pairs the previous generation's products with base
+    chars, so operands always precede their producers and products
+    strictly grow — validate_merges holds."""
     merges = []
     gen = list(alphabet)
-    while len(merges) < 10_000:
+    while len(merges) < n:
         nxt = []
         for x in gen:
             for c in alphabet:
-                if len(merges) >= 10_000:
+                if len(merges) >= n:
                     break
                 merges.append((x, c))
                 nxt.append(x + c)
         gen = nxt
-    words = ["".join(alphabet[(i * 7 + j) % 4] for j in range(3 + i % 14))
-             for i in range(200)]
-    t0 = time.perf_counter()
-    from batch_processing_etl_orchestration_spark.functions.bpe import (
-        encode_word,
-    )
+    return merges
 
-    for w in words:
-        out = encode_word(w, merges)
-        assert "".join(out) == w
-    elapsed = time.perf_counter() - t0
-    # 200 unique words x 10k merges; generous bound (measured ~1-2s) —
-    # catches an accidental O(merges^2) or per-occurrence regression
-    assert elapsed < 30, f"encode at 10k merges too slow: {elapsed:.1f}s"
-    assert toks  # silence linters
+
+def test_encoder_flat_cost_at_100k_merges():
+    """VERDICT r10 next #3 done-criterion: per-word encode cost must be
+    INDEPENDENT of the merge-table size. Time the same word set under
+    the committed 48-merge table and a synthetic 100k-merge table
+    (rank dicts prebuilt, as the kernels do) and require the per-word
+    ratio to stay near 1 — the old priority-order pass was ~2000x
+    slower at 100k merges by construction."""
+    import time
+
+    big = _synthetic_merges(100_000)
+    validate_merges(big)
+    small_ranks = merge_ranks(load_merges())
+    t_build = time.perf_counter()
+    big_ranks = merge_ranks(big)
+    build_sec = time.perf_counter() - t_build  # once per task; not hot
+    words = ["".join("abcd"[(i * 7 + j) % 4] for j in range(3 + i % 14))
+             for i in range(500)]
+
+    def per_word(ranks) -> float:
+        t0 = time.perf_counter()
+        for _ in range(20):
+            for w in words:
+                out = encode_word(w, ranks=ranks)
+                assert "".join(out) == w
+        return (time.perf_counter() - t0) / (20 * len(words))
+
+    per_word(small_ranks)  # warm up the interpreter/caches
+    t_small = per_word(small_ranks)
+    t_big = per_word(big_ranks)
+    # generous noise margin; an O(|merges|) regression would be >100x
+    assert t_big < t_small * 5 + 1e-4, (
+        f"per-word cost not flat: {t_small * 1e6:.1f}us @48 merges vs "
+        f"{t_big * 1e6:.1f}us @100k merges (rank-dict build {build_sec:.2f}s)"
+    )
+    # and the 100k table still round-trips correctness vs the reference
+    sample = words[::50]
+    for w in sample:
+        assert encode_word(w, ranks=big_ranks) == (
+            encode_word_priority_pass(w, big)
+        ), w

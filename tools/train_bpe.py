@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 from collections import Counter
 
 import duckdb
@@ -88,6 +89,24 @@ def main() -> None:
         "( ) as token delimiters"
     )
     merges = train(word_freq, N_MERGES)
+    # Refuse to commit a table the rank-dict encoder can't serve
+    # exactly (operand == later product ⇒ divergence from the SQL
+    # oracle's priority-order replay) or whose surfaces would break
+    # the oracle's VALUES rendering.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        encode_word,
+        encode_word_priority_pass,
+        merge_ranks,
+        validate_merges,
+    )
+
+    validate_merges(merges)
+    ranks = merge_ranks(merges)
+    for w in word_freq:
+        fast = encode_word(w, ranks=ranks)
+        ref = encode_word_priority_pass(w, merges)
+        assert fast == ref, (w, fast, ref)
     with open(OUT, "w") as f:
         json.dump(
             {
