@@ -83,20 +83,36 @@ def validate_merges(merges: list[tuple[str, str]]) -> None:
         later_products.add(a + b)
 
 
-_merges_cache: list[tuple[str, str]] | None = None
+_MERGES_SF1_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bpe_merges_sf1.json"
+)
+
+_merges_cache: dict[str, list[tuple[str, str]]] = {}
 
 
-def load_merges() -> list[tuple[str, str]]:
-    """The committed, deterministic merge list in priority order,
-    validated (see validate_merges) and cached per process."""
-    global _merges_cache
-    if _merges_cache is None:
-        with open(_MERGES_FILE) as f:
+def load_merges(path: str | None = None) -> list[tuple[str, str]]:
+    """A committed, deterministic merge list in priority order,
+    validated (see validate_merges) and cached per process. Default is
+    the 48-merge sf0.001-trained table every existing query uses."""
+    path = path or _MERGES_FILE
+    hit = _merges_cache.get(path)
+    if hit is None:
+        with open(path) as f:
             doc = json.load(f)
         merges = [tuple(m) for m in doc["merges"]]
         validate_merges(merges)
-        _merges_cache = merges
-    return _merges_cache
+        hit = _merges_cache[path] = merges
+    return hit
+
+
+def load_merges_sf1() -> list[tuple[str, str]]:
+    """The sf1-trained table at the corpus's SATURATION bound (training
+    stops when no pair occurs twice — the synthetic fixture vocabulary
+    of 310 distinct [a-z0-9] words supports exactly 383 merges, so 'a
+    few thousand' is physically impossible on this corpus; encoder
+    cost at a real ~100k-merge table is pinned separately by
+    tests/test_bpe.py::test_encoder_flat_cost_at_100k_merges)."""
+    return load_merges(_MERGES_SF1_FILE)
 
 
 def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
@@ -237,19 +253,21 @@ def bpe_token_counts(
     )
 
 
-def merges_sql_values() -> str:
+def merges_sql_values(merges: list[tuple[str, str]] | None = None) -> str:
     """The merge list as a SQL VALUES body ``(pri, a, b), ...`` for
-    the recursive-CTE oracle replay."""
+    the recursive-CTE oracle replay. Safe to interpolate unquoted:
+    validate_merges (enforced by load_merges) pins every surface to
+    [a-z0-9]+ (ADVICE r10 #4)."""
     return ", ".join(
         f"({i + 1}, '{a}', '{b}')"
-        for i, (a, b) in enumerate(load_merges())
+        for i, (a, b) in enumerate(load_merges() if merges is None else merges)
     )
 
 
 VOCAB_BASE = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
-def vocab() -> dict[str, int]:
+def vocab(merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
     """token surface → id: the 36 base characters (ids 0–35, fixed
     order — the corpus alphabet is [a-z0-9], asserted at training),
     then each merge's product in priority order. Two merges CAN
@@ -257,22 +275,23 @@ def vocab() -> dict[str, int]:
     first occurrence keeps its id, matching the SQL VALUES rendering
     below, so both engines map surfaces identically."""
     v: dict[str, int] = {c: i for i, c in enumerate(VOCAB_BASE)}
-    for a, b in load_merges():
+    for a, b in load_merges() if merges is None else merges:
         tok = a + b
         if tok not in v:
             v[tok] = len(v)
     return v
 
 
-def vocab_sql_values() -> str:
+def vocab_sql_values(merges: list[tuple[str, str]] | None = None) -> str:
     """The vocab as a SQL VALUES body ``(token, token_id), ...``."""
-    return ", ".join(f"('{t}', {i})" for t, i in vocab().items())
+    return ", ".join(f"('{t}', {i})" for t, i in vocab(merges).items())
 
 
 def bpe_encode_ids(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(id, word_pos, tok_pos, token_id) — the actual token-id stream
     a training run would consume, one row per BPE token (positions
@@ -280,8 +299,8 @@ def bpe_encode_ids(
     as bpe_token_counts; the memo caches each word's ID LIST. Callers
     sample docs BEFORE this kernel (the sample predicate pushes to the
     scan); the kernel itself is a pure per-row flatMap."""
-    merge_list = load_merges()
-    voc = vocab()
+    merge_list = load_merges() if merges is None else merges
+    voc = vocab(merge_list)
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd

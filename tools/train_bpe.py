@@ -76,11 +76,25 @@ def train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
 
 
 def main() -> None:
+    # argv: [corpus_glob] [n_merges] [out_json] — defaults reproduce
+    # the original 48-merge sf0.001 table. The sf1 table is trained by
+    #   python tools/train_bpe.py \
+    #     '/root/repo/.tmp/sf1/documents.parquet/*.parquet' 4096 \
+    #     .../functions/bpe_merges_sf1.json
+    # and SATURATES at 383 merges: the synthetic fixture vocabulary
+    # (310 distinct [a-z0-9] words) stops yielding pairs that occur
+    # twice — the corpus's physical ceiling, so a few-THOUSAND-merge
+    # table is impossible on this fixture. Encoder cost at a real
+    # ~100k-merge table is pinned by tests/test_bpe.py::
+    # test_encoder_flat_cost_at_100k_merges instead.
+    corpus = sys.argv[1] if len(sys.argv) > 1 else CORPUS + "*"
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else N_MERGES
+    out = sys.argv[3] if len(sys.argv) > 3 else OUT
     con = duckdb.connect()
     rows = con.sql(
         f"""SELECT w, CAST(COUNT(*) AS BIGINT) FROM (
               SELECT unnest(string_split(text, ' ')) AS w
-              FROM read_parquet('{CORPUS}*')
+              FROM read_parquet('{corpus}')
             ) GROUP BY 1 ORDER BY 1"""
     ).fetchall()
     word_freq = {w: int(f) for w, f in rows if w}
@@ -88,7 +102,7 @@ def main() -> None:
         "corpus words must be [a-z0-9]+ — the SQL oracle replay uses "
         "( ) as token delimiters"
     )
-    merges = train(word_freq, N_MERGES)
+    merges = train(word_freq, n_merges)
     # Refuse to commit a table the rank-dict encoder can't serve
     # exactly (operand == later product ⇒ divergence from the SQL
     # oracle's priority-order replay) or whose surfaces would break
@@ -107,19 +121,21 @@ def main() -> None:
         fast = encode_word(w, ranks=ranks)
         ref = encode_word_priority_pass(w, merges)
         assert fast == ref, (w, fast, ref)
-    with open(OUT, "w") as f:
+    with open(out, "w") as f:
         json.dump(
             {
                 "v": 1,
-                "trained_on": CORPUS,
+                "trained_on": corpus,
                 "n_words": len(word_freq),
+                "saturated": len(merges) < n_merges,
                 "merges": [list(m) for m in merges],
             },
             f,
             indent=1,
         )
         f.write("\n")
-    print(f"wrote {len(merges)} merges over {len(word_freq)} words to {OUT}")
+    print(f"wrote {len(merges)} merges over {len(word_freq)} words to {out}"
+          + (" (SATURATED)" if len(merges) < n_merges else ""))
 
 
 if __name__ == "__main__":
