@@ -55,16 +55,49 @@ def _is_file_vanished(exc: BaseException) -> bool:
         seen.add(id(exc))
         if isinstance(exc, FileNotFoundError):
             return True
-        # Exactly two JVM signatures and no broader substring (review
-        # r10: "does not exist" also matches deterministic
-        # misconfiguration errors): PATH_NOT_FOUND is Spark 4's
-        # plan-time error class for a vanished path, and
-        # java.io.FileNotFoundException is the executor-side mid-read
-        # form. Both are what a concurrent retract produces.
-        msg = str(exc)
+        # Structured checks first (ADVICE r10 #2 — str(exc) on a
+        # captured JVM error renders the WHOLE stack trace, so an
+        # unrelated failure whose trace merely mentions a
+        # FileNotFoundException frame would trigger the expensive fold
+        # retry): Spark 4's error condition for a vanished path at
+        # plan time is PATH_NOT_FOUND (CapturedException.getCondition),
+        # and a driver-side mid-read retract surfaces as a JVM cause
+        # chain reaching java.io.FileNotFoundException — walk the REAL
+        # getCause() chain on the Java throwable, not its rendering.
+        cond = getattr(exc, "getCondition", None)
+        try:
+            if callable(cond) and cond() == "PATH_NOT_FOUND":
+                return True
+        except Exception:
+            pass  # no SparkContext / non-SparkThrowable origin
+        jthrow = getattr(exc, "_origin", None) or getattr(
+            exc, "java_exception", None
+        )
+        jseen = 0
+        while jthrow is not None and jseen < 32:
+            jseen += 1
+            try:
+                if jthrow.getClass().getName() == (
+                    "java.io.FileNotFoundException"
+                ):
+                    return True
+                jthrow = jthrow.getCause()
+            except Exception:
+                break  # gateway gone mid-walk — fall through to text
+        # Fallback for what structure can't reach — an EXECUTOR-side
+        # FileNotFoundException exists only as text inside the stage-
+        # failure description. Match the description (_desc — no JVM
+        # stacktrace appended) or, for plain exceptions, the TOP LINE
+        # only; never the full rendered trace.
+        msg = getattr(exc, "_desc", None)
+        if not isinstance(msg, str):
+            msg = (str(exc).splitlines() or [""])[0]
         if "PATH_NOT_FOUND" in msg or "FileNotFoundException" in msg:
             return True
-        exc = exc.__cause__ or exc.__context__
+        nxt = exc.__cause__ or exc.__context__
+        if nxt is None:
+            nxt = getattr(exc, "_cause", None)  # CapturedException chain
+        exc = nxt
     return False
 
 

@@ -301,14 +301,26 @@ def _row_regressions(
     regression. Equality check — no calibration, no slack. Queries
     absent from the baseline (new this round) and BASELINE_EXEMPT
     (workload changed) are skipped; they enter the baseline on the
-    next guarded promotion."""
-    return [
+    next guarded promotion. Baseline queries ABSENT from the current
+    run also fail (ADVICE r10 #1): a headline query accidentally
+    dropped from BENCH_QUERIES (or a name typo) must not silently
+    vanish from the guard and promote a shrunken baseline — removing
+    one on purpose requires a BASELINE_EXEMPT entry until the new
+    baseline lands."""
+    deltas = [
         f"{name}: {row_counts[name]} rows vs baseline {base_rows[name]}"
         for name in row_counts
         if name in base_rows
         and name not in exempt
         and row_counts[name] != base_rows[name]
     ]
+    dropped = [
+        f"{name}: in baseline ({base_rows[name]} rows) but absent from "
+        "this run — dropped from BENCH_QUERIES?"
+        for name in base_rows
+        if name not in row_counts and name not in exempt
+    ]
+    return deltas + dropped
 
 
 def _calibration_probe(spark) -> float:

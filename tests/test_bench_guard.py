@@ -17,12 +17,28 @@ import bench
 
 def test_row_regression_detects_any_delta():
     base = {"q_a": 10, "q_b": 0, "q_c": 7}
-    assert bench._row_regressions({"q_a": 10, "q_b": 0}, base, set()) == []
-    hits = bench._row_regressions({"q_a": 9, "q_b": 1}, base, set())
+    assert bench._row_regressions(
+        {"q_a": 10, "q_b": 0, "q_c": 7}, base, set()
+    ) == []
+    hits = bench._row_regressions({"q_a": 9, "q_b": 1, "q_c": 7}, base, set())
     assert len(hits) == 2 and any("q_a" in h for h in hits)
     # exemption and new-query (absent from baseline) skips
-    assert bench._row_regressions({"q_a": 9}, base, {"q_a"}) == []
-    assert bench._row_regressions({"q_new": 5}, base, set()) == []
+    assert bench._row_regressions({"q_a": 9, "q_b": 0, "q_c": 7}, base,
+                                  {"q_a"}) == []
+    assert bench._row_regressions(
+        {"q_new": 5, "q_a": 10, "q_b": 0, "q_c": 7}, base, set()
+    ) == []
+
+
+def test_row_regression_flags_dropped_baseline_queries():
+    """ADVICE r10 #1: a baseline query absent from the current run
+    (dropped from BENCH_QUERIES, or a rename typo) fails loudly instead
+    of silently promoting a shrunken baseline; BASELINE_EXEMPT is the
+    deliberate-removal escape hatch."""
+    base = {"q_a": 10, "q_b": 0}
+    hits = bench._row_regressions({"q_a": 10}, base, set())
+    assert len(hits) == 1 and "q_b" in hits[0] and "absent" in hits[0]
+    assert bench._row_regressions({"q_a": 10}, base, {"q_b"}) == []
 
 
 def test_baseline_unpacks_rows_and_both_probes(tmp_path):

@@ -755,3 +755,65 @@ def test_is_file_vanished_gates_retry_classes():
     a, b = RuntimeError("a"), RuntimeError("b")
     a.__cause__, b.__cause__ = b, a
     assert not _is_file_vanished(a)
+
+
+def test_is_file_vanished_ignores_trace_only_mentions():
+    """ADVICE r10 #2: a deterministic failure whose RENDERED TRACE
+    merely mentions FileNotFoundException (a frame / suppressed line
+    below the top-line message) must NOT gate the retry; structured
+    signals (getCondition, a real Java cause chain, or the desc/top
+    line) are what count."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        _is_file_vanished,
+    )
+
+    # multi-line str(exc) where only a deep frame mentions the class
+    deep = RuntimeError(
+        "[DIVIDE_BY_ZERO] Division by zero\n"
+        "JVM stacktrace:\n"
+        "  at org.apache.spark.SomeClass(SomeClass.java:1)\n"
+        "  Suppressed: java.io.FileNotFoundException: /tmp/unrelated\n"
+    )
+    assert not _is_file_vanished(deep)
+
+    # a CapturedException-shaped object: _desc is clean, the rendered
+    # str() carries a trace-only mention — still not a retry
+    class FakeCaptured(Exception):
+        _desc = "[DIVIDE_BY_ZERO] Division by zero"
+
+        def getCondition(self):
+            return "DIVIDE_BY_ZERO"
+
+        def __str__(self):
+            return self._desc + "\nCaused by: java.io.FileNotFoundException"
+
+    assert not _is_file_vanished(FakeCaptured())
+
+    # structured positives: condition, desc, and python _cause chain
+    class VanishedCaptured(Exception):
+        _desc = "[PATH_NOT_FOUND] Path does not exist: /x"
+
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    assert _is_file_vanished(VanishedCaptured())
+
+    class StageFailure(Exception):
+        _desc = (
+            "Job aborted due to stage failure: Task 3 failed: "
+            "java.io.FileNotFoundException: part-0.parquet"
+        )
+
+        def getCondition(self):
+            return None
+
+    assert _is_file_vanished(StageFailure())
+
+    class OuterCaptured(Exception):
+        _desc = "fold failed"
+        _cause = VanishedCaptured()
+
+        def getCondition(self):
+            return None
+
+    assert _is_file_vanished(OuterCaptured())
