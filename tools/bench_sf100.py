@@ -1,18 +1,24 @@
-"""Third scaling decade spot-check (VERDICT r9 stretch #7): time the
-three heaviest LINEAR-claimed document queries — q_minhash_lsh_pairs,
-q_exact_span_dedup, q_decontaminate_bloom — at sf10 and sf100 and
-print warm sf10→sf100 ratios for BENCH_SF10.md.
+"""Third scaling decade spot-check (VERDICT r9 stretch #7, extended
+r11 with the events family per VERDICT r10 next #6): time the heaviest
+LINEAR-claimed queries at sf10 and sf100 and print warm sf10→sf100
+ratios for BENCH_SF10.md.
 
-All three read ONLY the documents table, so the sf100 fixture is
-docs-only (~4 GB parquet instead of ~16 GB for all tables): 1000
-key-offset replicas of the sf0.1 documents with the SAME
-every-3rd-word replica-token transform as make_sf1 (cross-replica
-Jaccard ≈ 0, constant near-dup density — imported from
-tools/make_sf1.doc_transform so the construction cannot drift).
-Replicas are written in chunks of 50 (appended) — a single 1000-way
-union makes one enormous plan; 20 × 50-way unions keep planning flat.
+Two query families, selected with --family:
+- docs  (r10): q_minhash_lsh_pairs, q_exact_span_dedup,
+  q_decontaminate_bloom — read ONLY documents.
+- events (r11): q_sessionize_skew_safe (events),
+  q_pagerank_orders (orders), q_dup_clusters (documents).
+
+The sf100 fixture is built per-table on demand (documents ~4 GB,
+events ~1.6 GB, orders ~2 GB — never the full ~16 GB tree): 1000
+key-offset replicas of the sf0.1 tables with the SAME transforms as
+make_sf1 (doc_transform / key offsets imported from tools.make_sf1 so
+the construction cannot drift). Replicas are written in chunks of 50
+(appended) — a single 1000-way union makes one enormous plan; 20 ×
+50-way unions keep planning flat.
 
 Usage: python tools/bench_sf100.py [--build-only|--bench-only]
+                                   [--family docs|events|all]
 """
 
 from __future__ import annotations
@@ -33,6 +39,7 @@ SF10 = "/root/repo/.tmp/sf10"
 MARKER = os.path.join(SF100, "_BUILD_OK")
 
 QUERIES_3 = ["q_minhash_lsh_pairs", "q_exact_span_dedup", "q_decontaminate_bloom"]
+QUERIES_EVENTS = ["q_sessionize_skew_safe", "q_pagerank_orders", "q_dup_clusters"]
 
 
 def build(spark) -> None:
@@ -67,11 +74,58 @@ def build(spark) -> None:
     print(f"sf100 documents: {n} rows in {time.perf_counter() - t0:.0f}s")
 
 
-def bench(spark) -> None:
+def build_events_family(spark) -> None:
+    """events + orders replicas for QUERIES_EVENTS (documents already
+    built by build()). Same chunked-append construction; own marker so
+    the docs-only build stays valid on its own."""
+    from tools.make_sf1 import SRC, _maxp1, _replicate
+
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    marker = os.path.join(SF100, "_BUILD_OK_EVENTS")
+    if os.path.isfile(marker):
+        print("sf100 events/orders already built")
+        return
+    import shutil
+
+    os.makedirs(SF100, exist_ok=True)
+    offsets = {
+        "events": {
+            "event_id": _maxp1(spark, "events", "event_id"),
+            "user_id": _maxp1(spark, "customer", "c_custkey"),
+        },
+        "orders": {
+            "o_orderkey": _maxp1(spark, "orders", "o_orderkey"),
+            "o_custkey": _maxp1(spark, "customer", "c_custkey"),
+        },
+    }
+    counts = {}
+    t0 = time.perf_counter()
+    for name, offs in offsets.items():
+        base = load_table(spark, SRC, name)
+        dest = os.path.join(SF100, f"{name}.parquet")
+        shutil.rmtree(dest, ignore_errors=True)
+        for lo in range(0, REPLICAS, CHUNK):
+            reps = [
+                _replicate(base, r, offs)
+                for r in range(lo, min(lo + CHUNK, REPLICAS))
+            ]
+            out = reps[0]
+            for df in reps[1:]:
+                out = out.unionByName(df)
+            out.write.mode("append").parquet(dest)
+        counts[name] = spark.read.parquet(dest).count()
+        print(f"  sf100 {name}: {counts[name]} rows", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps(counts) + "\n")
+    print(f"sf100 events/orders built in {time.perf_counter() - t0:.0f}s")
+
+
+def bench(spark, names: list[str]) -> None:
     from batch_processing_etl_orchestration_spark.plans import QUERIES
 
     results: dict[str, dict] = {}
-    for name in QUERIES_3:
+    for name in names:
         fn = QUERIES[name].fn
         fn(spark, "/root/testdata/sf0.01").count()  # plan/JIT warm
         row: dict = {}
@@ -108,10 +162,22 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    family = (
+        sys.argv[sys.argv.index("--family") + 1]
+        if "--family" in sys.argv
+        else "docs"
+    )
+    names = {
+        "docs": QUERIES_3,
+        "events": QUERIES_EVENTS,
+        "all": QUERIES_3 + QUERIES_EVENTS,
+    }[family]
     if "--bench-only" not in sys.argv:
-        build(spark)
+        build(spark)  # documents (q_dup_clusters needs it too)
+        if family in ("events", "all"):
+            build_events_family(spark)
     if "--build-only" not in sys.argv:
-        bench(spark)
+        bench(spark, names)
     spark.stop()
 
 
