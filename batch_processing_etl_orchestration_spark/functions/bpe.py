@@ -87,6 +87,17 @@ _MERGES_SF1_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bpe_merges_sf1.json"
 )
 
+def _ensure_valid(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """validate_merges at every boundary that accepts an EXPLICIT
+    table (review r11): the docstring guarantees — unquoted-safe SQL
+    rendering and rank-dict/priority-pass equivalence — must hold for
+    hand-built tables too, not only load_merges'd ones. All call sites
+    are once-per-plan-build driver code, so the O(|merges|) re-scan is
+    never hot."""
+    validate_merges(merges)
+    return merges
+
+
 _merges_cache: dict[str, list[tuple[str, str]]] = {}
 
 
@@ -217,7 +228,7 @@ def bpe_token_counts(
     (e.g. ``source``) through the kernel so callers aggregate WITHOUT
     a join-back to the table — one scan, no extra shuffle (review
     r10)."""
-    merge_list = load_merges() if merges is None else merges
+    merge_list = load_merges() if merges is None else _ensure_valid(merges)
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -260,7 +271,9 @@ def merges_sql_values(merges: list[tuple[str, str]] | None = None) -> str:
     [a-z0-9]+ (ADVICE r10 #4)."""
     return ", ".join(
         f"({i + 1}, '{a}', '{b}')"
-        for i, (a, b) in enumerate(load_merges() if merges is None else merges)
+        for i, (a, b) in enumerate(
+            load_merges() if merges is None else _ensure_valid(merges)
+        )
     )
 
 
@@ -275,7 +288,7 @@ def vocab(merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
     first occurrence keeps its id, matching the SQL VALUES rendering
     below, so both engines map surfaces identically."""
     v: dict[str, int] = {c: i for i, c in enumerate(VOCAB_BASE)}
-    for a, b in load_merges() if merges is None else merges:
+    for a, b in load_merges() if merges is None else _ensure_valid(merges):
         tok = a + b
         if tok not in v:
             v[tok] = len(v)
@@ -299,7 +312,7 @@ def bpe_encode_ids(
     as bpe_token_counts; the memo caches each word's ID LIST. Callers
     sample docs BEFORE this kernel (the sample predicate pushes to the
     scan); the kernel itself is a pure per-row flatMap."""
-    merge_list = load_merges() if merges is None else merges
+    merge_list = load_merges() if merges is None else _ensure_valid(merges)
     voc = vocab(merge_list)
 
     def kernel(batches: Iterator) -> Iterator:

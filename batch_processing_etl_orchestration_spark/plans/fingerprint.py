@@ -37,13 +37,20 @@ import ast
 import hashlib
 import importlib
 import inspect
+import textwrap
 import types
 
 PKG = "batch_processing_etl_orchestration_spark"
 
 #: Hash-input schema version. v1 = one-level callees; v2 = transitive
-#: callee closure (classes descend through methods and package bases).
-ALGO_VERSION = 2
+#: callee closure (classes descend through methods and package bases);
+#: v3 = two review-r11 closure fixes: method sources are dedented
+#: before ast.parse (an indented method body raised IndentationError
+#: and silently DROPPED its inline `from <pkg> import x` helpers from
+#: the closure — e.g. snapshots.py's zorder_by), and functions bound
+#: as class attributes but DEFINED elsewhere now join the closure
+#: themselves (the class source shows only `handler = helper_fn`).
+ALGO_VERSION = 3
 
 
 def _direct_package_callees(fn: types.FunctionType) -> list:
@@ -71,7 +78,10 @@ def _direct_package_callees(fn: types.FunctionType) -> list:
     g = getattr(fn, "__globals__", {})
     cands = [g[n] for n in names if n in g]
     try:
-        tree = ast.parse(inspect.getsource(fn))
+        # dedent: a class METHOD's source is indented and raises
+        # IndentationError (a SyntaxError) undedented, which silently
+        # dropped its inline `from <pkg> import x` helpers (review r11)
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, SyntaxError, TypeError):
         tree = None
     if tree is not None:
@@ -124,6 +134,14 @@ def _callees_of(obj: object) -> list:
             meth = _unwrap_method(attr)
             if meth is None:
                 continue
+            # The method ITSELF joins the closure too (review r11): a
+            # function bound as a class attribute but DEFINED elsewhere
+            # (`handler = helper_fn`) is invisible in the class's own
+            # source, so without this its body rewires silently. For
+            # body-defined methods it only re-hashes source the class
+            # already covers — deterministic and harmless.
+            if getattr(meth, "__module__", "").startswith(PKG):
+                out[f"{meth.__module__}.{meth.__qualname__}"] = meth
             for c in _direct_package_callees(meth):
                 out[f"{c.__module__}.{c.__qualname__}"] = c
         return [out[k] for k in sorted(out)]

@@ -4952,7 +4952,9 @@ def q_bpe_encode_ids_satvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match. Same plan shape as q_bpe_encode_ids (pruned 2-column
     scan, post-scan sample filter, stateless Arrow flatMap, zero
     shuffles); a deliberately DIFFERENT ~1% sample (mod 89) so the two
-    ladder queries attest disjoint docs."""
+    ladder queries attest NEAR-disjoint docs (only doc_ids divisible
+    by lcm(89,97)=8633 — doc 0 and ~0.01% of a corpus — land in
+    both)."""
     from batch_processing_etl_orchestration_spark.functions.bpe import (
         bpe_encode_ids,
         load_merges_sf1,

@@ -28,12 +28,28 @@ PKG_SRC = {
         def helper(x):
             return leaf(x) * 2
     """,
+    "deep2.py": """
+        def leaf2(x):
+            return x * 3
+    """,
+    "handlers.py": """
+        def bound_handler(x):
+            return x - 7
+    """,
     "ops.py": """
         from fpdemo_pkg.deep import leaf
+        from fpdemo_pkg.handlers import bound_handler
 
         class Engine:
+            handler = bound_handler  # defined OUTSIDE the class body
+
             def run(self, x):
                 return leaf(x) - 1
+
+            def run_inline(self, x):
+                from fpdemo_pkg.deep2 import leaf2
+
+                return leaf2(x)
     """,
     "query.py": """
         from fpdemo_pkg.mid import helper
@@ -184,3 +200,41 @@ def test_depth2_rewire_sorts_query_with_never_attested(
     assert all(
         ordered.index("q_fp_demo") < ordered.index(n) for n in stable_greens
     )
+
+
+def test_method_inline_import_joins_closure(demo_pkg):
+    """Review r11 fix 1: a method's source is indented, so ast.parse
+    needed textwrap.dedent — without it the inline
+    `from <pkg> import x` idiom inside class methods (e.g.
+    snapshots.py's zorder_by) silently vanished from the closure."""
+    q = _fresh_import()
+    names = {
+        o.__qualname__
+        for o in FP._transitive_package_callees(q.q_class_demo)
+    }
+    assert "leaf2" in names
+    before = FP.query_fingerprint(q.q_class_demo, None)
+    (demo_pkg / "deep2.py").write_text(
+        "def leaf2(x):\n    return x * 4  # rewired\n"
+    )
+    q2 = _fresh_import()
+    assert FP.query_fingerprint(q2.q_class_demo, None) != before
+
+
+def test_class_attribute_bound_function_joins_closure(demo_pkg):
+    """Review r11 fix 2: `handler = helper_fn` binds a function defined
+    elsewhere — the class source shows only the assignment, so the
+    function itself must join the closure or its body rewires
+    silently."""
+    q = _fresh_import()
+    names = {
+        o.__qualname__
+        for o in FP._transitive_package_callees(q.q_class_demo)
+    }
+    assert "bound_handler" in names
+    before = FP.query_fingerprint(q.q_class_demo, None)
+    (demo_pkg / "handlers.py").write_text(
+        "def bound_handler(x):\n    return x - 8  # rewired\n"
+    )
+    q2 = _fresh_import()
+    assert FP.query_fingerprint(q2.q_class_demo, None) != before

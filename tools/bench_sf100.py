@@ -153,6 +153,19 @@ def bench(spark, names: list[str]) -> None:
 def main() -> None:
     from batch_processing_etl_orchestration_spark.session import get_spark
 
+    # Validate argv BEFORE the ~30s session build (review r11): a
+    # missing/typo'd --family value should be a usage error, not an
+    # IndexError/KeyError after Spark is already up.
+    family = "docs"
+    if "--family" in sys.argv:
+        idx = sys.argv.index("--family")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in (
+            "docs", "events", "all"
+        ):
+            sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
+                     "[--family docs|events|all]")
+        family = sys.argv[idx + 1]
+
     spark = get_spark(
         "bench-sf100",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -162,11 +175,6 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    family = (
-        sys.argv[sys.argv.index("--family") + 1]
-        if "--family" in sys.argv
-        else "docs"
-    )
     names = {
         "docs": QUERIES_3,
         "events": QUERIES_EVENTS,

@@ -59,6 +59,15 @@ def main() -> None:
     spark.stop()
 
     if update:
+        # Refuse BEFORE writing: serializing an erroring query's -1
+        # would make every later guard run compare -1 == -1 and print
+        # OK — permanently masking the exact regression class this
+        # tool exists to catch (review r11).
+        bad = sorted(n for n, c in counts.items() if c < 0)
+        if bad:
+            print(f"REFUSING to bless erroring queries (store untouched): "
+                  f"{bad}", file=sys.stderr)
+            sys.exit(1)
         with open(STORE, "w") as f:
             json.dump(
                 {"v": 1, "sf_dir": sf_dir,
@@ -66,13 +75,8 @@ def main() -> None:
                 f, indent=1,
             )
             f.write("\n")
-        bad = sorted(n for n, c in counts.items() if c < 0)
         print(f"recorded {len(counts)} non-headline counts to {STORE} "
               f"({elapsed}s)")
-        if bad:
-            print(f"REFUSING to bless erroring queries: {bad}",
-                  file=sys.stderr)
-            sys.exit(1)
         return
 
     try:
