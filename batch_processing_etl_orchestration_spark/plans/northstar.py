@@ -4595,6 +4595,75 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_bpe_proxy_drift",
+    oracle="WITH RECURSIVE "
+    + _SQL_BPE_PER_DOC
+    + """,
+    fert_per_doc AS (
+      SELECT d.source,
+             COALESCE(p.ws_tokens, 0) AS ws,
+             COALESCE(p.bpe_tokens, 0) AS bpe
+      FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN SUM(ws) = 0 THEN NULL
+                     ELSE SUM(bpe) * 1000000 // SUM(ws) END AS BIGINT)
+             AS fertility_ppm,
+           CAST(COUNT(*) FILTER (WHERE bpe * 100 > ws * 110) AS BIGINT)
+             AS drift_docs,
+           CAST(MAX(CASE WHEN ws > 0 THEN bpe * 1000000 // ws END)
+                AS BIGINT) AS max_doc_fertility_ppm
+    FROM fert_per_doc GROUP BY 1
+    """,
+    tags=("text", "tokenizer", "bpe", "profile"),
+)
+def q_bpe_proxy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit by source: how wrong is the
+    whitespace-token proxy, per corpus slice? Fertility (BPE tokens
+    per whitespace token) is THE number that converts a corpus budget
+    into a training budget — a pipeline that mixes sources by
+    whitespace counts over/under-weights each slice by exactly this
+    ratio. Reported per source: fertility in ppm (integer math —
+    ``sum(bpe)*1e6 DIV sum(ws)`` — so both engines agree bit-for-bit
+    with no float rounding), the count of >10%-drift documents
+    (``bpe*100 > ws*110``), and the worst single-document fertility.
+    NULL-guarded for an all-empty source under ANSI mode (the vanilla
+    driver session): the division never executes when sum(ws)=0.
+
+    Same scale shape as q_bpe_token_count (one pruned scan, source
+    rides through the Arrow kernel, one aggregate exchange); the
+    integer-ppm trick is the production pattern for cross-engine /
+    cross-replica reproducible ratio metrics. Reference analog: none
+    (north-star LLM-pipeline brief)."""
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(d, passthrough=("source",))
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(CASE WHEN sum(ws_tokens) = 0 THEN NULL "
+            "ELSE sum(bpe_tokens) * 1000000 DIV sum(ws_tokens) END "
+            "AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.sum(
+            F.when(
+                F.col("bpe_tokens") * 100 > F.col("ws_tokens") * 110, 1
+            ).otherwise(0)
+        ).cast("long").alias("drift_docs"),
+        F.max(
+            F.when(
+                F.col("ws_tokens") > 0,
+                F.expr("bpe_tokens * 1000000 DIV ws_tokens"),
+            )
+        ).cast("long").alias("max_doc_fertility_ppm"),
+    )
+
+
 _PACK_BUDGET_BPE = 640  # BPE tokens per bin
 
 

@@ -216,8 +216,10 @@ BENCH_QUERIES = [
     "q_pack_sequences_bpe",
     "q_adversarial_skew_report",
     "q_bpe_encode_ids",
-    # r11: id stream under the saturated 383-merge sf1-trained table
+    # r11: id stream under the saturated 383-merge sf1-trained table,
+    # and the per-source tokenizer-fertility (proxy-drift) audit
     "q_bpe_encode_ids_satvocab",
+    "q_bpe_proxy_drift",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

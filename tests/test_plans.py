@@ -714,3 +714,27 @@ def test_bpe_encode_ids_zero_shuffle(spark, sf_dir):
     assert _nodes(plan, "Filter") == 1 and "% 97" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema and "source" not in read_schema
+
+
+def test_bpe_encode_ids_satvocab_zero_shuffle(spark, sf_dir):
+    """r11: the saturated-table id stream must keep the same plan
+    shape as q_bpe_encode_ids — the 8x merge table rides the task
+    closure, never the plan: no Exchange, no join, one pruned
+    (doc_id, text) scan, the mod-89 sample as a post-scan Filter."""
+    plan = _plan(spark, sf_dir, "q_bpe_encode_ids_satvocab")
+    assert _nodes(plan, "Exchange") == 0
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Filter") == 1 and "% 89" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_bpe_proxy_drift_single_exchange(spark, sf_dir):
+    """r11: the fertility audit keeps q_bpe_token_count's shape —
+    source rides through the Arrow kernel (no join-back), and the
+    per-source aggregate is the plan's only exchange."""
+    plan = _plan(spark, sf_dir, "q_bpe_proxy_drift")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert _nodes(plan, "Exchange") == 1
