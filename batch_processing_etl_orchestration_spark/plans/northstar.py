@@ -4664,6 +4664,112 @@ def q_bpe_proxy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_bpe_budget",
+    oracle="WITH RECURSIVE "
+    + _SQL_BPE_PER_DOC
+    + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.ws_tokens, 0)) AS BIGINT) AS ws_tokens,
+           CAST(SUM(COALESCE(p.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens
+    FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("streaming", "text", "tokenizer", "bpe", "incremental"),
+)
+def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token accounting — the shape a CONTINUOUS ingestion
+    pipeline runs: documents arrive as 4 ordered micro-batches
+    (maxFilesPerTrigger=1 over a doc_id-ranged 4-file copy of the
+    corpus), each batch is tokenizer-counted by the same Arrow kernel
+    as q_bpe_token_count and merged into a source-partitioned running
+    budget MV (warehouse/incremental.py). After the availableNow
+    drain, the MV must equal ONE batch aggregation over the whole
+    corpus — the oracle — because token counts are a commutative
+    monoid: no batching of arrivals can change the totals.
+
+    This closes the tokenizer ladder's last gap: counts → budgets →
+    ids were all BATCH attestations; a real platform meters token
+    budgets as data lands. Idempotent batch markers make foreachBatch
+    redelivery safe (same pattern as q_stream_incremental_mv: at
+    100 TB the marker becomes a transactional commit, the merge
+    algebra is identical); per-batch cost is the batch's own tokenize
+    plus O(touched source partitions) MV I/O — steady-state metering
+    tracks ARRIVAL RATE, not corpus size."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+    from batch_processing_etl_orchestration_spark.tables import (
+        build_once,
+        fixture_cache_dir,
+    )
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        MergeableSpec,
+        delta_refresh,
+        read_mv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = build_once(
+        sf_dir,
+        "documents.parquet",
+        "stream_bpe_src",
+        lambda p: docs.repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+
+    run = fixture_cache_dir(sf_dir, "documents.parquet", "stream_bpe_run")
+    mv, ckpt = os.path.join(run, "mv"), os.path.join(run, "ckpt")
+    shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
+
+    spec = MergeableSpec(
+        partition_col="source",
+        group_cols=(),
+        sum_cols={"ws_tokens": "ws_tokens", "bpe_tokens": "bpe_tokens"},
+        count_name="n_docs",
+    )
+
+    def merge(batch_df, batch_id: int) -> None:
+        marker = os.path.join(run, f"_batch_{batch_id}")
+        if os.path.exists(marker):  # redelivered batch: already merged
+            return
+        delta = bpe_token_counts(batch_df, passthrough=("source",)).select(
+            "source", "ws_tokens", "bpe_tokens"
+        )
+        delta_refresh(spark, delta, spec, mv)
+        open(marker, "w").close()
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # finalize() serves scaled-long sums as DOUBLE; these are integer
+    # token counts well inside 2^53, so the cast back to long is exact
+    return read_mv(spark, spec, mv).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
 _PACK_BUDGET_BPE = 640  # BPE tokens per bin
 
 
