@@ -4547,18 +4547,24 @@ _SQL_BPE_PER_DOC = f"""
 """
 
 
-@register(
-    "q_bpe_token_count",
-    oracle="WITH RECURSIVE "
-    + _SQL_BPE_PER_DOC
-    + """
+# Shared oracle tail: per-source totals over the per-doc BPE counts.
+# ONE definition consumed by BOTH the batch (q_bpe_token_count) and
+# streaming (q_stream_bpe_budget) attestations of the same totals —
+# a COALESCE/cast fix can never reach one and miss the twin (review
+# r11; same rule as _sql_bpe_enc).
+_SQL_BPE_BY_SOURCE = """
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(COALESCE(p.ws_tokens, 0)) AS BIGINT) AS ws_tokens,
            CAST(SUM(COALESCE(p.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens
     FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
     GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "q_bpe_token_count",
+    oracle="WITH RECURSIVE " + _SQL_BPE_PER_DOC + _SQL_BPE_BY_SOURCE,
     tags=("text", "tokenizer", "bpe"),
 )
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4666,16 +4672,7 @@ def q_bpe_proxy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_bpe_budget",
-    oracle="WITH RECURSIVE "
-    + _SQL_BPE_PER_DOC
-    + """
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(COALESCE(p.ws_tokens, 0)) AS BIGINT) AS ws_tokens,
-           CAST(SUM(COALESCE(p.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens
-    FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
-    GROUP BY 1
-    """,
+    oracle="WITH RECURSIVE " + _SQL_BPE_PER_DOC + _SQL_BPE_BY_SOURCE,
     tags=("streaming", "text", "tokenizer", "bpe", "incremental"),
 )
 def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4695,8 +4692,10 @@ def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivery safe (same pattern as q_stream_incremental_mv: at
     100 TB the marker becomes a transactional commit, the merge
     algebra is identical); per-batch cost is the batch's own tokenize
-    plus O(touched source partitions) MV I/O — steady-state metering
-    tracks ARRIVAL RATE, not corpus size."""
+    — run ONCE, the per-doc delta is localCheckpoint'ed before
+    delta_refresh executes it twice — plus O(touched source
+    partitions) MV I/O, so steady-state metering tracks ARRIVAL RATE,
+    not corpus size."""
     import os
     import shutil
 
@@ -4740,8 +4739,15 @@ def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker = os.path.join(run, f"_batch_{batch_id}")
         if os.path.exists(marker):  # redelivered batch: already merged
             return
-        delta = bpe_token_counts(batch_df, passthrough=("source",)).select(
-            "source", "ws_tokens", "bpe_tokens"
+        # localCheckpoint (eager): delta_refresh executes its input
+        # TWICE (affected_partitions' distinct-collect, then the
+        # aggregate/write) — without materializing, the Arrow tokenize
+        # kernel would run twice per batch (review r11). The delta is
+        # one tiny row per doc, so the checkpoint is cheap.
+        delta = (
+            bpe_token_counts(batch_df, passthrough=("source",))
+            .select("source", "ws_tokens", "bpe_tokens")
+            .localCheckpoint(eager=True)
         )
         delta_refresh(spark, delta, spec, mv)
         open(marker, "w").close()

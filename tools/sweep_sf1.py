@@ -53,7 +53,7 @@ def main() -> None:
         print(f"STALE STRUCTURAL list (renamed queries?): {missing}",
               file=sys.stderr)
         sys.exit(1)
-    n_pass = n_fail = 0
+    n_pass = n_rows_only = n_fail = 0
     t_start = time.perf_counter()
     for name, spec in sorted(QUERIES.items()):
         if name in STRUCTURAL:
@@ -61,9 +61,14 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             if spec.oracle is None:
+                # A rows-only execution is NOT a hash-match — count it
+                # separately so the summary transcribed into
+                # BENCH_SF1.md can never overstate cross-engine
+                # verification (review r11).
                 n = spec.fn(spark, sf).count()
                 print(f"PASS(rows-only) {name}: {n} rows  "
                       f"[{time.perf_counter() - t0:.1f}s]", flush=True)
+                n_rows_only += 1
             else:
                 compare_query(
                     spark, sf, spec.fn, spec.oracle,
@@ -71,14 +76,14 @@ def main() -> None:
                 )
                 print(f"PASS {name}  [{time.perf_counter() - t0:.1f}s]",
                       flush=True)
-            n_pass += 1
+                n_pass += 1
         except Exception as e:  # keep sweeping; report at the end
             msg = str(e).split("\n")[0][:300]
             print(f"FAIL {name}: {type(e).__name__}: {msg}  "
                   f"[{time.perf_counter() - t0:.1f}s]", flush=True)
             n_fail += 1
-    print(f"== sweep {n_pass} passed, {n_fail} failed, "
-          f"{len(STRUCTURAL)} structural-deferred "
+    print(f"== sweep {n_pass} hash-matched, {n_rows_only} rows-only, "
+          f"{n_fail} failed, {len(STRUCTURAL)} structural-deferred "
           f"[{time.perf_counter() - t_start:.1f}s]")
     sys.exit(1 if n_fail else 0)
 
