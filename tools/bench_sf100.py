@@ -40,6 +40,14 @@ MARKER = os.path.join(SF100, "_BUILD_OK")
 
 QUERIES_3 = ["q_minhash_lsh_pairs", "q_exact_span_dedup", "q_decontaminate_bloom"]
 QUERIES_EVENTS = ["q_sessionize_skew_safe", "q_pagerank_orders", "q_dup_clusters"]
+# The streaming drains: micro-batch COUNT is pinned by each scenario,
+# so sf10→sf100 multiplies ROWS PER BATCH by 10 (the axis a streaming
+# job actually faces — same protocol as the r10 sf1→sf10 decade).
+QUERIES_STREAMING = [
+    "q_stream_incremental_mv",
+    "q_stream_merge_upserts",
+    "q_stream_sessionize_capped",
+]
 
 
 def build(spark) -> None:
@@ -121,6 +129,47 @@ def build_events_family(spark) -> None:
     print(f"sf100 events/orders built in {time.perf_counter() - t0:.0f}s")
 
 
+def build_customer(spark) -> None:
+    """customer replicas for q_stream_merge_upserts' CDC scenario.
+    Same key-offset construction as make_sf1, including its c_name
+    rewrite (a real 100x corpus has 100x DISTINCT names; replica 0
+    stays byte-identical)."""
+    from tools.make_sf1 import SRC, _maxp1, _replicate
+
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    marker = os.path.join(SF100, "_BUILD_OK_CUSTOMER")
+    if os.path.isfile(marker):
+        print("sf100 customer already built")
+        return
+    import shutil
+
+    os.makedirs(SF100, exist_ok=True)
+    cust_off = _maxp1(spark, "customer", "c_custkey")
+    base = load_table(spark, SRC, "customer")
+    dest = os.path.join(SF100, "customer.parquet")
+    shutil.rmtree(dest, ignore_errors=True)
+    t0 = time.perf_counter()
+    for lo in range(0, REPLICAS, CHUNK):
+        reps = []
+        for r in range(lo, min(lo + CHUNK, REPLICAS)):
+            df = _replicate(base, r, {"c_custkey": cust_off})
+            if r > 0:  # make_sf1's cust_transform, inlined
+                df = df.withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col("c_custkey")),
+                )
+            reps.append(df)
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionByName(df)
+        out.write.mode("append").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    with open(marker, "w") as f:
+        f.write(f"{n}\n")
+    print(f"sf100 customer: {n} rows in {time.perf_counter() - t0:.0f}s")
+
+
 def bench(spark, names: list[str]) -> None:
     from batch_processing_etl_orchestration_spark.plans import QUERIES
 
@@ -160,10 +209,10 @@ def main() -> None:
     if "--family" in sys.argv:
         idx = sys.argv.index("--family")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in (
-            "docs", "events", "all"
+            "docs", "events", "streaming", "all"
         ):
             sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
-                     "[--family docs|events|all]")
+                     "[--family docs|events|streaming|all]")
         family = sys.argv[idx + 1]
 
     spark = get_spark(
@@ -178,12 +227,15 @@ def main() -> None:
     names = {
         "docs": QUERIES_3,
         "events": QUERIES_EVENTS,
-        "all": QUERIES_3 + QUERIES_EVENTS,
+        "streaming": QUERIES_STREAMING,
+        "all": QUERIES_3 + QUERIES_EVENTS + QUERIES_STREAMING,
     }[family]
     if "--bench-only" not in sys.argv:
         build(spark)  # documents (q_dup_clusters needs it too)
-        if family in ("events", "all"):
+        if family in ("events", "streaming", "all"):
             build_events_family(spark)
+        if family in ("streaming", "all"):
+            build_customer(spark)
     if "--build-only" not in sys.argv:
         bench(spark, names)
     spark.stop()
