@@ -166,25 +166,68 @@ def test_missing_fingerprint_record_treated_as_changed(monkeypatch):
     assert R.ordered_names()[0] == names[-1]
 
 
+def _stale_fingerprint_records():
+    """Green attestations whose fingerprint record predates them,
+    EXCLUDING the single newest CORRECTNESS round. The driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's final commit, so at every
+    judge checkpoint exactly one round is structurally unrecordable —
+    the round-start recorder protocol closes that gap next round
+    (VERDICT r11 #1: without this carve-out the tripwire is red at
+    every checkpoint by construction). Anything staler than the newest
+    round is a real protocol violation and still fails."""
+    rows = R._latest_rows()
+    rec = R._recorded_fingerprints()
+    newest = max((rnd for rnd, _ in rows.values()), default=0)
+    return [
+        (n, rnd)
+        for n, (rnd, g) in rows.items()
+        if g and n in R.QUERIES and rnd < newest
+        and (not isinstance(rec.get(n), dict) or rec[n].get("round") != rnd)
+    ]
+
+
 def test_fingerprints_recorded_for_every_green():
     """Forcing function for the round protocol: every query with a
     green driver attestation must have a fingerprint recorded AT that
-    attestation's round. Fails the moment a new CORRECTNESS_r*.json
-    lands without re-running the recorder — run
-    `python tools/record_fingerprints.py` at round start (it is
+    attestation's round — except rows from the single newest round,
+    which land after the final commit (see _stale_fingerprint_records).
+    Run `python tools/record_fingerprints.py` at round start (it is
     incremental and only archives the rounds it needs)."""
-    rows = R._latest_rows()
-    rec = R._recorded_fingerprints()
-    missing = [
-        (n, rnd)
-        for n, (rnd, g) in rows.items()
-        if g and n in R.QUERIES
-        and (not isinstance(rec.get(n), dict) or rec[n].get("round") != rnd)
-    ]
+    missing = _stale_fingerprint_records()
     assert not missing, (
         f"stale fingerprint store for {missing[:5]}… — run "
         "`python tools/record_fingerprints.py`"
     )
+
+
+def test_tripwire_tolerates_only_newest_round(tmp_path, monkeypatch):
+    """Simulate the judge-checkpoint state: the driver lands a new
+    CORRECTNESS artifact after the final commit. One-round-new rows
+    must NOT trip the recorder tripwire (green at checkpoint); the
+    same rows left unrecorded for a second round MUST trip it."""
+    import json
+
+    names = list(R.QUERIES)[:3]
+    green = {"err": None, "rows_match": True, "schema_match": True,
+             "hash_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: green for n in names}))
+    monkeypatch.setattr(R, "_repo_root", lambda: str(tmp_path))
+    # recorder ran for r01
+    rec = {n: {"round": 1, "fp": "x"} for n in names}
+    monkeypatch.setattr(R, "_recorded_fingerprints", lambda: rec)
+    assert _stale_fingerprint_records() == []
+
+    # driver lands r02 re-attesting names[0] after the final commit
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({names[0]: green}))
+    assert _stale_fingerprint_records() == []  # newest round tolerated
+
+    # a round later (r03 exists) the r02 gap is two rounds stale → red
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({names[1]: green}))
+    stale = _stale_fingerprint_records()
+    assert (names[0], 2) in stale and len(stale) == 1
 
 
 def test_oracle_map_subset_of_queries():
