@@ -738,3 +738,26 @@ def test_bpe_proxy_drift_single_exchange(spark, sf_dir):
     assert _nodes(plan, "Scan parquet") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_vocab_growth_bucketed_prefix(spark, sf_dir):
+    """r12 (VERDICT r11 #2): the Heaps-curve running totals must be the
+    two-phase bucketed prefix sum — the per-document window partitions
+    on the range bucket `_b`, and the only unpartitioned Window in the
+    plan runs over the 256-row per-bucket offsets table."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_vocab_growth")
+    segs = [s for s in plan.split("\n\n")
+            if re.match(r"\(\d+\) Window\b", s.strip())]
+    assert len(segs) == 2
+    for seg in segs:
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", seg).group(1)
+        if "doc_id" in inp:
+            # per-document window: MUST be bucket-partitioned
+            assert "windowspecdefinition(_b#" in seg
+        else:
+            # offsets window: unpartitioned is fine — input is the
+            # 256-row bucket-total table (_b, _bt, _bv), nothing else
+            cols = [c.strip().split("#")[0] for c in inp.split(",")]
+            assert set(cols) == {"_b", "_bt", "_bv"}
