@@ -1737,16 +1737,39 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     all four regression sums are exact integers; the slope is then a
     fixed expression tree over exact inputs, scale-then-rounded.
 
-    Scale shape: vocabulary-sized data only (Zipf-small); the global
-    rank window sorts the vocab table, never the corpus."""
+    Scale shape: vocabulary-sized data only after the one word
+    shuffle — but a 100 TB web corpus's vocabulary is itself huge, so
+    the rank is the TWO-PHASE form (VERDICT r11 #3 rider): words
+    bucket by (n_w, first-two-chars) — the 2-char prefix is monotone
+    in the binary string order, so (n_w DESC, bucket, w) IS the rank
+    order — per-bucket counts prefix-sum on the small
+    (distinct-freq × prefix) grouped table and broadcast back, and
+    each task ranks only its own bucket. No unpartitioned window ever
+    touches the vocab-sized table; the hapax plateau (n_w = 1, half
+    the vocab) splits across its prefix buckets instead of one task."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    rk = F.row_number().over(Window.orderBy(F.col("n_w").desc(), "w"))
-    pts = freq.select(
+    keyed = freq.withColumn("_wb", F.substring("w", 1, 2))
+    off_w = (
+        Window.orderBy(F.col("n_w").desc(), "_wb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("n_w", "_wb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "n_w",
+            "_wb",
+            F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+    w_in = Window.partitionBy("n_w", "_wb").orderBy("w")
+    rk = F.col("_off") + F.row_number().over(w_in)
+    pts = keyed.join(F.broadcast(offsets), ["n_w", "_wb"]).select(
         F.round(F.log(rk.cast("double")) * 1000000).cast("bigint").alias("x"),
         F.round(F.log(F.col("n_w").cast("double")) * 1000000)
         .cast("bigint")
@@ -2393,10 +2416,14 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine_sim"),
         )
     )
+    # Top-50 FIRST (TakeOrderedAndProject — per-partition partial
+    # top-k, then one 50-row merge), THEN rank the survivors: the
+    # row_number window never sees more than 50 rows. VERDICT r11 #3 —
+    # the old shape ranked the FULL embeddings table in one task.
+    top_vec = sims.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(50)
     w_vec = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
-    vec_rank = (
-        sims.select("doc_id", F.row_number().over(w_vec).alias("r_vec"))
-        .where(F.col("r_vec") <= 50)
+    vec_rank = top_vec.select(
+        "doc_id", F.row_number().over(w_vec).alias("r_vec")
     )
 
     fused = (

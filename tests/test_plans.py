@@ -761,3 +761,37 @@ def test_vocab_growth_bucketed_prefix(spark, sf_dir):
             # 256-row bucket-total table (_b, _bt, _bv), nothing else
             cols = [c.strip().split("#")[0] for c in inp.split(",")]
             assert set(cols) == {"_b", "_bt", "_bv"}
+
+
+def test_hybrid_rrf_windows_rank_topk_only(spark, sf_dir):
+    """r12 (VERDICT r11 #3): both RRF rank windows must sit directly
+    above a TakeOrderedAndProject — row_number never sees more than
+    the top-50 list, so no task ranks the full embeddings table."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_hybrid_search_rrf")
+    tree = plan.split("\n\n")[0].splitlines()
+    win_lines = [i for i, l in enumerate(tree) if re.search(r"\bWindow \(\d+\)", l)]
+    assert len(win_lines) == 2
+    for i in win_lines:
+        assert "TakeOrderedAndProject" in tree[i + 1], tree[i : i + 2]
+
+
+def test_zipf_fit_bucketed_rank(spark, sf_dir):
+    """r12 (VERDICT r11 #3 rider): the vocab rank is two-phase — the
+    per-word row_number partitions on (n_w, _wb) prefix buckets, and
+    the only unpartitioned Window runs over the grouped
+    (n_w, _wb, _c) offsets table."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_zipf_fit")
+    segs = [s for s in plan.split("\n\n")
+            if re.match(r"\(\d+\) Window\b", s.strip())]
+    assert len(segs) == 2
+    for seg in segs:
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", seg).group(1)
+        cols = {c.strip().split("#")[0] for c in inp.split(",")}
+        if "w" in cols:  # per-word rank window: MUST be bucket-partitioned
+            assert re.search(r"windowspecdefinition\(n_w#\d+L?, _wb#", seg)
+        else:  # offsets window over the small grouped table only
+            assert cols == {"n_w", "_wb", "_c"}
