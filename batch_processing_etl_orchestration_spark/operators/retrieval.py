@@ -81,6 +81,18 @@ def _is_file_vanished(exc: BaseException) -> bool:
                     "java.io.FileNotFoundException"
                 ):
                     return True
+                # An EXECUTOR-side FileNotFoundException is serialized
+                # as TEXT in the stage-failure SparkException's message
+                # (no java cause link survives task serialization), and
+                # a raw Py4JJavaError's top str() line is just "An
+                # error occurred while calling o..." — so match the
+                # throwable's own message too (ADVICE r11 #1).
+                jmsg = jthrow.getMessage()
+                if isinstance(jmsg, str) and (
+                    "PATH_NOT_FOUND" in jmsg
+                    or "FileNotFoundException" in jmsg
+                ):
+                    return True
                 jthrow = jthrow.getCause()
             except Exception:
                 break  # gateway gone mid-walk — fall through to text

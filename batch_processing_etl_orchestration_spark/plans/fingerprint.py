@@ -50,7 +50,12 @@ PKG = "batch_processing_etl_orchestration_spark"
 #: the closure — e.g. snapshots.py's zorder_by), and functions bound
 #: as class attributes but DEFINED elsewhere now join the closure
 #: themselves (the class source shows only `handler = helper_fn`).
-ALGO_VERSION = 3
+#: v4 (ADVICE r11 #4): class-attribute descent also covers TYPE-valued
+#: attributes (nested or aliased package classes join the closure via
+#: _callees_of), functools.partial objects (their .func unwraps), and
+#: functools.cached_property wrappers (their .func unwraps) — all
+#: three were silently skipped by the plain-function filter before.
+ALGO_VERSION = 4
 
 
 def _direct_package_callees(fn: types.FunctionType) -> list:
@@ -109,11 +114,19 @@ def _direct_package_callees(fn: types.FunctionType) -> list:
 
 def _unwrap_method(attr: object) -> types.FunctionType | None:
     """The plain function behind a class attribute, if any —
-    staticmethod/classmethod wrappers and property getters included."""
+    staticmethod/classmethod wrappers, property getters,
+    functools.partial objects, and functools.cached_property wrappers
+    included (the latter two were blind spots until v4)."""
+    import functools
+
     if isinstance(attr, (staticmethod, classmethod)):
         attr = attr.__func__
     elif isinstance(attr, property):
         attr = attr.fget
+    elif isinstance(attr, functools.partial):
+        attr = attr.func
+    elif isinstance(attr, functools.cached_property):
+        attr = attr.func
     return attr if isinstance(attr, types.FunctionType) else None
 
 
@@ -131,6 +144,14 @@ def _callees_of(obj: object) -> list:
             if getattr(base, "__module__", "").startswith(PKG):
                 out[f"{base.__module__}.{base.__qualname__}"] = base
         for attr in vars(obj).values():
+            # TYPE-valued class attributes — nested classes and aliased
+            # package classes (`Store = SegmentStore`) — join the
+            # closure and descend through _callees_of on the BFS (v4).
+            if isinstance(attr, type) and getattr(
+                attr, "__module__", ""
+            ).startswith(PKG):
+                out[f"{attr.__module__}.{attr.__qualname__}"] = attr
+                continue
             meth = _unwrap_method(attr)
             if meth is None:
                 continue

@@ -4754,9 +4754,10 @@ def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This closes the tokenizer ladder's last gap: counts → budgets →
     ids were all BATCH attestations; a real platform meters token
-    budgets as data lands. Idempotent batch markers make foreachBatch
-    redelivery safe (same pattern as q_stream_incremental_mv: at
-    100 TB the marker becomes a transactional commit, the merge
+    budgets as data lands. Batch commit tokens recorded INSIDE the MV
+    commit make foreachBatch redelivery safe with no marker-after-
+    merge crash window (same pattern as q_stream_incremental_mv: at
+    100 TB the token becomes a transactional-commit column, the merge
     algebra is identical); per-batch cost is the batch's own tokenize
     — run ONCE, the per-doc delta is localCheckpoint'ed before
     delta_refresh executes it twice — plus O(touched source
@@ -4802,9 +4803,18 @@ def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(batch_df, batch_id: int) -> None:
-        marker = os.path.join(run, f"_batch_{batch_id}")
-        if os.path.exists(marker):  # redelivered batch: already merged
-            return
+        from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+            has_commit,
+        )
+
+        # Idempotence rides INSIDE the MV commit (ADVICE r11 #2): the
+        # batch token is recorded by delta_refresh between the data
+        # write and the intent-clear/ready step, so no crash window
+        # exists where the merge landed but the token didn't — a
+        # redelivered batch either re-merges cleanly (nothing
+        # committed) or is skipped (token present).
+        if has_commit(mv, f"batch_{batch_id}"):
+            return  # skip the tokenize entirely on redelivery
         # localCheckpoint (eager): delta_refresh executes its input
         # TWICE (affected_partitions' distinct-collect, then the
         # aggregate/write) — without materializing, the Arrow tokenize
@@ -4815,8 +4825,7 @@ def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "ws_tokens", "bpe_tokens")
             .localCheckpoint(eager=True)
         )
-        delta_refresh(spark, delta, spec, mv)
-        open(marker, "w").close()
+        delta_refresh(spark, delta, spec, mv, commit_token=f"batch_{batch_id}")
 
     schema = spark.read.parquet(src).schema
     stream = (

@@ -1362,10 +1362,13 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     over everything — the oracle — because scaled-long partials form a
     commutative monoid: no batching of arrivals can change the result.
 
-    Idempotence: each batch stamps a marker after its merge and is
-    skipped on redelivery, so a foreachBatch retry cannot double-count
-    (at 100 TB the marker becomes a transactional commit — Delta/
-    Iceberg — but the merge algebra is identical). Micro-batch size is
+    Idempotence: each batch's commit token is recorded INSIDE the MV
+    commit (delta_refresh commit_token — between the data write and
+    the intent-clear/ready step), so a foreachBatch redelivery cannot
+    double-count and no crash window separates merge from marker
+    (at 100 TB the token column of a Delta/Iceberg transactional
+    commit plays the same role; the merge algebra is identical).
+    Micro-batch size is
     bounded by the trigger; MV I/O per batch is O(touched partitions),
     so steady-state maintenance cost tracks arrival rate, not history
     size — the streaming twin of q_incremental_mv_refresh."""
@@ -1410,14 +1413,13 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(batch_df, batch_id: int) -> None:
-        marker = os.path.join(run, f"_batch_{batch_id}")
-        if os.path.exists(marker):  # redelivered batch: already merged
-            return
+        # Idempotence token rides INSIDE the MV commit (ADVICE r11 #2:
+        # an external marker written after delta_refresh left a crash
+        # window that double-merged the batch on restart).
         delta = batch_df.select(
             F.to_date("ts").alias("p_date"), "event_type", "value"
         )
-        delta_refresh(spark, delta, spec, mv)
-        open(marker, "w").close()
+        delta_refresh(spark, delta, spec, mv, commit_token=f"batch_{batch_id}")
 
     schema = spark.read.parquet(src).schema
     stream = (

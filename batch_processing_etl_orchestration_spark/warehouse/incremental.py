@@ -283,7 +283,30 @@ def _clear_intent(mv_path: str) -> None:
         pass
 
 
-def _write_partitioned(df: DataFrame, spec: MergeableSpec, mv_path: str) -> None:
+_COMMITS = "_commits"
+
+
+def has_commit(mv_path: str, token: str) -> bool:
+    """True iff a delta_refresh carrying `token` fully committed into
+    this MV. The foreachBatch idempotence check: `has_commit(mv,
+    f"batch_{batch_id}")` before merging a possibly-redelivered batch."""
+    import os
+
+    return os.path.isfile(os.path.join(mv_path, _COMMITS, token))
+
+
+def _record_commit(mv_path: str, token: str) -> None:
+    import os
+
+    d = os.path.join(mv_path, _COMMITS)
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, token), "w").close()
+
+
+def _write_partitioned(
+    df: DataFrame, spec: MergeableSpec, mv_path: str,
+    commit_token: str | None = None,
+) -> None:
     (
         df.repartition(F.col(spec.partition_col))
         .write.mode("overwrite")
@@ -291,6 +314,15 @@ def _write_partitioned(df: DataFrame, spec: MergeableSpec, mv_path: str) -> None
         .partitionBy(spec.partition_col)
         .parquet(mv_path)
     )
+    # The batch-commit token lands BETWEEN the data write and the
+    # ready/intent-clear step, making it part of the MV commit
+    # (ADVICE r11 #2): every crash interleaving either leaves the MV
+    # not-ready / intent-pending (LOUD — bootstrap rebuilds or heal is
+    # demanded) or leaves token + data together — there is no window
+    # where the data committed silently without its token, so a
+    # redelivered foreachBatch batch can never double-merge.
+    if commit_token is not None:
+        _record_commit(mv_path, commit_token)
     # dynamic-overwrite commits do NOT leave a root _SUCCESS, so the MV
     # carries its own ready marker: its absence means "never completed
     # a build" and delta_refresh must bootstrap, not merge
@@ -333,15 +365,27 @@ def _part_filter(col: F.Column, parts: list) -> F.Column:
 
 
 def delta_refresh(
-    spark: SparkSession, delta: DataFrame, spec: MergeableSpec, mv_path: str
+    spark: SparkSession, delta: DataFrame, spec: MergeableSpec, mv_path: str,
+    commit_token: str | None = None,
 ) -> list:
     """Merge a batch of new fact rows into the MV without touching the
     fact table. Handles late data transparently — a delta row for an
     old partition merges into that partition's stored partials.
-    Returns the partition values refreshed."""
+    Returns the partition values refreshed.
+
+    `commit_token` (optional) makes the merge IDEMPOTENT per token: a
+    token already recorded in the MV returns [] without merging, and a
+    fresh token is recorded atomically-enough with the data commit —
+    inside the intent-journal window (merge) or before the ready
+    marker (bootstrap) — so a crash can never leave merged data
+    without its token (ADVICE r11 #2). foreachBatch callers pass
+    f"batch_{batch_id}" and get exactly-once merge semantics under
+    redelivery with no external marker files."""
     import os
     import shutil
 
+    if commit_token is not None and has_commit(mv_path, commit_token):
+        return []  # redelivered batch: already fully committed
     parts = affected_partitions(delta, spec.partition_col)
     if not parts:
         return parts
@@ -350,7 +394,9 @@ def delta_refresh(
         # marker is an aborted build — clear it so stale partial
         # partitions can't survive next to the fresh ones.
         shutil.rmtree(mv_path, ignore_errors=True)
-        build_mv(delta, spec, mv_path)
+        _write_partitioned(
+            spec.aggregate(delta), spec, mv_path, commit_token=commit_token
+        )
         return parts
     _check_no_pending(mv_path)
     old = (
@@ -366,7 +412,7 @@ def delta_refresh(
     # (reads/refreshes raise) and names the exact partitions heal_mv
     # must recompute from the authoritative fact.
     _write_intent(mv_path, parts)
-    _write_partitioned(merged, spec, mv_path)
+    _write_partitioned(merged, spec, mv_path, commit_token=commit_token)
     _clear_intent(mv_path)
     return parts
 

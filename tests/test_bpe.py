@@ -266,37 +266,42 @@ def _synthetic_merges(n: int, alphabet: str = "abcd") -> list:
 
 def test_encoder_flat_cost_at_100k_merges():
     """VERDICT r10 next #3 done-criterion: per-word encode cost must be
-    INDEPENDENT of the merge-table size. Time the same word set under
-    the committed 48-merge table and a synthetic 100k-merge table
-    (rank dicts prebuilt, as the kernels do) and require the per-word
-    ratio to stay near 1 — the old priority-order pass was ~2000x
-    slower at 100k merges by construction."""
-    import time
-
+    INDEPENDENT of the merge-table size. Deterministic operation count
+    instead of wall clock (ADVICE r11 #3 — timing ratios flake under
+    CI load): instrument ranks.get via a counting dict subclass and
+    assert the lookup count under a synthetic 100k-merge table stays
+    within the table-size-free O(|word|^2) bound — each merge round
+    scans len(toks)-1 pairs and there are at most len(word)-1 rounds.
+    The old priority-order pass did O(|merges|) lookups per word, ~2000x
+    over this bound at 100k merges by construction."""
     big = _synthetic_merges(100_000)
     validate_merges(big)
     small_ranks = merge_ranks(load_merges())
-    t_build = time.perf_counter()
     big_ranks = merge_ranks(big)
-    build_sec = time.perf_counter() - t_build  # once per task; not hot
     words = ["".join("abcd"[(i * 7 + j) % 4] for j in range(3 + i % 14))
              for i in range(500)]
 
-    def per_word(ranks) -> float:
-        t0 = time.perf_counter()
-        for _ in range(20):
-            for w in words:
-                out = encode_word(w, ranks=ranks)
-                assert "".join(out) == w
-        return (time.perf_counter() - t0) / (20 * len(words))
+    class CountingRanks(dict):
+        gets = 0
 
-    per_word(small_ranks)  # warm up the interpreter/caches
-    t_small = per_word(small_ranks)
-    t_big = per_word(big_ranks)
-    # generous noise margin; an O(|merges|) regression would be >100x
-    assert t_big < t_small * 5 + 1e-4, (
-        f"per-word cost not flat: {t_small * 1e6:.1f}us @48 merges vs "
-        f"{t_big * 1e6:.1f}us @100k merges (rank-dict build {build_sec:.2f}s)"
+        def get(self, *a):
+            CountingRanks.gets += 1
+            return super().get(*a)
+
+    def lookups(ranks) -> int:
+        counted = CountingRanks(ranks)
+        CountingRanks.gets = 0
+        for w in words:
+            out = encode_word(w, ranks=counted)
+            assert "".join(out) == w
+        return CountingRanks.gets
+
+    bound = sum((len(w) - 1) * len(w) for w in words)
+    n_small, n_big = lookups(small_ranks), lookups(big_ranks)
+    assert n_small <= bound, (n_small, bound)
+    assert n_big <= bound, (
+        f"per-word lookups not flat: {n_big} gets @100k merges vs the "
+        f"table-size-free bound {bound} ({n_small} @48 merges)"
     )
     # and the 100k table still round-trips correctness vs the reference
     sample = words[::50]

@@ -35,13 +35,29 @@ PKG_SRC = {
     "handlers.py": """
         def bound_handler(x):
             return x - 7
+
+        def partial_target(x, y):
+            return x * y
+
+        def cached_target(x):
+            return x + 11
+    """,
+    "aliased.py": """
+        class AliasedStore:
+            def get(self):
+                return 5
     """,
     "ops.py": """
+        import functools
+
+        from fpdemo_pkg.aliased import AliasedStore
         from fpdemo_pkg.deep import leaf
-        from fpdemo_pkg.handlers import bound_handler
+        from fpdemo_pkg.handlers import bound_handler, cached_target, partial_target
 
         class Engine:
             handler = bound_handler  # defined OUTSIDE the class body
+            Store = AliasedStore  # type-valued attribute (alias)
+            scaled = functools.partial(partial_target, 2)
 
             def run(self, x):
                 return leaf(x) - 1
@@ -50,6 +66,10 @@ PKG_SRC = {
                 from fpdemo_pkg.deep2 import leaf2
 
                 return leaf2(x)
+
+            @functools.cached_property
+            def cache_seed(self):
+                return cached_target(0)
     """,
     "query.py": """
         from fpdemo_pkg.mid import helper
@@ -234,7 +254,39 @@ def test_class_attribute_bound_function_joins_closure(demo_pkg):
     assert "bound_handler" in names
     before = FP.query_fingerprint(q.q_class_demo, None)
     (demo_pkg / "handlers.py").write_text(
-        "def bound_handler(x):\n    return x - 8  # rewired\n"
+        "def bound_handler(x):\n    return x - 8  # rewired\n\n"
+        "def partial_target(x, y):\n    return x * y\n\n"
+        "def cached_target(x):\n    return x + 11\n"
     )
     q2 = _fresh_import()
     assert FP.query_fingerprint(q2.q_class_demo, None) != before
+
+
+def test_type_partial_and_cached_property_attrs_join_closure(demo_pkg):
+    """ADVICE r11 #4 (v4): type-valued class attributes (aliased or
+    nested classes), functools.partial objects, and cached_property
+    wrappers were silently skipped by the plain-function filter —
+    each must join the closure and drift the fingerprint when its
+    target rewires."""
+    q = _fresh_import()
+    names = {
+        o.__qualname__
+        for o in FP._transitive_package_callees(q.q_class_demo)
+    }
+    assert {"AliasedStore", "partial_target", "cached_target"} <= names
+
+    before = FP.query_fingerprint(q.q_class_demo, None)
+    (demo_pkg / "aliased.py").write_text(
+        "class AliasedStore:\n    def get(self):\n        return 6\n"
+    )
+    q2 = _fresh_import()
+    after_alias = FP.query_fingerprint(q2.q_class_demo, None)
+    assert after_alias != before
+
+    (demo_pkg / "handlers.py").write_text(
+        "def bound_handler(x):\n    return x - 7\n\n"
+        "def partial_target(x, y):\n    return x * y + 1\n\n"
+        "def cached_target(x):\n    return x + 11\n"
+    )
+    q3 = _fresh_import()
+    assert FP.query_fingerprint(q3.q_class_demo, None) != after_alias

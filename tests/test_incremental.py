@@ -263,7 +263,10 @@ def test_stream_mv_processes_multiple_microbatches(spark):
 
     fn = QUERIES["q_stream_incremental_mv"].fn
     out1 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect()}
-    runs = glob.glob("/root/repo/.tmp/stream_mv_run/sf0.01-*/_batch_*")
+    # r12: idempotence tokens now live INSIDE the MV commit
+    runs = glob.glob(
+        "/root/repo/.tmp/stream_mv_run/sf0.01-*/mv/_commits/batch_*"
+    )
     assert len(runs) == 6, runs
     # determinism across full re-runs (fresh MV + checkpoint each call)
     out2 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect()}
@@ -774,3 +777,71 @@ def test_legacy_unversioned_journal_heals_everything(spark, tmp_path):
         for r in read_mv(spark, spec, mv).collect()
     }
     assert got == {(None, "click"): 1.0, ("alpha", "view"): 2.0}
+
+
+def test_commit_token_idempotent_redelivery(spark, ev, tmp_path_factory):
+    """ADVICE r11 #2: delta_refresh with a commit_token is idempotent
+    per token — a redelivered batch (same token) is a no-op across
+    BOTH the bootstrap and merge paths, and distinct tokens merge."""
+    from batch_processing_etl_orchestration_spark.warehouse.incremental import (
+        has_commit,
+    )
+
+    b0 = ev.where(F.dayofmonth("p_date") <= 10)
+    b1 = ev.where(F.dayofmonth("p_date").between(11, 20))
+
+    mv = str(tmp_path_factory.mktemp("mv") / "tok")
+    assert not has_commit(mv, "batch_0")
+    assert delta_refresh(spark, b0, SPEC, mv, commit_token="batch_0")
+    assert has_commit(mv, "batch_0")
+    # bootstrap-path redelivery: no-op
+    assert delta_refresh(spark, b0, SPEC, mv, commit_token="batch_0") == []
+    snap0 = _rows(read_mv(spark, SPEC, mv))
+    assert _rows(read_mv(spark, SPEC, mv)) == snap0
+
+    assert delta_refresh(spark, b1, SPEC, mv, commit_token="batch_1")
+    snap1 = _rows(read_mv(spark, SPEC, mv))
+    # merge-path redelivery of either token: no-op, MV unchanged
+    assert delta_refresh(spark, b1, SPEC, mv, commit_token="batch_1") == []
+    assert delta_refresh(spark, b0, SPEC, mv, commit_token="batch_0") == []
+    assert _rows(read_mv(spark, SPEC, mv)) == snap1
+
+    full = str(tmp_path_factory.mktemp("mv") / "tokfull")
+    build_mv(ev.where(F.dayofmonth("p_date") <= 20), SPEC, full)
+    assert snap1 == _rows(read_mv(spark, SPEC, full))
+
+
+def test_commit_token_no_silent_crash_window(spark, ev, tmp_path_factory,
+                                             monkeypatch):
+    """The token is recorded INSIDE the commit: kill the refresh right
+    after the data write (before intent clears). The MV must be LOUD
+    (pending intent blocks reads/refreshes) — never 'merged data,
+    missing token', which is the silent double-merge window the
+    external after-the-fact marker had."""
+    from batch_processing_etl_orchestration_spark.warehouse import (
+        incremental as inc,
+    )
+
+    mv = str(tmp_path_factory.mktemp("mv") / "crash")
+    b0 = ev.where(F.dayofmonth("p_date") <= 10)
+    b1 = ev.where(F.dayofmonth("p_date").between(11, 20))
+    delta_refresh(spark, b0, SPEC, mv, commit_token="batch_0")
+
+    real = inc._clear_intent
+
+    def boom(path):
+        raise RuntimeError("killed between data write and intent clear")
+
+    monkeypatch.setattr(inc, "_clear_intent", boom)
+    with pytest.raises(RuntimeError, match="killed"):
+        delta_refresh(spark, b1, SPEC, mv, commit_token="batch_1")
+    monkeypatch.setattr(inc, "_clear_intent", real)
+
+    # the crash is LOUD: both the token and the data landed, and the
+    # pending intent refuses service until healed — no interleaving
+    # where data committed silently without its token
+    assert inc.has_commit(mv, "batch_1")
+    with pytest.raises(RuntimeError, match="unfinished refresh"):
+        read_mv(spark, SPEC, mv)
+    with pytest.raises(RuntimeError, match="unfinished refresh"):
+        delta_refresh(spark, b1, SPEC, mv, commit_token="batch_2")

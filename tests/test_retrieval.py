@@ -817,3 +817,60 @@ def test_is_file_vanished_ignores_trace_only_mentions():
             return None
 
     assert _is_file_vanished(OuterCaptured())
+
+
+def test_is_file_vanished_matches_stage_failure_message():
+    """ADVICE r11 #1: an EXECUTOR-side FileNotFoundException survives
+    task serialization only as text in the stage-failure
+    SparkException's getMessage() — no java cause link, and a raw
+    Py4JJavaError's str() top line is 'An error occurred while
+    calling o...'. The JVM walk must match the throwable's own
+    message; a deterministic executor failure must still not gate."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        _is_file_vanished,
+    )
+
+    class FakeJThrow:
+        def __init__(self, name, msg, cause=None):
+            self._name, self._msg, self._cause = name, msg, cause
+
+        def getClass(self):
+            name = self._name
+
+            class _C:
+                @staticmethod
+                def getName():
+                    return name
+
+            return _C
+
+        def getMessage(self):
+            return self._msg
+
+        def getCause(self):
+            return self._cause
+
+    class FakePy4J(Exception):
+        def __init__(self, jexc):
+            super().__init__("ignored")
+            self.java_exception = jexc
+
+        def __str__(self):
+            return (
+                "An error occurred while calling o123.fold.\n"
+                ": org.apache.spark.SparkException: Job aborted\n"
+            )
+
+    vanished = FakeJThrow(
+        "org.apache.spark.SparkException",
+        "Job aborted due to stage failure: Task 3 failed: "
+        "java.io.FileNotFoundException: part-0000.parquet does not exist",
+    )
+    assert _is_file_vanished(FakePy4J(vanished))
+
+    deterministic = FakeJThrow(
+        "org.apache.spark.SparkException",
+        "Job aborted due to stage failure: Task 3 failed: "
+        "java.lang.ArithmeticException: / by zero",
+    )
+    assert not _is_file_vanished(FakePy4J(deterministic))

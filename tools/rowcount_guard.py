@@ -93,10 +93,18 @@ def main() -> None:
         sys.exit(1)
     base = doc.get("counts", {})
     exempt = bench.BASELINE_EXEMPT
+    # An EXECUTION ERROR (count -1) fails the guard even for exempted
+    # queries — exemption excuses a count delta from a deliberate
+    # workload change, never a query that started raising (ADVICE r11).
     problems = [
+        f"{n}: raised during count() — exemption does not cover errors"
+        for n in counts if counts[n] < 0
+    ]
+    problems += [
         f"{n}: {counts[n]} rows vs recorded {base[n]}"
         for n in counts
         if n in base and n not in exempt and counts[n] != base[n]
+        and counts[n] >= 0
     ]
     problems += [
         f"{n}: registered but not in the store — run --update"
