@@ -87,6 +87,10 @@ _MERGES_SF1_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bpe_merges_sf1.json"
 )
 
+_MERGES_SF10_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bpe_merges_sf10.json"
+)
+
 def _ensure_valid(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """validate_merges at every boundary that accepts an EXPLICIT
     table (review r11): the docstring guarantees — unquoted-safe SQL
@@ -124,6 +128,20 @@ def load_merges_sf1() -> list[tuple[str, str]]:
     cost at a real ~100k-merge table is pinned separately by
     tests/test_bpe.py::test_encoder_flat_cost_at_100k_merges)."""
     return load_merges(_MERGES_SF1_FILE)
+
+
+def load_merges_sf10() -> list[tuple[str, str]]:
+    """The sf10-trained table (VERDICT r11 next #4): make_sf1's
+    per-replica word suffixing gives the sf10 corpus ~10x the distinct
+    vocabulary (3,100 words), which trains ORGANICALLY to 3,263 merges
+    before saturating — past the multi-thousand-merge bar the sf1
+    corpus physically cannot reach. Trained by
+      python tools/train_bpe.py \\
+        '/root/repo/.tmp/sf10/documents.parquet/**/*.parquet' 8192 \\
+        .../functions/bpe_merges_sf10.json
+    (deterministic: lexicographic tie-break, so retraining on the same
+    fixture reproduces the identical list)."""
+    return load_merges(_MERGES_SF10_FILE)
 
 
 def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:

@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     # and the per-source tokenizer-fertility (proxy-drift) audit
     "q_bpe_encode_ids_satvocab",
     "q_bpe_proxy_drift",
+    # r12: id stream under the sf10-trained 3,263-merge table (the
+    # first organically multi-thousand-merge table; VERDICT r11 #4)
+    "q_bpe_encode_ids_sf10vocab",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

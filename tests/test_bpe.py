@@ -303,6 +303,14 @@ def test_encoder_flat_cost_at_100k_merges():
         f"per-word lookups not flat: {n_big} gets @100k merges vs the "
         f"table-size-free bound {bound} ({n_small} @48 merges)"
     )
+    # and re-pinned on the committed sf10-trained table (r12: the
+    # first organically multi-thousand-merge table, 3,263 merges)
+    from batch_processing_etl_orchestration_spark.functions.bpe import (
+        load_merges_sf10,
+    )
+
+    n_sf10 = lookups(merge_ranks(load_merges_sf10()))
+    assert n_sf10 <= bound, (n_sf10, bound)
     # and the 100k table still round-trips correctness vs the reference
     sample = words[::50]
     for w in sample:
@@ -354,3 +362,31 @@ def test_sf1_saturated_table_committed_and_consistent():
         assert encode_word(w, ranks=ranks) == encode_word_priority_pass(
             w, sat
         )
+
+
+def test_sf10_table_committed_multi_thousand_and_consistent():
+    """VERDICT r11 next #4: the committed sf10-trained table is the
+    first ORGANICALLY multi-thousand-merge table this fixture family
+    supports — >=2,000 merges (3,263 at saturation over 3,100 distinct
+    suffixed words), trained with the same deterministic Sennrich
+    procedure, and exactly equivalent between the rank-dict encoder
+    and the priority-order reference pass on the fixture words."""
+    import json
+    import os
+
+    from batch_processing_etl_orchestration_spark.functions import bpe
+
+    big = bpe.load_merges_sf10()
+    assert len(big) >= 2000, len(big)
+    assert len(big) > 8 * len(bpe.load_merges_sf1())
+    with open(
+        os.path.join(os.path.dirname(bpe.__file__), "bpe_merges_sf10.json")
+    ) as f:
+        doc = json.load(f)
+    assert doc["saturated"] is True
+    assert doc["n_words"] == 3100
+    ranks = merge_ranks(big)
+    for w in _fixture_words():
+        fast = encode_word(w, ranks=ranks)
+        assert "".join(fast) == w
+        assert fast == encode_word_priority_pass(w, big), w
