@@ -40,6 +40,15 @@ MARKER = os.path.join(SF100, "_BUILD_OK")
 
 QUERIES_3 = ["q_minhash_lsh_pairs", "q_exact_span_dedup", "q_decontaminate_bloom"]
 QUERIES_EVENTS = ["q_sessionize_skew_safe", "q_pagerank_orders", "q_dup_clusters"]
+# r12 (VERDICT r11 next #5): the REST of the dedup/shingle family —
+# the shingle-pair queries whose third decade was still unmeasured
+# (q_minhash_lsh_pairs/q_exact_span_dedup ran at sf100 in r10,
+# q_dup_clusters in r11). All read ONLY documents.
+QUERIES_DOCUMENTS = [
+    "q_ngram_jaccard_pairs",
+    "q_ngram_containment_pairs",
+    "q_simhash_pairs",
+]
 # The streaming drains: micro-batch COUNT is pinned by each scenario,
 # so sf10→sf100 multiplies ROWS PER BATCH by 10 (the axis a streaming
 # job actually faces — same protocol as the r10 sf1→sf10 decade).
@@ -209,10 +218,10 @@ def main() -> None:
     if "--family" in sys.argv:
         idx = sys.argv.index("--family")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in (
-            "docs", "events", "streaming", "all"
+            "docs", "documents", "events", "streaming", "all"
         ):
             sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
-                     "[--family docs|events|streaming|all]")
+                     "[--family docs|documents|events|streaming|all]")
         family = sys.argv[idx + 1]
 
     spark = get_spark(
@@ -221,15 +230,35 @@ def main() -> None:
         extra_conf={
             "spark.sql.shuffle.partitions": "128",
             "spark.driver.memory": "64g",
+            # r12: the containment-pairs sf100 cold run starved the
+            # local-mode heartbeat thread (32 saturated cores + spill
+            # I/O) long enough for the executor's 60-miss suicide —
+            # "Exit as unable to send heartbeats" → block manager
+            # wiped → cascade of shuffle-file-not-found → context
+            # shutdown. Local mode shares one process; a heartbeat
+            # miss is never a lost machine, so make the window huge.
+            "spark.executor.heartbeatInterval": "60s",
+            "spark.network.timeout": "1200s",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
     names = {
         "docs": QUERIES_3,
+        "documents": QUERIES_DOCUMENTS,
         "events": QUERIES_EVENTS,
         "streaming": QUERIES_STREAMING,
-        "all": QUERIES_3 + QUERIES_EVENTS + QUERIES_STREAMING,
+        "all": QUERIES_3 + QUERIES_DOCUMENTS + QUERIES_EVENTS
+               + QUERIES_STREAMING,
     }[family]
+    if "--queries" in sys.argv:
+        # resume/selective re-run: comma-separated names, must belong
+        # to the selected family (keeps fixtures consistent)
+        spec = sys.argv[sys.argv.index("--queries") + 1]
+        wanted = [q.strip() for q in spec.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in names]
+        if unknown:
+            sys.exit(f"--queries {unknown} not in family {family!r}: {names}")
+        names = wanted
     if "--bench-only" not in sys.argv:
         build(spark)  # documents (q_dup_clusters needs it too)
         if family in ("events", "streaming", "all"):
