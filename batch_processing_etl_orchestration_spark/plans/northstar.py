@@ -5302,3 +5302,308 @@ def q_bpe_encode_ids_sf10vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _BPE_SF10_SAMPLE_MOD == 0
     )
     return bpe_encode_ids(d, merges=load_merges_sf10())
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (r12): the classifier leg of the quality
+# ladder. q_quality_filter/q_unigram_logprob_quality are heuristic and
+# self-supervised; production pipelines (CCNet, the GPT-3 data work)
+# additionally score every document with a cheap linear classifier
+# trained to separate a trusted reference corpus from the raw pool.
+# Both queries below are closed-form (counting + log), so the full
+# estimator — not a converged approximation — is oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nb_quality_classifier",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id, text, (lang = 'en') AS is_pos FROM documents
+    ),
+    words AS (
+      SELECT doc_id, is_pos, unnest(string_split(text, ' ')) AS word
+      FROM labeled
+    ),
+    freq AS (
+      SELECT word,
+             CAST(COUNT(*) FILTER (WHERE is_pos) AS BIGINT) AS wc_pos,
+             CAST(COUNT(*) FILTER (WHERE NOT is_pos) AS BIGINT) AS wc_neg
+      FROM words GROUP BY 1
+    ),
+    consts AS (
+      SELECT CAST(SUM(wc_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(wc_neg) AS BIGINT) AS n_neg,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM freq
+    ),
+    weights AS (
+      SELECT f.word,
+             CAST(ROUND(ln(CAST(f.wc_pos + 1 AS DOUBLE)
+                           / CAST(c.n_pos + c.vocab AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(ROUND(ln(CAST(f.wc_neg + 1 AS DOUBLE)
+                             / CAST(c.n_neg + c.vocab AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS scaled_lo
+      FROM freq f CROSS JOIN consts c
+    ),
+    prior AS (
+      SELECT CAST(ROUND(ln(
+               CAST(COUNT(*) FILTER (WHERE is_pos) AS DOUBLE)
+               / CAST(COUNT(*) FILTER (WHERE NOT is_pos) AS DOUBLE))
+               * 1000000) AS BIGINT) AS scaled_prior
+      FROM labeled
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (CAST(SUM(wt.scaled_lo) AS BIGINT) + MIN(p.scaled_prior))
+             / 1000000.0 AS log_odds,
+           (CAST(SUM(wt.scaled_lo) AS BIGINT) + MIN(p.scaled_prior)) > 0
+             AS pred_pos
+    FROM words w
+    JOIN weights wt ON wt.word = w.word
+    CROSS JOIN prior p
+    GROUP BY 1
+    """,
+    tags=("text", "quality", "classifier"),
+)
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier, trained and applied
+    in one pass: per-word log-odds weights from Laplace-smoothed class
+    counts (reference class = lang='en', the stand-in for a trusted
+    corpus; pool class = everything else), per-document score =
+    Σ log-odds + class prior, keep decision = score > 0. This is the
+    classifier leg of a production quality ladder (CCNet / GPT-3-style
+    reference-vs-pool filtering); unlike an SGD-trained logistic
+    model, NB's MLE is closed-form counting, so the EXACT estimator is
+    oracle-checked — a wrong smoothing constant, a swapped class, or a
+    missing prior flips the hash. Per-word log-odds are rounded to 6dp
+    scaled longs before the per-doc sum (the repo's standard exact-fold
+    trick, q_unigram_logprob_quality), so the order-sensitive double
+    sum becomes an integer fold.
+
+    Honesty note: this fixture's generator draws every language from
+    the same vocabulary, so class separation is sampling noise — the
+    attestation pins the ESTIMATOR, not corpus separability (same
+    spirit as the BPE saturation note, plans/northstar.py §BPE).
+
+    Scale: freq/weights are vocab-sized (Zipf-small) → broadcast;
+    consts and prior are single rows. Two shuffles total (word-count
+    groupBy, per-doc groupBy), both on uniform keys. At 100 TB a raw
+    web vocabulary may outgrow the broadcast — the hashed-feature
+    variant (q_dsir_importance_weights below) is the same scoring
+    shape with a CONSTANT-width feature table and is the declared
+    scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_pos")
+    )
+    words = labeled.select(
+        "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wc_pos"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wc_neg"),
+    )
+    consts = freq.agg(
+        F.sum("wc_pos").cast("bigint").alias("n_pos"),
+        F.sum("wc_neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+
+    def _scaled_ll(cnt: str, n: str):
+        return F.round(
+            F.log(
+                (F.col(cnt) + 1).cast("double")
+                / (F.col(n) + F.col("vocab")).cast("double")
+            )
+            * 1000000
+        ).cast("bigint")
+
+    weights = (
+        freq.crossJoin(F.broadcast(consts))
+        .select(
+            "word",
+            (_scaled_ll("wc_pos", "n_pos") - _scaled_ll("wc_neg", "n_neg"))
+            .alias("scaled_lo"),
+        )
+    )
+    prior = labeled.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("double")
+                / F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).cast(
+                    "double"
+                )
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("scaled_prior")
+    )
+    scored = (
+        words.join(F.broadcast(weights), "word")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                (F.sum("scaled_lo").cast("bigint") + F.min("scaled_prior"))
+                / F.lit(1000000.0)
+            ).alias("log_odds"),
+            (
+                (F.sum("scaled_lo").cast("bigint") + F.min("scaled_prior"))
+                > 0
+            ).alias("pred_pos"),
+        )
+    )
+    return scored
+
+
+@register(
+    "q_dsir_importance_weights",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, (lang = 'en') AS is_tgt,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_tgt,
+             (ascii(substr(word, 1, 1)) * 961
+              + ascii(substr(word, 2, 1)) * 31
+              + length(word)) % 64 AS bucket
+      FROM words
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_raw,
+             CAST(COUNT(*) FILTER (WHERE is_tgt) AS BIGINT) AS c_tgt
+      FROM feats GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+             CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+      FROM counts
+    ),
+    ratios AS (
+      SELECT c.bucket,
+             CAST(ROUND(ln(CAST(c.c_tgt + 1 AS DOUBLE)
+                           / CAST(t.n_tgt + 64 AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(ROUND(ln(CAST(c.c_raw + 1 AS DOUBLE)
+                             / CAST(t.n_raw + 64 AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS scaled_lr
+      FROM counts c CROSS JOIN totals t
+    ),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(r.scaled_lr) AS BIGINT) AS scaled_lw
+      FROM feats f JOIN ratios r USING (bucket)
+      GROUP BY 1
+    ),
+    shortlist AS (
+      SELECT doc_id FROM per_doc ORDER BY scaled_lw DESC, doc_id LIMIT 100
+    )
+    SELECT p.doc_id, p.n_tokens,
+           p.scaled_lw / 1000000.0 AS log_weight,
+           p.doc_id IN (SELECT doc_id FROM shortlist) AS resampled
+    FROM per_doc p
+    """,
+    tags=("text", "quality", "sampling"),
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-n-gram
+    importance weights log p_target(features)/p_raw(features), where
+    both distributions live on a CONSTANT-width table of hashed
+    feature buckets (B=64 here), then a top-N resampling shortlist.
+    Target = lang='en' documents (the trusted-domain stand-in); raw =
+    the whole pool, target included, as in the paper. Per-bucket
+    smoothed log-ratios round to 6dp scaled longs so the per-doc sum
+    is an exact integer fold; the shortlist breaks weight ties on
+    doc_id, making membership deterministic.
+
+    The bucket hash is a portable character polynomial (first two
+    code points × {961,31} + word length, mod 64) so DuckDB computes
+    bit-identical buckets; a production run swaps in xxhash64 — the
+    estimator is hash-agnostic, only collision statistics change.
+
+    Scale: THIS is the declared 100 TB path for model-based selection
+    (vs q_nb_quality_classifier's vocab-sized weights): counts/ratios
+    are B rows regardless of corpus size → broadcast is always valid;
+    one uniform shuffle per aggregation (bucket keys, doc keys); the
+    shortlist is TakeOrderedAndProject (per-partition top-N, never a
+    global sort); the final membership flag is a 100-row broadcast
+    left join. DSIR's actual sampling is ∝ exp(log_weight) with
+    Gumbel noise — deterministic top-N is the noise-free limit, kept
+    so the oracle can replay selection exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    bucket = (
+        F.ascii(F.substring("word", 1, 1)) * 961
+        + F.ascii(F.substring("word", 2, 1)) * 31
+        + F.length("word")
+    ) % 64
+    feats = words.select("doc_id", "is_tgt", bucket.alias("bucket"))
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").cast("bigint").alias("n_raw"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt"),
+    )
+
+    def _scaled(cnt: str, n: str):
+        return F.round(
+            F.log(
+                (F.col(cnt) + 1).cast("double")
+                / (F.col(n) + 64).cast("double")
+            )
+            * 1000000
+        ).cast("bigint")
+
+    ratios = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (_scaled("c_tgt", "n_tgt") - _scaled("c_raw", "n_raw"))
+            .alias("scaled_lr"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("scaled_lr").cast("bigint").alias("scaled_lw"),
+        )
+    )
+    shortlist = (
+        per_doc.orderBy(F.desc("scaled_lw"), "doc_id")
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("_in_shortlist"))
+    )
+    return (
+        per_doc.join(F.broadcast(shortlist), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("scaled_lw") / F.lit(1000000.0)).alias("log_weight"),
+            F.coalesce(F.col("_in_shortlist"), F.lit(False)).alias(
+                "resampled"
+            ),
+        )
+    )

@@ -223,6 +223,10 @@ BENCH_QUERIES = [
     # r12: id stream under the sf10-trained 3,263-merge table (the
     # first organically multi-thousand-merge table; VERDICT r11 #4)
     "q_bpe_encode_ids_sf10vocab",
+    # r12: model-based data selection — closed-form NB quality
+    # classifier and DSIR hashed-feature importance resampling
+    "q_nb_quality_classifier",
+    "q_dsir_importance_weights",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

@@ -795,3 +795,25 @@ def test_zipf_fit_bucketed_rank(spark, sf_dir):
             assert re.search(r"windowspecdefinition\(n_w#\d+L?, _wb#", seg)
         else:  # offsets window over the small grouped table only
             assert cols == {"n_w", "_wb", "_c"}
+
+
+def test_nb_classifier_broadcast_scoring_plan(spark, sf_dir):
+    """q_nb_quality_classifier (r12): the vocab-sized weight table and
+    the single-row consts/prior must attach via broadcast — scoring is
+    a map-side join + one per-doc aggregation, never a shuffle join on
+    words."""
+    plan = _plan(spark, sf_dir, "q_nb_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_shortlist_is_take_ordered(spark, sf_dir):
+    """q_dsir_importance_weights (r12): the constant-width (B=64)
+    ratio table broadcasts, and the resampling shortlist must compile
+    to TakeOrderedAndProject (per-partition top-N) — a global Sort
+    over the per-doc domain is the single-task anti-pattern the
+    catalog retired in r12."""
+    plan = _plan(spark, sf_dir, "q_dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
