@@ -3,11 +3,15 @@ r11 with the events family per VERDICT r10 next #6): time the heaviest
 LINEAR-claimed queries at sf10 and sf100 and print warm sf10→sf100
 ratios for BENCH_SF10.md.
 
-Two query families, selected with --family:
-- docs  (r10): q_minhash_lsh_pairs, q_exact_span_dedup,
+Query families, selected with --family:
+- docs      (r10): q_minhash_lsh_pairs, q_exact_span_dedup,
   q_decontaminate_bloom — read ONLY documents.
-- events (r11): q_sessionize_skew_safe (events),
+- events    (r11): q_sessionize_skew_safe (events),
   q_pagerank_orders (orders), q_dup_clusters (documents).
+- streaming (r11): the three drains, rows-per-batch ×10.
+- documents (r12): the remaining shingle-pair queries.
+- retrieval (r12): q_bm25_topk (documents; cold carries the index
+  build), q_fuzzy_join_names / q_entity_resolution (customer).
 
 The sf100 fixture is built per-table on demand (documents ~4 GB,
 events ~1.6 GB, orders ~2 GB — never the full ~16 GB tree): 1000
@@ -18,7 +22,9 @@ the construction cannot drift). Replicas are written in chunks of 50
 50-way unions keep planning flat.
 
 Usage: python tools/bench_sf100.py [--build-only|--bench-only]
-                                   [--family docs|events|all]
+                                   [--family docs|documents|events|
+                                    streaming|retrieval|all]
+                                   [--queries a,b]
 """
 
 from __future__ import annotations
@@ -56,6 +62,16 @@ QUERIES_STREAMING = [
     "q_stream_incremental_mv",
     "q_stream_merge_upserts",
     "q_stream_sessionize_capped",
+]
+# r12 (proactive): the retrieval/resolution family — the last HEAVY
+# (bench_sf10) members without a third decade. q_bm25_topk reads only
+# documents (its postings index rebuilds per fixture via build_once —
+# the COLD number carries the index build, WARM is the serving cost);
+# the fuzzy/entity pair read the 15M-row sf100 customer fixture.
+QUERIES_RETRIEVAL = [
+    "q_bm25_topk",
+    "q_fuzzy_join_names",
+    "q_entity_resolution",
 ]
 
 
@@ -218,10 +234,10 @@ def main() -> None:
     if "--family" in sys.argv:
         idx = sys.argv.index("--family")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in (
-            "docs", "documents", "events", "streaming", "all"
+            "docs", "documents", "events", "streaming", "retrieval", "all"
         ):
             sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
-                     "[--family docs|documents|events|streaming|all]")
+                     "[--family docs|documents|events|streaming|retrieval|all]")
         family = sys.argv[idx + 1]
 
     spark = get_spark(
@@ -247,8 +263,9 @@ def main() -> None:
         "documents": QUERIES_DOCUMENTS,
         "events": QUERIES_EVENTS,
         "streaming": QUERIES_STREAMING,
+        "retrieval": QUERIES_RETRIEVAL,
         "all": QUERIES_3 + QUERIES_DOCUMENTS + QUERIES_EVENTS
-               + QUERIES_STREAMING,
+               + QUERIES_STREAMING + QUERIES_RETRIEVAL,
     }[family]
     if "--queries" in sys.argv:
         # resume/selective re-run: comma-separated names, must belong
@@ -263,7 +280,7 @@ def main() -> None:
         build(spark)  # documents (q_dup_clusters needs it too)
         if family in ("events", "streaming", "all"):
             build_events_family(spark)
-        if family in ("streaming", "all"):
+        if family in ("streaming", "retrieval", "all"):
             build_customer(spark)
     if "--build-only" not in sys.argv:
         bench(spark, names)
