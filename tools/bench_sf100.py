@@ -12,6 +12,8 @@ Query families, selected with --family:
 - documents (r12): the remaining shingle-pair queries.
 - retrieval (r12): q_bm25_topk (documents; cold carries the index
   build), q_fuzzy_join_names / q_entity_resolution (customer).
+- selection (r12): the new NB-classifier / DSIR selection operators
+  (documents only).
 
 The sf100 fixture is built per-table on demand (documents ~4 GB,
 events ~1.6 GB, orders ~2 GB — never the full ~16 GB tree): 1000
@@ -23,7 +25,7 @@ the construction cannot drift). Replicas are written in chunks of 50
 
 Usage: python tools/bench_sf100.py [--build-only|--bench-only]
                                    [--family docs|documents|events|
-                                    streaming|retrieval|all]
+                                    streaming|retrieval|selection|all]
                                    [--queries a,b]
 """
 
@@ -72,6 +74,13 @@ QUERIES_RETRIEVAL = [
     "q_bm25_topk",
     "q_fuzzy_join_names",
     "q_entity_resolution",
+]
+# r12: the new model-based selection operators — measured at their
+# birth round so the scale claim ships with decade evidence. Both
+# read ONLY documents (linear scans + broadcast weight tables).
+QUERIES_SELECTION = [
+    "q_nb_quality_classifier",
+    "q_dsir_importance_weights",
 ]
 
 
@@ -234,10 +243,10 @@ def main() -> None:
     if "--family" in sys.argv:
         idx = sys.argv.index("--family")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in (
-            "docs", "documents", "events", "streaming", "retrieval", "all"
+            "docs", "documents", "events", "streaming", "retrieval", "selection", "all"
         ):
             sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
-                     "[--family docs|documents|events|streaming|retrieval|all]")
+                     "[--family docs|documents|events|streaming|retrieval|selection|all]")
         family = sys.argv[idx + 1]
 
     spark = get_spark(
@@ -264,8 +273,10 @@ def main() -> None:
         "events": QUERIES_EVENTS,
         "streaming": QUERIES_STREAMING,
         "retrieval": QUERIES_RETRIEVAL,
+        "selection": QUERIES_SELECTION,
         "all": QUERIES_3 + QUERIES_DOCUMENTS + QUERIES_EVENTS
-               + QUERIES_STREAMING + QUERIES_RETRIEVAL,
+               + QUERIES_STREAMING + QUERIES_RETRIEVAL
+               + QUERIES_SELECTION,
     }[family]
     if "--queries" in sys.argv:
         # resume/selective re-run: comma-separated names, must belong
