@@ -2899,10 +2899,10 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_entity_resolution",
     oracle="""
     WITH RECURSIVE recs AS (
-      SELECT c_custkey AS rid, substr(md5(c_name), 1, 12) AS ident
+      SELECT c_custkey * 2 AS rid, substr(md5(c_name), 1, 12) AS ident
       FROM customer
       UNION ALL
-      SELECT c_custkey + 10000000,
+      SELECT c_custkey * 2 + 1,
              substr(substr(md5(c_name), 1, 12), 1, c_custkey % 12)
                || 'q'
                || substr(substr(md5(c_name), 1, 12), c_custkey % 12 + 2)
@@ -2955,7 +2955,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×12 blanked variants of 12-char keys, CC rounds shuffle compact
     (long, long) labels, and the rollup is one groupBy on entity_id.
     No stage is quadratic in records; high-entropy identifiers keep
-    deletion-neighborhood buckets at alphabet width."""
+    deletion-neighborhood buckets at alphabet width. Record ids use
+    the 2k/2k+1 bipartite encoding (originals even, re-registrations
+    odd) — disjoint at ANY corpus size with no max-key scan; the
+    additive offset it replaced overlapped the 15M-key sf100 fixture
+    and fused ~714k node ids (r12 review catch — the decade bench's
+    row-count deficit exposed it)."""
     from batch_processing_etl_orchestration_spark.operators.dedup import (
         connected_components,
     )
@@ -2965,11 +2970,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     ident = F.substring(F.md5(F.col("c_name")), 1, 12)
+    # Record ids use the 2k / 2k+1 bipartite encoding (originals even,
+    # re-registrations odd): disjoint BY CONSTRUCTION at any corpus
+    # size, with no scan to find a safe offset. A fixed additive
+    # offset is a scale bug — the r12 sf100 fixture's 15M custkeys
+    # overlapped a +10,000,000 offset, fusing ~714k unrelated node ids
+    # (caught by the decade row-count deficit; review r12).
     originals = cust.select(
-        F.col("c_custkey").alias("rid"), ident.alias("ident")
+        (F.col("c_custkey") * 2).alias("rid"), ident.alias("ident")
     )
     variants = cust.where(F.col("c_custkey") % 7 == 3).select(
-        (F.col("c_custkey") + 10000000).alias("rid"),
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
         F.concat(
             F.expr("substr(substr(md5(c_name), 1, 12), 1, c_custkey % 12)"),
             F.lit("q"),

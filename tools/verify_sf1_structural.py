@@ -397,10 +397,10 @@ def main() -> None:
     t1 = time.perf_counter()
     er_sql = """
     WITH RECURSIVE recs AS (
-      SELECT c_custkey AS rid, substr(md5(c_name), 1, 12) AS ident
+      SELECT c_custkey * 2 AS rid, substr(md5(c_name), 1, 12) AS ident
       FROM sf1_customer
       UNION ALL
-      SELECT c_custkey + 10000000,
+      SELECT c_custkey * 2 + 1,
              substr(substr(md5(c_name), 1, 12), 1, c_custkey % 12)
                || 'q'
                || substr(substr(md5(c_name), 1, 12), c_custkey % 12 + 2)
