@@ -86,13 +86,26 @@ def _is_file_vanished(exc: BaseException) -> bool:
                 # (no java cause link survives task serialization), and
                 # a raw Py4JJavaError's top str() line is just "An
                 # error occurred while calling o..." — so match the
-                # throwable's own message too (ADVICE r11 #1).
+                # throwable's own message too (ADVICE r11 #1). But only
+                # its HEAD — the reason segment before the first stack
+                # frame or "Caused by:" block (review r12): a stage-
+                # failure message embeds the task's FULL rendered trace,
+                # and an unrelated error whose trace merely mentions an
+                # FNF frame (wrapped-and-rethrown, suppressed) must not
+                # be classified as the benign vanished-file race. The
+                # genuine executor-side case renders the FNF class in
+                # the reason segment itself ("Lost task …:
+                # java.io.FileNotFoundException: …") before any frame.
                 jmsg = jthrow.getMessage()
-                if isinstance(jmsg, str) and (
-                    "PATH_NOT_FOUND" in jmsg
-                    or "FileNotFoundException" in jmsg
-                ):
-                    return True
+                if isinstance(jmsg, str):
+                    head = jmsg.split("\n\tat ", 1)[0].split(
+                        "\nCaused by", 1
+                    )[0]
+                    if (
+                        "PATH_NOT_FOUND" in head
+                        or "java.io.FileNotFoundException" in head
+                    ):
+                        return True
                 jthrow = jthrow.getCause()
             except Exception:
                 break  # gateway gone mid-walk — fall through to text

@@ -55,7 +55,11 @@ PKG = "batch_processing_etl_orchestration_spark"
 #: _callees_of), functools.partial objects (their .func unwraps), and
 #: functools.cached_property wrappers (their .func unwraps) — all
 #: three were silently skipped by the plain-function filter before.
-ALGO_VERSION = 4
+#: v5 (review r12): wrapper unwrapping loops to a fixed point and runs
+#: BEFORE the type check, so staticmethod-wrapped partials, nested
+#: partials, and partial-over-package-class attributes join the
+#: closure instead of dying on the single-level elif chain.
+ALGO_VERSION = 5
 
 
 def _direct_package_callees(fn: types.FunctionType) -> list:
@@ -112,21 +116,31 @@ def _direct_package_callees(fn: types.FunctionType) -> list:
     return [out[k] for k in sorted(out)]
 
 
-def _unwrap_method(attr: object) -> types.FunctionType | None:
-    """The plain function behind a class attribute, if any —
-    staticmethod/classmethod wrappers, property getters,
-    functools.partial objects, and functools.cached_property wrappers
-    included (the latter two were blind spots until v4)."""
+def _unwrap_wrappers(attr: object) -> object:
+    """Strip NESTED wrapper layers (v5: the v4 unwrap was single-level
+    `elif`, so `staticmethod(partial(f))` or `partial(partial(f))`
+    still hid their innermost callable): staticmethod/classmethod,
+    property getters, functools.partial, functools.cached_property —
+    looped to a fixed point, bounded against pathological cycles."""
     import functools
 
-    if isinstance(attr, (staticmethod, classmethod)):
-        attr = attr.__func__
-    elif isinstance(attr, property):
-        attr = attr.fget
-    elif isinstance(attr, functools.partial):
-        attr = attr.func
-    elif isinstance(attr, functools.cached_property):
-        attr = attr.func
+    for _ in range(16):
+        if isinstance(attr, (staticmethod, classmethod)):
+            attr = attr.__func__
+        elif isinstance(attr, property):
+            attr = attr.fget
+        elif isinstance(attr, functools.partial):
+            attr = attr.func
+        elif isinstance(attr, functools.cached_property):
+            attr = attr.func
+        else:
+            break
+    return attr
+
+
+def _unwrap_method(attr: object) -> types.FunctionType | None:
+    """The plain function behind a class attribute, if any."""
+    attr = _unwrap_wrappers(attr)
     return attr if isinstance(attr, types.FunctionType) else None
 
 
@@ -144,6 +158,11 @@ def _callees_of(obj: object) -> list:
             if getattr(base, "__module__", "").startswith(PKG):
                 out[f"{base.__module__}.{base.__qualname__}"] = base
         for attr in vars(obj).values():
+            # Unwrap BEFORE the type check (v5): partial(SomeClass) /
+            # staticmethod(partial(...)) previously hit the plain-
+            # function filter with the wrapper still on and were
+            # silently skipped.
+            attr = _unwrap_wrappers(attr)
             # TYPE-valued class attributes — nested classes and aliased
             # package classes (`Store = SegmentStore`) — join the
             # closure and descend through _callees_of on the BFS (v4).

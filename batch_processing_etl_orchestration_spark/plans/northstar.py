@@ -1739,14 +1739,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: vocabulary-sized data only after the one word
     shuffle — but a 100 TB web corpus's vocabulary is itself huge, so
-    the rank is the TWO-PHASE form (VERDICT r11 #3 rider): words
-    bucket by (n_w, first-two-chars) — the 2-char prefix is monotone
-    in the binary string order, so (n_w DESC, bucket, w) IS the rank
-    order — per-bucket counts prefix-sum on the small
-    (distinct-freq × prefix) grouped table and broadcast back, and
-    each task ranks only its own bucket. No unpartitioned window ever
-    touches the vocab-sized table; the hapax plateau (n_w = 1, half
-    the vocab) splits across its prefix buckets instead of one task."""
+    the rank is the THREE-LEVEL form (VERDICT r11 #3 rider; tightened
+    in r12 review): words bucket by (n_w, first-two-chars) — the
+    2-char prefix is monotone in the binary string order, so
+    (n_w DESC, bucket, w) IS the rank order — and each task ranks only
+    its own bucket. The grouped (n_w, _wb) offsets table is NOT
+    constant-size (distinct head frequencies grow ~sqrt(corpus), so at
+    100 TB it is millions of rows — the r12 review catch), so ITS
+    prefix sum is itself two-phase: range-repartitioned on the rank
+    order, per-range totals prefix-summed on the CONSTANT 256-row
+    range table (the only unpartitioned window anywhere), range-local
+    cumulative windows for the rest. The offsets→vocab join carries no
+    broadcast hint — the relation is corpus-dependent, so the planner
+    (AQE) picks broadcast only when it actually fits. The hapax
+    plateau (n_w = 1, half the vocab) still splits across its prefix
+    buckets instead of one task, and rank VALUES are independent of
+    where the range boundaries land, so the output is deterministic."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1754,22 +1762,42 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
     keyed = freq.withColumn("_wb", F.substring("w", 1, 2))
-    off_w = (
-        Window.orderBy(F.col("n_w").desc(), "_wb")
+    grouped = keyed.groupBy("n_w", "_wb").agg(F.count(F.lit(1)).alias("_c"))
+    # pin the range partitioning so the per-range totals and the
+    # range-local windows below see the SAME partition ids (lazy: the
+    # first action materializes it once; plan-only callers pay nothing)
+    ranged = (
+        grouped.repartitionByRange(256, F.col("n_w").desc(), "_wb")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pid_off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pid_off = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("_c").alias("_pt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_pt").over(pid_off_w), F.lit(0)).alias("_poff"),
+        )
+    )
+    in_pid = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("n_w").desc(), "_wb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        keyed.groupBy("n_w", "_wb")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .select(
-            "n_w",
-            "_wb",
-            F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
-        )
+    offsets = ranged.join(F.broadcast(pid_off), "_pid").select(
+        "n_w",
+        "_wb",
+        (
+            F.col("_poff")
+            + F.coalesce(F.sum("_c").over(in_pid), F.lit(0))
+        ).alias("_off"),
     )
     w_in = Window.partitionBy("n_w", "_wb").orderBy("w")
     rk = F.col("_off") + F.row_number().over(w_in)
-    pts = keyed.join(F.broadcast(offsets), ["n_w", "_wb"]).select(
+    pts = keyed.join(offsets, ["n_w", "_wb"]).select(
         F.round(F.log(rk.cast("double")) * 1000000).cast("bigint").alias("x"),
         F.round(F.log(F.col("n_w").cast("double")) * 1000000)
         .cast("bigint")

@@ -289,10 +289,24 @@ _COMMITS = "_commits"
 def has_commit(mv_path: str, token: str) -> bool:
     """True iff a delta_refresh carrying `token` fully committed into
     this MV. The foreachBatch idempotence check: `has_commit(mv,
-    f"batch_{batch_id}")` before merging a possibly-redelivered batch."""
+    f"batch_{batch_id}")` before merging a possibly-redelivered batch.
+
+    A token WITHOUT the ready marker does not count (review r12): on
+    the bootstrap path the token lands between the data write and
+    _READY, so a crash in that window leaves token+data but no ready
+    marker. Honoring the bare token would SKIP the redelivered batch
+    while the next batch's bootstrap rmtree destroys its data —
+    silent loss. Requiring ready makes that interleaving redo the
+    bootstrap instead (the aborted dir, token included, is cleared),
+    which is idempotent-safe because an unready MV is by definition
+    not serveable yet. On the merge path _READY persists from the
+    initial build (dynamic overwrite never removes root files), so
+    this check degenerates to the plain token test there."""
     import os
 
-    return os.path.isfile(os.path.join(mv_path, _COMMITS, token))
+    return os.path.isfile(os.path.join(mv_path, _COMMITS, token)) and (
+        os.path.isfile(os.path.join(mv_path, _READY))
+    )
 
 
 def _record_commit(mv_path: str, token: str) -> None:
@@ -320,7 +334,12 @@ def _write_partitioned(
     # not-ready / intent-pending (LOUD — bootstrap rebuilds or heal is
     # demanded) or leaves token + data together — there is no window
     # where the data committed silently without its token, so a
-    # redelivered foreachBatch batch can never double-merge.
+    # redelivered foreachBatch batch can never double-merge. The dual
+    # bootstrap hazard — token lands, crash BEFORE the ready marker,
+    # redelivery must not skip a batch whose dir the next bootstrap
+    # will rmtree — is closed on the READ side: has_commit requires
+    # the ready marker (review r12; pinned by
+    # test_bootstrap_crash_between_token_and_ready_redoes).
     if commit_token is not None:
         _record_commit(mv_path, commit_token)
     # dynamic-overwrite commits do NOT leave a root _SUCCESS, so the MV

@@ -58,6 +58,9 @@ PKG_SRC = {
             handler = bound_handler  # defined OUTSIDE the class body
             Store = AliasedStore  # type-valued attribute (alias)
             scaled = functools.partial(partial_target, 2)
+            # v5 shapes: nested wrappers and partial-over-class
+            deep_scaled = staticmethod(functools.partial(partial_target, 3))
+            StoreFactory = functools.partial(AliasedStore)
 
             def run(self, x):
                 return leaf(x) - 1
@@ -290,3 +293,31 @@ def test_type_partial_and_cached_property_attrs_join_closure(demo_pkg):
     )
     q3 = _fresh_import()
     assert FP.query_fingerprint(q3.q_class_demo, None) != after_alias
+
+
+def test_nested_wrappers_and_partial_over_class_join_closure(demo_pkg):
+    """Review r12 (v5): staticmethod-wrapped partials and
+    functools.partial over a package CLASS were still skipped by v4's
+    single-level elif unwrap — both must join the closure (the class
+    via type-descent after unwrapping, the partial's innermost func
+    directly), so rewiring either target drifts the fingerprint. The
+    targets here are already in the closure via other routes, so the
+    real assertion is on the unwrap helper itself plus end-to-end
+    drift."""
+    import functools
+
+    q = _fresh_import()
+    import fpdemo_pkg.ops as ops
+
+    # the unwrap helper reaches through nested wrappers
+    assert FP._unwrap_wrappers(
+        ops.Engine.__dict__["deep_scaled"]
+    ).__name__ == "partial_target"
+    assert FP._unwrap_wrappers(
+        ops.Engine.__dict__["StoreFactory"]
+    ).__qualname__ == "AliasedStore"
+
+    # and _callees_of sees them as closure members on the class itself
+    names = {getattr(o, "__qualname__", "") for o in FP._callees_of(ops.Engine)}
+    assert "partial_target" in names
+    assert "AliasedStore" in names

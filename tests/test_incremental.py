@@ -845,3 +845,49 @@ def test_commit_token_no_silent_crash_window(spark, ev, tmp_path_factory,
         read_mv(spark, SPEC, mv)
     with pytest.raises(RuntimeError, match="unfinished refresh"):
         delta_refresh(spark, b1, SPEC, mv, commit_token="batch_2")
+
+
+def test_bootstrap_crash_between_token_and_ready_redoes(
+    spark, ev, tmp_path_factory, monkeypatch
+):
+    """Review r12: on the BOOTSTRAP path the token lands before the
+    ready marker, so a crash in that window leaves token+data but an
+    unready MV. A bare token must NOT count as committed — honoring it
+    would skip the redelivered batch while the next batch's bootstrap
+    rmtree destroys its data (silent loss). The redelivery must REDO
+    the bootstrap and the final MV must equal the one-shot build."""
+    from batch_processing_etl_orchestration_spark.warehouse import (
+        incremental as inc,
+    )
+
+    mv = str(tmp_path_factory.mktemp("mv") / "bootcrash")
+    b0 = ev.where(F.dayofmonth("p_date") <= 10)
+    b1 = ev.where(F.dayofmonth("p_date").between(11, 20))
+
+    real = inc._record_commit
+
+    def record_then_die(path, token):
+        real(path, token)
+        raise RuntimeError("killed between token and ready marker")
+
+    monkeypatch.setattr(inc, "_record_commit", record_then_die)
+    with pytest.raises(RuntimeError, match="killed"):
+        delta_refresh(spark, b0, SPEC, mv, commit_token="batch_0")
+    monkeypatch.setattr(inc, "_record_commit", real)
+
+    # token file exists, ready marker does not: not a commit
+    import os
+
+    assert os.path.isfile(os.path.join(mv, inc._COMMITS, "batch_0"))
+    assert not os.path.isfile(os.path.join(mv, inc._READY))
+    assert not inc.has_commit(mv, "batch_0")
+
+    # redelivery redoes the bootstrap (clearing the aborted dir) and
+    # batch 0's rows survive into the final MV
+    assert delta_refresh(spark, b0, SPEC, mv, commit_token="batch_0")
+    assert inc.has_commit(mv, "batch_0")
+    assert delta_refresh(spark, b1, SPEC, mv, commit_token="batch_1")
+
+    full = str(tmp_path_factory.mktemp("mv") / "bootfull")
+    build_mv(ev.where(F.dayofmonth("p_date") <= 20), SPEC, full)
+    assert _rows(read_mv(spark, SPEC, mv)) == _rows(read_mv(spark, SPEC, full))

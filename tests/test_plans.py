@@ -778,23 +778,30 @@ def test_hybrid_rrf_windows_rank_topk_only(spark, sf_dir):
 
 
 def test_zipf_fit_bucketed_rank(spark, sf_dir):
-    """r12 (VERDICT r11 #3 rider): the vocab rank is two-phase — the
-    per-word row_number partitions on (n_w, _wb) prefix buckets, and
-    the only unpartitioned Window runs over the grouped
-    (n_w, _wb, _c) offsets table."""
+    """r12 (VERDICT r11 #3 rider, tightened by the r12 review): the
+    vocab rank is three-level — the per-word row_number partitions on
+    (n_w, _wb) prefix buckets, the grouped offsets table's cumulative
+    partitions on its range id (_pid), and the ONLY unpartitioned
+    Window anywhere runs over the constant 256-row per-range totals
+    (_pid, _pt) — never over a corpus-dependent relation."""
     import re
 
     plan = _plan(spark, sf_dir, "q_zipf_fit")
     segs = [s for s in plan.split("\n\n")
             if re.match(r"\(\d+\) Window\b", s.strip())]
-    assert len(segs) == 2
+    assert len(segs) == 3
+    n_unpartitioned = 0
     for seg in segs:
         inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", seg).group(1)
         cols = {c.strip().split("#")[0] for c in inp.split(",")}
         if "w" in cols:  # per-word rank window: MUST be bucket-partitioned
             assert re.search(r"windowspecdefinition\(n_w#\d+L?, _wb#", seg)
-        else:  # offsets window over the small grouped table only
-            assert cols == {"n_w", "_wb", "_c"}
+        elif "_c" in cols:  # range-local offsets cumulative: by _pid
+            assert re.search(r"windowspecdefinition\(_pid#", seg)
+        else:  # the one global window: constant 256-row range totals
+            assert cols == {"_pid", "_pt"}
+            n_unpartitioned += 1
+    assert n_unpartitioned == 1
 
 
 def test_nb_classifier_broadcast_scoring_plan(spark, sf_dir):

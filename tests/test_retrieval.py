@@ -874,3 +874,74 @@ def test_is_file_vanished_matches_stage_failure_message():
         "java.lang.ArithmeticException: / by zero",
     )
     assert not _is_file_vanished(FakePy4J(deterministic))
+
+
+def test_is_file_vanished_jvm_message_head_only():
+    """Review r12: the JVM-message match must inspect only the reason
+    HEAD — a stage-failure message embeds the task's full rendered
+    trace, so an unrelated deterministic error whose trace mentions a
+    FileNotFoundException frame (wrapped/suppressed/caused-by) must
+    not be classified as the vanished-file race, while the genuine
+    executor-side FNF (rendered in the reason segment before any
+    frame) still gates."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        _is_file_vanished,
+    )
+
+    class FakeJThrow:
+        def __init__(self, name, msg, cause=None):
+            self._name, self._msg, self._cause = name, msg, cause
+
+        def getClass(self):
+            name = self._name
+
+            class _C:
+                @staticmethod
+                def getName():
+                    return name
+
+            return _C
+
+        def getMessage(self):
+            return self._msg
+
+        def getCause(self):
+            return self._cause
+
+    class FakePy4J(Exception):
+        def __init__(self, jexc):
+            super().__init__("ignored")
+            self.java_exception = jexc
+
+        def __str__(self):
+            return "An error occurred while calling o123.fold.\n"
+
+    # trace-only mention below the reason head: frame line
+    framed = FakeJThrow(
+        "org.apache.spark.SparkException",
+        "Job aborted due to stage failure: Task 3 failed: "
+        "java.lang.IllegalStateException: config missing\n"
+        "\tat org.example.Reader.open(Reader.java:10)\n"
+        "\tat java.io.FileNotFoundException.whatever(F.java:1)\n",
+    )
+    assert not _is_file_vanished(FakePy4J(framed))
+
+    # trace-only mention in a Caused-by block (FNF caught and
+    # rethrown as a config error: the OUTER class is the truth)
+    caused = FakeJThrow(
+        "org.apache.spark.SparkException",
+        "Job aborted due to stage failure: Task 3 failed: "
+        "org.example.ConfigError: metadata file absent\n"
+        "Caused by: java.io.FileNotFoundException: /perm/missing.meta\n"
+        "\tat org.example.Meta.load(Meta.java:5)\n",
+    )
+    assert not _is_file_vanished(FakePy4J(caused))
+
+    # genuine executor-side FNF: class rendered in the reason head
+    vanished = FakeJThrow(
+        "org.apache.spark.SparkException",
+        "Job aborted due to stage failure: Task 3 failed: "
+        "java.io.FileNotFoundException: part-0000.parquet does not "
+        "exist\n\tat org.apache.parquet.Reader.open(Reader.java:42)\n",
+    )
+    assert _is_file_vanished(FakePy4J(vanished))

@@ -23,6 +23,13 @@ ALLOWED_ERRORS = (
     "OSError",        # duplicate-name rename loser
     "FileNotFoundError",
     "FileExistsError",
+    # JVM-surfaced losers (review r12): a retract that defeats the
+    # single retry, or a plan-time read of a just-retracted segment,
+    # raises through py4j as Py4JJavaError / AnalysisException
+    # ([PATH_NOT_FOUND]) instead of a Python builtin — same documented
+    # clean loser-of-the-race outcome, different rendering.
+    "Py4JJavaError",
+    "AnalysisException",
 )
 
 

@@ -248,6 +248,35 @@ def main() -> None:
             sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
                      "[--family docs|documents|events|streaming|retrieval|selection|all]")
         family = sys.argv[idx + 1]
+    names = {
+        "docs": QUERIES_3,
+        "documents": QUERIES_DOCUMENTS,
+        "events": QUERIES_EVENTS,
+        "streaming": QUERIES_STREAMING,
+        "retrieval": QUERIES_RETRIEVAL,
+        "selection": QUERIES_SELECTION,
+        "all": QUERIES_3 + QUERIES_DOCUMENTS + QUERIES_EVENTS
+               + QUERIES_STREAMING + QUERIES_RETRIEVAL
+               + QUERIES_SELECTION,
+    }[family]
+    if "--queries" in sys.argv:
+        # resume/selective re-run: comma-separated names, must belong
+        # to the selected family (keeps fixtures consistent). Validate
+        # BEFORE the session build (review r12): a trailing bare
+        # --queries or an empty spec (e.g. an unset shell variable)
+        # must be a usage error, never an IndexError or a silent
+        # zero-query "success".
+        idx = sys.argv.index("--queries")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: --queries a,b (comma-separated names)")
+        spec = sys.argv[idx + 1]
+        wanted = [q.strip() for q in spec.split(",") if q.strip()]
+        if not wanted:
+            sys.exit(f"--queries {spec!r}: no query names given")
+        unknown = [q for q in wanted if q not in names]
+        if unknown:
+            sys.exit(f"--queries {unknown} not in family {family!r}: {names}")
+        names = wanted
 
     spark = get_spark(
         "bench-sf100",
@@ -267,26 +296,6 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    names = {
-        "docs": QUERIES_3,
-        "documents": QUERIES_DOCUMENTS,
-        "events": QUERIES_EVENTS,
-        "streaming": QUERIES_STREAMING,
-        "retrieval": QUERIES_RETRIEVAL,
-        "selection": QUERIES_SELECTION,
-        "all": QUERIES_3 + QUERIES_DOCUMENTS + QUERIES_EVENTS
-               + QUERIES_STREAMING + QUERIES_RETRIEVAL
-               + QUERIES_SELECTION,
-    }[family]
-    if "--queries" in sys.argv:
-        # resume/selective re-run: comma-separated names, must belong
-        # to the selected family (keeps fixtures consistent)
-        spec = sys.argv[sys.argv.index("--queries") + 1]
-        wanted = [q.strip() for q in spec.split(",") if q.strip()]
-        unknown = [q for q in wanted if q not in names]
-        if unknown:
-            sys.exit(f"--queries {unknown} not in family {family!r}: {names}")
-        names = wanted
     if "--bench-only" not in sys.argv:
         build(spark)  # documents (q_dup_clusters needs it too)
         if family in ("events", "streaming", "all"):

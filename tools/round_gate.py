@@ -18,9 +18,11 @@ failure exits 1):
   bench         python bench.py with its timing + rowcount guards
                 (rc from bench itself, not a pipe stage)
   rowcounts     tools/rowcount_guard.py (non-headline count tripwire)
-  sweep         tools/sweep_sf1.py + tools/verify_sf1_structural.py
-                (~45 min; skipped by --fast; requires .tmp/sf1 —
-                build with tools/make_sf1.py)
+  sweep         tools/sweep_sf1.py (~30 min; skipped by --fast;
+                requires .tmp/sf1 — build with tools/make_sf1.py)
+  sweep-structural  tools/verify_sf1_structural.py (~15 min; also
+                skipped by --fast) — `--only sweep` runs ONLY the
+                main sweep; name this gate explicitly to run it alone
 
 Never run two gates concurrently with other Spark work: contended
 timings poison bench baselines (round-practices memory, r9/r11).
@@ -66,6 +68,14 @@ def main() -> None:
         if unknown:
             print(f"unknown gate(s): {sorted(unknown)}", file=sys.stderr)
             sys.exit(2)
+    if not selected:
+        # contradictory flags (e.g. --fast --only sweep) must be a
+        # usage error, not a vacuous PASS: a gate that verifies
+        # nothing and exits 0 is the silent-protocol-drift failure
+        # mode this tool exists to close (review r12)
+        print("no gates selected (contradictory --fast/--only?)",
+              file=sys.stderr)
+        sys.exit(2)
 
     results: list[tuple[str, int, float]] = []
     for name, cmd in selected:
