@@ -76,3 +76,41 @@ def test_committed_baseline_carries_rows_and_probes():
     assert rec.get("probe_sec", 0) > 0
     assert rec.get("probe_shuffle_sec", 0) > 0
     assert set(rec.get("rows", {})) == set(rec["queries"])
+
+
+def test_round_gate_rejects_empty_selection():
+    """Review r12: contradictory flags (--fast --only sweep) must be a
+    usage error, never a vacuous PASS — a gate that verifies nothing
+    and exits 0 is the silent-protocol-drift mode the tool closes."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/round_gate.py", "--fast", "--only", "sweep"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 2
+    assert "no gates selected" in r.stderr
+
+
+def test_bench_sf100_queries_flag_validated_before_spark():
+    """Review r12: a trailing bare --queries, an empty spec, and an
+    unknown name must all be usage errors raised BEFORE the ~30 s
+    session build (exit fast, no JVM)."""
+    import subprocess
+    import sys
+    import time
+
+    for argv, needle in [
+        (["--bench-only", "--queries"], "usage: --queries"),
+        (["--bench-only", "--queries", ""], "no query names given"),
+        (["--bench-only", "--queries", "q_bogus"], "not in family"),
+    ]:
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, "tools/bench_sf100.py", *argv],
+            cwd="/root/repo", capture_output=True, text=True,
+        )
+        assert r.returncode != 0, argv
+        assert needle in (r.stderr + r.stdout), argv
+        assert time.perf_counter() - t0 < 20, argv  # no session build
