@@ -101,9 +101,14 @@ def _is_file_vanished(exc: BaseException) -> bool:
                     head = jmsg.split("\n\tat ", 1)[0].split(
                         "\nCaused by", 1
                     )[0]
+                    # substring (not fully-qualified) so executor-side
+                    # FNF SUBCLASSES, which render their own class name
+                    # in the reason head, still match (ADVICE r12 #4);
+                    # the head restriction above already prevents
+                    # trace-frame false positives.
                     if (
                         "PATH_NOT_FOUND" in head
-                        or "java.io.FileNotFoundException" in head
+                        or "FileNotFoundException" in head
                     ):
                         return True
                 jthrow = jthrow.getCause()

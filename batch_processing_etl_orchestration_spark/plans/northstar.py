@@ -1754,7 +1754,20 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE) picks broadcast only when it actually fits. The hapax
     plateau (n_w = 1, half the vocab) still splits across its prefix
     buckets instead of one task, and rank VALUES are independent of
-    where the range boundaries land, so the output is deterministic."""
+    where the range boundaries land, so the output is deterministic.
+
+    Caching note (ADVICE r12 #3): the lazy localCheckpoint pinning
+    `_pid` holds its executor blocks until the GC-driven
+    ContextCleaner collects the plan, so repeated invocations in one
+    long-lived session accumulate storage until GC runs, and a real
+    cluster loses recompute-on-executor-loss for those blocks. Both
+    `_pid` consumers share the single repartitionByRange exchange
+    within an action (ReusedExchange would usually make the pin
+    redundant), but the pin is kept because exchange reuse is an
+    OPTIMIZATION Spark may skip (AQE replanning), and a double-
+    evaluated range shuffle with different sampled boundaries would
+    silently mis-join `_poff`. Sessions that loop this query can
+    `spark.catalog.clearCache()` or rely on GC."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("w"))

@@ -85,9 +85,10 @@ def test_round_gate_rejects_empty_selection():
     import subprocess
     import sys
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "tools/round_gate.py", "--fast", "--only", "sweep"],
-        cwd="/root/repo", capture_output=True, text=True,
+        cwd=root, capture_output=True, text=True,
     )
     assert r.returncode == 2
     assert "no gates selected" in r.stderr
@@ -99,18 +100,20 @@ def test_bench_sf100_queries_flag_validated_before_spark():
     session build (exit fast, no JVM)."""
     import subprocess
     import sys
-    import time
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for argv, needle in [
         (["--bench-only", "--queries"], "usage: --queries"),
         (["--bench-only", "--queries", ""], "no query names given"),
         (["--bench-only", "--queries", "q_bogus"], "not in family"),
     ]:
-        t0 = time.perf_counter()
         r = subprocess.run(
             [sys.executable, "tools/bench_sf100.py", *argv],
-            cwd="/root/repo", capture_output=True, text=True,
+            cwd=root, capture_output=True, text=True,
         )
+        # the usage message + nonzero exit prove validation fired
+        # before any Spark session build (ADVICE r12 #2: no wall-clock
+        # bound — pyspark import alone can eat seconds on a loaded
+        # host, and the structural assert is the real evidence)
         assert r.returncode != 0, argv
         assert needle in (r.stderr + r.stdout), argv
-        assert time.perf_counter() - t0 < 20, argv  # no session build

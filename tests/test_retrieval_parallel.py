@@ -23,14 +23,15 @@ ALLOWED_ERRORS = (
     "OSError",        # duplicate-name rename loser
     "FileNotFoundError",
     "FileExistsError",
-    # JVM-surfaced losers (review r12): a retract that defeats the
-    # single retry, or a plan-time read of a just-retracted segment,
-    # raises through py4j as Py4JJavaError / AnalysisException
-    # ([PATH_NOT_FOUND]) instead of a Python builtin — same documented
-    # clean loser-of-the-race outcome, different rendering.
-    "Py4JJavaError",
-    "AnalysisException",
 )
+# JVM-surfaced losers (review r12): a retract that defeats the single
+# retry, or a plan-time read of a just-retracted segment, raises
+# through py4j as Py4JJavaError / AnalysisException instead of a
+# Python builtin. These classes are allowed ONLY with the vanished-
+# file signature the worker records via _is_file_vanished (ADVICE r12
+# #1) — a bare JVM crash (NPE, OOM, corrupt read) in protocol code
+# must FAIL the stress test, not pass as a clean race loser.
+JVM_ERRORS_NEED_VANISHED = ("Py4JJavaError", "AnalysisException")
 
 
 def test_two_process_contention_invariants(spark, tmp_path):
@@ -69,11 +70,16 @@ def test_two_process_contention_invariants(spark, tmp_path):
     ok = {
         i: {r["op"] for r in results[i] if r["ok"]} for i in results
     }
-    # failures must be CLEAN protocol outcomes, never corruption types
+    # failures must be CLEAN protocol outcomes, never corruption types;
+    # JVM renderings additionally need the vanished-file signature
     for i in results:
         for r in results[i]:
             if not r["ok"]:
-                assert r["error"].split(":")[0] in ALLOWED_ERRORS, r
+                cls = r["error"].split(":")[0]
+                if cls in JVM_ERRORS_NEED_VANISHED:
+                    assert r.get("vanished") is True, r
+                else:
+                    assert cls in ALLOWED_ERRORS, r
 
     idx = PostingsIndex(spark, index_path)
     served = {r["doc_id"] for r in idx.doclens().collect()}
