@@ -5356,9 +5356,13 @@ def q_bpe_encode_ids_sf10vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_NB_HEAD_K = 16  # exact head vocabulary size (production: ~1e5)
+_NB_TAIL_B = 64  # hashed tail buckets (the DSIR mechanism below)
+
+
 @register(
     "q_nb_quality_classifier",
-    oracle="""
+    oracle=f"""
     WITH labeled AS (
       SELECT doc_id, text, (lang = 'en') AS is_pos FROM documents
     ),
@@ -5366,25 +5370,41 @@ def q_bpe_encode_ids_sf10vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, is_pos, unnest(string_split(text, ' ')) AS word
       FROM labeled
     ),
+    head AS (
+      SELECT word FROM (
+        SELECT word, COUNT(DISTINCT doc_id) AS df
+        FROM words GROUP BY 1
+      ) ORDER BY df DESC, word LIMIT {_NB_HEAD_K}
+    ),
+    feats AS (
+      SELECT w.doc_id, w.is_pos,
+             CASE WHEN h.word IS NOT NULL THEN 'w:' || w.word
+                  ELSE 'b:' || CAST((ascii(substr(w.word, 1, 1)) * 961
+                       + ascii(substr(w.word, 2, 1)) * 31
+                       + length(w.word)) % {_NB_TAIL_B} AS VARCHAR)
+             END AS feat
+      FROM words w LEFT JOIN head h ON h.word = w.word
+    ),
     freq AS (
-      SELECT word,
+      SELECT feat,
              CAST(COUNT(*) FILTER (WHERE is_pos) AS BIGINT) AS wc_pos,
              CAST(COUNT(*) FILTER (WHERE NOT is_pos) AS BIGINT) AS wc_neg
-      FROM words GROUP BY 1
+      FROM feats GROUP BY 1
     ),
     consts AS (
       SELECT CAST(SUM(wc_pos) AS BIGINT) AS n_pos,
-             CAST(SUM(wc_neg) AS BIGINT) AS n_neg,
-             CAST(COUNT(*) AS BIGINT) AS vocab
+             CAST(SUM(wc_neg) AS BIGINT) AS n_neg
       FROM freq
     ),
     weights AS (
-      SELECT f.word,
+      SELECT f.feat,
              CAST(ROUND(ln(CAST(f.wc_pos + 1 AS DOUBLE)
-                           / CAST(c.n_pos + c.vocab AS DOUBLE)) * 1000000)
+                           / CAST(c.n_pos + {_NB_HEAD_K + _NB_TAIL_B}
+                                  AS DOUBLE)) * 1000000)
                   AS BIGINT)
              - CAST(ROUND(ln(CAST(f.wc_neg + 1 AS DOUBLE)
-                             / CAST(c.n_neg + c.vocab AS DOUBLE)) * 1000000)
+                             / CAST(c.n_neg + {_NB_HEAD_K + _NB_TAIL_B}
+                                    AS DOUBLE)) * 1000000)
                     AS BIGINT) AS scaled_lo
       FROM freq f CROSS JOIN consts c
     ),
@@ -5401,40 +5421,56 @@ def q_bpe_encode_ids_sf10vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000.0 AS log_odds,
            (CAST(SUM(wt.scaled_lo) AS BIGINT) + MIN(p.scaled_prior)) > 0
              AS pred_pos
-    FROM words w
-    JOIN weights wt ON wt.word = w.word
+    FROM feats w
+    JOIN weights wt ON wt.feat = w.feat
     CROSS JOIN prior p
     GROUP BY 1
     """,
     tags=("text", "quality", "classifier"),
 )
 def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive-Bayes quality classifier, trained and applied
-    in one pass: per-word log-odds weights from Laplace-smoothed class
-    counts (reference class = lang='en', the stand-in for a trusted
-    corpus; pool class = everything else), per-document score =
-    Σ log-odds + class prior, keep decision = score > 0. This is the
-    classifier leg of a production quality ladder (CCNet / GPT-3-style
-    reference-vs-pool filtering); unlike an SGD-trained logistic
-    model, NB's MLE is closed-form counting, so the EXACT estimator is
-    oracle-checked — a wrong smoothing constant, a swapped class, or a
-    missing prior flips the hash. Per-word log-odds are rounded to 6dp
-    scaled longs before the per-doc sum (the repo's standard exact-fold
-    trick, q_unigram_logprob_quality), so the order-sensitive double
-    sum becomes an integer fold.
+    """Multinomial Naive-Bayes quality classifier with a CONSTANT-
+    BOUNDED feature space, trained and applied in one pass: the model's
+    features are the top-K (_NB_HEAD_K=16) words by document frequency
+    (kept exact) plus B (_NB_TAIL_B=64) hashed buckets that absorb the
+    entire vocabulary tail — so the weight table is ≤ K+B rows at ANY
+    corpus size. Per-feature log-odds come from Laplace-smoothed class
+    counts over the fixed K+B feature space (reference class =
+    lang='en', the trusted-corpus stand-in; pool class = everything
+    else); per-document score = Σ log-odds + class prior; keep
+    decision = score > 0. This is the classifier leg of a production
+    quality ladder (CCNet / GPT-3-style reference-vs-pool filtering)
+    with the standard production trick — a capped vocabulary with
+    feature hashing for the tail — applied: Zipf puts the predictive
+    mass in the head, and the tail's pooled log-odds approach the
+    smoothing prior anyway. NB's MLE is closed-form counting, so the
+    EXACT capped estimator is oracle-checked — a wrong smoothing
+    constant, a swapped class, a missing prior, or a boundary-tie
+    difference in the head selection flips the hash (head ties break
+    df DESC, word ASC: total order, both engines). Per-feature
+    log-odds round to 6dp scaled longs before the per-doc sum (the
+    repo's standard exact-fold trick, q_unigram_logprob_quality).
+
+    VERDICT r12 #1: the previous revision broadcast a weight table
+    that grew with the corpus vocabulary — measured 15.47× cold at the
+    sf10→sf100 decade (BENCH_SF10.md §r12-selection), the repo's one
+    flagged scale-killer. This revision bounds it: the head is a
+    TakeOrderedAndProject over the df aggregate (K constant → per-
+    partition top-K, never a global sort), the tail reuses
+    q_dsir_importance_weights' portable bucket hash, and the smoothing
+    denominator is the constant K+B, keeping the estimator closed-form
+    over the fixed feature space.
 
     Honesty note: this fixture's generator draws every language from
     the same vocabulary, so class separation is sampling noise — the
     attestation pins the ESTIMATOR, not corpus separability (same
     spirit as the BPE saturation note, plans/northstar.py §BPE).
 
-    Scale: freq/weights are vocab-sized (Zipf-small) → broadcast;
-    consts and prior are single rows. Two shuffles total (word-count
-    groupBy, per-doc groupBy), both on uniform keys. At 100 TB a raw
-    web vocabulary may outgrow the broadcast — the hashed-feature
-    variant (q_dsir_importance_weights below) is the same scoring
-    shape with a CONSTANT-width feature table and is the declared
-    scale path."""
+    Scale: weights ≤ K+B rows and consts/prior single rows → all
+    broadcasts constant-bounded. Shuffles: word df agg (vocab-sized
+    output, uniform keys), feature-count agg (≤ K+B groups, map-side
+    partials), per-doc agg (uniform doc keys) — all linear in corpus
+    size. Cold decade re-measured after the cap (BENCH_SF10.md §r13)."""
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
         "doc_id", "text", (F.col("lang") == "en").alias("is_pos")
@@ -5442,7 +5478,29 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = labeled.select(
         "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("word")
     )
-    freq = words.groupBy("word").agg(
+    head = (
+        words.groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "word")
+        .limit(_NB_HEAD_K)
+        .select("word", F.lit(True).alias("_head"))
+    )
+    bucket = (
+        F.ascii(F.substring("word", 1, 1)) * 961
+        + F.ascii(F.substring("word", 2, 1)) * 31
+        + F.length("word")
+    ) % _NB_TAIL_B
+    feats = words.join(F.broadcast(head), "word", "left").select(
+        "doc_id",
+        "is_pos",
+        F.when(
+            F.col("_head").isNotNull(),
+            F.concat(F.lit("w:"), F.col("word")),
+        )
+        .otherwise(F.concat(F.lit("b:"), bucket.cast("string")))
+        .alias("feat"),
+    )
+    freq = feats.groupBy("feat").agg(
         F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
         .cast("bigint")
         .alias("wc_pos"),
@@ -5453,14 +5511,14 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = freq.agg(
         F.sum("wc_pos").cast("bigint").alias("n_pos"),
         F.sum("wc_neg").cast("bigint").alias("n_neg"),
-        F.count(F.lit(1)).cast("bigint").alias("vocab"),
     )
+    n_features = _NB_HEAD_K + _NB_TAIL_B
 
     def _scaled_ll(cnt: str, n: str):
         return F.round(
             F.log(
                 (F.col(cnt) + 1).cast("double")
-                / (F.col(n) + F.col("vocab")).cast("double")
+                / (F.col(n) + n_features).cast("double")
             )
             * 1000000
         ).cast("bigint")
@@ -5468,7 +5526,7 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = (
         freq.crossJoin(F.broadcast(consts))
         .select(
-            "word",
+            "feat",
             (_scaled_ll("wc_pos", "n_pos") - _scaled_ll("wc_neg", "n_neg"))
             .alias("scaled_lo"),
         )
@@ -5487,7 +5545,7 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("scaled_prior")
     )
     scored = (
-        words.join(F.broadcast(weights), "word")
+        feats.join(F.broadcast(weights), "feat")
         .crossJoin(F.broadcast(prior))
         .groupBy("doc_id")
         .agg(

@@ -235,7 +235,13 @@ BENCH_QUERIES = [
 # exemptions (q_dup_clusters pointer jumping, q_dedup_keep_canonical
 # persisted labels) were pruned in r6: BENCH_r05 already times the
 # changed workloads, so the guard now covers them again.
-BASELINE_EXEMPT: set[str] = set()
+BASELINE_EXEMPT: set[str] = {
+    # r13: q_nb_quality_classifier's workload changed — the vocab-sized
+    # weight table was replaced by the capped top-K + hashed-tail
+    # estimator (VERDICT r12 #1). Prune once a BENCH file recorded
+    # under the capped workload becomes the baseline.
+    "q_nb_quality_classifier",
+}
 # (r9's q_ngram_containment_pairs exemption — df-capped candidate
 # generation changed the workload — was pruned the same round: the
 # promoted BENCH_LOCAL.json baseline already times the capped shape.)

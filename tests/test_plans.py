@@ -805,13 +805,23 @@ def test_zipf_fit_bucketed_rank(spark, sf_dir):
 
 
 def test_nb_classifier_broadcast_scoring_plan(spark, sf_dir):
-    """q_nb_quality_classifier (r12): the vocab-sized weight table and
-    the single-row consts/prior must attach via broadcast — scoring is
-    a map-side join + one per-doc aggregation, never a shuffle join on
-    words."""
+    """q_nb_quality_classifier (r13, VERDICT r12 #1): the weight
+    relation must be CONSTANT-BOUNDED — the head vocabulary cap
+    compiles to TakeOrderedAndProject (per-partition top-K over the df
+    aggregate, never a global sort), and every weight/const/prior
+    attach is a broadcast — scoring is map-side joins + one per-doc
+    aggregation, never a shuffle join on words. The r12 revision
+    broadcast a vocab-sized table that grew with the corpus (15.47×
+    cold at the sf100 decade); this pins its replacement's shape."""
+    import re
+
     plan = _plan(spark, sf_dir, "q_nb_quality_classifier")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the top-K head cap — the constant bound on the weight relation
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort anywhere (the cap must not plan as sort+limit)
+    assert not re.search(r"\bSort\b(?!MergeJoin)", plan)
 
 
 def test_dsir_shortlist_is_take_ordered(spark, sf_dir):
