@@ -175,7 +175,21 @@ class PostingsIndex:
     repartitionByRange(word)-clustered so a term scan prunes to ~1
     file per generation/segment."""
 
-    _STORES = ("postings", "doclens", "positions")
+    _STORES = ("postings", "doclens", "positions", "blockstats")
+
+    # Build-time doc-id blocking for block-max pruning (VERDICT r12
+    # #2): block = doc_id // block_width, width chosen at build time so
+    # a block holds ~_BLOCK_DOCS documents (width scales with the id
+    # span over the doc count, so sparse id spaces still get ~32-doc
+    # blocks). SMALL blocks are the point — a block spanning 10⁵ docs
+    # has saturated max_tf/min_dl and prunes nothing (measured on the
+    # sf1 fixture with 256 corpus-spanning blocks: 0 blocks pruned);
+    # ~32-doc blocks make the bounds vary, which is what block-max
+    # exploits. The width is FROZEN in generation meta — segments
+    # added later may mint block ids beyond the initial span, which is
+    # fine: stats rows are per (word, block) and serving never assumes
+    # a block count.
+    _BLOCK_DOCS = 32
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark, self.path = spark, path
@@ -205,12 +219,21 @@ class PostingsIndex:
             return {"id_col": "doc_id", "text_col": "text"}
 
     @staticmethod
-    def _write_meta(gen_dir: str, id_col: str, text_col: str) -> None:
+    def _write_meta(
+        gen_dir: str, id_col: str, text_col: str, block_width: int
+    ) -> None:
         import json
 
         os.makedirs(gen_dir, exist_ok=True)
         with open(os.path.join(gen_dir, "_meta.json"), "w") as f:
-            json.dump({"id_col": id_col, "text_col": text_col}, f)
+            json.dump(
+                {
+                    "id_col": id_col,
+                    "text_col": text_col,
+                    "block_width": block_width,
+                },
+                f,
+            )
 
     # Orphan generations younger than this survive cleanup: a
     # CONCURRENT mutation's not-yet-published generation, or a reader
@@ -267,18 +290,36 @@ class PostingsIndex:
 
     @staticmethod
     def _write_stores(
-        docs: DataFrame, out: str, n_files: int, id_col: str, text_col: str
+        docs: DataFrame,
+        out: str,
+        n_files: int,
+        id_col: str,
+        text_col: str,
+        block_width: int,
     ) -> None:
+        # postings carry the doc length DENORMALIZED (word, doc_id,
+        # tf, dl) — the impact-ordered-index trick: BM25 serving needs
+        # dl per posting, and embedding it kills the doclens shuffle
+        # join on the read path (at 10⁸ posting rows that join IS the
+        # serving cost). +8 bytes/posting at build time, paid once.
         (
             build_postings(docs, id_col, text_col)
+            .join(doc_lengths(docs, id_col, text_col), id_col)
+            .select("word", id_col, "tf", "dl")
             .repartitionByRange(n_files, "word")
             .sortWithinPartitions("word", id_col)
             .write.mode("errorifexists")
             .parquet(os.path.join(out, "postings"))
         )
-        doc_lengths(docs, id_col, text_col).write.mode(
-            "errorifexists"
-        ).parquet(os.path.join(out, "doclens"))
+        # doclens clustered on the id so block-max serving's doc-id
+        # range predicates reach the parquet footers
+        (
+            doc_lengths(docs, id_col, text_col)
+            .repartitionByRange(max(1, n_files // 4), id_col)
+            .sortWithinPartitions(id_col)
+            .write.mode("errorifexists")
+            .parquet(os.path.join(out, "doclens"))
+        )
         # positional postings share the word range-clustering, so a
         # phrase's term scans prune to the same ~1 file per term
         (
@@ -287,6 +328,51 @@ class PostingsIndex:
             .sortWithinPartitions("word", id_col, "pos")
             .write.mode("errorifexists")
             .parquet(os.path.join(out, "positions"))
+        )
+        PostingsIndex._write_blockstats(
+            build_postings(docs, id_col, text_col),
+            doc_lengths(docs, id_col, text_col),
+            out,
+            id_col,
+            block_width,
+        )
+
+    @staticmethod
+    def _write_blockstats(
+        postings: DataFrame,
+        doclens: DataFrame,
+        out: str,
+        id_col: str,
+        block_width: int,
+    ) -> None:
+        """Per (word, block) pruning bounds for block-max serving
+        (bm25_topk_blockmax): max_tf / min_dl bound any BM25 impact in
+        the block for ANY (k1, b, avgdl) — the tf-normalized term score
+        increases in tf and decreases in dl — and df_blk counts posting
+        rows (Σ over blocks = the term's df while no tombstones exist).
+        Row count is Σ_w min(df_w, n_blocks): a compressed summary,
+        never posting-sized for hot terms."""
+        if "dl" not in postings.columns:
+            postings = postings.join(doclens, id_col)
+        (
+            postings.select(
+                "word",
+                F.floor(F.col(id_col) / F.lit(block_width))
+                .cast("long")
+                .alias("blk"),
+                "tf",
+                "dl",
+            )
+            .groupBy("word", "blk")
+            .agg(
+                F.max("tf").cast("long").alias("max_tf"),
+                F.min("dl").cast("long").alias("min_dl"),
+                F.count(F.lit(1)).cast("long").alias("df_blk"),
+            )
+            .repartitionByRange(1, "word")
+            .sortWithinPartitions("word", "blk")
+            .write.mode("errorifexists")
+            .parquet(os.path.join(out, "blockstats"))
         )
 
     @staticmethod
@@ -299,10 +385,24 @@ class PostingsIndex:
         text_col: str = "text",
     ) -> "PostingsIndex":
         os.makedirs(path, exist_ok=True)
+        # freeze the block width off the initial id span and doc count
+        # (one tiny agg action at build time; build is already a full
+        # corpus pass): ~_BLOCK_DOCS docs per block even when ids are
+        # sparse (width = span × 32 / n_docs, floor, min 1)
+        row = docs.agg(
+            F.max(F.col(id_col)).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        hi, n = int(row["hi"] or 0), int(row["n"] or 0)
+        block_width = max(
+            1, (hi + 1) * PostingsIndex._BLOCK_DOCS // max(1, n)
+        )
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         gen_dir = os.path.join(path, gen_name)
-        PostingsIndex._write_stores(docs, gen_dir, n_files, id_col, text_col)
-        PostingsIndex._write_meta(gen_dir, id_col, text_col)
+        PostingsIndex._write_stores(
+            docs, gen_dir, n_files, id_col, text_col, block_width
+        )
+        PostingsIndex._write_meta(gen_dir, id_col, text_col, block_width)
         idx = PostingsIndex(spark, path)
         idx._publish(gen_name)  # readers never see a half-built index
         return idx
@@ -447,7 +547,13 @@ class PostingsIndex:
                 )
         seg_root = os.path.join(gen0, "segments")
         tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex[:8]}")
-        self._write_stores(docs, tmp, n_files, id_col, text_col)
+        # the FROZEN build-time width keeps the doc→block mapping
+        # consistent across base + segments (block-max pruning relies
+        # on a doc occupying ONE block for every term it contains)
+        self._write_stores(
+            docs, tmp, n_files, id_col, text_col,
+            int(meta.get("block_width", 1)),
+        )
         final = os.path.join(seg_root, name)
         os.rename(tmp, final)  # atomic publish; raises if name exists
         # A compact_segments racing this call may have snapshot gen0's
@@ -540,10 +646,11 @@ class PostingsIndex:
         id_col = meta["id_col"]
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, gen_name)
+        block_width = int(meta.get("block_width", 1))
         try:
             for store, sort_cols in (
                 ("postings", ["word", id_col]),
-                ("doclens", None),
+                ("doclens", [id_col]),
                 ("positions", ["word", id_col, "pos"]),
             ):
                 # one segment listing + one tombstone read for all
@@ -551,14 +658,31 @@ class PostingsIndex:
                 merged = self._union_store(
                     store, segs=segs, dead=dead, gen=gen
                 )
-                if sort_cols:
+                if store == "doclens":
+                    merged = merged.repartitionByRange(
+                        max(1, n_files // 4), id_col
+                    ).sortWithinPartitions(id_col)
+                elif sort_cols:
                     merged = merged.repartitionByRange(
                         n_files, "word"
                     ).sortWithinPartitions(*sort_cols)
                 merged.write.mode("errorifexists").parquet(
                     os.path.join(out, store)
                 )
-            self._write_meta(out, id_col, meta["text_col"])
+            # blockstats are rebuilt EXACTLY from the merged stores
+            # (never merged from per-segment stats): the tombstoned
+            # rows are physically gone here, so every compacted
+            # generation's bounds and df_blk sums are exact again.
+            # The build-time width is frozen forever — id growth just
+            # mints higher block ids.
+            self._write_blockstats(
+                self.spark.read.parquet(os.path.join(out, "postings")),
+                self.spark.read.parquet(os.path.join(out, "doclens")),
+                out,
+                id_col,
+                block_width,
+            )
+            self._write_meta(out, id_col, meta["text_col"], block_width)
             # Record EXACTLY what this generation folded so a writer
             # whose rename raced the snapshot above can tell "already
             # in this base" from "stranded in the retired gen"
@@ -707,6 +831,32 @@ class PostingsIndex:
     def positions(self) -> DataFrame:
         return self._union_store("positions")
 
+    def has_tombstones(self) -> bool:
+        return bool(self._tombstone_dirs())
+
+    def block_width(self) -> int:
+        return int(self._meta().get("block_width", 1))
+
+    def blockstats(self) -> DataFrame:
+        """Union of base + segment block stats, re-aggregated per
+        (word, blk). NOT tombstone-adjusted (stats carry no doc ids):
+        with live tombstones the maxima/minima remain valid UPPER
+        bounds for pruning, but df_blk sums OVERCOUNT df — callers
+        needing exact df (bm25_topk_blockmax) must check
+        has_tombstones() first. compact_segments rebuilds the stats
+        exactly."""
+        gen = self._gen()
+        df = self.spark.read.parquet(os.path.join(gen, "blockstats"))
+        for seg in self._segment_dirs(gen):
+            df = df.unionByName(
+                self.spark.read.parquet(os.path.join(seg, "blockstats"))
+            )
+        return df.groupBy("word", "blk").agg(
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+            F.sum("df_blk").cast("long").alias("df_blk"),
+        )
+
 
 def search_all_terms(
     postings: DataFrame, terms: list[str], id_col: str = "doc_id"
@@ -727,38 +877,67 @@ def search_all_terms(
     )
 
 
-def bm25_topk(
-    postings: DataFrame,
+def _bm25_per_doc(
+    hits: DataFrame,
     doclens: DataFrame,
-    terms: list[str],
-    k: int = 15,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    round_to: int = 6,
+    dfreq: DataFrame,
+    consts: DataFrame,
+    k1: float,
+    b: float,
+    id_col: str,
+    round_to: int,
+    posting_filter=None,
 ) -> DataFrame:
-    """Top-k docs by BM25 over `terms` (OR semantics — standard BM25).
-    Returns (doc_id, n_terms_matched, score) ordered score desc,
-    doc_id asc. Scores rounded to `round_to` dp (ln ulp portability).
-    """
-    terms = list(set(terms))
-    hits = postings.where(F.col("word").isin(terms))
+    """Shared Okapi scoring tree: (doc_id, n_terms_matched, score),
+    unordered. BOTH serving paths (full-scan bm25_topk and block-max
+    bm25_topk_blockmax) route through this ONE expression tree so the
+    pruned path is hash-identical to the unpruned one by construction
+    — df/consts arriving as collected integer literals vs in-plan
+    aggregates make the same doubles (integer inputs, one division).
 
-    # corpus constants: one row, broadcast by construction
-    consts = doclens.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_dl"),
-    ).select(
-        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
-    )
-    # per-term document frequency: ≤ |terms| rows
-    dfreq = hits.groupBy("word").agg(
-        F.countDistinct(id_col).alias("df")
+    When `hits` already carries a `dl` column (the PostingsIndex
+    postings store denormalizes it), the doclens join is skipped —
+    same values, one less corpus-sized shuffle.
+
+    `posting_filter` (blockmax serving) is applied AFTER term_score:
+    it may drop postings of provably-sub-threshold docs — their
+    partial per-doc sums only get SMALLER, so they can never displace
+    the top-k (see _posting_bound_keep).
+
+    Per-doc sum via scaled-long (functions/exact.py convention):
+    float addition order across a doc's terms must not change the
+    hash; term scores are O(10), so 1e9 scaling is far from overflow."""
+    scored = _bm25_scored(hits, doclens, dfreq, consts, k1, b, id_col)
+    if posting_filter is not None:
+        scored = scored.where(posting_filter)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(
+            F.sum(F.round(F.col("term_score") * 1e9).cast("long")) / 1e9,
+            round_to,
+        ).alias("score"),
     )
 
-    scored = (
-        hits.join(F.broadcast(dfreq), "word")
-        .join(doclens, id_col)
+
+def _bm25_scored(
+    hits: DataFrame,
+    doclens: DataFrame,
+    dfreq: DataFrame,
+    consts: DataFrame,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Per-posting Okapi term scores (the projection before the
+    per-doc fold) — shared so the attestation's survivor count uses
+    the exact serving expressions."""
+    withdl = (
+        hits
+        if "dl" in hits.columns
+        else hits.join(doclens, id_col)
+    )
+    return (
+        withdl.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(consts))
         .withColumn(
             "idf",
@@ -774,21 +953,403 @@ def bm25_topk(
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
-    # per-doc sum via scaled-long (functions/exact.py convention):
-    # float addition order across a doc's terms must not change the
-    # hash; term scores are O(10), so 1e9 scaling is far from overflow
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k docs by BM25 over `terms` (OR semantics — standard BM25).
+    Returns (doc_id, n_terms_matched, score) ordered score desc,
+    doc_id asc. Scores rounded to `round_to` dp (ln ulp portability).
+    Walks every posting of every query term — exact at any index
+    state (tombstones included); bm25_topk_blockmax is the pruned
+    serving path for tombstone-free PostingsIndex generations."""
+    terms = list(set(terms))
+    hits = postings.where(F.col("word").isin(terms))
+
+    # corpus constants: one row, broadcast by construction
+    consts = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).select(
+        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
+    )
+    # per-term document frequency: ≤ |terms| rows
+    dfreq = hits.groupBy("word").agg(
+        F.countDistinct(id_col).alias("df")
+    )
     return (
-        scored.groupBy(id_col)
+        _bm25_per_doc(hits, doclens, dfreq, consts, k1, b, id_col, round_to)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _block_ranges_pred(id_col: str, blocks: list[int], width: int):
+    """OR-of-ranges predicate covering `blocks` (consecutive block ids
+    merged into one [lo, hi) doc-id range). Plain attribute
+    comparisons, so the disjunction reaches the parquet row-group
+    footers of the (word, doc_id)-sorted postings and the
+    doc_id-clustered doclens. Returns None for an empty block set."""
+    runs: list[list[int]] = []
+    for blk in sorted(blocks):
+        if runs and blk == runs[-1][1]:
+            runs[-1][1] = blk + 1
+        else:
+            runs.append([blk, blk + 1])
+    pred = None
+    for lo, hi in runs:
+        p = (F.col(id_col) >= lo * width) & (F.col(id_col) < hi * width)
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+# Driver-side bounds for block-max serving: seed candidates are a
+# TakeOrderedAndProject prefix (collected), and kept block ids are
+# collected only when few enough that an OR-of-ranges predicate beats
+# an unpruned scan. Both are CONSTANTS, independent of corpus size.
+_SEED_CAND_CAP = 64
+_KEPT_CAP = 16384
+
+
+def blockmax_prune_plan(
+    index: "PostingsIndex",
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> dict | None:
+    """Exact block-max pruning plan (block-max WAND adapted to batch
+    serving — VERDICT r12 #2). Returns None when pruning is
+    unavailable (live tombstones make stats-derived df inexact, or a
+    pre-blockstats generation): callers fall back to the full scan.
+
+    Because blocks are DOC-DETERMINED (blk = doc_id // width for every
+    term), a doc's postings for ALL query terms live in its one block,
+    so (a) scanning a block set yields COMPLETE scores for its docs and
+    (b) a per-block score bound is Σ over terms of the (word, blk)
+    impact bound. The plan:
+
+    1. One small job over blockstats (≤ |terms| × n_blocks rows,
+       collected — small-by-construction): per-term df (= Σ df_blk,
+       exact while tombstone-free) and per-block scaled bound
+       ub6(blk) = Σ_t round(idf_t · impact(max_tf, min_dl) · 1e6) —
+       computed JVM-side so the attestation oracle reproduces it.
+    2. SEED phase: score exactly the top-_SEED_CAND_CAP ub-ordered
+       blocks (~2k docs at 32 docs/block — trivial at any sf, and the
+       best-bounded blocks tend to contain the true top docs, so θ
+       lands near the exact k-th best); θ = the k-th best seed score.
+       Seed scores are true final scores, so θ lower-bounds the k-th
+       best overall.
+    3. KEEP blocks with ub6 ≥ θ·1e6 − margin, margin = |terms| + 2:
+       covers the Σ-of-rounds vs round-of-Σ slack (≤ |terms|/2), the
+       1e9-fold slack in doc scores (< 1), and ulp dust. Every doc
+       outside kept blocks provably scores below θ, so the top-k over
+       kept blocks equals the full scan's — exactness preserved, the
+       oracle unchanged. Serving then adds the per-posting bound
+       filter (_posting_bound_keep) inside the kept scan, which
+       prunes the shuffle mass even when block bounds are flat.
+
+    Every driver-side collect is BOUNDED regardless of corpus size:
+    per-term df (≤ |terms| rows), the 1-row corpus constants, the
+    seed candidates (TakeOrderedAndProject, ≤ _SEED_CAND_CAP rows),
+    the k-row seed top-k, and the kept block ids (collected only when
+    ≤ _KEPT_CAP — beyond that pruning isn't paying and serving scans
+    unpruned, which is always a correct superset). Block bound
+    aggregation itself stays distributed.
+
+    The dict carries everything serving AND the attestation query need
+    (bound aggregates/seeds/theta/kept), so the report can never
+    drift from the rule serving actually ran."""
+    terms = sorted(set(terms))
+    meta = index._meta()
+    id_col = meta["id_col"]
+    width = meta.get("block_width")
+    if width is None or index.has_tombstones():
+        return None
+    width = int(width)
+    crow = (
+        index.doclens()
         .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            F.round(
-                F.sum(F.round(F.col("term_score") * 1e9).cast("long")) / 1e9,
-                round_to,
-            ).alias("score"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        )
+        .first()
+    )
+    n_docs = int(crow["n_docs"] or 0)
+    total_dl = int(crow["total_dl"] or 0)
+    if n_docs == 0:
+        return None
+    stats = index.blockstats().where(F.col("word").isin(terms))
+    dfreq_rows = (
+        stats.groupBy("word")
+        .agg(
+            F.sum("df_blk").cast("long").alias("df"),
+            F.max("max_tf").cast("long").alias("maxtf"),
+        )
+        .collect()  # ≤ |terms| rows
+    )
+    dfm = {r["word"]: int(r["df"]) for r in dfreq_rows}
+    maxtf = {r["word"]: int(r["maxtf"]) for r in dfreq_rows}
+    plan = {
+        "id_col": id_col,
+        "width": width,
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+        "df": dfm,
+        "maxtf": maxtf,
+        "margin": len(terms) + 2,
+        "k": k,
+    }
+    if not dfm:  # no term has any posting
+        plan.update(
+            n_blocks_total=0, n_postings_total=0, seed_blocks=[],
+            theta_scaled=None, n_blocks_kept=0, n_postings_kept=0,
+            kept_blocks=[], seed_rows=0,
+        )
+        return plan
+    avgdl = F.lit(total_dl).cast("double") / F.lit(n_docs).cast("double")
+    spark = index.spark
+    dfreq_df = _bm25_dfreq_df(spark, dfm)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    ub = (
+        idf
+        * (F.col("max_tf") * (k1 + 1))
+        / (F.col("max_tf") + k1 * (1 - b + b * F.col("min_dl") / avgdl))
+    )
+    blocks = (
+        stats.join(F.broadcast(dfreq_df), "word")
+        .withColumn("_ub6", F.round(ub * 1e6).cast("long"))
+        .groupBy("blk")
+        .agg(
+            F.sum("_ub6").alias("ub6"),
+            F.sum("df_blk").cast("long").alias("nrows"),
+        )
+    )
+    totals = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("nrows").cast("long").alias("n_rows"),
+    ).first()
+    plan["n_blocks_total"] = int(totals["n_blocks"])
+    plan["n_postings_total"] = int(totals["n_rows"])
+    plan["_blocks_df"] = blocks  # lazy; attestation joins against it
+    # seed candidates: per-partition top-N, never a global sort. The
+    # WHOLE capped prefix seeds (not a minimal k-doc prefix): ~64
+    # blocks ≈ 2k docs is trivial to score exactly at any sf, and the
+    # highest-bounded blocks tend to CONTAIN the true top docs, so θ
+    # lands near the exact k-th best — the tighter θ is what makes
+    # both pruning stages bite.
+    cand = (
+        blocks.orderBy(F.desc("ub6"), F.asc("blk"))
+        .limit(_SEED_CAND_CAP)
+        .collect()
+    )
+    seeds = [int(r["blk"]) for r in cand]
+    plan["seed_blocks"] = seeds
+    plan["seed_rows"] = sum(int(r["nrows"]) for r in cand)
+    consts = _bm25_consts_df(spark, n_docs, total_dl)
+    pred = _block_ranges_pred(id_col, seeds, width)
+    top = (
+        _bm25_per_doc(
+            index.postings().where(F.col("word").isin(terms) & pred),
+            index.doclens().where(pred),
+            dfreq_df,
+            consts,
+            k1,
+            b,
+            id_col,
+            round_to,
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .collect()  # ≤ k rows
+    )
+    if len(top) < k:
+        # the seed prefix holds fewer than k docs (tiny corpus, or the
+        # _SEED_CAND_CAP prefix was thinner than the k·|terms| rule
+        # expected): no provable threshold — serve unpruned
+        plan.update(
+            theta_scaled=None,
+            n_blocks_kept=plan["n_blocks_total"],
+            n_postings_kept=plan["n_postings_total"],
+            kept_blocks=None,  # None = no range predicate (full scan)
+        )
+        return plan
+    theta_scaled = int(round(top[-1]["score"] * 1e6))
+    plan["theta_scaled"] = theta_scaled
+    kept_df = blocks.where(
+        F.col("ub6") >= F.lit(theta_scaled - plan["margin"])
+    )
+    ktot = kept_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nrows").cast("long").alias("rows"),
+    ).first()
+    plan["n_blocks_kept"] = int(ktot["n"] or 0)
+    plan["n_postings_kept"] = int(ktot["rows"] or 0)
+    if plan["n_blocks_kept"] > _KEPT_CAP:
+        # pruning keeps too many blocks to be worth a range predicate;
+        # scan unpruned (a superset is always exact-safe)
+        plan["kept_blocks"] = None
+    else:
+        plan["kept_blocks"] = sorted(
+            int(r["blk"]) for r in kept_df.select("blk").collect()
+        )
+    return plan
+
+
+def bm25_topk_blockmax(
+    index: "PostingsIndex",
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Block-max BM25 serving over a PostingsIndex: exact top-k (hash-
+    identical to bm25_topk — certified by the q_bm25_topk oracle and
+    tests/test_retrieval.py) that only scans posting blocks whose
+    score bound can reach the seed-phase threshold. Falls back to the
+    full-scan path when pruning is unavailable (tombstones, legacy
+    generations, empty index). Driver-side work is bounded: one
+    blockstats collect (≤ |terms| × n_blocks rows) and one k-row seed
+    top-k; the returned DataFrame is the final pruned-scan stage."""
+    meta = index._meta()
+    plan = blockmax_prune_plan(index, terms, k=k, k1=k1, b=b,
+                               round_to=round_to)
+    if plan is None:
+        return bm25_topk(
+            index.postings(), index.doclens(), terms,
+            k=k, k1=k1, b=b, id_col=meta["id_col"], round_to=round_to,
+        )
+    terms = sorted(set(terms))
+    id_col = plan["id_col"]
+    spark = index.spark
+    kept = plan["kept_blocks"]
+    if kept is None or not kept:
+        # None: no provable threshold, or too many kept blocks for a
+        # range predicate — scan unpruned (exact superset). Empty
+        # list: zero candidate postings — the full path returns the
+        # same empty result with the right schema. Either way the
+        # stats-derived df/consts literals keep the expression tree
+        # identical to the pruned branch.
+        pred = None
+    else:
+        pred = _block_ranges_pred(id_col, kept, plan["width"])
+    hits = index.postings().where(F.col("word").isin(terms))
+    dls = index.doclens()
+    if pred is not None:
+        hits = hits.where(pred)
+        dls = dls.where(pred)
+    # per-posting bound pruning BEFORE the per-doc shuffle — the stage
+    # that bites even when block bounds are flat (uniform corpora with
+    # dense query terms saturate per-block maxima): only postings that
+    # could belong to a ≥θ doc survive into the groupBy
+    pfilter = (
+        _posting_bound_keep(plan, k1, b)
+        if plan["theta_scaled"] is not None
+        else None
+    )
+    return (
+        _bm25_per_doc(
+            hits,
+            dls,
+            _bm25_dfreq_df(spark, plan["df"]),
+            _bm25_consts_df(spark, plan["n_docs"], plan["total_dl"]),
+            k1,
+            b,
+            id_col,
+            round_to,
+            posting_filter=pfilter,
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _bm25_consts_df(spark: SparkSession, n_docs: int, total_dl: int):
+    """(n_docs, avgdl) from collected exact longs — the division runs
+    in-plan on the same integers the in-plan aggregate would produce,
+    so the resulting double is bit-identical to bm25_topk's consts."""
+    return spark.createDataFrame(
+        [(n_docs, total_dl)], "n_docs BIGINT, total_dl BIGINT"
+    ).select("n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl"))
+
+
+def _bm25_dfreq_df(spark: SparkSession, dfm: dict[str, int]):
+    if not dfm:
+        return spark.createDataFrame([], "word STRING, df BIGINT")
+    return spark.createDataFrame(
+        sorted(dfm.items()), "word STRING, df BIGINT"
+    )
+
+
+def _bound_term6(plan: dict, word: str, k1: float, b: float):
+    """round(idf_t · impact(max_tf_t, dl) · 1e6) as a LONG Column over
+    the posting's `dl` — term t's maximum possible contribution to any
+    doc of that length. df/max_tf/N/total_dl enter as exact integer
+    literals, so the doubles (and their 1e6-scaled rounds) match the
+    attestation oracle's bit for bit."""
+    df_t = plan["df"][word]
+    mt = plan["maxtf"][word]
+    avgdl = (
+        F.lit(plan["total_dl"]).cast("double")
+        / F.lit(plan["n_docs"]).cast("double")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(plan["n_docs"]) - F.lit(df_t) + 0.5)
+        / (F.lit(df_t) + 0.5)
+    )
+    e = (
+        idf
+        * (F.lit(mt) * (k1 + 1))
+        / (F.lit(mt) + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return F.round(e * 1e6).cast("long")
+
+
+def _posting_bound_keep(plan: dict, k1: float, b: float):
+    """Per-posting pruning predicate for blockmax serving, evaluated
+    after term_score: keep iff
+
+      round(term_score·1e6) + Σ_{t'≠t} bound6_{t'}(dl) ≥ θ·1e6 − margin
+
+    i.e. this posting's ACTUAL contribution plus every other term's
+    dl-conditional maximum. Safety: for any doc with true score ≥ θ,
+    EVERY posting p satisfies ts_p + Σ_{t'≠t_p} bound_{t'} ≥
+    Σ_t ts_t = score ≥ θ, so no posting of a top-k doc is dropped and
+    its per-doc sum stays exact. A doc that loses postings is provably
+    sub-θ; its PARTIAL sum is even smaller, so it can never displace
+    the top-k — dropping per-posting (not per-doc) costs nothing and
+    needs no cross-posting coordination. Each bound rounds to a scaled
+    long before the integer sum (order-free, DuckDB-reproducible);
+    the margin (|terms|+2) absorbs every rounding slack. Much tighter
+    than a pure doc-level bound: the dominant term's saturated global
+    max_tf is replaced by the posting's actual tf."""
+    total6 = None
+    own6 = None
+    for w in sorted(plan["df"]):
+        c6 = _bound_term6(plan, w, k1, b)
+        total6 = c6 if total6 is None else total6 + c6
+        own6 = (
+            F.when(F.col("word") == w, c6)
+            if own6 is None
+            else own6.when(F.col("word") == w, c6)
+        )
+    own6 = own6.otherwise(F.lit(0).cast("long"))
+    chi6 = F.round(F.col("term_score") * 1e6).cast("long") + total6 - own6
+    return chi6 >= F.lit(int(plan["theta_scaled"]) - int(plan["margin"]))
 
 
 def build_positional_postings(

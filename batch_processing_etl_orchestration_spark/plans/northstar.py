@@ -2282,6 +2282,7 @@ def _postings_index(spark: SparkSession, sf_dir: str):
         lambda p: PostingsIndex.build(
             spark, load_table(spark, sf_dir, "documents"), p
         ),
+        layout=4,  # r13: blockstats + dl-denormalized postings
     )
     return PostingsIndex(spark, path)
 
@@ -2327,9 +2328,15 @@ def _postings_index(spark: SparkSession, sf_dir: str):
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 for a three-term query over the persisted posting
-    index (Okapi form, k1=1.2, b=0.75, idf = ln(1 + (N−df+½)/(df+½))).
-    Per-term df and corpus constants (N, avgdl) are broadcast
-    metadata; scoring is a projection over O(df) pruned posting rows;
+    index (Okapi form, k1=1.2, b=0.75, idf = ln(1 + (N−df+½)/(df+½))),
+    served by the BLOCK-MAX pruned path (r13, VERDICT r12 #2): the
+    index's per-(word, block) bounds establish a seed-phase top-k
+    threshold, and only blocks whose summed bound can reach it are
+    scanned — exactness preserved (the oracle is unchanged and the
+    hash must match the full scan's), pruning attested by
+    q_bm25_blockmax_prune_report. Per-term df and corpus constants
+    (N, avgdl) are index-statistics integers re-injected as literals
+    into the SAME scoring expression tree as the full-scan path;
     ONE groupBy sums per-doc scores via the scaled-long fold so float
     addition order can't move the hash, and scores round to 6 dp
     (ln's last ulp is libm-specific; every formula input is
@@ -2337,11 +2344,235 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the exact expression tree, parenthesis for
     parenthesis."""
     from batch_processing_etl_orchestration_spark.operators.retrieval import (
-        bm25_topk,
+        bm25_topk_blockmax,
     )
 
     idx = _postings_index(spark, sf_dir)
-    return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)
+    return bm25_topk_blockmax(idx, _BM25_TERMS, k=15)
+
+
+@register(
+    "q_bm25_blockmax_prune_report",
+    # Reproduces the ENTIRE pruning rule chain independently: block
+    # width (~32 docs/block), per-(word, block) bounds, the
+    # JVM-paritied scaled upper bounds, the capped ub-ordered seed
+    # prefix, the k-th seed score threshold, and the margin
+    # comparison — so a hash match proves the serving path's pruning
+    # decisions, not just its ranked output. k=15, |terms|=3 → seed
+    # need = 45 posting rows, seed candidate cap = 64, margin = 5.
+    oracle="""
+    WITH width AS (
+      SELECT GREATEST(1, ((MAX(doc_id) + 1) * 32) // COUNT(*)) AS w
+      FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, word
+    ),
+    stats AS MATERIALIZED (
+      SELECT t.word, t.doc_id // (SELECT w FROM width) AS blk,
+             MAX(t.tf) AS max_tf, MIN(l.dl) AS min_dl,
+             COUNT(*) AS df_blk
+      FROM tf t JOIN dl l USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT word, SUM(df_blk) AS df FROM stats GROUP BY 1),
+    ub AS MATERIALIZED (
+      SELECT s.blk,
+             SUM(CAST(ROUND(
+               ((ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (s.max_tf * 2.2))
+                / (s.max_tf + 1.2 * (0.25 + 0.75 * s.min_dl
+                     / (CAST(c.total_dl AS DOUBLE) / c.n_docs))))
+               * 1e6) AS BIGINT)) AS ub6,
+             SUM(s.df_blk) AS nrows
+      FROM stats s JOIN dfreq d USING (word) CROSS JOIN consts c
+      GROUP BY 1
+    ),
+    seeds AS MATERIALIZED (
+      SELECT blk, nrows,
+             row_number() OVER (ORDER BY ub6 DESC, blk) AS rn
+      FROM ub QUALIFY rn <= 64
+    ),
+    seed_scores AS MATERIALIZED (
+      SELECT t.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               ((ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2))
+                / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                     / (CAST(c.total_dl AS DOUBLE) / c.n_docs))))
+               * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS score
+      FROM tf t
+      JOIN dfreq d USING (word)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN consts c
+      WHERE t.doc_id // (SELECT w FROM width) IN (SELECT blk FROM seeds)
+      GROUP BY t.doc_id
+    ),
+    theta AS MATERIALIZED (
+      SELECT CAST(ROUND(score * 1e6) AS BIGINT) AS t6
+      FROM seed_scores ORDER BY score DESC, doc_id LIMIT 1 OFFSET 14
+    ),
+    kept AS MATERIALIZED (
+      SELECT blk, nrows FROM ub
+      WHERE (SELECT COUNT(*) FROM theta) = 0
+         OR ub6 >= (SELECT t6 FROM theta) - 5
+    ),
+    termstats AS (
+      SELECT word, SUM(df_blk) AS df, MAX(max_tf) AS max_tf
+      FROM stats GROUP BY 1
+    ),
+    bounds AS MATERIALIZED (
+      SELECT l.doc_id, ts.word,
+             CAST(ROUND(
+               ((ln(1.0 + (c.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+                 * (ts.max_tf * 2.2))
+                / (ts.max_tf + 1.2 * (0.25 + 0.75 * l.dl
+                     / (CAST(c.total_dl AS DOUBLE) / c.n_docs))))
+               * 1e6) AS BIGINT) AS b6
+      FROM dl l CROSS JOIN termstats ts CROSS JOIN consts c
+    ),
+    docbound AS MATERIALIZED (
+      SELECT doc_id, SUM(b6) AS total6 FROM bounds GROUP BY 1
+    ),
+    bound_kept AS (
+      SELECT COUNT(*) AS n
+      FROM tf t
+      JOIN dl l USING (doc_id)
+      JOIN termstats d ON d.word = t.word
+      JOIN bounds ob ON ob.doc_id = t.doc_id AND ob.word = t.word
+      JOIN docbound db ON db.doc_id = t.doc_id
+      CROSS JOIN consts c
+      WHERE t.doc_id // (SELECT w FROM width) IN (SELECT blk FROM kept)
+        AND ((SELECT COUNT(*) FROM theta) = 0
+             OR CAST(ROUND(
+                  ((ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (t.tf * 2.2))
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (CAST(c.total_dl AS DOUBLE) / c.n_docs))))
+                  * 1e6) AS BIGINT)
+                + db.total6 - ob.b6
+                >= (SELECT t6 FROM theta) - 5)
+    )
+    SELECT CAST((SELECT w FROM width) AS BIGINT) AS block_width,
+           (SELECT COUNT(*) FROM ub) AS n_blocks_total,
+           (SELECT COUNT(*) FROM seeds) AS n_blocks_seed,
+           CAST(COALESCE((SELECT SUM(nrows) FROM seeds), 0) AS BIGINT)
+             AS n_postings_seed,
+           (SELECT COUNT(*) FROM kept) AS n_blocks_kept,
+           CAST(COALESCE((SELECT SUM(nrows) FROM kept), 0) AS BIGINT)
+             AS n_postings_kept,
+           (SELECT n FROM bound_kept) AS n_postings_bound_kept,
+           CAST(COALESCE((SELECT SUM(nrows) FROM ub), 0) AS BIGINT)
+             AS n_postings_total,
+           COALESCE((SELECT t6 FROM theta), -1) AS theta_scaled
+    """,
+    tags=("northstar", "retrieval", "profile"),
+)
+def q_bm25_blockmax_prune_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attestation row for block-max BM25 serving (VERDICT r12 #2:
+    "pruning attested in-query — ranges scanned vs total"): block
+    width, candidate block count, the ub-ordered seed prefix and its
+    posting mass, the blocks the threshold keeps and their posting
+    mass (vs the total the full scan would walk), and the scaled seed
+    threshold. Built from the SAME blockmax_prune_plan dict
+    q_bm25_topk's serving executes, so the report cannot drift from
+    the rule that actually ran; the oracle recomputes every stage
+    independently in SQL — the hash match certifies the pruning
+    decisions themselves (bounds, seed order, threshold, margin), not
+    just the ranked output. Serving additionally scans the seed
+    blocks themselves (n_postings_seed) during threshold discovery,
+    and physically coarsens the kept set into ≤ _KEPT_CAP merged id
+    ranges — a superset read that can only add rows below the
+    threshold, so the LOGICAL kept set reported here is what
+    determines the result. n_postings_bound_kept is the SECOND pruning
+    stage serving applies on top of the kept blocks: the per-posting
+    bound (actual term_score plus every OTHER term's dl-conditional
+    maximum vs θ) that cuts the per-doc shuffle mass even when block
+    bounds are flat — on this uniform fixture with dense query terms
+    it is the stage that actually prunes.
+
+    theta_scaled = round(k-th seed score · 1e6), or -1 when the seed
+    phase finds fewer than k docs (then nothing is pruned and kept ==
+    total). Blocks hold ~32 docs at every sf, so bound variance — the
+    thing block-max exploits — survives scale; BENCH_SF10.md §r13
+    re-measures the serving decade."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        _bm25_consts_df,
+        _bm25_dfreq_df,
+        _bm25_scored,
+        _posting_bound_keep,
+        blockmax_prune_plan,
+    )
+
+    idx = _postings_index(spark, sf_dir)
+    plan = blockmax_prune_plan(idx, _BM25_TERMS, k=15)
+    if plan is None:  # the fixture index is tombstone-free by build
+        raise RuntimeError("blockmax plan unavailable on fixture index")
+    if plan["theta_scaled"] is None:
+        n_bound_kept = int(plan["n_postings_kept"])
+    else:
+        # count the postings that survive BOTH the logical kept-block
+        # set and the per-posting bound — the attestation pays one
+        # counting scan (same expressions as serving) so the report
+        # cannot drift from the filter that actually runs
+        keptdf = plan["_blocks_df"].where(
+            F.col("ub6")
+            >= F.lit(int(plan["theta_scaled"]) - int(plan["margin"]))
+        ).select("blk")
+        hits = (
+            idx.postings()
+            .where(F.col("word").isin(list(_BM25_TERMS)))
+            .withColumn(
+                "blk",
+                F.floor(F.col("doc_id") / F.lit(plan["width"])).cast(
+                    "long"
+                ),
+            )
+            .join(F.broadcast(keptdf), "blk")
+        )
+        n_bound_kept = (
+            _bm25_scored(
+                hits,
+                idx.doclens(),
+                _bm25_dfreq_df(spark, plan["df"]),
+                _bm25_consts_df(spark, plan["n_docs"], plan["total_dl"]),
+                1.2,
+                0.75,
+                "doc_id",
+            )
+            .where(_posting_bound_keep(plan, 1.2, 0.75))
+            .count()
+        )
+    row = (
+        int(plan["width"]),
+        int(plan["n_blocks_total"]),
+        len(plan["seed_blocks"]),
+        int(plan["seed_rows"]),
+        int(plan["n_blocks_kept"]),
+        int(plan["n_postings_kept"]),
+        int(n_bound_kept),
+        int(plan["n_postings_total"]),
+        -1 if plan["theta_scaled"] is None else int(plan["theta_scaled"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "block_width BIGINT, n_blocks_total BIGINT, n_blocks_seed BIGINT, "
+        "n_postings_seed BIGINT, n_blocks_kept BIGINT, "
+        "n_postings_kept BIGINT, n_postings_bound_kept BIGINT, "
+        "n_postings_total BIGINT, theta_scaled BIGINT",
+    )
 
 
 @register(
@@ -3617,7 +3848,10 @@ def _segmented_index(spark: SparkSession, sf_dir: str):
         )
         idx.add_segment(docs.where(F.col("doc_id") % 10 == 9), "batch-9")
 
-    path = build_once(sf_dir, "documents.parquet", "segmented_index", _build)
+    path = build_once(
+        sf_dir, "documents.parquet", "segmented_index", _build,
+        layout=4,  # r13: blockstats + dl-denormalized postings
+    )
     return PostingsIndex(spark, path)
 
 
@@ -3772,7 +4006,10 @@ def _tombstoned_index(spark: SparkSession, sf_dir: str):
             docs.where(F.col("doc_id") % 10 == 7).select("doc_id")
         )
 
-    path = build_once(sf_dir, "documents.parquet", "tombstoned_index", _build)
+    path = build_once(
+        sf_dir, "documents.parquet", "tombstoned_index", _build,
+        layout=4,  # r13: blockstats + dl-denormalized postings
+    )
     return PostingsIndex(spark, path)
 
 
