@@ -5943,3 +5943,255 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _nb_train_capped(spark: SparkSession, docs: DataFrame):
+    """Train the capped NB model ONCE on a frozen snapshot and collect
+    it: (head_words, weight_rows, prior6). The expressions mirror
+    q_nb_quality_classifier's training stage term for term — the
+    streaming query's oracle IS the batch scorer's SQL, so any drift
+    between this trainer and the batch estimator hash-fails. The
+    collected model is tiny by construction: ≤ K+B weight rows, K head
+    words, one prior long."""
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_pos")
+    )
+    words = labeled.select(
+        "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("word")
+    )
+    head_rows = (
+        words.groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "word")
+        .limit(_NB_HEAD_K)
+        .select("word")
+        .collect()
+    )
+    head_words = sorted(r["word"] for r in head_rows)
+    bucket = (
+        F.ascii(F.substring("word", 1, 1)) * 961
+        + F.ascii(F.substring("word", 2, 1)) * 31
+        + F.length("word")
+    ) % _NB_TAIL_B
+    feats = words.select(
+        "doc_id",
+        "is_pos",
+        F.when(
+            F.col("word").isin(head_words),
+            F.concat(F.lit("w:"), F.col("word")),
+        )
+        .otherwise(F.concat(F.lit("b:"), bucket.cast("string")))
+        .alias("feat"),
+    )
+    freq = feats.groupBy("feat").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wc_pos"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wc_neg"),
+    )
+    consts = freq.agg(
+        F.sum("wc_pos").cast("bigint").alias("n_pos"),
+        F.sum("wc_neg").cast("bigint").alias("n_neg"),
+    )
+    n_features = _NB_HEAD_K + _NB_TAIL_B
+
+    def _scaled_ll(cnt: str, n: str):
+        return F.round(
+            F.log(
+                (F.col(cnt) + 1).cast("double")
+                / (F.col(n) + n_features).cast("double")
+            )
+            * 1000000
+        ).cast("bigint")
+
+    weight_rows = [
+        (r["feat"], int(r["scaled_lo"]))
+        for r in (
+            freq.crossJoin(F.broadcast(consts))
+            .select(
+                "feat",
+                (
+                    _scaled_ll("wc_pos", "n_pos")
+                    - _scaled_ll("wc_neg", "n_neg")
+                ).alias("scaled_lo"),
+            )
+            .collect()  # ≤ K+B rows
+        )
+    ]
+    prior6 = int(
+        labeled.agg(
+            F.round(
+                F.log(
+                    F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).cast(
+                        "double"
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("p")
+        ).first()["p"]
+    )
+    return head_words, weight_rows, prior6
+
+
+@register(
+    "q_stream_quality_filter",
+    # the drained per-doc keep/drop decisions must equal the BATCH
+    # scorer's exactly — same SQL object as q_nb_quality_classifier
+    oracle=_REGISTRY["q_nb_quality_classifier"].oracle,
+    tags=("streaming", "text", "quality", "classifier", "incremental"),
+)
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-based quality gate (VERDICT r12 #3): a
+    production pipeline trains the quality classifier ONCE on a frozen
+    trusted snapshot, then scores documents AS THEY LAND. Here the
+    frozen snapshot is the fixture corpus; the capped NB model
+    (top-K exact head + hashed tail, constant ≤ K+B weight rows) is
+    trained once and collected, then documents arrive as 4 ordered
+    micro-batches (maxFilesPerTrigger=1 over a doc_id-ranged copy) and
+    each batch is scored with the frozen broadcast weights — per-batch
+    cost is the batch's own explode + a broadcast join + one grouped
+    fold, tracking ARRIVAL RATE, not corpus size.
+
+    Exactly-once: each batch's scores land via write-to-_tmp + atomic
+    rename to batch_<id>; the directory IS the replay marker, so a
+    redelivered batch (checkpoint loss, foreachBatch retry) skips
+    without duplicating — pinned by
+    tests/test_stream_quality.py::test_replayed_batch_is_skipped.
+    After the availableNow drain the union of batch outputs must be
+    row-for-row hash-equal to the batch estimator over the same
+    corpus (the oracle IS q_nb_quality_classifier's SQL): scoring
+    with frozen weights is embarrassingly batch-decomposable, so no
+    micro-batching of arrivals can change any score.
+
+    Scale: the model broadcast is constant-bounded (K+B rows); the
+    sink appends one directory per batch (at 100 TB: one
+    transactional table append per batch, same algebra); training
+    cost is paid once per model refresh, never per batch."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.tables import (
+        build_once,
+        fixture_cache_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    src = build_once(
+        sf_dir,
+        "documents.parquet",
+        "stream_qf_src",
+        lambda p: docs.select("doc_id", "text")
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    run = fixture_cache_dir(sf_dir, "documents.parquet", "stream_qf_run")
+    out, ckpt = os.path.join(run, "scores"), os.path.join(run, "ckpt")
+    shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
+    os.makedirs(out, exist_ok=True)
+
+    head_words, weight_rows, prior6 = _nb_train_capped(spark, docs)
+    score = nb_stream_sink(out, head_words, weight_rows, prior6)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "batch_*")).select(
+        "doc_id", "n_tokens", "log_odds", "pred_pos"
+    )
+
+
+def nb_stream_sink(
+    out: str, head_words: list, weight_rows: list, prior6: int
+):
+    """foreachBatch sink for the streaming quality gate: scores the
+    batch with the frozen model and lands it via write-to-_tmp +
+    atomic rename to batch_<id>. The directory IS the replay marker —
+    a redelivered batch id returns without writing (pinned by
+    tests/test_stream_quality.py)."""
+    import os
+    import uuid as _uuid
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(out, f"batch_{batch_id}")
+        if os.path.isdir(final):
+            return  # replayed batch: already committed atomically
+        s = batch_df.sparkSession
+        scored = nb_score_frozen(
+            s, batch_df, head_words, weight_rows, prior6
+        )
+        tmp = os.path.join(out, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        scored.write.mode("errorifexists").parquet(tmp)
+        os.rename(tmp, final)  # atomic publish; the marker IS the data
+
+    return score
+
+
+def nb_score_frozen(
+    spark: SparkSession,
+    batch: DataFrame,
+    head_words: list,
+    weight_rows: list,
+    prior6: int,
+) -> DataFrame:
+    """Score a document batch with a FROZEN capped-NB model: the same
+    expression tree as q_nb_quality_classifier's scoring stage, with
+    the weight table re-injected as exact scaled-long literals (so
+    the doubles in log_odds match the batch estimator bit for bit).
+    A feature unseen at training time finds no weight row and drops
+    out of the sum (contributes 0) — with the hashed tail absorbing
+    the whole vocabulary this can only happen to an empty bucket;
+    a production gate would assign such features the smoothing
+    prior."""
+    bucket = (
+        F.ascii(F.substring("word", 1, 1)) * 961
+        + F.ascii(F.substring("word", 2, 1)) * 31
+        + F.length("word")
+    ) % _NB_TAIL_B
+    feats = batch.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("word").isin(list(head_words)),
+            F.concat(F.lit("w:"), F.col("word")),
+        )
+        .otherwise(F.concat(F.lit("b:"), bucket.cast("string")))
+        .alias("feat"),
+    )
+    w_df = spark.createDataFrame(
+        sorted(weight_rows), "feat STRING, scaled_lo BIGINT"
+    )
+    return (
+        feats.join(F.broadcast(w_df), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                (F.sum("scaled_lo").cast("bigint") + F.lit(int(prior6)))
+                / F.lit(1000000.0)
+            ).alias("log_odds"),
+            (
+                (F.sum("scaled_lo").cast("bigint") + F.lit(int(prior6)))
+                > 0
+            ).alias("pred_pos"),
+        )
+    )
