@@ -657,6 +657,151 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style heuristic quality rules (Rae et al. 2021, Appendix A),
+# expressed over integer per-doc features so every threshold compare
+# is exact cross-multiplied integer arithmetic (no float ratios).
+# Thresholds follow the paper where the fixture can exercise them
+# (word-count band tightened to the fixture's 10–99-word docs so the
+# rule actually fires); the stopword list is the engine's existing
+# English list (_STOPWORDS['en']) rather than Gopher's — same rule,
+# corpus-appropriate parameters.
+_GOPHER_RULES_SQL = [
+    ("gopher_word_count", "n_words BETWEEN 20 AND 1000"),
+    (
+        "gopher_mean_word_length",
+        "3 * n_words <= chars AND chars <= 10 * n_words",
+    ),
+    ("gopher_symbol_ratio", "10 * (hashes + ells) <= n_words"),
+    ("gopher_bullet_lines", "10 * bullet_lines <= 9 * n_lines"),
+    ("gopher_ellipsis_lines", "10 * ell_lines <= 3 * n_lines"),
+    ("gopher_alpha_words", "5 * alpha_words >= 4 * n_words"),
+    ("gopher_stopwords", "stop_hits >= 2"),
+]
+_GOPHER_KEEP_SQL = (
+    "(" + " AND ".join(p for _n, p in _GOPHER_RULES_SQL) + ")"
+)
+
+
+def _gopher_features(d: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Per-doc integer features for the Gopher rules — one projection,
+    all JVM-side (split/translate/replace/higher-order filters), no
+    UDFs, no shuffle. `keep` names passthrough columns (e.g. doc_id
+    for the quarantine split)."""
+    words = F.split("text", " ")
+    lines = F.split("text", "\n")
+    stop_hits = None
+    for s in _STOPWORDS["en"]:
+        c = F.array_contains(words, s).cast("int")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return d.select(
+        *keep,
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.translate("text", " ", "")).cast("long").alias("chars"),
+        (
+            F.length("text") - F.length(F.translate("text", "#", ""))
+        )
+        .cast("long")
+        .alias("hashes"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("ells"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ") | ln.startswith("* "),
+            )
+        )
+        .cast("long")
+        .alias("bullet_lines"),
+        F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+        .cast("long")
+        .alias("ell_lines"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+
+
+def gopher_rules() -> dict:
+    """The rule predicates as Columns over _gopher_features' frame —
+    shared by the aggregate report (q_gopher_quality_rules) and the
+    per-doc quarantine split (tests/test_gopher_rules.py)."""
+    rules = {n: F.expr(p) for n, p in _GOPHER_RULES_SQL}
+    rules["gopher_keep"] = F.expr(_GOPHER_KEEP_SQL)
+    return rules
+
+
+@register(
+    "q_gopher_quality_rules",
+    oracle="WITH f AS (\n"
+    "  SELECT len(string_split(text, ' ')) AS n_words,\n"
+    "         len(replace(text, ' ', '')) AS chars,\n"
+    "         len(text) - len(replace(text, '#', '')) AS hashes,\n"
+    "         CAST((len(text) - len(replace(text, '...', ''))) / 3\n"
+    "              AS BIGINT) AS ells,\n"
+    "         len(string_split(text, chr(10))) AS n_lines,\n"
+    "         len(list_filter(string_split(text, chr(10)),\n"
+    "             l -> l LIKE '- %' OR l LIKE '* %')) AS bullet_lines,\n"
+    "         len(list_filter(string_split(text, chr(10)),\n"
+    "             l -> l LIKE '%...')) AS ell_lines,\n"
+    "         len(list_filter(string_split(text, ' '),\n"
+    "             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,\n"
+    "         ("
+    + " + ".join(
+        "(CASE WHEN list_contains(string_split(text, ' '), "
+        f"'{s}') THEN 1 ELSE 0 END)"
+        for s in ["the", "a", "of", "and", "to", "in", "is"]
+    )
+    + ") AS stop_hits\n"
+    "  FROM documents\n"
+    ")\n"
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, COUNT(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS n_violations, "
+        f"CAST(COUNT(*) - SUM(CASE WHEN NOT COALESCE({pred}, FALSE) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS pass_rate FROM f"
+        for name, pred in (
+            _GOPHER_RULES_SQL + [("gopher_keep", _GOPHER_KEEP_SQL)]
+        )
+    ),
+    tags=("text", "quality", "expectations"),
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic rule set (VERDICT r12 #4) as a one-scan
+    corpus audit: word-count band, mean-word-length band, symbol-to-
+    word ratio (# and ellipses), bullet-line and ellipsis-line
+    fractions, alphabetic-word fraction, and stopword presence — plus
+    'gopher_keep', the conjunction, whose violation count is exactly
+    the documents the gate drops. Every rule is a conditional sum in
+    ONE aggregation over integer features (check_expectations), so
+    rule count never multiplies I/O — plan-asserted single parquet
+    scan (tests/test_plans.py). Ratio thresholds are cross-multiplied
+    integers, so both engines compare exactly; pass_rate is the one
+    int/int division (bit-identical cross-engine).
+
+    On this fixture the symbol/bullet/ellipsis/alpha rules pass
+    everywhere (synthetic text has no punctuation — their zero counts
+    still hash), while word-count, stopword-presence, and the keep
+    conjunction fire; tests/test_gopher_rules.py additionally runs
+    the per-doc quarantine split (split_expectations) on adversarial
+    docs that trip every rule."""
+    from batch_processing_etl_orchestration_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return check_expectations(_gopher_features(d), gopher_rules())
+
+
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "de": ["der", "die", "das", "und", "ein", "zu", "ist"],

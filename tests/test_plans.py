@@ -834,3 +834,16 @@ def test_dsir_shortlist_is_take_ordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_single_scan(spark, sf_dir):
+    """q_gopher_quality_rules (r13, VERDICT r12 #4): all eight rules
+    (seven + keep conjunction) must be conditional sums in ONE
+    aggregation over ONE parquet scan — rule count never multiplies
+    I/O."""
+    plan = _plan(spark, sf_dir, "q_gopher_quality_rules")
+    # node ids are stable: the single scan is the leaf node (1); the
+    # formatted plan repeats node text in the detail section, so count
+    # the id-pinned form
+    assert plan.count("(1) Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
