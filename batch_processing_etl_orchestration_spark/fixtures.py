@@ -24,3 +24,12 @@ ADVERSARIAL_BOILER = (
 )
 ADVERSARIAL_BOILER_PCT = 30  # doc_id % 100 < PCT gets the paragraph
 ADVERSARIAL_HOT_EVENT_MOD = 2  # event_id % MOD == 0 → hot user (50%)
+
+# Selection-family skew shapes (VERDICT r12 #5): one source owning 90%
+# of documents (stresses source-keyed grouping in corpus assembly /
+# mixing / splits) and a single mega-document of 10⁶ tokens (stresses
+# the per-doc explode task and the doc-keyed scoring aggregation).
+ADVERSARIAL_HOT_SOURCE_MOD = 10  # doc_id % MOD != 0 → hot source (90%)
+ADVERSARIAL_HOT_SOURCE = "src-hot"
+ADVERSARIAL_MEGA_PHRASE = "join hash scan the of agg sort merge filter row"
+ADVERSARIAL_MEGA_REPEAT = 100_000  # × 10 phrase words = 10⁶ tokens

@@ -5346,10 +5346,17 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the generator and tests/test_adversarial.py).
 # ---------------------------------------------------------------------------
 
+_NB_HEAD_K = 16  # exact head vocabulary size (production: ~1e5)
+_NB_TAIL_B = 64  # hashed tail buckets (the DSIR mechanism below)
+
 from batch_processing_etl_orchestration_spark.fixtures import (  # noqa: E402
     ADVERSARIAL_BOILER,
     ADVERSARIAL_BOILER_PCT,
     ADVERSARIAL_HOT_EVENT_MOD,
+    ADVERSARIAL_HOT_SOURCE,
+    ADVERSARIAL_HOT_SOURCE_MOD,
+    ADVERSARIAL_MEGA_PHRASE,
+    ADVERSARIAL_MEGA_REPEAT,
 )
 
 
@@ -5395,12 +5402,61 @@ from batch_processing_etl_orchestration_spark.fixtures import (  # noqa: E402
                   AS BIGINT) AS hot_user_rows,
              CAST(MAX(n) AS BIGINT) AS widest_block_rows
       FROM blocks
+    ),
+    selc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = (SELECT MIN(doc_id) FROM documents)
+                  THEN rtrim(repeat('{ADVERSARIAL_MEGA_PHRASE} ',
+                                    {ADVERSARIAL_MEGA_REPEAT}))
+                  ELSE text END AS text,
+             CASE WHEN doc_id % {ADVERSARIAL_HOT_SOURCE_MOD} <> 0
+                  THEN '{ADVERSARIAL_HOT_SOURCE}'
+                  ELSE source END AS source
+      FROM documents
+    ),
+    selw AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM selc
+    ),
+    selhead AS (
+      SELECT word FROM (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM selw GROUP BY 1
+      ) ORDER BY df DESC, word LIMIT {_NB_HEAD_K}
+    ),
+    selbuck AS MATERIALIZED (
+      SELECT (ascii(substr(word, 1, 1)) * 961
+              + ascii(substr(word, 2, 1)) * 31
+              + length(word)) % {_NB_TAIL_B} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM selw GROUP BY 1
+    ),
+    sel_side AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM selc
+              WHERE source = '{ADVERSARIAL_HOT_SOURCE}')
+               AS hot_source_docs,
+             (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+              FROM selc
+              WHERE doc_id = (SELECT MIN(doc_id) FROM documents))
+               AS mega_doc_tokens,
+             (SELECT CAST(COUNT(DISTINCT CASE
+                 WHEN h.word IS NOT NULL THEN 'w:' || w.word
+                 ELSE 'b:' || CAST((ascii(substr(w.word, 1, 1)) * 961
+                      + ascii(substr(w.word, 2, 1)) * 31
+                      + length(w.word)) % {_NB_TAIL_B} AS VARCHAR)
+               END) AS BIGINT)
+              FROM selw w LEFT JOIN selhead h ON h.word = w.word)
+               AS nb_feat_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM selbuck)
+               AS dsir_buckets,
+             (SELECT CAST(MAX(n) AS BIGINT) FROM selbuck)
+               AS dsir_max_bucket_tokens
     )
     SELECT (SELECT df_cap FROM dfc) AS df_cap,
            d.n_hot_shingles, d.n_cold_shingles,
            d.uncapped_pair_mass, d.capped_pair_mass,
-           e.hot_user_rows, e.widest_block_rows
-    FROM doc_side d, ev_side e
+           e.hot_user_rows, e.widest_block_rows,
+           s.hot_source_docs, s.mega_doc_tokens, s.nb_feat_rows,
+           s.dsir_buckets, s.dsir_max_bucket_tokens
+    FROM doc_side d, ev_side e, sel_side s
     """,
     tags=("dedup", "adversarial", "profile"),
 )
@@ -5478,9 +5534,85 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hot_user_rows"),
         F.max("n").cast("long").alias("widest_block_rows"),
     )
+    # selection-family shapes (r13, VERDICT r12 #5): hot source + mega
+    # doc, built inline with the same fixtures.py constants. Prices the
+    # NB weight-build shuffle (reduce side = DISTINCT capped features —
+    # constant ≤ K+B no matter how skewed the corpus) and the DSIR
+    # bucket histogram (≤ B rows; max bucket mass shows where the mega
+    # doc's tokens land). hot_source_docs is the widest source-keyed
+    # group corpus assembly/mixing would reduce; mega_doc_tokens is the
+    # widest per-doc explode task (one input row explodes in one task —
+    # the priced quantity; the per-doc scoring agg absorbs it with
+    # map-side partials).
+    mn = d.agg(F.min("doc_id").alias("_mn"))
+    mega_text = F.rtrim(
+        F.repeat(F.lit(ADVERSARIAL_MEGA_PHRASE + " "), ADVERSARIAL_MEGA_REPEAT)
+    )
+    selc = d.crossJoin(F.broadcast(mn)).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("_mn"), mega_text)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(
+            F.col("doc_id") % ADVERSARIAL_HOT_SOURCE_MOD != 0,
+            F.lit(ADVERSARIAL_HOT_SOURCE),
+        )
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.col("_mn"),
+    )
+    selw = selc.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    selhead = (
+        selw.groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "word")
+        .limit(_NB_HEAD_K)
+        .select("word", F.lit(True).alias("_h"))
+    )
+    sel_bucket = (
+        F.ascii(F.substring("word", 1, 1)) * 961
+        + F.ascii(F.substring("word", 2, 1)) * 31
+        + F.length("word")
+    ) % _NB_TAIL_B
+    nb_feats = selw.join(F.broadcast(selhead), "word", "left").select(
+        F.when(
+            F.col("_h").isNotNull(),
+            F.concat(F.lit("w:"), F.col("word")),
+        )
+        .otherwise(F.concat(F.lit("b:"), sel_bucket.cast("string")))
+        .alias("feat")
+    )
+    nb_side = nb_feats.agg(
+        F.count_distinct("feat").cast("long").alias("nb_feat_rows")
+    )
+    selbuck = (
+        selw.select(sel_bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dsir_side = selbuck.agg(
+        F.count(F.lit(1)).cast("long").alias("dsir_buckets"),
+        F.max("n").cast("long").alias("dsir_max_bucket_tokens"),
+    )
+    src_side = selc.agg(
+        F.sum(
+            F.when(F.col("source") == ADVERSARIAL_HOT_SOURCE, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("hot_source_docs")
+    )
+    mega_side = selc.where(F.col("doc_id") == F.col("_mn")).select(
+        F.size(F.split("text", " ")).cast("long").alias("mega_doc_tokens")
+    )
     return (
         doc_side.crossJoin(ev_side)
         .crossJoin(F.broadcast(cap))
+        .crossJoin(F.broadcast(src_side))
+        .crossJoin(F.broadcast(mega_side))
+        .crossJoin(F.broadcast(nb_side))
+        .crossJoin(F.broadcast(dsir_side))
         .select(
             F.col("df_cap").cast("long").alias("df_cap"),
             "n_hot_shingles",
@@ -5489,6 +5621,11 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capped_pair_mass",
             "hot_user_rows",
             "widest_block_rows",
+            "hot_source_docs",
+            "mega_doc_tokens",
+            "nb_feat_rows",
+            "dsir_buckets",
+            "dsir_max_bucket_tokens",
         )
     )
 
@@ -5737,9 +5874,6 @@ def q_bpe_encode_ids_sf10vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimator — not a converged approximation — is oracle-checked.
 # ---------------------------------------------------------------------------
 
-
-_NB_HEAD_K = 16  # exact head vocabulary size (production: ~1e5)
-_NB_TAIL_B = 64  # hashed tail buckets (the DSIR mechanism below)
 
 
 @register(

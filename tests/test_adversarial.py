@@ -170,3 +170,43 @@ def test_hot_user_sessionize_blocked_bounded_and_equal(spark, adv_dir):
     )
     assert widest_plain >= ev.count() * 45 // 100  # the skew is real
     assert widest_blocked * 5 <= widest_plain  # and the bound bites
+
+
+def test_selection_skew_bounds(spark, adv_dir):
+    """VERDICT r12 #5: the selection family's defenses against the hot
+    source (90% of docs) and the 10⁶-token mega-document. The priced
+    quantities come from q_adversarial_skew_report's inline
+    construction; the trained-model bound comes from training on the
+    FULL adversarial fixture (mega + boiler + hot source combined)."""
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _NB_HEAD_K,
+        _NB_TAIL_B,
+        _nb_train_capped,
+        q_adversarial_skew_report,
+        q_nb_quality_classifier,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    row = q_adversarial_skew_report(spark, "/root/testdata/sf0.01").first()
+    n_docs = load_table(spark, "/root/testdata/sf0.01", "documents").count()
+    # hot source owns exactly the doc_id % 10 != 0 share
+    assert row["hot_source_docs"] == n_docs - (n_docs + 9) // 10
+    assert row["mega_doc_tokens"] == 1_000_000
+    # NB weight-build reduce side is CONSTANT-bounded no matter the skew
+    assert row["nb_feat_rows"] <= _NB_HEAD_K + _NB_TAIL_B
+    # DSIR histogram never exceeds B buckets; the mega doc lands its
+    # 10⁶ tokens across ≤ 10 of them (phrase has 10 distinct words)
+    assert row["dsir_buckets"] <= _NB_TAIL_B
+    assert row["dsir_max_bucket_tokens"] >= 100_000
+
+    # the trained model on the COMBINED adversarial fixture stays
+    # constant-bounded, and the scorer still emits one row per doc —
+    # the mega doc is scored, not dropped or exploded into failure
+    adocs = load_table(spark, adv_dir, "documents")
+    _head, weights, _prior = _nb_train_capped(spark, adocs)
+    assert len(weights) <= _NB_HEAD_K + _NB_TAIL_B
+    scored = q_nb_quality_classifier(spark, adv_dir)
+    got = {r["doc_id"]: r["n_tokens"] for r in scored.collect()}
+    assert len(got) == adocs.count()
+    mn = adocs.agg(F.min("doc_id")).first()[0]
+    assert got[mn] >= 1_000_000  # mega doc scored in full

@@ -34,6 +34,10 @@ from batch_processing_etl_orchestration_spark.fixtures import (
     ADVERSARIAL_BOILER as BOILER,
     ADVERSARIAL_BOILER_PCT as BOILER_PCT,
     ADVERSARIAL_HOT_EVENT_MOD as HOT_EVENT_MOD,
+    ADVERSARIAL_HOT_SOURCE as HOT_SOURCE,
+    ADVERSARIAL_HOT_SOURCE_MOD as HOT_SOURCE_MOD,
+    ADVERSARIAL_MEGA_PHRASE as MEGA_PHRASE,
+    ADVERSARIAL_MEGA_REPEAT as MEGA_REPEAT,
 )
 
 # Constants live in the package (fixtures.py) so the registered
@@ -50,12 +54,36 @@ def build(spark, src: str, out: str) -> dict:
 
     d = load_table(spark, src, "documents")
     boilered = F.col("doc_id") % 100 < BOILER_PCT
-    docs = d.withColumn(
-        "text",
-        F.when(boilered, F.concat("text", F.lit(" " + BOILER))).otherwise(
-            F.col("text")
-        ),
-    ).withColumn("n_chars", F.length("text"))
+    # selection-family shapes (r13): mega-document on the min doc_id
+    # (replaced BEFORE the boiler append, so the fixture doc carries
+    # 10⁶ phrase tokens + the paragraph), one source owning 90%
+    mn = d.agg(F.min("doc_id").alias("_mn"))
+    mega_text = F.rtrim(
+        F.repeat(F.lit(MEGA_PHRASE + " "), MEGA_REPEAT)
+    )
+    docs = (
+        d.crossJoin(F.broadcast(mn))
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == F.col("_mn"), mega_text).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(boilered, F.concat("text", F.lit(" " + BOILER))).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "source",
+            F.when(
+                F.col("doc_id") % HOT_SOURCE_MOD != 0, F.lit(HOT_SOURCE)
+            ).otherwise(F.col("source")),
+        )
+        .drop("_mn")
+        .withColumn("n_chars", F.length("text"))
+    )
     docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     ev = load_table(spark, src, "events")
@@ -94,6 +122,9 @@ def build(spark, src: str, out: str) -> dict:
         "n_events": events.count(),
         "hot_user": hot_user,
         "hot_events": events.where(F.col("user_id") == hot_user).count(),
+        "n_hot_source": docs.where(
+            F.col("source") == HOT_SOURCE
+        ).count(),
     }
 
 
