@@ -90,14 +90,30 @@ def test_green_tail_stalest_first_tiles_catalog():
 
 
 def test_attestation_freshness():
-    """VERDICT r8 next #5: '100% green' must mean 'recently re-proven'.
-    Every registered query must either (a) have a driver attestation at
-    most 5 rounds older than the newest CORRECTNESS artifact, or (b)
-    sit inside the upcoming driver window's 50-row prefix (stalest-
-    first ordering guarantees it re-attests next round, before its age
-    can reach 7). Fails when staleness outgrows what one window can
-    clear — i.e. when some query could exceed 6 rounds without a
-    re-proof."""
+    """VERDICT r8 next #5, ceiling derived per VERDICT r12 #6: '100%
+    green' must mean 'recently re-proven'. The stalest-first rotation
+    clears the whole registry every ceil(N/50) rounds; +1 absorbs one
+    window of preempting entries (fingerprint drift + new queries sort
+    first). Every registered query must either (a) have a driver
+    attestation younger than that derived ceiling, or (b) sit inside
+    the upcoming driver window's 50-row prefix (guaranteed to
+    re-attest next round). Because the ceiling tracks N, rotation debt
+    cannot silently accumulate as the catalog grows — and the budget
+    assertion below fails OUTRIGHT once the catalog outgrows the
+    documented rotation budget (SCALE.md §attestation-rotation:
+    N ≤ 350 keeps worst-case re-proof age ≤ 8 rounds), forcing a
+    conscious decision (bigger window / pruning) instead of quiet
+    staleness."""
+    import math
+
+    n_queries = len(R.QUERIES)
+    ceiling = math.ceil(n_queries / 50) + 1
+    assert ceiling <= 8, (
+        f"registry ({n_queries} queries) has outgrown the rotation "
+        "budget (N ≤ 350 at a 50-row window, SCALE.md "
+        "§attestation-rotation): grow the window or prune before "
+        "adding more queries"
+    )
     rows = R._latest_rows()
     if not rows:
         return  # pre-first-round repo
@@ -106,9 +122,11 @@ def test_attestation_freshness():
     stale = [
         (n, cur - rows[n][0])
         for n in R.QUERIES
-        if n in rows and cur - rows[n][0] > 5 and n not in upcoming
+        if n in rows and cur - rows[n][0] > ceiling - 1 and n not in upcoming
     ]
-    assert not stale, f"attestations about to exceed 6-round age: {stale}"
+    assert not stale, (
+        f"attestations about to exceed the {ceiling}-round ceiling: {stale}"
+    )
     never = [n for n in R.QUERIES if n not in rows and n not in upcoming]
     assert not never, f"never-attested queries outside the window: {never}"
 
