@@ -5982,101 +5982,27 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     attestation pins the ESTIMATOR, not corpus separability (same
     spirit as the BPE saturation note, plans/northstar.py §BPE).
 
-    Scale: weights ≤ K+B rows and consts/prior single rows → all
-    broadcasts constant-bounded. Shuffles: word df agg (vocab-sized
-    output, uniform keys), feature-count agg (≤ K+B groups, map-side
-    partials), per-doc agg (uniform doc keys) — all linear in corpus
-    size. Cold decade re-measured after the cap (BENCH_SF10.md §r13)."""
-    d = load_table(spark, sf_dir, "documents")
-    labeled = d.select(
-        "doc_id", "text", (F.col("lang") == "en").alias("is_pos")
+    Execution shape (r13, measured): training COLLECTS the constant-
+    size model at call time (_nb_train_capped — head words, ≤ K+B
+    weight rows, one prior long; every collect small-by-construction)
+    and scoring re-injects it as literals (nb_score_frozen). A fully
+    lazy self-referencing plan — head TakeOrdered feeding feats
+    feeding freq feeding weights feeding the scoring join — evaluates
+    the explode+distinct subtree once per branch (~6 corpus scans;
+    measured 172 s at sf10 vs 7.5 s for the r12 shape), so the
+    train-once/score-frozen split is the scalable form: ~3 exploded
+    scans total (df-distinct agg, feature-count agg, scoring scan),
+    each exactly once, every shuffle linear and uniform. The weight
+    broadcast is ≤ K+B rows at any corpus size; df-ranked head (not
+    tf-ranked) so the adversarial mega-document cannot promote its
+    own words into the exact head."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
     )
-    words = labeled.select(
-        "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("word")
+    head_words, weight_rows, prior6 = _nb_train_capped(spark, d)
+    return nb_score_frozen(
+        spark, d.select("doc_id", "text"), head_words, weight_rows, prior6
     )
-    head = (
-        words.groupBy("word")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .orderBy(F.desc("df"), "word")
-        .limit(_NB_HEAD_K)
-        .select("word", F.lit(True).alias("_head"))
-    )
-    bucket = (
-        F.ascii(F.substring("word", 1, 1)) * 961
-        + F.ascii(F.substring("word", 2, 1)) * 31
-        + F.length("word")
-    ) % _NB_TAIL_B
-    feats = words.join(F.broadcast(head), "word", "left").select(
-        "doc_id",
-        "is_pos",
-        F.when(
-            F.col("_head").isNotNull(),
-            F.concat(F.lit("w:"), F.col("word")),
-        )
-        .otherwise(F.concat(F.lit("b:"), bucket.cast("string")))
-        .alias("feat"),
-    )
-    freq = feats.groupBy("feat").agg(
-        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("wc_pos"),
-        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("wc_neg"),
-    )
-    consts = freq.agg(
-        F.sum("wc_pos").cast("bigint").alias("n_pos"),
-        F.sum("wc_neg").cast("bigint").alias("n_neg"),
-    )
-    n_features = _NB_HEAD_K + _NB_TAIL_B
-
-    def _scaled_ll(cnt: str, n: str):
-        return F.round(
-            F.log(
-                (F.col(cnt) + 1).cast("double")
-                / (F.col(n) + n_features).cast("double")
-            )
-            * 1000000
-        ).cast("bigint")
-
-    weights = (
-        freq.crossJoin(F.broadcast(consts))
-        .select(
-            "feat",
-            (_scaled_ll("wc_pos", "n_pos") - _scaled_ll("wc_neg", "n_neg"))
-            .alias("scaled_lo"),
-        )
-    )
-    prior = labeled.agg(
-        F.round(
-            F.log(
-                F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("double")
-                / F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).cast(
-                    "double"
-                )
-            )
-            * 1000000
-        )
-        .cast("bigint")
-        .alias("scaled_prior")
-    )
-    scored = (
-        feats.join(F.broadcast(weights), "feat")
-        .crossJoin(F.broadcast(prior))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            (
-                (F.sum("scaled_lo").cast("bigint") + F.min("scaled_prior"))
-                / F.lit(1000000.0)
-            ).alias("log_odds"),
-            (
-                (F.sum("scaled_lo").cast("bigint") + F.min("scaled_prior"))
-                > 0
-            ).alias("pred_pos"),
-        )
-    )
-    return scored
 
 
 @register(
@@ -6224,6 +6150,21 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_head_df(words: DataFrame) -> DataFrame:
+    """Top-K exact head vocabulary by DOCUMENT frequency with a total
+    tiebreak (df DESC, word ASC) — compiles to TakeOrderedAndProject
+    over the df aggregate (per-partition top-K, never a global sort;
+    plan-asserted in tests/test_plans.py). df-ranked, not tf-ranked,
+    so a mega-document cannot promote its own words into the head."""
+    return (
+        words.groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "word")
+        .limit(_NB_HEAD_K)
+        .select("word")
+    )
+
+
 def _nb_train_capped(spark: SparkSession, docs: DataFrame):
     """Train the capped NB model ONCE on a frozen snapshot and collect
     it: (head_words, weight_rows, prior6). The expressions mirror
@@ -6238,15 +6179,9 @@ def _nb_train_capped(spark: SparkSession, docs: DataFrame):
     words = labeled.select(
         "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("word")
     )
-    head_rows = (
-        words.groupBy("word")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .orderBy(F.desc("df"), "word")
-        .limit(_NB_HEAD_K)
-        .select("word")
-        .collect()
+    head_words = sorted(
+        r["word"] for r in _nb_head_df(words).collect()
     )
-    head_words = sorted(r["word"] for r in head_rows)
     bucket = (
         F.ascii(F.substring("word", 1, 1)) * 961
         + F.ascii(F.substring("word", 2, 1)) * 31

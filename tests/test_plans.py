@@ -806,22 +806,51 @@ def test_zipf_fit_bucketed_rank(spark, sf_dir):
 
 def test_nb_classifier_broadcast_scoring_plan(spark, sf_dir):
     """q_nb_quality_classifier (r13, VERDICT r12 #1): the weight
-    relation must be CONSTANT-BOUNDED — the head vocabulary cap
-    compiles to TakeOrderedAndProject (per-partition top-K over the df
-    aggregate, never a global sort), and every weight/const/prior
-    attach is a broadcast — scoring is map-side joins + one per-doc
-    aggregation, never a shuffle join on words. The r12 revision
-    broadcast a vocab-sized table that grew with the corpus (15.47×
-    cold at the sf100 decade); this pins its replacement's shape."""
+    relation must be CONSTANT-BOUNDED. The query trains once
+    (collecting the ≤ K+B model — asserted directly on the collected
+    rows) and scores with literal-reinjected weights, so the SCORING
+    plan is one scan + broadcast joins + one per-doc aggregation —
+    never a shuffle join on words, never a global sort; the TRAINING
+    head cap compiles to TakeOrderedAndProject (per-partition top-K
+    over the df aggregate). The r12 revision broadcast a vocab-sized
+    table that grew with the corpus (15.47× cold at the sf100
+    decade); this pins its replacement's shape."""
+    import io
     import re
+    from contextlib import redirect_stdout
+
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _NB_HEAD_K,
+        _NB_TAIL_B,
+        _nb_head_df,
+        _nb_train_capped,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+    from pyspark.sql import functions as F
 
     plan = _plan(spark, sf_dir, "q_nb_quality_classifier")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the top-K head cap — the constant bound on the weight relation
-    assert "TakeOrderedAndProject" in plan
-    # no global Sort anywhere (the cap must not plan as sort+limit)
+    # no global Sort anywhere in the scoring plan
     assert not re.search(r"\bSort\b(?!MergeJoin)", plan)
+
+    d = load_table(spark, sf_dir, "documents")
+    # the collected model IS the bound — stronger than a plan string
+    head, weights, _prior = _nb_train_capped(
+        spark, d.select("doc_id", "lang", "text")
+    )
+    assert len(head) <= _NB_HEAD_K
+    assert len(weights) <= _NB_HEAD_K + _NB_TAIL_B
+    # the training head cap: TakeOrderedAndProject, never sort+limit
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _nb_head_df(words).explain("formatted")
+    hplan = buf.getvalue()
+    assert "TakeOrderedAndProject" in hplan
+    assert not re.search(r"\bSort\b(?!MergeJoin)", hplan)
 
 
 def test_dsir_shortlist_is_take_ordered(spark, sf_dir):
