@@ -227,6 +227,11 @@ BENCH_QUERIES = [
     # classifier and DSIR hashed-feature importance resampling
     "q_nb_quality_classifier",
     "q_dsir_importance_weights",
+    # r13: block-max BM25 pruning attestation, streaming quality gate,
+    # Gopher heuristic rule audit
+    "q_bm25_blockmax_prune_report",
+    "q_stream_quality_filter",
+    "q_gopher_quality_rules",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
