@@ -5419,7 +5419,10 @@ from batch_processing_etl_orchestration_spark.fixtures import (  # noqa: E402
     ),
     selhead AS (
       SELECT word FROM (
-        SELECT word, COUNT(DISTINCT doc_id) AS df FROM selw GROUP BY 1
+        SELECT word, COUNT(*) AS df
+        FROM (SELECT unnest(list_distinct(string_split(text, ' ')))
+                AS word FROM selc)
+        GROUP BY 1
       ) ORDER BY df DESC, word LIMIT {_NB_HEAD_K}
     ),
     selbuck AS MATERIALIZED (
@@ -5565,8 +5568,11 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     selhead = (
-        selw.groupBy("word")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        selc.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "word")
         .limit(_NB_HEAD_K)
         .select("word", F.lit(True).alias("_h"))
@@ -5888,8 +5894,10 @@ def q_bpe_encode_ids_sf10vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     head AS (
       SELECT word FROM (
-        SELECT word, COUNT(DISTINCT doc_id) AS df
-        FROM words GROUP BY 1
+        SELECT word, COUNT(*) AS df
+        FROM (SELECT unnest(list_distinct(string_split(text, ' ')))
+                AS word FROM labeled)
+        GROUP BY 1
       ) ORDER BY df DESC, word LIMIT {_NB_HEAD_K}
     ),
     feats AS (
@@ -6150,15 +6158,24 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_head_df(words: DataFrame) -> DataFrame:
+def _nb_head_df(docs: DataFrame) -> DataFrame:
     """Top-K exact head vocabulary by DOCUMENT frequency with a total
     tiebreak (df DESC, word ASC) — compiles to TakeOrderedAndProject
     over the df aggregate (per-partition top-K, never a global sort;
     plan-asserted in tests/test_plans.py). df-ranked, not tf-ranked,
-    so a mega-document cannot promote its own words into the head."""
+    so a mega-document cannot promote its own words into the head.
+
+    df computed as a PLAIN COUNT over per-doc array_distinct tokens —
+    exactly COUNT(DISTINCT doc_id), but the dedup happens row-local
+    (JVM, no shuffle) and the count is map-side combinable, instead of
+    a (word, doc_id)-pair distinct exchange (measured ~70 s of the
+    88 s sf10 cold before this form)."""
     return (
-        words.groupBy("word")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "word")
         .limit(_NB_HEAD_K)
         .select("word")
@@ -6180,7 +6197,7 @@ def _nb_train_capped(spark: SparkSession, docs: DataFrame):
         "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("word")
     )
     head_words = sorted(
-        r["word"] for r in _nb_head_df(words).collect()
+        r["word"] for r in _nb_head_df(labeled).collect()
     )
     bucket = (
         F.ascii(F.substring("word", 1, 1)) * 961

@@ -842,12 +842,9 @@ def test_nb_classifier_broadcast_scoring_plan(spark, sf_dir):
     assert len(head) <= _NB_HEAD_K
     assert len(weights) <= _NB_HEAD_K + _NB_TAIL_B
     # the training head cap: TakeOrderedAndProject, never sort+limit
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    )
     buf = io.StringIO()
     with redirect_stdout(buf):
-        _nb_head_df(words).explain("formatted")
+        _nb_head_df(d.select("doc_id", "text")).explain("formatted")
     hplan = buf.getvalue()
     assert "TakeOrderedAndProject" in hplan
     assert not re.search(r"\bSort\b(?!MergeJoin)", hplan)
