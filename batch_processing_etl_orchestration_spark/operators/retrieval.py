@@ -302,6 +302,13 @@ class PostingsIndex:
         # dl per posting, and embedding it kills the doclens shuffle
         # join on the read path (at 10⁸ posting rows that join IS the
         # serving cost). +8 bytes/posting at build time, paid once.
+        # SMALL row groups (2 MB vs the 128 MB default): a range-
+        # clustered file is often one giant row group, which makes the
+        # footer-stats doc_id pruning block-max serving relies on a
+        # no-op (measured: the seed scan read entire hot-term files).
+        # A hot term spanning many small row groups gets narrow id
+        # windows per group — that's what the seed/kept range
+        # predicates skip. Term lookups only get finer pruning.
         (
             build_postings(docs, id_col, text_col)
             .join(doc_lengths(docs, id_col, text_col), id_col)
@@ -309,6 +316,7 @@ class PostingsIndex:
             .repartitionByRange(n_files, "word")
             .sortWithinPartitions("word", id_col)
             .write.mode("errorifexists")
+            .option("parquet.block.size", str(2 * 1024 * 1024))
             .parquet(os.path.join(out, "postings"))
         )
         # doclens clustered on the id so block-max serving's doc-id
@@ -335,7 +343,29 @@ class PostingsIndex:
             out,
             id_col,
             block_width,
+            n_files,
         )
+        PostingsIndex._write_corpus_stats(
+            doc_lengths(docs, id_col, text_col), out
+        )
+
+    @staticmethod
+    def _write_corpus_stats(doclens: DataFrame, out: str) -> None:
+        """Persist (n_docs, total_dl) next to the stores — BM25's
+        corpus constants become index metadata (one tiny json per
+        base/segment, summed at read time) instead of a per-query
+        doclens aggregation."""
+        import json
+
+        row = doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).first()
+        with open(os.path.join(out, "_corpus.json"), "w") as f:
+            json.dump(
+                {"n_docs": int(row["n"] or 0),
+                 "total_dl": int(row["t"] or 0)},
+                f,
+            )
 
     @staticmethod
     def _write_blockstats(
@@ -344,6 +374,7 @@ class PostingsIndex:
         out: str,
         id_col: str,
         block_width: int,
+        n_files: int,
     ) -> None:
         """Per (word, block) pruning bounds for block-max serving
         (bm25_topk_blockmax): max_tf / min_dl bound any BM25 impact in
@@ -369,7 +400,7 @@ class PostingsIndex:
                 F.min("dl").cast("long").alias("min_dl"),
                 F.count(F.lit(1)).cast("long").alias("df_blk"),
             )
-            .repartitionByRange(1, "word")
+            .repartitionByRange(max(1, n_files // 2), "word")
             .sortWithinPartitions("word", "blk")
             .write.mode("errorifexists")
             .parquet(os.path.join(out, "blockstats"))
@@ -681,6 +712,10 @@ class PostingsIndex:
                 out,
                 id_col,
                 block_width,
+                n_files,
+            )
+            self._write_corpus_stats(
+                self.spark.read.parquet(os.path.join(out, "doclens")), out
             )
             self._write_meta(out, id_col, meta["text_col"], block_width)
             # Record EXACTLY what this generation folded so a writer
@@ -834,6 +869,25 @@ class PostingsIndex:
     def has_tombstones(self) -> bool:
         return bool(self._tombstone_dirs())
 
+    def corpus_stats(self) -> tuple[int, int] | None:
+        """(n_docs, total_dl) summed from the base + segment metadata
+        (_corpus.json) — exact while tombstone-free. None when any
+        store predates the metadata (legacy generation): callers fall
+        back to aggregating doclens."""
+        import json
+
+        gen = self._gen()
+        total_n = total_dl = 0
+        for d in [gen] + self._segment_dirs(gen):
+            try:
+                with open(os.path.join(d, "_corpus.json")) as f:
+                    st = json.load(f)
+                total_n += int(st["n_docs"])
+                total_dl += int(st["total_dl"])
+            except (OSError, ValueError, KeyError):
+                return None
+        return total_n, total_dl
+
     def block_width(self) -> int:
         return int(self._meta().get("block_width", 1))
 
@@ -847,7 +901,13 @@ class PostingsIndex:
         exactly."""
         gen = self._gen()
         df = self.spark.read.parquet(os.path.join(gen, "blockstats"))
-        for seg in self._segment_dirs(gen):
+        segs = self._segment_dirs(gen)
+        if not segs:
+            # the base store is already unique per (word, blk): skip
+            # the re-aggregation so every serving stats job is a bare
+            # pruned scan (the common no-segment case)
+            return df
+        for seg in segs:
             df = df.unionByName(
                 self.spark.read.parquet(os.path.join(seg, "blockstats"))
             )
@@ -1011,11 +1071,12 @@ def _block_ranges_pred(id_col: str, blocks: list[int], width: int):
     return pred
 
 
-# Driver-side bounds for block-max serving: seed candidates are a
-# TakeOrderedAndProject prefix (collected), and kept block ids are
-# collected only when few enough that an OR-of-ranges predicate beats
-# an unpruned scan. Both are CONSTANTS, independent of corpus size.
-_SEED_CAND_CAP = 64
+# Driver-side bounds for block-max serving: the seed window is one
+# contiguous span of blocks anchored at the best-bounded block, and
+# kept block ids are collected only when few enough that an
+# OR-of-ranges predicate beats an unpruned scan. Both are CONSTANTS,
+# independent of corpus size.
+_SEED_WINDOW = 64
 _KEPT_CAP = 16384
 
 
@@ -1043,12 +1104,13 @@ def blockmax_prune_plan(
        exact while tombstone-free) and per-block scaled bound
        ub6(blk) = Σ_t round(idf_t · impact(max_tf, min_dl) · 1e6) —
        computed JVM-side so the attestation oracle reproduces it.
-    2. SEED phase: score exactly the top-_SEED_CAND_CAP ub-ordered
-       blocks (~2k docs at 32 docs/block — trivial at any sf, and the
-       best-bounded blocks tend to contain the true top docs, so θ
-       lands near the exact k-th best); θ = the k-th best seed score.
-       Seed scores are true final scores, so θ lower-bounds the k-th
-       best overall.
+    2. SEED phase: score exactly one CONTIGUOUS _SEED_WINDOW-block
+       window anchored at the best-bounded block (~2k docs at 32
+       docs/block — trivial at any sf; one narrow doc-id range, so
+       parquet row-group stats skip everything else). The anchor
+       block tends to contain true top docs, so θ = the k-th best
+       seed score lands near the exact k-th best; seed scores are
+       true final scores, so θ lower-bounds the k-th best overall.
     3. KEEP blocks with ub6 ≥ θ·1e6 − margin, margin = |terms| + 2:
        covers the Σ-of-rounds vs round-of-Σ slack (≤ |terms|/2), the
        1e9-fold slack in doc scores (< 1), and ulp dust. Every doc
@@ -1059,9 +1121,9 @@ def blockmax_prune_plan(
        prunes the shuffle mass even when block bounds are flat.
 
     Every driver-side collect is BOUNDED regardless of corpus size:
-    per-term df (≤ |terms| rows), the 1-row corpus constants, the
-    seed candidates (TakeOrderedAndProject, ≤ _SEED_CAND_CAP rows),
-    the k-row seed top-k, and the kept block ids (collected only when
+    per-term df (≤ |terms| rows), the seed anchor (TakeOrdered top-1)
+    and its ≤ _SEED_WINDOW window rows, the k-row seed top-k, and the
+    kept block ids (collected only when
     ≤ _KEPT_CAP — beyond that pruning isn't paying and serving scans
     unpruned, which is always a correct superset). Block bound
     aggregation itself stays distributed.
@@ -1076,16 +1138,18 @@ def blockmax_prune_plan(
     if width is None or index.has_tombstones():
         return None
     width = int(width)
-    crow = (
-        index.doclens()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_dl"),
+    cst = index.corpus_stats()
+    if cst is None:  # legacy generation without corpus metadata
+        crow = (
+            index.doclens()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+            )
+            .first()
         )
-        .first()
-    )
-    n_docs = int(crow["n_docs"] or 0)
-    total_dl = int(crow["total_dl"] or 0)
+        cst = (int(crow["n_docs"] or 0), int(crow["total_dl"] or 0))
+    n_docs, total_dl = cst
     if n_docs == 0:
         return None
     stats = index.blockstats().where(F.col("word").isin(terms))
@@ -1109,13 +1173,8 @@ def blockmax_prune_plan(
         "margin": len(terms) + 2,
         "k": k,
     }
-    if not dfm:  # no term has any posting
-        plan.update(
-            n_blocks_total=0, n_postings_total=0, seed_blocks=[],
-            theta_scaled=None, n_blocks_kept=0, n_postings_kept=0,
-            kept_blocks=[], seed_rows=0,
-        )
-        return plan
+    empty = not dfm  # no term has any posting: fall through far enough
+    # to attach an (empty) blocks frame for the attestation, then bail
     avgdl = F.lit(total_dl).cast("double") / F.lit(n_docs).cast("double")
     spark = index.spark
     dfreq_df = _bm25_dfreq_df(spark, dfm)
@@ -1137,27 +1196,38 @@ def blockmax_prune_plan(
             F.sum("df_blk").cast("long").alias("nrows"),
         )
     )
-    totals = blocks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        F.sum("nrows").cast("long").alias("n_rows"),
-    ).first()
-    plan["n_blocks_total"] = int(totals["n_blocks"])
-    plan["n_postings_total"] = int(totals["n_rows"])
-    plan["_blocks_df"] = blocks  # lazy; attestation joins against it
-    # seed candidates: per-partition top-N, never a global sort. The
-    # WHOLE capped prefix seeds (not a minimal k-doc prefix): ~64
-    # blocks ≈ 2k docs is trivial to score exactly at any sf, and the
-    # highest-bounded blocks tend to CONTAIN the true top docs, so θ
-    # lands near the exact k-th best — the tighter θ is what makes
-    # both pruning stages bite.
-    cand = (
+    # totals deliberately NOT computed here: serving doesn't need
+    # them, and every extra stats job costs wall-clock at scale — the
+    # attestation query aggregates this lazy frame itself
+    plan["_blocks_df"] = blocks
+    if empty:
+        plan.update(seed_blocks=[], seed_rows=0, theta_scaled=None,
+                    kept_blocks=[])
+        return plan
+    # seed selection: ONE CONTIGUOUS window of _SEED_WINDOW blocks
+    # anchored at the best-bounded block (top-1 by ub6, TakeOrdered).
+    # A contiguous window compiles to a single doc-id range the
+    # parquet row-group stats can actually skip — 64 SCATTERED top
+    # blocks made the seed scan read every hot row group (measured
+    # 7.5 s of the sf10 plan), while the window scan touches ~one row
+    # group per term. The anchor block still tends to hold top docs,
+    # so θ stays near the exact k-th best.
+    best = (
         blocks.orderBy(F.desc("ub6"), F.asc("blk"))
-        .limit(_SEED_CAND_CAP)
+        .limit(1)
         .collect()
     )
-    seeds = [int(r["blk"]) for r in cand]
+    b0 = int(best[0]["blk"])
+    seed_rows_df = (
+        blocks.where(
+            (F.col("blk") >= b0) & (F.col("blk") < b0 + _SEED_WINDOW)
+        )
+        .select("blk", "nrows")
+        .collect()  # ≤ _SEED_WINDOW rows
+    )
+    seeds = sorted(int(r["blk"]) for r in seed_rows_df)
     plan["seed_blocks"] = seeds
-    plan["seed_rows"] = sum(int(r["nrows"]) for r in cand)
+    plan["seed_rows"] = sum(int(r["nrows"]) for r in seed_rows_df)
     consts = _bm25_consts_df(spark, n_docs, total_dl)
     pred = _block_ranges_pred(id_col, seeds, width)
     top = (
@@ -1177,34 +1247,25 @@ def blockmax_prune_plan(
     )
     if len(top) < k:
         # the seed prefix holds fewer than k docs (tiny corpus, or the
-        # _SEED_CAND_CAP prefix was thinner than the k·|terms| rule
+        # _SEED_WINDOW prefix was thinner than the k·|terms| rule
         # expected): no provable threshold — serve unpruned
-        plan.update(
-            theta_scaled=None,
-            n_blocks_kept=plan["n_blocks_total"],
-            n_postings_kept=plan["n_postings_total"],
-            kept_blocks=None,  # None = no range predicate (full scan)
-        )
+        plan.update(theta_scaled=None, kept_blocks=None)
         return plan
     theta_scaled = int(round(top[-1]["score"] * 1e6))
     plan["theta_scaled"] = theta_scaled
-    kept_df = blocks.where(
-        F.col("ub6") >= F.lit(theta_scaled - plan["margin"])
+    # ONE job: collect up to cap+1 kept ids — if the cap overflows,
+    # pruning keeps too many blocks to be worth a range predicate and
+    # serving scans unpruned (a superset is always exact-safe)
+    kept_rows = (
+        blocks.where(F.col("ub6") >= F.lit(theta_scaled - plan["margin"]))
+        .select("blk")
+        .limit(_KEPT_CAP + 1)
+        .collect()
     )
-    ktot = kept_df.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("nrows").cast("long").alias("rows"),
-    ).first()
-    plan["n_blocks_kept"] = int(ktot["n"] or 0)
-    plan["n_postings_kept"] = int(ktot["rows"] or 0)
-    if plan["n_blocks_kept"] > _KEPT_CAP:
-        # pruning keeps too many blocks to be worth a range predicate;
-        # scan unpruned (a superset is always exact-safe)
+    if len(kept_rows) > _KEPT_CAP:
         plan["kept_blocks"] = None
     else:
-        plan["kept_blocks"] = sorted(
-            int(r["blk"]) for r in kept_df.select("blk").collect()
-        )
+        plan["kept_blocks"] = sorted(int(r["blk"]) for r in kept_rows)
     return plan
 
 
@@ -1247,10 +1308,11 @@ def bm25_topk_blockmax(
     else:
         pred = _block_ranges_pred(id_col, kept, plan["width"])
     hits = index.postings().where(F.col("word").isin(terms))
+    # doclens passes through UNFILTERED: the index postings embed dl,
+    # so _bm25_per_doc never joins it on this path
     dls = index.doclens()
     if pred is not None:
         hits = hits.where(pred)
-        dls = dls.where(pred)
     # per-posting bound pruning BEFORE the per-doc shuffle — the stage
     # that bites even when block bounds are flat (uniform corpora with
     # dense query terms saturate per-block maxima): only postings that

@@ -2427,7 +2427,7 @@ def _postings_index(spark: SparkSession, sf_dir: str):
         lambda p: PostingsIndex.build(
             spark, load_table(spark, sf_dir, "documents"), p
         ),
-        layout=4,  # r13: blockstats + dl-denormalized postings
+        layout=6,  # r13: corpus-stats metadata, windowed seeds
     )
     return PostingsIndex(spark, path)
 
@@ -2543,10 +2543,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats s JOIN dfreq d USING (word) CROSS JOIN consts c
       GROUP BY 1
     ),
+    best AS (SELECT blk FROM ub ORDER BY ub6 DESC, blk LIMIT 1),
     seeds AS MATERIALIZED (
-      SELECT blk, nrows,
-             row_number() OVER (ORDER BY ub6 DESC, blk) AS rn
-      FROM ub QUALIFY rn <= 64
+      SELECT blk, nrows FROM ub
+      WHERE blk >= (SELECT blk FROM best)
+        AND blk < (SELECT blk FROM best) + 64
     ),
     seed_scores AS MATERIALIZED (
       SELECT t.doc_id,
@@ -2665,8 +2666,26 @@ def q_bm25_blockmax_prune_report(
     plan = blockmax_prune_plan(idx, _BM25_TERMS, k=15)
     if plan is None:  # the fixture index is tombstone-free by build
         raise RuntimeError("blockmax plan unavailable on fixture index")
+    blocks = plan["_blocks_df"]
+    tot = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("nr"),
+    ).first()
+    n_blocks_total, n_postings_total = int(tot["nb"]), int(tot["nr"])
     if plan["theta_scaled"] is None:
-        n_bound_kept = int(plan["n_postings_kept"])
+        # no threshold → nothing pruned: kept == all candidates
+        n_blocks_kept, n_postings_kept = n_blocks_total, n_postings_total
+    else:
+        ktot = blocks.where(
+            F.col("ub6")
+            >= F.lit(int(plan["theta_scaled"]) - int(plan["margin"]))
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("nr"),
+        ).first()
+        n_blocks_kept, n_postings_kept = int(ktot["nb"]), int(ktot["nr"])
+    if plan["theta_scaled"] is None:
+        n_bound_kept = n_postings_kept
     else:
         # count the postings that survive BOTH the logical kept-block
         # set and the per-posting bound — the attestation pays one
@@ -2702,13 +2721,13 @@ def q_bm25_blockmax_prune_report(
         )
     row = (
         int(plan["width"]),
-        int(plan["n_blocks_total"]),
+        n_blocks_total,
         len(plan["seed_blocks"]),
         int(plan["seed_rows"]),
-        int(plan["n_blocks_kept"]),
-        int(plan["n_postings_kept"]),
+        n_blocks_kept,
+        n_postings_kept,
         int(n_bound_kept),
-        int(plan["n_postings_total"]),
+        n_postings_total,
         -1 if plan["theta_scaled"] is None else int(plan["theta_scaled"]),
     )
     return spark.createDataFrame(
@@ -3995,7 +4014,7 @@ def _segmented_index(spark: SparkSession, sf_dir: str):
 
     path = build_once(
         sf_dir, "documents.parquet", "segmented_index", _build,
-        layout=4,  # r13: blockstats + dl-denormalized postings
+        layout=6,  # r13: corpus-stats metadata, windowed seeds
     )
     return PostingsIndex(spark, path)
 
@@ -4153,7 +4172,7 @@ def _tombstoned_index(spark: SparkSession, sf_dir: str):
 
     path = build_once(
         sf_dir, "documents.parquet", "tombstoned_index", _build,
-        layout=4,  # r13: blockstats + dl-denormalized postings
+        layout=6,  # r13: corpus-stats metadata, windowed seeds
     )
     return PostingsIndex(spark, path)
 

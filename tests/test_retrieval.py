@@ -1015,7 +1015,8 @@ def test_bm25_blockmax_skewed_corpus(spark, tmp_path):
 
     plan = blockmax_prune_plan(index, ["join", "hash", "scan"], k=5)
     assert plan is not None and plan["theta_scaled"] is not None
-    assert plan["n_blocks_kept"] < plan["n_blocks_total"], plan
+    assert plan["kept_blocks"] is not None
+    assert len(plan["kept_blocks"]) < plan["_blocks_df"].count(), plan
 
 
 def test_bm25_blockmax_segments_and_tombstone_fallback(spark, tmp_path):
