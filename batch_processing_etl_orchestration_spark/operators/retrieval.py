@@ -176,6 +176,12 @@ class PostingsIndex:
     file per generation/segment."""
 
     _STORES = ("postings", "doclens", "positions", "blockstats")
+    # Segment validity is judged on the CORE stores only: a pre-r13
+    # segment has no blockstats, and silently dropping it from reads
+    # would be data loss (review r13). Legacy segments are served
+    # (blockmax falls back via corpus_stats=None) and the next
+    # compaction rebuilds them in the current format.
+    _CORE_STORES = ("postings", "doclens", "positions")
 
     # Build-time doc-id blocking for block-max pruning (VERDICT r12
     # #2): block = doc_id // block_width, width chosen at build time so
@@ -337,16 +343,21 @@ class PostingsIndex:
             .write.mode("errorifexists")
             .parquet(os.path.join(out, "positions"))
         )
+        # derived stores read BACK the just-written parquet instead
+        # of recomputing the tokenize/join pipelines over the raw docs
+        # (review r13: the recompute doubled every build/ingest's most
+        # expensive passes); postings already embed dl here
+        spark = docs.sparkSession
         PostingsIndex._write_blockstats(
-            build_postings(docs, id_col, text_col),
-            doc_lengths(docs, id_col, text_col),
+            spark.read.parquet(os.path.join(out, "postings")),
+            spark.read.parquet(os.path.join(out, "doclens")),
             out,
             id_col,
             block_width,
             n_files,
         )
         PostingsIndex._write_corpus_stats(
-            doc_lengths(docs, id_col, text_col), out
+            spark.read.parquet(os.path.join(out, "doclens")), out
         )
 
     @staticmethod
@@ -457,7 +468,7 @@ class PostingsIndex:
             if not s.startswith("_tmp-")
             and all(
                 os.path.isfile(os.path.join(seg_root, s, d, "_SUCCESS"))
-                for d in self._STORES
+                for d in self._CORE_STORES
             )
         )
 
@@ -561,6 +572,17 @@ class PostingsIndex:
                     f"add_segment: {key}={given!r} does not match the "
                     f"index's {meta[key]!r}"
                 )
+        if "block_width" not in meta:
+            # pre-r13 layout: base postings lack the denormalized dl
+            # column and blockstats/corpus metadata — a segment in the
+            # new format would break every union read with a schema
+            # mismatch (review r13). Refuse loudly; compact_segments
+            # upgrades the generation in place.
+            raise ValueError(
+                "add_segment: index uses a pre-blockstats layout; run "
+                "compact_segments() (which rebuilds the stores in the "
+                "current format) or rebuild the index first"
+            )
         id_col, text_col = meta["id_col"], meta["text_col"]
         gen0 = self._gen()  # ONE generation for check + placement
         dead = self._tombstones(gen0)
@@ -677,7 +699,7 @@ class PostingsIndex:
         id_col = meta["id_col"]
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, gen_name)
-        block_width = int(meta.get("block_width", 1))
+        block_width = meta.get("block_width")
         try:
             for store, sort_cols in (
                 ("postings", ["word", id_col]),
@@ -689,6 +711,16 @@ class PostingsIndex:
                 merged = self._union_store(
                     store, segs=segs, dead=dead, gen=gen
                 )
+                if store == "postings" and "dl" not in merged.columns:
+                    # legacy 3-column postings: denormalize dl during
+                    # the fold so the compacted generation serves the
+                    # current format (review r13)
+                    merged = merged.join(
+                        self._union_store(
+                            "doclens", segs=segs, dead=dead, gen=gen
+                        ),
+                        id_col,
+                    ).select("word", id_col, "tf", "dl")
                 if store == "doclens":
                     merged = merged.repartitionByRange(
                         max(1, n_files // 4), id_col
@@ -697,15 +729,40 @@ class PostingsIndex:
                     merged = merged.repartitionByRange(
                         n_files, "word"
                     ).sortWithinPartitions(*sort_cols)
-                merged.write.mode("errorifexists").parquet(
-                    os.path.join(out, store)
-                )
+                writer = merged.write.mode("errorifexists")
+                if store == "postings":
+                    # keep the small row groups build() declares
+                    # load-bearing for block-max doc-id pruning
+                    # (review r13: a compacted generation silently
+                    # regressed the pruning to a no-op)
+                    writer = writer.option(
+                        "parquet.block.size", str(2 * 1024 * 1024)
+                    )
+                writer.parquet(os.path.join(out, store))
             # blockstats are rebuilt EXACTLY from the merged stores
             # (never merged from per-segment stats): the tombstoned
             # rows are physically gone here, so every compacted
             # generation's bounds and df_blk sums are exact again.
-            # The build-time width is frozen forever — id growth just
-            # mints higher block ids.
+            # The build-time width is frozen — id growth just mints
+            # higher block ids; a LEGACY meta without a width gets a
+            # fresh one derived from the merged doclens (review r13:
+            # defaulting to width=1 minted a posting-sized stats store
+            # forever).
+            if block_width is None:
+                dl_read = self.spark.read.parquet(
+                    os.path.join(out, "doclens")
+                )
+                row = dl_read.agg(
+                    F.max(F.col(id_col)).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                ).first()
+                block_width = max(
+                    1,
+                    (int(row["hi"] or 0) + 1)
+                    * PostingsIndex._BLOCK_DOCS
+                    // max(1, int(row["n"] or 0)),
+                )
+            block_width = int(block_width)
             self._write_blockstats(
                 self.spark.read.parquet(os.path.join(out, "postings")),
                 self.spark.read.parquet(os.path.join(out, "doclens")),
@@ -857,26 +914,26 @@ class PostingsIndex:
             df = df.join(F.broadcast(dead), key, "left_anti").select(*cols)
         return df
 
-    def postings(self) -> DataFrame:
-        return self._union_store("postings")
+    def postings(self, gen: str | None = None) -> DataFrame:
+        return self._union_store("postings", gen=gen)
 
-    def doclens(self) -> DataFrame:
-        return self._union_store("doclens")
+    def doclens(self, gen: str | None = None) -> DataFrame:
+        return self._union_store("doclens", gen=gen)
 
-    def positions(self) -> DataFrame:
-        return self._union_store("positions")
+    def positions(self, gen: str | None = None) -> DataFrame:
+        return self._union_store("positions", gen=gen)
 
-    def has_tombstones(self) -> bool:
-        return bool(self._tombstone_dirs())
+    def has_tombstones(self, gen: str | None = None) -> bool:
+        return bool(self._tombstone_dirs(gen))
 
-    def corpus_stats(self) -> tuple[int, int] | None:
+    def corpus_stats(self, gen: str | None = None) -> tuple[int, int] | None:
         """(n_docs, total_dl) summed from the base + segment metadata
         (_corpus.json) — exact while tombstone-free. None when any
         store predates the metadata (legacy generation): callers fall
         back to aggregating doclens."""
         import json
 
-        gen = self._gen()
+        gen = gen or self._gen()
         total_n = total_dl = 0
         for d in [gen] + self._segment_dirs(gen):
             try:
@@ -891,7 +948,7 @@ class PostingsIndex:
     def block_width(self) -> int:
         return int(self._meta().get("block_width", 1))
 
-    def blockstats(self) -> DataFrame:
+    def blockstats(self, gen: str | None = None) -> DataFrame:
         """Union of base + segment block stats, re-aggregated per
         (word, blk). NOT tombstone-adjusted (stats carry no doc ids):
         with live tombstones the maxima/minima remain valid UPPER
@@ -1132,27 +1189,28 @@ def blockmax_prune_plan(
     (bound aggregates/seeds/theta/kept), so the report can never
     drift from the rule serving actually ran."""
     terms = sorted(set(terms))
-    meta = index._meta()
+    # Resolve the generation pointer ONCE and thread it through every
+    # store/metadata read below AND through serving's final scan
+    # (plan["_gen"]) — the same discipline as _union_store: a publish
+    # racing this plan must never mix two committed states (review
+    # r13: tombstones landing between has_tombstones() and the final
+    # scan would anti-join docs the scoring literals still count).
+    gen = index._gen()
+    meta = index._meta(gen)
     id_col = meta["id_col"]
     width = meta.get("block_width")
-    if width is None or index.has_tombstones():
+    if width is None or index.has_tombstones(gen):
         return None
     width = int(width)
-    cst = index.corpus_stats()
-    if cst is None:  # legacy generation without corpus metadata
-        crow = (
-            index.doclens()
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("total_dl"),
-            )
-            .first()
-        )
-        cst = (int(crow["n_docs"] or 0), int(crow["total_dl"] or 0))
+    cst = index.corpus_stats(gen)
+    if cst is None:
+        # legacy stores without corpus metadata (or a mixed legacy
+        # segment): statistics would be unreliable — serve unpruned
+        return None
     n_docs, total_dl = cst
     if n_docs == 0:
         return None
-    stats = index.blockstats().where(F.col("word").isin(terms))
+    stats = index.blockstats(gen).where(F.col("word").isin(terms))
     dfreq_rows = (
         stats.groupBy("word")
         .agg(
@@ -1165,6 +1223,7 @@ def blockmax_prune_plan(
     maxtf = {r["word"]: int(r["maxtf"]) for r in dfreq_rows}
     plan = {
         "id_col": id_col,
+        "_gen": gen,
         "width": width,
         "n_docs": n_docs,
         "total_dl": total_dl,
@@ -1232,8 +1291,8 @@ def blockmax_prune_plan(
     pred = _block_ranges_pred(id_col, seeds, width)
     top = (
         _bm25_per_doc(
-            index.postings().where(F.col("word").isin(terms) & pred),
-            index.doclens().where(pred),
+            index.postings(gen).where(F.col("word").isin(terms) & pred),
+            index.doclens(gen).where(pred),
             dfreq_df,
             consts,
             k1,
@@ -1307,10 +1366,10 @@ def bm25_topk_blockmax(
         pred = None
     else:
         pred = _block_ranges_pred(id_col, kept, plan["width"])
-    hits = index.postings().where(F.col("word").isin(terms))
+    hits = index.postings(plan["_gen"]).where(F.col("word").isin(terms))
     # doclens passes through UNFILTERED: the index postings embed dl,
     # so _bm25_per_doc never joins it on this path
-    dls = index.doclens()
+    dls = index.doclens(plan["_gen"])
     if pred is not None:
         hits = hits.where(pred)
     # per-posting bound pruning BEFORE the per-doc shuffle — the stage

@@ -657,6 +657,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "ist"],
+    "es": ["el", "la", "los", "de", "y", "un", "es"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
 # Gopher-style heuristic quality rules (Rae et al. 2021, Appendix A),
 # expressed over integer per-doc features so every threshold compare
 # is exact cross-multiplied integer arithmetic (no float ratios).
@@ -758,7 +767,7 @@ def gopher_rules() -> dict:
     + " + ".join(
         "(CASE WHEN list_contains(string_split(text, ' '), "
         f"'{s}') THEN 1 ELSE 0 END)"
-        for s in ["the", "a", "of", "and", "to", "in", "is"]
+        for s in _STOPWORDS["en"]
     )
     + ") AS stop_hits\n"
     "  FROM documents\n"
@@ -802,14 +811,6 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(_gopher_features(d), gopher_rules())
 
 
-_STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is"],
-    "de": ["der", "die", "das", "und", "ein", "zu", "ist"],
-    "es": ["el", "la", "los", "de", "y", "un", "es"],
-    "fr": ["le", "la", "les", "de", "et", "un", "est"],
-    "zh": ["de", "shi", "le", "zai", "he", "you"],
-}
-_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
 
 
 def _sql_stop_count(lang: str) -> str:
@@ -5586,21 +5587,10 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     selw = selc.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    selhead = (
-        selc.select(
-            F.explode(F.array_distinct(F.split("text", " "))).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.desc("df"), "word")
-        .limit(_NB_HEAD_K)
-        .select("word", F.lit(True).alias("_h"))
+    selhead = _nb_head_df(selc).select(
+        "word", F.lit(True).alias("_h")
     )
-    sel_bucket = (
-        F.ascii(F.substring("word", 1, 1)) * 961
-        + F.ascii(F.substring("word", 2, 1)) * 31
-        + F.length("word")
-    ) % _NB_TAIL_B
+    sel_bucket = _nb_bucket_expr()
     nb_feats = selw.join(F.broadcast(selhead), "word", "left").select(
         F.when(
             F.col("_h").isNotNull(),
@@ -6177,6 +6167,18 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_bucket_expr(col: str = "word"):
+    """The portable tail-bucket hash (first two code points × {961,31}
+    + length, mod _NB_TAIL_B) — ONE Python copy shared by the trainer,
+    the frozen scorer, and the adversarial report so the estimator and
+    its priced quantities can never desynchronize (review r13)."""
+    return (
+        F.ascii(F.substring(col, 1, 1)) * 961
+        + F.ascii(F.substring(col, 2, 1)) * 31
+        + F.length(col)
+    ) % _NB_TAIL_B
+
+
 def _nb_head_df(docs: DataFrame) -> DataFrame:
     """Top-K exact head vocabulary by DOCUMENT frequency with a total
     tiebreak (df DESC, word ASC) — compiles to TakeOrderedAndProject
@@ -6218,11 +6220,7 @@ def _nb_train_capped(spark: SparkSession, docs: DataFrame):
     head_words = sorted(
         r["word"] for r in _nb_head_df(labeled).collect()
     )
-    bucket = (
-        F.ascii(F.substring("word", 1, 1)) * 961
-        + F.ascii(F.substring("word", 2, 1)) * 31
-        + F.length("word")
-    ) % _NB_TAIL_B
+    bucket = _nb_bucket_expr()
     feats = words.select(
         "doc_id",
         "is_pos",
@@ -6411,11 +6409,7 @@ def nb_score_frozen(
     the whole vocabulary this can only happen to an empty bucket;
     a production gate would assign such features the smoothing
     prior."""
-    bucket = (
-        F.ascii(F.substring("word", 1, 1)) * 961
-        + F.ascii(F.substring("word", 2, 1)) * 31
-        + F.length("word")
-    ) % _NB_TAIL_B
+    bucket = _nb_bucket_expr()
     feats = batch.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).select(
