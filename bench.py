@@ -246,6 +246,10 @@ BASELINE_EXEMPT: set[str] = {
     # estimator (VERDICT r12 #1). Prune once a BENCH file recorded
     # under the capped workload becomes the baseline.
     "q_nb_quality_classifier",
+    # r13: q_adversarial_skew_report gained the selection-family legs
+    # (10⁶-token mega-doc + NB/DSIR pricing — VERDICT r12 #5): real
+    # added work, not a regression. Prune with the next baseline.
+    "q_adversarial_skew_report",
 }
 # (r9's q_ngram_containment_pairs exemption — df-capped candidate
 # generation changed the workload — was pruned the same round: the

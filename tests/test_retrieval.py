@@ -968,7 +968,7 @@ def test_bm25_blockmax_matches_full_scan(spark, idx):
         full = bm25_topk(
             index.postings(), index.doclens(), terms, k=k
         ).collect()
-        pruned = bm25_topk_blockmax(index, terms, k=k).collect()
+        pruned = bm25_topk_blockmax(index, terms, k=k, min_docs=0).collect()
         assert [tuple(r) for r in full] == [tuple(r) for r in pruned], (
             terms,
             k,
@@ -1002,7 +1002,7 @@ def test_bm25_blockmax_skewed_corpus(spark, tmp_path):
         full = bm25_topk(
             index.postings(), index.doclens(), terms, k=k
         ).collect()
-        pruned = bm25_topk_blockmax(index, terms, k=k).collect()
+        pruned = bm25_topk_blockmax(index, terms, k=k, min_docs=0).collect()
         assert [tuple(r) for r in full] == [tuple(r) for r in pruned], (
             terms,
             k,
@@ -1040,7 +1040,7 @@ def test_bm25_blockmax_segments_and_tombstone_fallback(spark, tmp_path):
     index.add_segment(seg, "batch-1")
     terms = ["join", "hash", "scan"]
     full = bm25_topk(index.postings(), index.doclens(), terms, k=12).collect()
-    pruned = bm25_topk_blockmax(index, terms, k=12).collect()
+    pruned = bm25_topk_blockmax(index, terms, k=12, min_docs=0).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in pruned]
 
     index.delete_docs(
@@ -1048,7 +1048,7 @@ def test_bm25_blockmax_segments_and_tombstone_fallback(spark, tmp_path):
     )
     assert blockmax_prune_plan(index, terms) is None  # refuses
     full2 = bm25_topk(index.postings(), index.doclens(), terms, k=12).collect()
-    fb = bm25_topk_blockmax(index, terms, k=12).collect()  # falls back
+    fb = bm25_topk_blockmax(index, terms, k=12, min_docs=0).collect()  # falls back
     assert [tuple(r) for r in full2] == [tuple(r) for r in fb]
 
     # compaction applies the deletes and rebuilds exact stats: the
@@ -1056,7 +1056,7 @@ def test_bm25_blockmax_segments_and_tombstone_fallback(spark, tmp_path):
     index.compact_segments()
     assert blockmax_prune_plan(index, terms) is not None
     full3 = bm25_topk(index.postings(), index.doclens(), terms, k=12).collect()
-    pr3 = bm25_topk_blockmax(index, terms, k=12).collect()
+    pr3 = bm25_topk_blockmax(index, terms, k=12, min_docs=0).collect()
     assert [tuple(r) for r in full3] == [tuple(r) for r in pr3]
 
 
@@ -1070,7 +1070,7 @@ def test_bm25_blockmax_serving_plan_shape(spark, idx):
     )
 
     index, _ = idx
-    df = bm25_topk_blockmax(index, ["join", "hash", "scan"], k=15)
+    df = bm25_topk_blockmax(index, ["join", "hash", "scan"], k=15, min_docs=0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
