@@ -34,11 +34,17 @@ index metadata. Nothing here shuffles text.
 
 from __future__ import annotations
 
+import math
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Sentinel distinguishing "caller did not pin tombstones — re-list the
+# generation's dirs" (_UNSET) from "caller holds a snapshot in which no
+# tombstones exist" (None) in the store readers below.
+_UNSET = object()
 
 
 def _is_file_vanished(exc: BaseException) -> bool:
@@ -555,8 +561,19 @@ class PostingsIndex:
         text_col: str | None = None,
     ) -> None:
         """Index a NEW batch of documents as a segment. Doc ids must
-        be new (an id re-indexed here would double-count in df/tf);
-        ids currently tombstoned are rejected — compact first, or the
+        be new — ENFORCED (review r14): an id already live in the base
+        or another segment would double-count tf and, worse, make the
+        two serving paths disagree on df (bm25_topk counts distinct
+        doc ids; blockstats sums per-block posting rows), silently
+        breaking the pruned path's hash parity. The check range-prunes
+        live doclens by the batch's [min, max] id bounds, so the
+        common append-only ingest (fresh ids past the base max) skips
+        every row group via parquet stats. Within-batch duplicate ids
+        are rejected by the same single bounds job. (Two CONCURRENT
+        adds carrying the same id can still slip the check — each
+        reads a doclens view excluding the other; segment-name
+        collision is the only defense there.)
+        Ids currently tombstoned are rejected — compact first, or the
         new version would be silently hidden by the bitmap. The
         segment builds under a _tmp- name and RENAMES into place, so
         a crashed attempt leaves only an ignored temp dir and the
@@ -585,6 +602,38 @@ class PostingsIndex:
             )
         id_col, text_col = meta["id_col"], meta["text_col"]
         gen0 = self._gen()  # ONE generation for check + placement
+        # id-disjointness: one bounds job over the batch (min/max id +
+        # within-batch dup detection), then a range-pruned semi-join
+        # against live doclens — see docstring for the scale argument
+        bounds = docs.agg(
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(id_col).alias("n_ids"),
+        ).collect()[0]
+        if bounds["n"] != bounds["n_ids"]:
+            raise ValueError(
+                f"add_segment: batch carries {bounds['n'] - bounds['n_ids']}"
+                " duplicate doc ids; df/tf would double-count"
+            )
+        if bounds["lo"] is not None:
+            n_live = (
+                self.doclens(gen0)
+                .where(
+                    (F.col(id_col) >= bounds["lo"])
+                    & (F.col(id_col) <= bounds["hi"])
+                )
+                .join(
+                    F.broadcast(docs.select(id_col)), id_col, "left_semi"
+                )
+                .count()
+            )
+            if n_live:
+                raise ValueError(
+                    f"add_segment: {n_live} incoming doc ids are already "
+                    "live in the index; re-indexing requires "
+                    "delete_docs + compact_segments first"
+                )
         dead = self._tombstones(gen0)
         if dead is not None:
             n_conflicts = (
@@ -895,18 +944,26 @@ class PostingsIndex:
             return None
         return self.spark.read.parquet(*dirs).distinct()
 
-    def _union_store(self, store: str, segs=None, dead=None, gen=None) -> DataFrame:
+    def _union_store(
+        self, store: str, segs=None, dead=_UNSET, gen=None
+    ) -> DataFrame:
         # Resolve the generation pointer ONCE and thread it through:
         # base, segments, tombstones and meta must come from the SAME
         # generation, or a publish racing this plan mixes two committed
         # states (certified by test_read_during_compaction_is_atomic).
+        # Callers holding a FULL snapshot (blockmax_prune_plan,
+        # _compact_once) pass segs + dead explicitly — dead=None means
+        # "pinned: no tombstones", NOT "re-list" (review r14: segment/
+        # tombstone dirs mutate in place under a pinned generation, so
+        # re-listing here would leak a mid-plan delete_docs into the
+        # scan while the stats literals still count the deleted docs).
         gen = gen or self._gen()
         df = self.spark.read.parquet(os.path.join(gen, store))
         for seg in (self._segment_dirs(gen) if segs is None else segs):
             df = df.unionByName(
                 self.spark.read.parquet(os.path.join(seg, store))
             )
-        if dead is None:
+        if dead is _UNSET:
             dead = self._tombstones(gen)
         if dead is not None:
             key = self._meta(gen)["id_col"]
@@ -914,28 +971,31 @@ class PostingsIndex:
             df = df.join(F.broadcast(dead), key, "left_anti").select(*cols)
         return df
 
-    def postings(self, gen: str | None = None) -> DataFrame:
-        return self._union_store("postings", gen=gen)
+    def postings(self, gen: str | None = None, segs=None, dead=_UNSET) -> DataFrame:
+        return self._union_store("postings", segs=segs, dead=dead, gen=gen)
 
-    def doclens(self, gen: str | None = None) -> DataFrame:
-        return self._union_store("doclens", gen=gen)
+    def doclens(self, gen: str | None = None, segs=None, dead=_UNSET) -> DataFrame:
+        return self._union_store("doclens", segs=segs, dead=dead, gen=gen)
 
-    def positions(self, gen: str | None = None) -> DataFrame:
-        return self._union_store("positions", gen=gen)
+    def positions(self, gen: str | None = None, segs=None, dead=_UNSET) -> DataFrame:
+        return self._union_store("positions", segs=segs, dead=dead, gen=gen)
 
     def has_tombstones(self, gen: str | None = None) -> bool:
         return bool(self._tombstone_dirs(gen))
 
-    def corpus_stats(self, gen: str | None = None) -> tuple[int, int] | None:
+    def corpus_stats(
+        self, gen: str | None = None, segs: list[str] | None = None
+    ) -> tuple[int, int] | None:
         """(n_docs, total_dl) summed from the base + segment metadata
         (_corpus.json) — exact while tombstone-free. None when any
         store predates the metadata (legacy generation): callers fall
-        back to aggregating doclens."""
+        back to aggregating doclens. `segs` pins an explicit segment
+        snapshot (see _union_store)."""
         import json
 
         gen = gen or self._gen()
         total_n = total_dl = 0
-        for d in [gen] + self._segment_dirs(gen):
+        for d in [gen] + (self._segment_dirs(gen) if segs is None else segs):
             try:
                 with open(os.path.join(d, "_corpus.json")) as f:
                     st = json.load(f)
@@ -948,17 +1008,28 @@ class PostingsIndex:
     def block_width(self) -> int:
         return int(self._meta().get("block_width", 1))
 
-    def blockstats(self, gen: str | None = None) -> DataFrame:
+    def blockstats(
+        self, gen: str | None = None, segs: list[str] | None = None
+    ) -> DataFrame:
         """Union of base + segment block stats, re-aggregated per
         (word, blk). NOT tombstone-adjusted (stats carry no doc ids):
         with live tombstones the maxima/minima remain valid UPPER
         bounds for pruning, but df_blk sums OVERCOUNT df — callers
         needing exact df (bm25_topk_blockmax) must check
         has_tombstones() first. compact_segments rebuilds the stats
-        exactly."""
-        gen = self._gen()
+        exactly.
+
+        `gen` pins the generation like every other store reader
+        (_union_store/corpus_stats/has_tombstones): blockmax_prune_plan
+        threads ONE resolved pointer through stats AND the final scan,
+        so a delete_docs/compact publishing mid-plan can't make
+        df/theta derive from a different committed state than the
+        postings scanned (review r14 high); `segs` pins the segment
+        snapshot the same way."""
+        gen = gen or self._gen()
         df = self.spark.read.parquet(os.path.join(gen, "blockstats"))
-        segs = self._segment_dirs(gen)
+        if segs is None:
+            segs = self._segment_dirs(gen)
         if not segs:
             # the base store is already unique per (word, blk): skip
             # the re-aggregation so every serving stats job is a bare
@@ -1196,12 +1267,15 @@ def blockmax_prune_plan(
     (bound aggregates/seeds/theta/kept), so the report can never
     drift from the rule serving actually ran."""
     terms = sorted(set(terms))
-    # Resolve the generation pointer ONCE and thread it through every
-    # store/metadata read below AND through serving's final scan
-    # (plan["_gen"]) — the same discipline as _union_store: a publish
-    # racing this plan must never mix two committed states (review
-    # r13: tombstones landing between has_tombstones() and the final
-    # scan would anti-join docs the scoring literals still count).
+    # Resolve the FULL snapshot ONCE — generation pointer, segment
+    # listing, tombstone listing — and thread it through every store/
+    # metadata read below AND through serving's final scan
+    # (plan["_gen"] / plan["_segs"] / dead=None): a publish racing this
+    # plan must never mix two committed states. Pinning the gen alone
+    # is not enough (review r14): segment and tombstone dirs mutate IN
+    # PLACE under a generation, so a delete_docs or add_segment landing
+    # mid-plan would otherwise leak into the scan while the df/theta
+    # literals still describe the pre-mutation corpus.
     gen = index._gen()
     meta = index._meta(gen)
     id_col = meta["id_col"]
@@ -1209,7 +1283,8 @@ def blockmax_prune_plan(
     if width is None or index.has_tombstones(gen):
         return None
     width = int(width)
-    cst = index.corpus_stats(gen)
+    segs = index._segment_dirs(gen)
+    cst = index.corpus_stats(gen, segs=segs)
     if cst is None:
         # legacy stores without corpus metadata (or a mixed legacy
         # segment): statistics would be unreliable — serve unpruned
@@ -1217,7 +1292,7 @@ def blockmax_prune_plan(
     n_docs, total_dl = cst
     if n_docs == 0:
         return None
-    stats = index.blockstats(gen).where(F.col("word").isin(terms))
+    stats = index.blockstats(gen, segs=segs).where(F.col("word").isin(terms))
     dfreq_rows = (
         stats.groupBy("word")
         .agg(
@@ -1231,12 +1306,21 @@ def blockmax_prune_plan(
     plan = {
         "id_col": id_col,
         "_gen": gen,
+        "_segs": segs,
         "width": width,
         "n_docs": n_docs,
         "total_dl": total_dl,
         "df": dfm,
         "maxtf": maxtf,
-        "margin": len(terms) + 2,
+        # margin covers (a) Σ-of-rounds vs round-of-Σ slack ≤ |terms|/2,
+        # (b) the 1e9 per-doc fold slack < 1, (c) ulp dust — all at the
+        # 1e6 bound scale. When round_to < 6 a doc up to
+        # 0.5·10^-round_to BELOW the k-th seed score still TIES it at
+        # round_to precision and can win the doc_id tiebreak, so the
+        # threshold must slacken by that half-ulp in 1e6 units
+        # (review r14: round_to is public on bm25_topk_blockmax).
+        "margin": len(terms) + 2
+        + (math.ceil(0.5 * 10 ** (6 - round_to)) if round_to < 6 else 0),
         "k": k,
     }
     empty = not dfm  # no term has any posting: fall through far enough
@@ -1298,8 +1382,10 @@ def blockmax_prune_plan(
     pred = _block_ranges_pred(id_col, seeds, width)
     top = (
         _bm25_per_doc(
-            index.postings(gen).where(F.col("word").isin(terms) & pred),
-            index.doclens(gen).where(pred),
+            index.postings(gen, segs=segs, dead=None).where(
+                F.col("word").isin(terms) & pred
+            ),
+            index.doclens(gen, segs=segs, dead=None).where(pred),
             dfreq_df,
             consts,
             k1,
@@ -1387,10 +1473,12 @@ def bm25_topk_blockmax(
         pred = None
     else:
         pred = _block_ranges_pred(id_col, kept, plan["width"])
-    hits = index.postings(plan["_gen"]).where(F.col("word").isin(terms))
+    hits = index.postings(
+        plan["_gen"], segs=plan["_segs"], dead=None
+    ).where(F.col("word").isin(terms))
     # doclens passes through UNFILTERED: the index postings embed dl,
     # so _bm25_per_doc never joins it on this path
-    dls = index.doclens(plan["_gen"])
+    dls = index.doclens(plan["_gen"], segs=plan["_segs"], dead=None)
     if pred is not None:
         hits = hits.where(pred)
     # per-posting bound pruning BEFORE the per-doc shuffle — the stage

@@ -2697,7 +2697,11 @@ def q_bm25_blockmax_prune_report(
             >= F.lit(int(plan["theta_scaled"]) - int(plan["margin"]))
         ).select("blk")
         hits = (
-            idx.postings()
+            # pinned to the plan's generation: the attestation must
+            # count against the SAME committed state the plan's stats
+            # derive from (review r14) — unpinned reads could chase a
+            # concurrent publish past the plan snapshot
+            idx.postings(plan["_gen"], segs=plan["_segs"], dead=None)
             .where(F.col("word").isin(list(_BM25_TERMS)))
             .withColumn(
                 "blk",
@@ -2710,7 +2714,7 @@ def q_bm25_blockmax_prune_report(
         n_bound_kept = (
             _bm25_scored(
                 hits,
-                idx.doclens(),
+                idx.doclens(plan["_gen"], segs=plan["_segs"], dead=None),
                 _bm25_dfreq_df(spark, plan["df"]),
                 _bm25_consts_df(spark, plan["n_docs"], plan["total_dl"]),
                 1.2,

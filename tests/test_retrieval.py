@@ -1077,3 +1077,165 @@ def test_bm25_blockmax_serving_plan_shape(spark, idx):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:300]
     assert "word" in pushed
+
+
+def test_blockmax_plan_pinned_against_midplan_publish(
+    spark, tmp_path, monkeypatch
+):
+    """review r14 (high): a delete_docs + compact_segments publishing
+    BETWEEN the plan's snapshot and the stats scan must not mix
+    committed states. The plan pins (generation, segment list,
+    no-tombstones) at ONE instant; df/theta/kept and the final scan
+    all derive from it, so serving returns the pre-publish top-k
+    exactly — never stats from one state and postings from another."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk_blockmax,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"join hash w{i % 5} scan w{i % 7}") for i in range(80)],
+        "doc_id BIGINT, text STRING",
+    )
+    index = PostingsIndex.build(spark, base, str(tmp_path / "raceidx"))
+    gen0 = index._gen()
+    terms = ["join", "hash", "scan"]
+    expected = bm25_topk(
+        index.postings(gen0), index.doclens(gen0), terms, k=10
+    ).collect()
+
+    real_blockstats = PostingsIndex.blockstats
+    fired = []
+
+    def racing_blockstats(self, gen=None, segs=None):
+        if not fired:
+            fired.append(True)
+            other = PostingsIndex(spark, self.path)
+            other.delete_docs(
+                spark.createDataFrame(
+                    [(0,), (7,), (14,)], "doc_id BIGINT"
+                )
+            )
+            other.compact_segments()
+        return real_blockstats(self, gen=gen, segs=segs)
+
+    monkeypatch.setattr(PostingsIndex, "blockstats", racing_blockstats)
+    got = bm25_topk_blockmax(index, terms, k=10, min_docs=0).collect()
+    assert fired, "the racing publish never fired"
+    assert index._gen() != gen0, "compaction should have published"
+    assert [tuple(r) for r in expected] == [tuple(r) for r in got]
+
+
+def test_blockstats_respects_pinned_generation(spark, tmp_path):
+    """blockstats(gen) must read THAT generation's stats, not chase the
+    live pointer (review r14 high: the gen parameter was ignored)."""
+    base = spark.createDataFrame(
+        [(i, f"join hash w{i % 5}") for i in range(60)],
+        "doc_id BIGINT, text STRING",
+    )
+    index = PostingsIndex.build(spark, base, str(tmp_path / "pinidx"))
+    gen0 = index._gen()
+    stats0 = sorted(
+        tuple(r) for r in index.blockstats(gen0).collect()
+    )
+    index.delete_docs(
+        spark.createDataFrame([(i,) for i in range(0, 30)], "doc_id BIGINT")
+    )
+    index.compact_segments()
+    assert index._gen() != gen0
+    # pinned read: identical to the pre-delete snapshot
+    assert (
+        sorted(tuple(r) for r in index.blockstats(gen0).collect()) == stats0
+    )
+    # unpinned read: the live (post-delete) stats differ
+    assert (
+        sorted(tuple(r) for r in index.blockstats().collect()) != stats0
+    )
+
+
+def test_blockmax_margin_covers_coarse_round_to(spark, tmp_path):
+    """round_to is public on bm25_topk_blockmax; with round_to < 6 a
+    doc up to half an ulp below the k-th seed score still ties it at
+    round_to precision, so the 1e6-scale pruning margin must slacken
+    by ceil(0.5·10^(6-round_to)) (review r14) — and the pruned path
+    must stay row-identical to the full scan at every precision."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        blockmax_prune_plan,
+        bm25_topk_blockmax,
+    )
+
+    rows = []
+    for i in range(400):
+        if i % 97 == 0:
+            rows.append((i * 7, "join hash scan join hash join"))
+        else:
+            filler = " ".join(f"w{j}" for j in range(40))
+            rows.append((i * 7, f"join {filler}"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    index = PostingsIndex.build(spark, docs, str(tmp_path / "marginidx"))
+    terms = ["join", "hash", "scan"]
+    plan6 = blockmax_prune_plan(index, terms, k=10, round_to=6)
+    plan2 = blockmax_prune_plan(index, terms, k=10, round_to=2)
+    assert plan6["margin"] == len(terms) + 2
+    assert plan2["margin"] == len(terms) + 2 + 5000  # ceil(0.5e4)
+    for round_to in (2, 3, 6):
+        full = bm25_topk(
+            index.postings(), index.doclens(), terms, k=10,
+            round_to=round_to,
+        ).collect()
+        pruned = bm25_topk_blockmax(
+            index, terms, k=10, round_to=round_to, min_docs=0
+        ).collect()
+        assert [tuple(r) for r in full] == [tuple(r) for r in pruned], (
+            round_to
+        )
+
+
+def test_add_segment_rejects_live_and_duplicate_ids(spark, tmp_path):
+    """review r14: an id already live in the base or another segment
+    would make bm25_topk's countDistinct df disagree with blockstats'
+    summed df_blk — add_segment must refuse, as must a within-batch
+    duplicate."""
+    base = spark.createDataFrame(
+        [(i, f"join hash w{i % 5}") for i in range(60)],
+        "doc_id BIGINT, text STRING",
+    )
+    index = PostingsIndex.build(spark, base, str(tmp_path / "dupidx"))
+    ok = spark.createDataFrame(
+        [(i, "join hash") for i in range(100, 110)],
+        "doc_id BIGINT, text STRING",
+    )
+    index.add_segment(ok, "batch-ok")
+
+    with pytest.raises(ValueError, match="already live"):
+        index.add_segment(
+            spark.createDataFrame(
+                [(5, "join"), (200, "hash")], "doc_id BIGINT, text STRING"
+            ),
+            "batch-base-dup",
+        )
+    with pytest.raises(ValueError, match="already live"):
+        index.add_segment(
+            spark.createDataFrame(
+                [(105, "join")], "doc_id BIGINT, text STRING"
+            ),
+            "batch-seg-dup",
+        )
+    with pytest.raises(ValueError, match="duplicate doc ids"):
+        index.add_segment(
+            spark.createDataFrame(
+                [(300, "join"), (300, "hash")], "doc_id BIGINT, text STRING"
+            ),
+            "batch-self-dup",
+        )
+    # a clean disjoint batch still lands after the rejections
+    index.add_segment(
+        spark.createDataFrame(
+            [(400, "join scan")], "doc_id BIGINT, text STRING"
+        ),
+        "batch-clean",
+    )
+    got = {
+        r["doc_id"]
+        for r in index.doclens().select("doc_id").collect()
+    }
+    assert 400 in got and len(got) == 71
