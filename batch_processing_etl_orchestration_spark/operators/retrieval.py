@@ -38,7 +38,7 @@ import math
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Sentinel distinguishing "caller did not pin tombstones — re-list the
@@ -232,7 +232,11 @@ class PostingsIndex:
 
     @staticmethod
     def _write_meta(
-        gen_dir: str, id_col: str, text_col: str, block_width: int
+        gen_dir: str,
+        id_col: str,
+        text_col: str,
+        block_width: int,
+        impact: bool = False,
     ) -> None:
         import json
 
@@ -243,6 +247,7 @@ class PostingsIndex:
                     "id_col": id_col,
                     "text_col": text_col,
                     "block_width": block_width,
+                    "impact_blocked": bool(impact),
                 },
                 f,
             )
@@ -300,6 +305,75 @@ class PostingsIndex:
             for d in PostingsIndex._STORES
         )
 
+    # -- impact-ordered blocking (VERDICT r13 #1) -----------------------
+    # Block-max pruning only pays when per-block bounds VARY; on a
+    # corpus whose doc ids are uncorrelated with score potential, every
+    # block holds a mix of short and long docs and the maxima saturate.
+    # The standard IR fix is doc-id reassignment by a static impact
+    # proxy (shorter doc => higher BM25 potential). Rewriting user ids
+    # would break every downstream join, so instead the index mints a
+    # separate BLOCK id: docs sorted by dl ascending are chunked into
+    # ~_BLOCK_DOCS-doc blocks, stores are range-clustered on blk, and
+    # serving's range predicates push down on blk instead of doc_id.
+    # Query results are unchanged (doc ids untouched) — only the
+    # physical kept/pruned geometry improves.
+
+    @staticmethod
+    def _impact_offsets(docstats: DataFrame) -> DataFrame:
+        """(maxtf, dl, cnt, off): counts per (maxtf, dl) key with
+        exclusive prefix offsets — the cumulative position of each key
+        run in the impact ordering maxtf DESC, dl ASC. maxtf leads
+        because repetition is what BM25 rewards most (a doc's best
+        term score is monotone in tf and saturates; measured on the
+        fixture: the top-15 docs all carry tf 3–9 while dl spans the
+        whole 10–99 range), dl breaks ties the right way. The window
+        runs over the AGGREGATED histogram ((maxtf, dl) domain —
+        metadata-sized, never corpus-sized), so the single-partition
+        sort is bounded."""
+        hist = docstats.groupBy("maxtf", "dl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.desc("maxtf"), F.asc("dl")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return hist.withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+        )
+
+    @staticmethod
+    def _with_impact_blk(
+        df: DataFrame, id_col: str, offs: DataFrame, blk_base: int = 0
+    ) -> DataFrame:
+        """blk = blk_base + (off_key + doc_id mod cnt_key) //
+        _BLOCK_DOCS, key = (maxtf, dl). The mod spreads a key run's
+        docs across its own block span without any corpus-sized window
+        or renumber shuffle, and — deliberately — uses plain
+        non-negative modulo instead of a hash so a SQL oracle
+        reproduces the assignment bit-for-bit (DuckDB has no
+        xxhash64). Blocks may straddle adjacent keys and sizes are
+        ~Poisson around _BLOCK_DOCS; both only perturb pruning
+        efficiency — bounds stay exact because they aggregate actual
+        members. Requires non-negative ids (mod portability),
+        enforced at build/ingest."""
+        cols = list(df.columns)  # the join keys reorder; restore
+        return (
+            df.join(F.broadcast(offs), ["maxtf", "dl"])
+            .withColumn(
+                "blk",
+                (
+                    F.lit(int(blk_base))
+                    + F.floor(
+                        (
+                            F.col("off")
+                            + F.pmod(F.col(id_col), F.col("cnt"))
+                        )
+                        / PostingsIndex._BLOCK_DOCS
+                    )
+                ).cast("long"),
+            )
+            .select(*cols, "blk")
+        )
+
     @staticmethod
     def _write_stores(
         docs: DataFrame,
@@ -308,6 +382,8 @@ class PostingsIndex:
         id_col: str,
         text_col: str,
         block_width: int,
+        impact: bool = False,
+        blk_base: int = 0,
     ) -> None:
         # postings carry the doc length DENORMALIZED (word, doc_id,
         # tf, dl) — the impact-ordered-index trick: BM25 serving needs
@@ -321,25 +397,65 @@ class PostingsIndex:
         # A hot term spanning many small row groups gets narrow id
         # windows per group — that's what the seed/kept range
         # predicates skip. Term lookups only get finer pruning.
+        # Impact mode writes doclens FIRST — (doc_id, dl, maxtf, blk),
+        # blk from the (maxtf DESC, dl ASC) impact ordering — then
+        # reads it back for the postings join, so the maxtf groupBy and
+        # the histogram run exactly once and both stores carry the
+        # identical doc→block assignment. Both stores cluster on blk
+        # so the kept/seed BLK ranges (not doc-id ranges) reach the
+        # footers.
+        dls = doc_lengths(docs, id_col, text_col)
+        if impact:
+            stats = dls.join(
+                build_postings(docs, id_col, text_col)
+                .groupBy(id_col)
+                .agg(F.max("tf").cast("long").alias("maxtf")),
+                id_col,
+            )
+            offs = PostingsIndex._impact_offsets(stats).localCheckpoint(
+                eager=True
+            )
+            (
+                PostingsIndex._with_impact_blk(
+                    stats, id_col, offs, blk_base
+                )
+                .select(id_col, "dl", "maxtf", "blk")
+                .repartitionByRange(max(1, n_files // 4), "blk")
+                .sortWithinPartitions("blk", id_col)
+                .write.mode("errorifexists")
+                .parquet(os.path.join(out, "doclens"))
+            )
+            dls = docs.sparkSession.read.parquet(
+                os.path.join(out, "doclens")
+            ).select(id_col, "dl", "blk")
         (
             build_postings(docs, id_col, text_col)
-            .join(doc_lengths(docs, id_col, text_col), id_col)
-            .select("word", id_col, "tf", "dl")
+            .join(dls, id_col)
+            .select(
+                "word", id_col, "tf", "dl",
+                *(("blk",) if impact else ()),
+            )
             .repartitionByRange(n_files, "word")
-            .sortWithinPartitions("word", id_col)
+            .sortWithinPartitions(
+                *(
+                    ("word", "blk", id_col)
+                    if impact
+                    else ("word", id_col)
+                )
+            )
             .write.mode("errorifexists")
             .option("parquet.block.size", str(2 * 1024 * 1024))
             .parquet(os.path.join(out, "postings"))
         )
-        # doclens clustered on the id so block-max serving's doc-id
-        # range predicates reach the parquet footers
-        (
-            doc_lengths(docs, id_col, text_col)
-            .repartitionByRange(max(1, n_files // 4), id_col)
-            .sortWithinPartitions(id_col)
-            .write.mode("errorifexists")
-            .parquet(os.path.join(out, "doclens"))
-        )
+        if not impact:
+            # doclens clustered on the id so doc-id range predicates
+            # reach the parquet footers
+            (
+                dls.repartitionByRange(max(1, n_files // 4), id_col)
+                .sortWithinPartitions(id_col)
+                .write.mode("errorifexists")
+                .parquet(os.path.join(out, "doclens"))
+            )
         # positional postings share the word range-clustering, so a
         # phrase's term scans prune to the same ~1 file per term
         (
@@ -402,12 +518,15 @@ class PostingsIndex:
         never posting-sized for hot terms."""
         if "dl" not in postings.columns:
             postings = postings.join(doclens, id_col)
+        blk = (
+            F.col("blk")  # impact-blocked store: assignment is baked in
+            if "blk" in postings.columns
+            else F.floor(F.col(id_col) / F.lit(block_width))
+        )
         (
             postings.select(
                 "word",
-                F.floor(F.col(id_col) / F.lit(block_width))
-                .cast("long")
-                .alias("blk"),
+                blk.cast("long").alias("blk"),
                 "tf",
                 "dl",
             )
@@ -431,7 +550,15 @@ class PostingsIndex:
         n_files: int = 16,
         id_col: str = "doc_id",
         text_col: str = "text",
+        impact_ordered: bool = False,
     ) -> "PostingsIndex":
+        """`impact_ordered=True` assigns block ids by static impact
+        (max term frequency DESC, doc length ASC — see
+        _with_impact_blk) instead of by doc-id range: same results,
+        same stores plus a blk column, but per-block bounds VARY so
+        block-max serving actually skips blocks — the
+        doc-id-reassignment lever every production IR engine pulls,
+        minus the id rewrite."""
         os.makedirs(path, exist_ok=True)
         # freeze the block width off the initial id span and doc count
         # (one tiny agg action at build time; build is already a full
@@ -439,18 +566,29 @@ class PostingsIndex:
         # sparse (width = span × 32 / n_docs, floor, min 1)
         row = docs.agg(
             F.max(F.col(id_col)).alias("hi"),
+            F.min(F.col(id_col)).alias("lo"),
             F.count(F.lit(1)).alias("n"),
         ).first()
         hi, n = int(row["hi"] or 0), int(row["n"] or 0)
-        block_width = max(
-            1, (hi + 1) * PostingsIndex._BLOCK_DOCS // max(1, n)
+        if impact_ordered and row["lo"] is not None and int(row["lo"]) < 0:
+            raise ValueError(
+                "impact_ordered build requires non-negative doc ids "
+                "(the block assignment's modulo must be SQL-portable)"
+            )
+        block_width = (
+            PostingsIndex._BLOCK_DOCS
+            if impact_ordered  # nominal docs/block; blk is stored
+            else max(1, (hi + 1) * PostingsIndex._BLOCK_DOCS // max(1, n))
         )
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         gen_dir = os.path.join(path, gen_name)
         PostingsIndex._write_stores(
-            docs, gen_dir, n_files, id_col, text_col, block_width
+            docs, gen_dir, n_files, id_col, text_col, block_width,
+            impact=impact_ordered,
         )
-        PostingsIndex._write_meta(gen_dir, id_col, text_col, block_width)
+        PostingsIndex._write_meta(
+            gen_dir, id_col, text_col, block_width, impact=impact_ordered
+        )
         idx = PostingsIndex(spark, path)
         idx._publish(gen_name)  # readers never see a half-built index
         return idx
@@ -647,14 +785,34 @@ class PostingsIndex:
                     "tombstoned and would be silently hidden; run "
                     "compact_segments() first to apply the deletes"
                 )
+        impact = bool(meta.get("impact_blocked"))
+        if (
+            impact
+            and bounds["lo"] is not None
+            and int(bounds["lo"]) < 0
+        ):
+            raise ValueError(
+                "add_segment: impact-blocked index requires "
+                "non-negative doc ids (SQL-portable modulo)"
+            )
         seg_root = os.path.join(gen0, "segments")
         tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex[:8]}")
         # the FROZEN build-time width keeps the doc→block mapping
         # consistent across base + segments (block-max pruning relies
-        # on a doc occupying ONE block for every term it contains)
+        # on a doc occupying ONE block for every term it contains).
+        # Impact mode instead mints the segment its own DISJOINT blk
+        # range (base = Σ prior stores' block spans): a segment's dl
+        # ordering is local, and stats re-aggregate per (word, blk)
+        # anyway, so disjointness is an efficiency choice — two adds
+        # racing to the same base would only merge bounds, never break
+        # exactness. Compaction re-blocks globally.
         self._write_stores(
             docs, tmp, n_files, id_col, text_col,
             int(meta.get("block_width", 1)),
+            impact=impact,
+            blk_base=(
+                self._impact_blk_base(gen0) if impact else 0
+            ),
         )
         final = os.path.join(seg_root, name)
         os.rename(tmp, final)  # atomic publish; raises if name exists
@@ -703,6 +861,26 @@ class PostingsIndex:
                     "compact_segments() and retry"
                 )
 
+    def _impact_blk_base(self, gen: str) -> int:
+        """First free block id for a NEW segment on an impact-blocked
+        index: Σ over existing stores of their worst-case block span
+        (n_docs // _BLOCK_DOCS + 1 — a store's local blk ids live in
+        [blk_base, blk_base + span)). Reads the same _corpus.json
+        sidecars corpus_stats does; a store missing one contributes 0
+        (cannot happen on impact-blocked generations, which always
+        carry corpus metadata)."""
+        import json
+
+        base = 0
+        for d in [gen] + self._segment_dirs(gen):
+            try:
+                with open(os.path.join(d, "_corpus.json")) as f:
+                    n = int(json.load(f)["n_docs"])
+            except (OSError, ValueError, KeyError):
+                n = 0
+            base += n // self._BLOCK_DOCS + 1
+        return base
+
     def compact_segments(self, n_files: int = 16) -> int:
         """Fold base + segments − tombstones into a FRESH GENERATION
         and publish it atomically — Lucene's merge: term-scan cost
@@ -749,10 +927,26 @@ class PostingsIndex:
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, gen_name)
         block_width = meta.get("block_width")
+        impact = bool(meta.get("impact_blocked"))
+        offs = None
+        if impact:
+            # fresh GLOBAL impact blocking over the folded corpus:
+            # per-store blk ranges (base + offset segments) collapse
+            # back to one dense impact-ordered block space. offs is
+            # histogram-sized; eager-checkpoint it so the store folds
+            # don't re-evaluate the corpus-wide groupBy each (the r13
+            # lazy-reuse lesson). doclens folds FIRST (the loop order
+            # below) and postings read its fresh blk back by id —
+            # same single-assignment discipline as _write_stores.
+            offs = self._impact_offsets(
+                self._union_store(
+                    "doclens", segs=segs, dead=dead, gen=gen
+                ).drop("blk")
+            ).localCheckpoint(eager=True)
         try:
             for store, sort_cols in (
-                ("postings", ["word", id_col]),
                 ("doclens", [id_col]),
+                ("postings", ["word", id_col]),
                 ("positions", ["word", id_col, "pos"]),
             ):
                 # one segment listing + one tombstone read for all
@@ -760,6 +954,8 @@ class PostingsIndex:
                 merged = self._union_store(
                     store, segs=segs, dead=dead, gen=gen
                 )
+                if impact and "blk" in merged.columns:
+                    merged = merged.drop("blk")
                 if store == "postings" and "dl" not in merged.columns:
                     # legacy 3-column postings: denormalize dl during
                     # the fold so the compacted generation serves the
@@ -767,17 +963,34 @@ class PostingsIndex:
                     merged = merged.join(
                         self._union_store(
                             "doclens", segs=segs, dead=dead, gen=gen
-                        ),
+                        ).select(id_col, "dl"),
                         id_col,
                     ).select("word", id_col, "tf", "dl")
+                if impact and store == "doclens":
+                    merged = self._with_impact_blk(merged, id_col, offs)
+                if impact and store == "postings":
+                    merged = merged.join(
+                        self.spark.read.parquet(
+                            os.path.join(out, "doclens")
+                        ).select(id_col, "blk"),
+                        id_col,
+                    ).select("word", id_col, "tf", "dl", "blk")
                 if store == "doclens":
                     merged = merged.repartitionByRange(
-                        max(1, n_files // 4), id_col
-                    ).sortWithinPartitions(id_col)
+                        max(1, n_files // 4), "blk" if impact else id_col
+                    ).sortWithinPartitions(
+                        *(("blk", id_col) if impact else (id_col,))
+                    )
                 elif sort_cols:
                     merged = merged.repartitionByRange(
                         n_files, "word"
-                    ).sortWithinPartitions(*sort_cols)
+                    ).sortWithinPartitions(
+                        *(
+                            ["word", "blk", id_col]
+                            if impact and store == "postings"
+                            else sort_cols
+                        )
+                    )
                 writer = merged.write.mode("errorifexists")
                 if store == "postings":
                     # keep the small row groups build() declares
@@ -823,7 +1036,9 @@ class PostingsIndex:
             self._write_corpus_stats(
                 self.spark.read.parquet(os.path.join(out, "doclens")), out
             )
-            self._write_meta(out, id_col, meta["text_col"], block_width)
+            self._write_meta(
+                out, id_col, meta["text_col"], block_width, impact=impact
+            )
             # Record EXACTLY what this generation folded so a writer
             # whose rename raced the snapshot above can tell "already
             # in this base" from "stranded in the retired gen"
@@ -1203,8 +1418,11 @@ def _block_ranges_pred(id_col: str, blocks: list[int], width: int):
 # contiguous span of blocks anchored at the best-bounded block, and
 # kept block ids are collected only when few enough that an
 # OR-of-ranges predicate beats an unpruned scan. Both are CONSTANTS,
-# independent of corpus size.
-_SEED_WINDOW = 64
+# independent of corpus size. 256 blocks ≈ 8k docs: still a trivial
+# seed scan at any sf, and on impact-ordered indexes the wider window
+# lifts θ to near the true k-th best (measured at sf1: kept fell
+# 886 → 734 of 1563 blocks going 64 → 256; 512 added nothing).
+_SEED_WINDOW = 256
 _KEPT_CAP = 16384
 # Below this corpus size the full posting walk beats block-max's fixed
 # plan costs (~5 small driver-coordinated jobs; measured: full scan
@@ -1240,7 +1458,7 @@ def blockmax_prune_plan(
        ub6(blk) = Σ_t round(idf_t · impact(max_tf, min_dl) · 1e6) —
        computed JVM-side so the attestation oracle reproduces it.
     2. SEED phase: score exactly one CONTIGUOUS _SEED_WINDOW-block
-       window anchored at the best-bounded block (~2k docs at 32
+       window anchored at the best-bounded block (~8k docs at 32
        docs/block — trivial at any sf; one narrow doc-id range, so
        parquet row-group stats skip everything else). The anchor
        block tends to contain true top docs, so θ = the k-th best
@@ -1283,6 +1501,12 @@ def blockmax_prune_plan(
     if width is None or index.has_tombstones(gen):
         return None
     width = int(width)
+    impact = bool(meta.get("impact_blocked"))
+    # impact-blocked stores carry blk as a COLUMN (dl-ordered blocks);
+    # classic stores derive it from the id — serving's range predicates
+    # target whichever column the stores are clustered on
+    pred_col = "blk" if impact else id_col
+    pred_width = 1 if impact else width
     segs = index._segment_dirs(gen)
     cst = index.corpus_stats(gen, segs=segs)
     if cst is None:
@@ -1308,6 +1532,9 @@ def blockmax_prune_plan(
         "_gen": gen,
         "_segs": segs,
         "width": width,
+        "impact": impact,
+        "pred_col": pred_col,
+        "pred_width": pred_width,
         "n_docs": n_docs,
         "total_dl": total_dl,
         "df": dfm,
@@ -1379,7 +1606,7 @@ def blockmax_prune_plan(
     plan["seed_blocks"] = seeds
     plan["seed_rows"] = sum(int(r["nrows"]) for r in seed_rows_df)
     consts = _bm25_consts_df(spark, n_docs, total_dl)
-    pred = _block_ranges_pred(id_col, seeds, width)
+    pred = _block_ranges_pred(pred_col, seeds, pred_width)
     top = (
         _bm25_per_doc(
             index.postings(gen, segs=segs, dead=None).where(
@@ -1472,7 +1699,9 @@ def bm25_topk_blockmax(
         # identical to the pruned branch.
         pred = None
     else:
-        pred = _block_ranges_pred(id_col, kept, plan["width"])
+        pred = _block_ranges_pred(
+            plan["pred_col"], kept, plan["pred_width"]
+        )
     hits = index.postings(
         plan["_gen"], segs=plan["_segs"], dead=None
     ).where(F.col("word").isin(terms))

@@ -498,7 +498,8 @@ def test_add_segment_chases_racing_compaction(spark, tmp_path, monkeypatch):
     orig = PostingsIndex._write_stores
     fired = {}
 
-    def hooked(docs, out, n_files, id_col, text_col, block_width):
+    def hooked(docs, out, n_files, id_col, text_col, block_width,
+               impact=False, blk_base=0):
         orig(docs, out, n_files, id_col, text_col, block_width)
         if not fired:
             fired["x"] = True
@@ -590,7 +591,8 @@ def test_add_segment_retracts_on_concurrent_tombstone(
     orig = PostingsIndex._write_stores
     fired = {}
 
-    def hooked(docs, out, n_files, id_col, text_col, block_width):
+    def hooked(docs, out, n_files, id_col, text_col, block_width,
+               impact=False, blk_base=0):
         orig(docs, out, n_files, id_col, text_col, block_width)
         if not fired:
             fired["x"] = True
@@ -644,7 +646,7 @@ def test_compaction_rescues_segment_landed_during_fold(
     orig_meta = PostingsIndex._write_meta
     fired = {}
 
-    def hooked_meta(gen_dir, id_col, text_col, block_width):
+    def hooked_meta(gen_dir, id_col, text_col, block_width, impact=False):
         orig_meta(gen_dir, id_col, text_col, block_width)
         if fired or "segments" in gen_dir:
             return
@@ -1239,3 +1241,166 @@ def test_add_segment_rejects_live_and_duplicate_ids(spark, tmp_path):
         for r in index.doclens().select("doc_id").collect()
     }
     assert 400 in got and len(got) == 71
+
+
+def test_impact_index_matches_full_scan_and_prunes(spark, sf_dir, tmp_path):
+    """Impact-ordered blocking (VERDICT r13 #1): same top-k as the full
+    walk — blocking is physical geometry, never semantics — and, on a
+    natural corpus whose doc lengths vary, block-LEVEL pruning actually
+    engages (kept/candidate < 0.5), which the doc-id-range blocks could
+    not achieve (uniform ids mix short and long docs in every block)."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        blockmax_prune_plan,
+        bm25_topk_blockmax,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = PostingsIndex.build(
+        spark, docs, str(tmp_path / "impidx"), impact_ordered=True
+    )
+    for terms, k in (
+        (["join", "hash", "scan"], 15),
+        (["join"], 5),
+        (["nosuchword"], 3),
+    ):
+        full = bm25_topk(
+            index.postings(), index.doclens(), terms, k=k
+        ).collect()
+        pruned = bm25_topk_blockmax(index, terms, k=k, min_docs=0).collect()
+        assert [tuple(r) for r in full] == [tuple(r) for r in pruned], terms
+    plan = blockmax_prune_plan(index, ["join", "hash", "scan"], k=15)
+    assert plan is not None and plan["impact"] and plan["pred_col"] == "blk"
+    assert plan["theta_scaled"] is not None
+    assert plan["kept_blocks"] is not None, "kept overflow on fixture"
+
+    # engagement needs corpus >> k (at 500 docs the top-15 legitimately
+    # spread over all 16 blocks): replicate the fixture 40× with
+    # disjoint ids — now θ sits in the extreme tail and block-LEVEL
+    # pruning must drop over half the candidate blocks
+    big = docs.crossJoin(
+        spark.range(40).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") * 64 + F.col("_rep")).alias("doc_id"), "text"
+    )
+    bidx = PostingsIndex.build(
+        spark, big, str(tmp_path / "impbig"), impact_ordered=True
+    )
+    bplan = blockmax_prune_plan(bidx, ["join", "hash", "scan"], k=15)
+    assert bplan["theta_scaled"] is not None
+    assert bplan["kept_blocks"] is not None
+    n_blocks = bplan["_blocks_df"].count()
+    assert len(bplan["kept_blocks"]) < 0.5 * n_blocks, (
+        len(bplan["kept_blocks"]),
+        n_blocks,
+    )
+    full = bm25_topk(
+        bidx.postings(), bidx.doclens(), ["join", "hash", "scan"], k=15
+    ).collect()
+    pruned = bm25_topk_blockmax(
+        bidx, ["join", "hash", "scan"], k=15, min_docs=0
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in pruned]
+
+
+def test_impact_index_segments_tombstones_compact(spark, tmp_path):
+    """The impact-blocked lifecycle: segments mint disjoint blk
+    ranges, tombstones force the full-scan fallback, compaction
+    re-blocks globally and the pruned path returns — exact at every
+    step."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        blockmax_prune_plan,
+        bm25_topk_blockmax,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (i, "join hash scan " + " ".join(f"w{j}" for j in range(i % 37)))
+            for i in range(300)
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    index = PostingsIndex.build(
+        spark, base, str(tmp_path / "implife"), impact_ordered=True
+    )
+    seg = spark.createDataFrame(
+        [(1000 + i, f"join join hash w{i % 3}") for i in range(60)],
+        "doc_id BIGINT, text STRING",
+    )
+    index.add_segment(seg, "batch-1")
+    terms = ["join", "hash", "scan"]
+    full = bm25_topk(index.postings(), index.doclens(), terms, k=12).collect()
+    pruned = bm25_topk_blockmax(index, terms, k=12, min_docs=0).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in pruned]
+    # segment blocks live in their own range: no (word, blk) group
+    # mixes base and segment docs' stats
+    blks = index.blockstats().select("blk").distinct().count()
+    assert blks > 0
+
+    index.delete_docs(spark.createDataFrame([(0,), (1000,)], "doc_id BIGINT"))
+    assert blockmax_prune_plan(index, terms) is None
+    fb = bm25_topk_blockmax(index, terms, k=12, min_docs=0).collect()
+    full2 = bm25_topk(index.postings(), index.doclens(), terms, k=12).collect()
+    assert [tuple(r) for r in full2] == [tuple(r) for r in fb]
+
+    index.compact_segments()
+    meta = index._meta()
+    assert meta["impact_blocked"] is True
+    plan = blockmax_prune_plan(index, terms)
+    assert plan is not None and plan["impact"]
+    full3 = bm25_topk(index.postings(), index.doclens(), terms, k=12).collect()
+    pr3 = bm25_topk_blockmax(index, terms, k=12, min_docs=0).collect()
+    assert [tuple(r) for r in full3] == [tuple(r) for r in pr3]
+    # compaction re-blocked into ONE dense dl-ordered space: max blk
+    # is bounded by the folded doc count's block span
+    n_docs = index.corpus_stats()[0]
+    top_blk = index.blockstats().agg(F.max("blk")).first()[0]
+    assert top_blk <= n_docs // 32 + 1
+
+
+def test_impact_index_rejects_negative_ids(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(-1, "join hash"), (2, "scan")], "doc_id BIGINT, text STRING"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        PostingsIndex.build(
+            spark, docs, str(tmp_path / "negidx"), impact_ordered=True
+        )
+    ok = PostingsIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(i, "join hash") for i in range(40)],
+            "doc_id BIGINT, text STRING",
+        ),
+        str(tmp_path / "negidx2"),
+        impact_ordered=True,
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        ok.add_segment(
+            spark.createDataFrame(
+                [(-5, "join")], "doc_id BIGINT, text STRING"
+            ),
+            "neg-batch",
+        )
+
+
+def test_impact_serving_plan_shape(spark, sf_dir, tmp_path):
+    """Serving over an impact-ordered index keeps the classic path's
+    physical shape — broadcast-only joins, TakeOrderedAndProject, the
+    word IN-filter pushed to parquet — and the kept-block predicate
+    lands on the stored blk column so the blk-clustered row groups can
+    skip."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk_blockmax,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = PostingsIndex.build(
+        spark, docs, str(tmp_path / "impplan"), impact_ordered=True
+    )
+    df = bm25_topk_blockmax(index, ["join", "hash", "scan"], k=15, min_docs=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "word" in pushed
