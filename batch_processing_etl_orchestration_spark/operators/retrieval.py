@@ -41,100 +41,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# Sentinel distinguishing "caller did not pin tombstones — re-list the
-# generation's dirs" (_UNSET) from "caller holds a snapshot in which no
-# tombstones exist" (None) in the store readers below.
-_UNSET = object()
-
-
-def _is_file_vanished(exc: BaseException) -> bool:
-    """True when an exception (or anything in its cause/context chain)
-    is the file-vanished signature of a concurrent segment retract:
-    a path the fold snapshotted was renamed away mid-read. Matches
-    Python's FileNotFoundError and the JVM-side forms PySpark
-    surfaces — AnalysisException [PATH_NOT_FOUND] at plan time, or an
-    executor SparkException wrapping java.io.FileNotFoundException.
-    Used by compact_segments to gate its retry-once: only THIS failure
-    class is the documented benign interleaving (ADVICE r9)."""
-    seen: set[int] = set()
-    while exc is not None and id(exc) not in seen:
-        seen.add(id(exc))
-        if isinstance(exc, FileNotFoundError):
-            return True
-        # Structured checks first (ADVICE r10 #2 — str(exc) on a
-        # captured JVM error renders the WHOLE stack trace, so an
-        # unrelated failure whose trace merely mentions a
-        # FileNotFoundException frame would trigger the expensive fold
-        # retry): Spark 4's error condition for a vanished path at
-        # plan time is PATH_NOT_FOUND (CapturedException.getCondition),
-        # and a driver-side mid-read retract surfaces as a JVM cause
-        # chain reaching java.io.FileNotFoundException — walk the REAL
-        # getCause() chain on the Java throwable, not its rendering.
-        cond = getattr(exc, "getCondition", None)
-        try:
-            if callable(cond) and cond() == "PATH_NOT_FOUND":
-                return True
-        except Exception:
-            pass  # no SparkContext / non-SparkThrowable origin
-        jthrow = getattr(exc, "_origin", None) or getattr(
-            exc, "java_exception", None
-        )
-        jseen = 0
-        while jthrow is not None and jseen < 32:
-            jseen += 1
-            try:
-                if jthrow.getClass().getName() == (
-                    "java.io.FileNotFoundException"
-                ):
-                    return True
-                # An EXECUTOR-side FileNotFoundException is serialized
-                # as TEXT in the stage-failure SparkException's message
-                # (no java cause link survives task serialization), and
-                # a raw Py4JJavaError's top str() line is just "An
-                # error occurred while calling o..." — so match the
-                # throwable's own message too (ADVICE r11 #1). But only
-                # its HEAD — the reason segment before the first stack
-                # frame or "Caused by:" block (review r12): a stage-
-                # failure message embeds the task's FULL rendered trace,
-                # and an unrelated error whose trace merely mentions an
-                # FNF frame (wrapped-and-rethrown, suppressed) must not
-                # be classified as the benign vanished-file race. The
-                # genuine executor-side case renders the FNF class in
-                # the reason segment itself ("Lost task …:
-                # java.io.FileNotFoundException: …") before any frame.
-                jmsg = jthrow.getMessage()
-                if isinstance(jmsg, str):
-                    head = jmsg.split("\n\tat ", 1)[0].split(
-                        "\nCaused by", 1
-                    )[0]
-                    # substring (not fully-qualified) so executor-side
-                    # FNF SUBCLASSES, which render their own class name
-                    # in the reason head, still match (ADVICE r12 #4);
-                    # the head restriction above already prevents
-                    # trace-frame false positives.
-                    if (
-                        "PATH_NOT_FOUND" in head
-                        or "FileNotFoundException" in head
-                    ):
-                        return True
-                jthrow = jthrow.getCause()
-            except Exception:
-                break  # gateway gone mid-walk — fall through to text
-        # Fallback for what structure can't reach — an EXECUTOR-side
-        # FileNotFoundException exists only as text inside the stage-
-        # failure description. Match the description (_desc — no JVM
-        # stacktrace appended) or, for plain exceptions, the TOP LINE
-        # only; never the full rendered trace.
-        msg = getattr(exc, "_desc", None)
-        if not isinstance(msg, str):
-            msg = (str(exc).splitlines() or [""])[0]
-        if "PATH_NOT_FOUND" in msg or "FileNotFoundException" in msg:
-            return True
-        nxt = exc.__cause__ or exc.__context__
-        if nxt is None:
-            nxt = getattr(exc, "_cause", None)  # CapturedException chain
-        exc = nxt
-    return False
+# The generation-pointer machinery (publish/chase/segments/tombstones/
+# union reads) moved to operators/genstore.py in r14 so the vector
+# index shares it; _UNSET and _is_file_vanished re-export from here
+# because serving code and tests grew up importing them from this
+# module.
+from batch_processing_etl_orchestration_spark.operators.genstore import (  # noqa: F401
+    GenerationalStore,
+    _is_file_vanished,
+    _UNSET,
+)
 
 
 def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -164,20 +80,15 @@ def doc_lengths(
     )
 
 
-class PostingsIndex:
+class PostingsIndex(GenerationalStore):
     """Build-once persisted posting lists, range-clustered on word,
-    with GENERATION-POINTER durability: all state (base stores,
-    segments, tombstones) lives under a generation directory and a
-    ``current`` symlink names the live generation. Every multi-store
-    mutation (build, compaction) constructs a COMPLETE new generation
-    off to the side and publishes it with one atomic symlink rename —
-    readers see the old index or the new one, never a half-swapped
-    mixture, and a crashed mutation leaves only an orphan directory
-    (cleaned opportunistically), exactly the manifest discipline of
-    VersionedTable._commit.
+    with the GENERATION-POINTER durability and segment/tombstone
+    lifecycle of operators/genstore.GenerationalStore (the machinery
+    was built here across r8-r13 and extracted in r14 so IvfIndex
+    shares it).
 
     Layout: current -> gen-<hex>/{postings,doclens,positions,
-    segments/<name>/..., tombstones/t-<hex>/}. Stores are
+    blockstats, segments/<name>/..., tombstones/t-<hex>/}. Stores are
     repartitionByRange(word)-clustered so a term scan prunes to ~1
     file per generation/segment."""
 
@@ -203,32 +114,7 @@ class PostingsIndex:
     # a block count.
     _BLOCK_DOCS = 32
 
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark, self.path = spark, path
-
-    # -- generation plumbing -------------------------------------------
-
-    def _gen(self) -> str:
-        return os.path.join(
-            self.path, os.readlink(os.path.join(self.path, "current"))
-        )
-
-    def _meta(self, gen: str | None = None) -> dict:
-        """Per-generation column meta ({'id_col', 'text_col'}), written
-        at build/compact time so read paths (_union_store's anti-join,
-        compact's sort keys) use the INDEX's id column instead of
-        assuming 'doc_id' (ADVICE r6: an index built with a custom id
-        column threw at read/compact time once tombstones or segments
-        existed)."""
-        import json
-
-        try:
-            with open(
-                os.path.join(gen or self._gen(), "_meta.json")
-            ) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return {"id_col": "doc_id", "text_col": "text"}
+    _META_DEFAULT = {"id_col": "doc_id", "text_col": "text"}
 
     @staticmethod
     def _write_meta(
@@ -251,59 +137,6 @@ class PostingsIndex:
                 },
                 f,
             )
-
-    # Orphan generations younger than this survive cleanup: a
-    # CONCURRENT mutation's not-yet-published generation, or a reader
-    # planned a couple of publishes ago, must not lose its files to an
-    # unrelated publish's opportunistic reap (ADVICE r6). Age is the
-    # lock-free guard: mutations build+publish in well under this, so
-    # anything older is a crashed attempt.
-    _REAP_AGE_SEC = 600.0
-
-    def _publish(self, gen_name: str) -> None:
-        """Atomically point ``current`` at `gen_name` (symlink tmp +
-        rename — replaces any previous pointer in one step). Cleanup
-        keeps the JUST-RETIRED generation for one more cycle so lazy
-        DataFrames planned against it before the flip still execute
-        (single-process grace, not MVCC — a reader spanning TWO
-        publishes must re-plan); orphans older than _REAP_AGE_SEC and
-        stale _current-* temp links from crashed publishes are reaped
-        (young orphans may be a concurrent mutation mid-build — left
-        alone, no lock needed)."""
-        import shutil
-        import time
-
-        cur = os.path.join(self.path, "current")
-        retired = os.readlink(cur) if os.path.islink(cur) else None
-        tmp = os.path.join(self.path, f"_current-{uuid.uuid4().hex[:8]}")
-        os.symlink(gen_name, tmp)
-        os.rename(tmp, cur)
-        now = time.time()
-        for d in os.listdir(self.path):
-            full = os.path.join(self.path, d)
-            if d.startswith("gen-") and d not in (gen_name, retired):
-                try:
-                    age = now - os.stat(full).st_mtime
-                except OSError:
-                    continue
-                if age > self._REAP_AGE_SEC:
-                    shutil.rmtree(full, ignore_errors=True)
-            elif d.startswith("_current-"):  # crashed-publish leftovers
-                try:
-                    os.unlink(full)
-                except OSError:
-                    pass
-
-    @staticmethod
-    def exists(spark: SparkSession, path: str) -> bool:
-        cur = os.path.join(path, "current")
-        if not os.path.islink(cur):
-            return False
-        gen = os.path.join(path, os.readlink(cur))
-        return all(
-            os.path.isfile(os.path.join(gen, d, "_SUCCESS"))
-            for d in PostingsIndex._STORES
-        )
 
     # -- impact-ordered blocking (VERDICT r13 #1) -----------------------
     # Block-max pruning only pays when per-block bounds VARY; on a
@@ -599,97 +432,6 @@ class PostingsIndex:
     # base index. Readers union base + segments; compact_segments
     # folds everything into a fresh generation (Lucene's merge).
 
-    def _segment_dirs(self, gen: str | None = None) -> list[str]:
-        seg_root = os.path.join(gen or self._gen(), "segments")
-        if not os.path.isdir(seg_root):
-            return []
-        # in-progress writes live under _tmp- names and renamed-in
-        # segments are complete by construction; the _SUCCESS check
-        # guards against manual tampering
-        return sorted(
-            os.path.join(seg_root, s)
-            for s in os.listdir(seg_root)
-            if not s.startswith("_tmp-")
-            and all(
-                os.path.isfile(os.path.join(seg_root, s, d, "_SUCCESS"))
-                for d in self._CORE_STORES
-            )
-        )
-
-    # -- lost-update protection for writers racing compaction ----------
-    # compact_segments snapshots the live generation's segment and
-    # tombstone listings, folds them, and publishes a successor. A
-    # segment or tombstone RENAMED INTO the old generation between that
-    # snapshot and the publish would be stranded in a retired directory
-    # — an ingest or delete silently lost. Every compacted generation
-    # therefore records WHAT it folded (_folded.json: from_gen +
-    # segment/tombstone names), and writers finish with a CHASE: if the
-    # live generation moved while they were landing, they either find
-    # their artifact in the successor's folded manifest (already in its
-    # base — done) or rename it forward and re-check. Lock-free, and
-    # convergent because compactions are rare and each hop is one
-    # rename. Mid-chase the artifact is briefly invisible to new
-    # readers (the add/delete is eventually consistent under races —
-    # never lost, never double-counted).
-
-    _FOLDED = "_folded.json"
-
-    def _read_folded(self, gen_name: str) -> dict | None:
-        import json
-
-        try:
-            with open(
-                os.path.join(self.path, gen_name, self._FOLDED)
-            ) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
-
-    def _hop_from(self, cur_name: str, loc_name: str) -> dict | None:
-        """The folded manifest of the generation that SNAPSHOT
-        `loc_name` (the hop that could have folded artifacts living
-        there), found by walking from_gen pointers back from
-        `cur_name`. None if the chain is broken (a gen was reaped —
-        cannot happen inside a writer's lifetime under _REAP_AGE_SEC)."""
-        g, seen = cur_name, set()
-        while g and g not in seen:
-            seen.add(g)
-            m = self._read_folded(g)
-            if m is None:
-                return None
-            if m.get("from_gen") == loc_name:
-                return m
-            g = m.get("from_gen")
-        return None
-
-    def _chase(self, sub: str, name: str, loc_gen: str) -> str:
-        """Ensure `<gen>/<sub>/<name>` is reachable from the live
-        generation after landing it in `loc_gen`; returns the gen dir
-        where it finally lives (or whose base absorbed it)."""
-        loc = os.path.basename(os.path.normpath(loc_gen))
-        while True:
-            cur = os.path.basename(os.path.normpath(self._gen()))
-            if cur == loc:
-                return os.path.join(self.path, loc)
-            hop = self._hop_from(cur, loc)
-            if hop is not None and name in hop.get(sub, []):
-                # folded into a successor's base store — nothing to move
-                return os.path.join(self.path, cur)
-            src = os.path.join(self.path, loc, sub, name)
-            dst_root = os.path.join(self.path, cur, sub)
-            os.makedirs(dst_root, exist_ok=True)
-            try:
-                os.rename(src, os.path.join(dst_root, name))
-            except FileNotFoundError:
-                if hop is None:
-                    raise RuntimeError(
-                        f"PostingsIndex: {sub}/{name} vanished from "
-                        f"retired generation {loc} and the manifest "
-                        "chain cannot prove it was folded"
-                    )
-                return os.path.join(self.path, cur)
-            loc = cur
-
     def add_segment(
         self,
         docs: DataFrame,
@@ -739,127 +481,48 @@ class PostingsIndex:
                 "current format) or rebuild the index first"
             )
         id_col, text_col = meta["id_col"], meta["text_col"]
-        gen0 = self._gen()  # ONE generation for check + placement
-        # id-disjointness: one bounds job over the batch (min/max id +
-        # within-batch dup detection), then a range-pruned semi-join
-        # against live doclens — see docstring for the scale argument
-        bounds = docs.agg(
-            F.min(id_col).alias("lo"),
-            F.max(id_col).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(id_col).alias("n_ids"),
-        ).collect()[0]
-        if bounds["n"] != bounds["n_ids"]:
-            raise ValueError(
-                f"add_segment: batch carries {bounds['n'] - bounds['n_ids']}"
-                " duplicate doc ids; df/tf would double-count"
-            )
-        if bounds["lo"] is not None:
-            n_live = (
-                self.doclens(gen0)
-                .where(
-                    (F.col(id_col) >= bounds["lo"])
-                    & (F.col(id_col) <= bounds["hi"])
-                )
-                .join(
-                    F.broadcast(docs.select(id_col)), id_col, "left_semi"
-                )
-                .count()
-            )
-            if n_live:
-                raise ValueError(
-                    f"add_segment: {n_live} incoming doc ids are already "
-                    "live in the index; re-indexing requires "
-                    "delete_docs + compact_segments first"
-                )
-        dead = self._tombstones(gen0)
-        if dead is not None:
-            n_conflicts = (
-                docs.select(F.col(id_col))
-                .join(F.broadcast(dead), id_col, "left_semi")
-                .count()
-            )
-            if n_conflicts:
-                raise ValueError(
-                    f"add_segment: {n_conflicts} incoming doc ids are "
-                    "tombstoned and would be silently hidden; run "
-                    "compact_segments() first to apply the deletes"
-                )
         impact = bool(meta.get("impact_blocked"))
-        if (
-            impact
-            and bounds["lo"] is not None
-            and int(bounds["lo"]) < 0
-        ):
-            raise ValueError(
-                "add_segment: impact-blocked index requires "
-                "non-negative doc ids (SQL-portable modulo)"
-            )
-        seg_root = os.path.join(gen0, "segments")
-        tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex[:8]}")
-        # the FROZEN build-time width keeps the doc→block mapping
-        # consistent across base + segments (block-max pruning relies
-        # on a doc occupying ONE block for every term it contains).
-        # Impact mode instead mints the segment its own DISJOINT blk
-        # range (base = Σ prior stores' block spans): a segment's dl
-        # ordering is local, and stats re-aggregate per (word, blk)
-        # anyway, so disjointness is an efficiency choice — two adds
-        # racing to the same base would only merge bounds, never break
-        # exactness. Compaction re-blocks globally.
-        self._write_stores(
-            docs, tmp, n_files, id_col, text_col,
-            int(meta.get("block_width", 1)),
-            impact=impact,
-            blk_base=(
-                self._impact_blk_base(gen0) if impact else 0
-            ),
-        )
-        final = os.path.join(seg_root, name)
-        os.rename(tmp, final)  # atomic publish; raises if name exists
-        # A compact_segments racing this call may have snapshot gen0's
-        # segment list BEFORE our rename and published a successor
-        # WITHOUT us — the lost-update race. Chase the generation
-        # pointer: move the segment forward until it is reachable from
-        # the live generation (or proven folded into its base).
-        landed = self._chase("segments", name, gen0)
-        # And a delete_docs racing the pre-check above may have
-        # tombstoned our ids in between. Re-check at the landed
-        # generation; on conflict retract the segment (readers must
-        # not silently hide a batch the caller believes indexed).
-        dead = self._tombstones(landed)
-        if dead is not None:
-            n_conflicts = (
-                docs.select(F.col(id_col))
-                .join(F.broadcast(dead), id_col, "left_semi")
-                .count()
-            )
-            if n_conflicts:
-                seg_dir = os.path.join(landed, "segments", name)
-                if not os.path.isdir(seg_dir):
-                    # The batch was FOLDED into a successor's base
-                    # before the delete landed: the outcome equals the
-                    # serialization add-then-delete (tombstoned ids
-                    # hidden by the read-side anti-join, the rest
-                    # served) — a legitimate result, NOT a retract.
-                    # Claiming "retracted" here would invite a re-add
-                    # that double-counts every non-tombstoned doc.
-                    return
-                import shutil
 
-                doomed = os.path.join(
-                    os.path.dirname(seg_dir),
-                    f"_tmp-retract-{uuid.uuid4().hex[:8]}",
-                )
-                try:
-                    os.rename(seg_dir, doomed)
-                    shutil.rmtree(doomed, ignore_errors=True)
-                except FileNotFoundError:
-                    return  # folded between the isdir check and now
+        def _validate(bounds, gen0):
+            if (
+                impact
+                and bounds["lo"] is not None
+                and int(bounds["lo"]) < 0
+            ):
                 raise ValueError(
-                    f"add_segment: {n_conflicts} incoming doc ids were "
-                    "tombstoned concurrently; segment retracted — run "
-                    "compact_segments() and retry"
+                    "add_segment: impact-blocked index requires "
+                    "non-negative doc ids (SQL-portable modulo)"
                 )
+
+        def _write(tmp, gen0):
+            # the FROZEN build-time width keeps the doc→block mapping
+            # consistent across base + segments (block-max pruning
+            # relies on a doc occupying ONE block for every term it
+            # contains). Impact mode instead mints the segment its own
+            # DISJOINT blk range (base = Σ prior stores' block spans):
+            # a segment's impact ordering is local, and stats
+            # re-aggregate per (word, blk) anyway, so disjointness is
+            # an efficiency choice — two adds racing to the same base
+            # would only merge bounds, never break exactness.
+            # Compaction re-blocks globally.
+            self._write_stores(
+                docs, tmp, n_files, id_col, text_col,
+                int(meta.get("block_width", 1)),
+                impact=impact,
+                blk_base=(
+                    self._impact_blk_base(gen0) if impact else 0
+                ),
+            )
+
+        self._land_segment(
+            docs.select(F.col(id_col)), name, _write, validate=_validate
+        )
+
+    def _live_ids(self, gen: str) -> DataFrame:
+        """Ids currently served (doclens is the per-doc store; reads
+        apply the tombstone anti-join) — the add-segment disjointness
+        view, range-prunable on the id-clustered store."""
+        return self.doclens(gen).select(self._meta(gen)["id_col"])
 
     def _impact_blk_base(self, gen: str) -> int:
         """First free block id for a NEW segment on an impact-blocked
@@ -880,36 +543,6 @@ class PostingsIndex:
                 n = 0
             base += n // self._BLOCK_DOCS + 1
         return base
-
-    def compact_segments(self, n_files: int = 16) -> int:
-        """Fold base + segments − tombstones into a FRESH GENERATION
-        and publish it atomically — Lucene's merge: term-scan cost
-        returns to ~1 file per term, tombstone bitmaps are physically
-        applied, and a crash at any point leaves the previous
-        generation fully live (never a double-counting half-state).
-        Returns the number of segments folded.
-
-        Concurrency (ADVICE r8): add_segment's RETRACT path renames a
-        segment dir away while we may be mid-read of its parquet files
-        — the fold then fails loudly (never corrupts; nothing was
-        published). We re-snapshot and retry once: the retracted
-        segment is absent from the fresh listing, so the retry folds a
-        consistent view. The retry is gated to FILE-VANISHED failures
-        only (ADVICE r9: a deterministic error — bad data, OOM, disk
-        full — must not re-run the expensive fold and then mask its
-        own root cause); anything else propagates immediately. A
-        retried fold that fails again re-raises with the FIRST
-        exception chained (`raise ... from`) so the original traceback
-        survives triage."""
-        try:
-            return self._compact_once(n_files)
-        except Exception as first:
-            if not _is_file_vanished(first):
-                raise
-            try:
-                return self._compact_once(n_files)
-            except Exception as second:
-                raise second from first
 
     def _compact_once(self, n_files: int = 16) -> int:
         gen = self._gen()  # one consistent view across all three stores
@@ -1039,23 +672,7 @@ class PostingsIndex:
             self._write_meta(
                 out, id_col, meta["text_col"], block_width, impact=impact
             )
-            # Record EXACTLY what this generation folded so a writer
-            # whose rename raced the snapshot above can tell "already
-            # in this base" from "stranded in the retired gen"
-            # (_chase).
-            import json
-
-            with open(os.path.join(out, self._FOLDED), "w") as f:
-                json.dump(
-                    {
-                        "from_gen": os.path.basename(os.path.normpath(gen)),
-                        "segments": [os.path.basename(s) for s in segs],
-                        "tombstones": [
-                            os.path.basename(t) for t in tomb_dirs
-                        ],
-                    },
-                    f,
-                )
+            self._write_folded_manifest(out, gen, segs, tomb_dirs)
         except Exception:
             # Never publish a torn generation; reclaim the partial dir.
             # The cleanup covers EVERYTHING up to (but not including)
@@ -1068,123 +685,13 @@ class PostingsIndex:
 
             shutil.rmtree(out, ignore_errors=True)
             raise
-        self._publish(gen_name)
-        # Post-publish rescue: a writer that RENAMED into the old
-        # generation after our snapshot but read the generation
-        # pointer before our publish believes it is live and never
-        # chases — the one interleaving the writer-side chase cannot
-        # see (its cur==loc check passed while we were still folding).
-        # Either side closes the window: the writer chases when it
-        # observes the new pointer, and we move forward anything that
-        # appeared in the retired generation beyond our snapshot. A
-        # rename losing to the writer's own chase is fine
-        # (FileNotFoundError → already moved).
-        # Best-effort and exception-CONTAINED: the generation is already
-        # published, so a failure here must not propagate — the
-        # writer-side chase closes the same window, and letting an
-        # OSError escape would make compact_segments' retry re-fold an
-        # already-published generation and report 0 segments folded.
-        try:
-            folded_segs = {os.path.basename(s) for s in segs}
-            folded_tombs = {os.path.basename(t) for t in tomb_dirs}
-            for sub, known in (
-                ("segments", folded_segs),
-                ("tombstones", folded_tombs),
-            ):
-                root = os.path.join(gen, sub)
-                if not os.path.isdir(root):
-                    continue
-                for d in sorted(os.listdir(root)):
-                    if d.startswith("_tmp-") or d in known:
-                        continue
-                    if sub == "tombstones" and not os.path.isfile(
-                        os.path.join(root, d, "_SUCCESS")
-                    ):
-                        # tombstones write in place (no tmp+rename): a
-                        # dir without _SUCCESS is a write still in
-                        # flight — moving it mid-write would tear it.
-                        # Its writer finishes after our publish, so its
-                        # own chase sees the new pointer and moves it.
-                        continue
-                    dst_root = os.path.join(out, sub)
-                    os.makedirs(dst_root, exist_ok=True)
-                    try:
-                        os.rename(
-                            os.path.join(root, d), os.path.join(dst_root, d)
-                        )
-                    except OSError:
-                        pass  # writer's chase moved it / landed elsewhere
-        except OSError:
-            pass  # rescue is advisory; the publish already succeeded
+        self._publish_and_rescue(gen, gen_name, out, segs, tomb_dirs)
         return len(segs)
 
     def delete_docs(self, doc_ids: DataFrame, id_col: str | None = None) -> None:
-        """Tombstone documents: their posting/doclen/position rows
-        disappear from every read (a broadcast anti-join at scan
-        time) WITHOUT touching any store — Lucene's deleted-docs
-        bitmap. Because BM25's df/N/avgdl derive from the read-side
-        postings, ranking statistics adjust automatically; the
-        physical rows fall out at the next compact_segments.
-
-        ``id_col`` names the column in `doc_ids` holding the ids
-        (defaults to the index's own id column); the tombstone store
-        always persists under the index's id column."""
-        own = self._meta()["id_col"]
-        gen0 = self._gen()
-        tname = f"t-{uuid.uuid4().hex[:12]}"
-        out = os.path.join(gen0, "tombstones", tname)
-        doc_ids.select(
-            F.col(id_col if id_col is not None else own).alias(own)
-        ).distinct().write.mode("errorifexists").parquet(out)
-        # A compact racing this write may have snapshot gen0's
-        # tombstone listing before the parquet landed and published a
-        # successor without applying it — the delete silently undone.
-        # Chase forward (re-applying an already-applied tombstone is
-        # harmless: it hides rows that are already gone).
-        self._chase("tombstones", tname, gen0)
-
-    def _tombstone_dirs(self, gen: str | None = None) -> list[str]:
-        root = os.path.join(gen or self._gen(), "tombstones")
-        if not os.path.isdir(root):
-            return []
-        return [
-            os.path.join(root, d)
-            for d in sorted(os.listdir(root))
-            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
-        ]
-
-    def _tombstones(self, gen: str | None = None) -> DataFrame | None:
-        dirs = self._tombstone_dirs(gen)
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*dirs).distinct()
-
-    def _union_store(
-        self, store: str, segs=None, dead=_UNSET, gen=None
-    ) -> DataFrame:
-        # Resolve the generation pointer ONCE and thread it through:
-        # base, segments, tombstones and meta must come from the SAME
-        # generation, or a publish racing this plan mixes two committed
-        # states (certified by test_read_during_compaction_is_atomic).
-        # Callers holding a FULL snapshot (blockmax_prune_plan,
-        # _compact_once) pass segs + dead explicitly — dead=None means
-        # "pinned: no tombstones", NOT "re-list" (review r14: segment/
-        # tombstone dirs mutate in place under a pinned generation, so
-        # re-listing here would leak a mid-plan delete_docs into the
-        # scan while the stats literals still count the deleted docs).
-        gen = gen or self._gen()
-        df = self.spark.read.parquet(os.path.join(gen, store))
-        for seg in (self._segment_dirs(gen) if segs is None else segs):
-            df = df.unionByName(
-                self.spark.read.parquet(os.path.join(seg, store))
-            )
-        if dead is _UNSET:
-            dead = self._tombstones(gen)
-        if dead is not None:
-            key = self._meta(gen)["id_col"]
-            cols = df.columns  # the anti-join fronts the key; keep order
-            df = df.join(F.broadcast(dead), key, "left_anti").select(*cols)
-        return df
+        """Tombstone documents — GenerationalStore.delete_ids under the
+        index's historical name."""
+        self.delete_ids(doc_ids, id_col=id_col)
 
     def postings(self, gen: str | None = None, segs=None, dead=_UNSET) -> DataFrame:
         return self._union_store("postings", segs=segs, dead=dead, gen=gen)

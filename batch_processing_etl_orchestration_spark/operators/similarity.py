@@ -14,8 +14,14 @@ cosine uses double products + decimal sums (see plans/northstar.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from batch_processing_etl_orchestration_spark.operators.genstore import (
+    GenerationalStore,
+)
 
 # scaled-long fold: exact, order-insensitive, primitive codegen path
 # (see plans/northstar.py and functions/exact.py for the rationale)
@@ -565,23 +571,107 @@ def int8_topk(
     return _streamed_topk(queries, candidates, k, q_id, c_id, q_vec, c_vec, _int8_sims)
 
 
-class IvfIndex:
-    """Persisted IVF index: inverted lists written as cell_id-
-    partitioned parquet plus a centroid side table — the build-once /
-    probe-many amortization the inline ivf_topk only simulates. A
-    probe ranks its n_probe cells, collects that (tiny: |Q|·n_probe)
+class IvfIndex(GenerationalStore):
+    """Persisted IVF index with the FULL text-index lifecycle
+    (VERDICT r13 #2): inverted lists written as cell_id-partitioned
+    parquet plus a centroid side table, under the generation-pointer
+    machinery of operators/genstore.GenerationalStore — atomic
+    publishes, segment ingestion (add_segment), tombstone deletes
+    (delete_vectors), compaction, lost-update chase, and the retract
+    protocol, shared line-for-line with PostingsIndex.
+
+    A probe ranks its n_probe cells, collects that (tiny: |Q|·n_probe)
     cell set, and filters the inverted-list read with it, so the scan
     prunes to probed cells' files (PartitionFilters — asserted in
     tests/test_similarity.py). At 100 TB this is the difference
     between re-binning the corpus per query batch and reading a few
-    directories."""
+    directories.
+
+    Centroids are FROZEN at build (meta records id/vec cols, dim and
+    the n_assign replication): segments assign against the live
+    generation's centroids, so an index after add_segment is
+    BIT-IDENTICAL to one rebuilt from scratch over the union with the
+    same centroids and probes need no special casing. As the corpus
+    drifts from the training distribution, cells imbalance and recall
+    decays — monitor cell-size skew and retrain (a fresh build(),
+    optionally passing `centroids=` to pin the quantizer) when it
+    crosses a bound; adds are cheap between retrains."""
+
+    _STORES = ("inverted", "centroids")
+    # segments carry inverted lists only (centroids are generation
+    # metadata, never per-segment)
+    _CORE_STORES = ("inverted",)
+    _META_DEFAULT = {"id_col": "cand_id", "vec_col": "ce"}
 
     def __init__(self, spark, path, centroids, c_id="cand_id", c_vec="ce"):
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.centroids = centroids
         self.c_id = c_id
         self.c_vec = c_vec
+
+    # -- store writers ---------------------------------------------------
+
+    @staticmethod
+    def _write_inverted(
+        candidates: DataFrame,
+        out_dir: str,
+        centroids,
+        c_id: str,
+        c_vec: str,
+        n_assign: int,
+    ) -> None:
+        cells = _nearest_cells(
+            candidates, c_id, c_vec, centroids, n_assign
+        ).select(c_id, "cell_id")
+        (
+            candidates.join(cells, c_id)
+            .write.mode("errorifexists")
+            .partitionBy("cell_id")
+            .parquet(os.path.join(out_dir, "inverted"))
+        )
+
+    @staticmethod
+    def _write_centroids(spark, gen_dir: str, centroids) -> None:
+        (
+            spark.createDataFrame(
+                [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+                "cell_id INT, centroid ARRAY<DOUBLE>",
+            )
+            .coalesce(1)
+            .write.mode("errorifexists")
+            .parquet(os.path.join(gen_dir, "centroids"))
+        )
+
+    @staticmethod
+    def _write_meta(
+        gen_dir: str, c_id: str, c_vec: str, dim: int, n_assign: int
+    ) -> None:
+        import json
+
+        os.makedirs(gen_dir, exist_ok=True)
+        with open(os.path.join(gen_dir, "_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "id_col": c_id,
+                    "vec_col": c_vec,
+                    "dim": int(dim),
+                    "n_assign": int(n_assign),
+                },
+                f,
+            )
+
+    def _centroids(self, gen: str | None = None):
+        """The PINNED generation's quantizer (n_cells rows — index
+        metadata). Probe and add_segment read it from the generation
+        they operate on rather than trusting self.centroids, so a
+        handle that outlived a retrain can never assign or probe with
+        a stale quantizer."""
+        rows = self.spark.read.parquet(
+            os.path.join(gen or self._gen(), "centroids")
+        ).collect()
+        return sorted((r["cell_id"], list(r["centroid"])) for r in rows)
+
+    # -- lifecycle ---------------------------------------------------------
 
     @staticmethod
     def build(
@@ -593,57 +683,135 @@ class IvfIndex:
         c_id: str = "cand_id",
         c_vec: str = "ce",
         n_assign: int = 2,
+        centroids=None,
     ) -> "IvfIndex":
-        cent = ivf_build_centroids(candidates, c_id, c_vec, n_cells, dim)
-        cells = _nearest_cells(candidates, c_id, c_vec, cent, n_assign).select(
-            c_id, "cell_id"
+        """Train (or accept via `centroids=` — the pinned-quantizer
+        rebuild used after compaction-scale retrains) and publish a
+        fresh generation. Readers never see a half-built index."""
+        import uuid as _uuid
+
+        os.makedirs(path, exist_ok=True)
+        cent = (
+            sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+            if centroids is not None
+            else ivf_build_centroids(candidates, c_id, c_vec, n_cells, dim)
         )
-        (
-            candidates.join(cells, c_id)
-            .write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(f"{path}/inverted")
+        gen_name = f"gen-{_uuid.uuid4().hex[:12]}"
+        gen_dir = os.path.join(path, gen_name)
+        IvfIndex._write_inverted(
+            candidates, gen_dir, cent, c_id, c_vec, n_assign
         )
-        (
-            spark.createDataFrame(
-                [(int(cid), [float(x) for x in vec]) for cid, vec in cent],
-                "cell_id INT, centroid ARRAY<DOUBLE>",
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/centroids")
-        )
-        return IvfIndex(spark, path, cent, c_id, c_vec)
+        IvfIndex._write_centroids(spark, gen_dir, cent)
+        IvfIndex._write_meta(gen_dir, c_id, c_vec, dim, n_assign)
+        idx = IvfIndex(spark, path, cent, c_id, c_vec)
+        idx._publish(gen_name)
+        return idx
 
     @staticmethod
     def load(spark, path: str, c_id: str = "cand_id", c_vec: str = "ce") -> "IvfIndex":
-        rows = spark.read.parquet(f"{path}/centroids").collect()
-        cent = sorted((r["cell_id"], list(r["centroid"])) for r in rows)
-        return IvfIndex(spark, path, cent, c_id, c_vec)
+        idx = IvfIndex(spark, path, None, c_id, c_vec)
+        meta = idx._meta()
+        idx.c_id, idx.c_vec = meta["id_col"], meta["vec_col"]
+        idx.centroids = idx._centroids()
+        return idx
 
-    def add(self, new_candidates: DataFrame, n_assign: int = 2) -> None:
-        """Incremental index maintenance: assign new vectors to the
-        EXISTING centroids and append to the partitioned inverted
-        lists — no retrain, no rewrite of resident cells. Because
-        assignment depends only on the (frozen) centroids, an index
-        after add() is BIT-IDENTICAL to one rebuilt from scratch over
-        the union with the same centroids (pinned in
-        tests/test_similarity.py), so probes need no special casing.
+    def add_segment(self, new_candidates: DataFrame, name: str) -> None:
+        """Incremental index maintenance: assign new vectors against
+        the live generation's FROZEN centroids and land them as a
+        segment — no retrain, no rewrite of resident cells, full
+        landing protocol (id-disjointness, tombstone pre/re-check with
+        retract, lost-update chase) from GenerationalStore."""
+        meta = self._meta()
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        n_assign = int(meta.get("n_assign", 2))
 
-        The trade every IVF serving system makes: as the corpus
-        drifts from the centroids' training distribution, cells
-        imbalance and recall decays — monitor cell-size skew and
-        retrain (a fresh build()) when it crosses a bound; adds are
-        cheap between retrains."""
-        cells = _nearest_cells(
-            new_candidates, self.c_id, self.c_vec, self.centroids, n_assign
-        ).select(self.c_id, "cell_id")
-        (
-            new_candidates.join(cells, self.c_id)
-            .write.mode("append")
-            .partitionBy("cell_id")
-            .parquet(f"{self.path}/inverted")
+        def _write(tmp, gen0):
+            self._write_inverted(
+                new_candidates, tmp, self._centroids(gen0),
+                id_col, vec_col, n_assign,
+            )
+
+        self._land_segment(
+            new_candidates.select(F.col(id_col)), name, _write
         )
+
+    def add(self, new_candidates: DataFrame, n_assign: int = None) -> None:
+        """Auto-named add_segment (the pre-lifecycle API). n_assign is
+        frozen in generation meta; passing a different one is
+        rejected rather than silently mixing replication factors."""
+        import uuid as _uuid
+
+        if n_assign is not None:
+            frozen = int(self._meta().get("n_assign", 2))
+            if int(n_assign) != frozen:
+                raise ValueError(
+                    f"add: n_assign={n_assign} differs from the index's "
+                    f"frozen {frozen}; rebuild to change replication"
+                )
+        self.add_segment(new_candidates, f"add-{_uuid.uuid4().hex[:8]}")
+
+    def delete_vectors(self, ids: DataFrame, id_col: str | None = None) -> None:
+        """Tombstone vectors — GenerationalStore.delete_ids under the
+        vector index's name."""
+        self.delete_ids(ids, id_col=id_col)
+
+    def _live_ids(self, gen: str) -> DataFrame:
+        return self._union_store("inverted", gen=gen).select(
+            self._meta(gen)["id_col"]
+        )
+
+    def _compact_once(self, n_files: int = 16) -> int:
+        import uuid as _uuid
+
+        gen = self._gen()  # one consistent view across both stores
+        segs = self._segment_dirs(gen)
+        tomb_dirs = self._tombstone_dirs(gen)
+        dead = (
+            self.spark.read.parquet(*tomb_dirs).distinct()
+            if tomb_dirs
+            else None
+        )
+        if not segs and dead is None:
+            return 0
+        meta = self._meta(gen)
+        id_col = meta["id_col"]
+        gen_name = f"gen-{_uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, gen_name)
+        try:
+            merged = self._union_store(
+                "inverted", segs=segs, dead=dead, gen=gen
+            )
+            # range-cluster on (cell_id, id): files stay cell-local for
+            # partition pruning AND a big cell splits across ~n_files
+            # tasks instead of one giant file; the id sort gives the
+            # add-segment disjointness scan tight row-group stats
+            (
+                merged.repartitionByRange(n_files, "cell_id", id_col)
+                .sortWithinPartitions("cell_id", id_col)
+                .write.mode("errorifexists")
+                .partitionBy("cell_id")
+                .parquet(os.path.join(out, "inverted"))
+            )
+            # centroids are generation metadata: carried forward
+            # verbatim (compaction never retrains — that is build's
+            # job, explicitly)
+            self._write_centroids(self.spark, out, self._centroids(gen))
+            self._write_meta(
+                out, id_col, meta["vec_col"],
+                int(meta.get("dim", 0)), int(meta.get("n_assign", 2)),
+            )
+            self._write_folded_manifest(out, gen, segs, tomb_dirs)
+        except Exception:
+            # Never publish a torn generation; reclaim the partial dir
+            # (same rationale as PostingsIndex._compact_once)
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        self._publish_and_rescue(gen, gen_name, out, segs, tomb_dirs)
+        return len(segs)
+
+    # -- serving -----------------------------------------------------------
 
     def probe(
         self,
@@ -653,35 +821,45 @@ class IvfIndex:
         q_id: str = "query_id",
         q_vec: str = "qe",
     ) -> DataFrame:
-        q_cells = _nearest_cells(
-            queries, q_id, q_vec, self.centroids, n_probe
-        ).select(q_id, "cell_id")
+        # Resolve the FULL snapshot ONCE (generation, segments,
+        # tombstones, centroids) — the blockmax_prune_plan discipline:
+        # a publish racing this probe must never mix two committed
+        # states (e.g. new inverted lists scored against old
+        # centroids' cell ranking).
+        gen = self._gen()
+        segs = self._segment_dirs(gen)
+        dead = self._tombstones(gen)
+        cent = self._centroids(gen)
+        c_id, c_vec = self.c_id, self.c_vec
+        q_cells = _nearest_cells(queries, q_id, q_vec, cent, n_probe).select(
+            q_id, "cell_id"
+        )
         probed = [r["cell_id"] for r in q_cells.select("cell_id").distinct().collect()]
         inv = (
-            self.spark.read.parquet(f"{self.path}/inverted")
+            self._union_store("inverted", segs=segs, dead=dead, gen=gen)
             .where(F.col("cell_id").isin(probed))
             .alias("inv")
         )
         scored = (
             q_cells.join(F.broadcast(queries), q_id)
             .join(inv, "cell_id")
-            .where(F.col(q_id) != F.col(self.c_id))
+            .where(F.col(q_id) != F.col(c_id))
             .drop("cell_id")
-            .dropDuplicates([q_id, self.c_id])
-            .withColumn("cosine_sim", cosine(q_vec, self.c_vec))
+            .dropDuplicates([q_id, c_id])
+            .withColumn("cosine_sim", cosine(q_vec, c_vec))
         )
         w = Window.partitionBy(q_id).orderBy(
-            F.col("cosine_sim").desc(), F.col(self.c_id)
+            F.col("cosine_sim").desc(), F.col(c_id)
         )
         passthrough = [
             F.col(f"inv.{f.name}").alias(f.name)
             for f in inv.schema.fields
-            if f.name not in (self.c_id, self.c_vec, "cell_id")
+            if f.name not in (c_id, c_vec, "cell_id")
         ]
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select(q_id, self.c_id, *passthrough, "cosine_sim", "rank")
+            .select(q_id, c_id, *passthrough, "cosine_sim", "rank")
         )
 
 

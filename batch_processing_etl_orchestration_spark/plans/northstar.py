@@ -2488,12 +2488,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln's last ulp is libm-specific; every formula input is
     integer-exact, so rounded scores agree across engines). The
     oracle mirrors the exact expression tree, parenthesis for
-    parenthesis."""
+    parenthesis.
+
+    r14: serving moved to the IMPACT-ORDERED index (blocks assigned by
+    maxtf DESC, dl ASC instead of doc-id ranges) — the hash is
+    untouched (doc ids never rewritten; equality vs the full scan
+    pinned in tests/test_retrieval.py) but block-LEVEL skips now
+    engage on corpora whose repetition/length vary, which doc-id
+    blocks provably could not deliver on this fixture
+    (q_bm25_impact_prune_report attests the kept/candidate
+    geometry)."""
     from batch_processing_etl_orchestration_spark.operators.retrieval import (
         bm25_topk_blockmax,
     )
 
-    idx = _postings_index(spark, sf_dir)
+    idx = _impact_index(spark, sf_dir)
     return bm25_topk_blockmax(idx, _BM25_TERMS, k=15)
 
 
@@ -6648,3 +6657,119 @@ def nb_score_frozen(
             ).alias("pred_pos"),
         )
     )
+
+
+def index_stream_sink(path: str):
+    """foreachBatch sink for streaming index maintenance: each
+    micro-batch lands as a PostingsIndex SEGMENT named by its batch id
+    — segment-name = batch id IS the exactly-once marker. Replay
+    handling, in order of where the redelivery can strike:
+
+    1. the segment dir already exists in the live generation → skip
+       before any Spark work (the common checkpoint-retry);
+    2. a compaction folded the segment between delivery and replay →
+       the landing protocol's id-disjointness check raises "already
+       live" → treated as committed, skip;
+    3. the rename itself loses (another replay landed it mid-flight)
+       → OSError from the atomic rename → committed, skip.
+
+    Anything else propagates: a real failure must fail the stream,
+    not be swallowed as a replay."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        name = f"batch-{batch_id}"
+        idx = PostingsIndex(batch_df.sparkSession, path)
+        if os.path.isdir(os.path.join(idx._gen(), "segments", name)):
+            return  # replayed batch: already committed atomically
+        try:
+            idx.add_segment(batch_df.select("doc_id", "text"), name)
+        except ValueError as e:
+            if "already live" not in str(e):
+                raise  # tombstoned-id / duplicate-id: a REAL conflict
+        except OSError:
+            return  # rename loser: a concurrent replay landed it
+
+    return ingest
+
+
+@register(
+    "q_stream_index_maintain",
+    # post-drain serving must equal a one-shot batch build over the
+    # same corpus — the oracle IS q_bm25_topk's full-corpus SQL
+    oracle=_REGISTRY["q_bm25_topk"].oracle,
+    tags=("streaming", "retrieval", "incremental"),
+)
+def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance (VERDICT r13 #3): a platform
+    ingests documents continuously, so the postings index must grow by
+    MICRO-BATCH, not rebuild. Documents arrive as 4 ordered
+    micro-batches (maxFilesPerTrigger=1 over a doc_id-ranged copy)
+    draining through foreachBatch → PostingsIndex.add_segment with
+    segment-name = batch id — the atomic-rename landing doubles as the
+    exactly-once replay marker (the q_stream_quality_filter pattern,
+    applied to index state instead of score files; redelivery no-ops
+    pinned in tests/test_stream_index.py, mid-drain tombstones
+    honored there too).
+
+    After the availableNow drain, BM25 top-15 over the segmented
+    index must be hash-equal to a ONE-SHOT batch build over the same
+    corpus (the oracle IS q_bm25_topk's SQL): segment-union df/tf/
+    doclen statistics are indistinguishable from a rebuild, so no
+    micro-batching of arrivals can change any score.
+
+    Scale: per-batch cost is the batch's own tokenize/cluster write
+    plus one bounded disjointness probe — tracks ARRIVAL RATE, not
+    corpus size; compact_segments (exercised in tests) is the merge
+    policy when segment fan-out grows. The base index starts EMPTY
+    (the bootstrap a brand-new ingest pipeline faces) — width and
+    meta freeze at build, segments carry all the data."""
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        PostingsIndex,
+        bm25_topk,
+    )
+
+    from batch_processing_etl_orchestration_spark.tables import (
+        build_once,
+        fixture_cache_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = build_once(
+        sf_dir,
+        "documents.parquet",
+        "stream_idx_src",
+        lambda p: docs.repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    run = fixture_cache_dir(sf_dir, "documents.parquet", "stream_idx_run")
+    shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
+    path = os.path.join(run, "index")
+    ckpt = os.path.join(run, "ckpt")
+    PostingsIndex.build(
+        spark,
+        spark.createDataFrame([], "doc_id BIGINT, text STRING"),
+        path,
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(index_stream_sink(path))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    idx = PostingsIndex(spark, path)
+    return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)

@@ -252,6 +252,80 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_attestation(ivf_topk(q, c, k=10, n_cells=8, n_probe=4), q, c)
 
 
+# the lifecycle fixture's deterministic delete set: vec_id ≡ 41 (mod
+# 97). Shared by the index builder and the query's live-set oracle
+# side so they can never drift.
+_IVF_DEAD_MOD, _IVF_DEAD_RESIDUE = 97, 41
+# the ingest split: vec_id ≡ 3 (mod 5) arrives as a SEGMENT, the rest
+# is the base build
+_IVF_SEG_MOD, _IVF_SEG_RESIDUE = 5, 3
+
+
+def _ivf_lifecycle_index(spark: SparkSession, sf_dir: str):
+    """A persisted IvfIndex that has LIVED: built on 4/5 of the
+    embeddings, grown by add_segment with the remaining fifth
+    (assigned against the frozen base centroids), then had the
+    vec_id ≡ 41 (mod 97) stripe tombstoned by delete_vectors —
+    cached once per fixture so the query pays probe cost only."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    from batch_processing_etl_orchestration_spark.tables import build_once
+
+    def _build(p: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings")
+        c = e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+            "label",
+        )
+        seg_pred = (
+            F.pmod(F.col("cand_id"), F.lit(_IVF_SEG_MOD))
+            == _IVF_SEG_RESIDUE
+        )
+        IvfIndex.build(spark, c.where(~seg_pred), p, n_cells=8, dim=64)
+        idx = IvfIndex.load(spark, p)
+        idx.add_segment(c.where(seg_pred), "batch-1")
+        idx.delete_vectors(
+            c.where(
+                F.pmod(F.col("cand_id"), F.lit(_IVF_DEAD_MOD))
+                == _IVF_DEAD_RESIDUE
+            ).select("cand_id")
+        )
+
+    path = build_once(
+        sf_dir, "embeddings.parquet", "ivf_lifecycle", _build, layout=1
+    )
+    return IvfIndex.load(spark, path)
+
+
+@register(
+    "q_ann_ivf_lifecycle",
+    oracle=_ANN_ORACLE,
+    tags=("similarity", "ann", "ivf", "lifecycle"),
+)
+def q_ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 served by a persisted index AFTER a full lifecycle —
+    base build → add_segment (frozen-centroid assignment, landing
+    protocol) → delete_vectors (tombstone anti-join at probe time) —
+    the VERDICT r13 #2 attestation that the vector index's
+    GenerationalStore machinery (shared with PostingsIndex) serves
+    correctly across a segment+tombstone sequence, not just fresh
+    builds. Registered as the same hash-checked recall attestation as
+    q_ann_ivf_topk, with the brute-force baseline computed over the
+    LIVE set (all vectors minus the tombstoned stripe) so a tombstone
+    leaking into (or over-hiding from) the probe fails the oracle.
+    Probe-after-add bit-equality to a pinned-quantizer rebuild is
+    pinned in tests/test_similarity.py."""
+    idx = _ivf_lifecycle_index(spark, sf_dir)
+    q, c = _ann_queries_candidates(spark, sf_dir)
+    c_live = c.where(
+        F.pmod(F.col("cand_id"), F.lit(_IVF_DEAD_MOD)) != _IVF_DEAD_RESIDUE
+    )
+    return _ann_recall_attestation(idx.probe(q, k=10, n_probe=4), q, c_live)
+
+
 @register(
     "q_embedding_near_dup_lsh",
     oracle=f"""

@@ -5,7 +5,12 @@ single-process interleavings in test_retrieval.py, the timing windows
 here are genuine. Synchronization is a filesystem barrier so both
 workers enter each contention phase together.
 
-Usage: python parallel_index_worker.py INDEX_PATH SYNC_DIR WORKER_ID OUT_JSON
+Usage: python parallel_index_worker.py INDEX_PATH SYNC_DIR WORKER_ID OUT_JSON [KIND]
+
+KIND selects the index under stress: "postings" (default) or "ivf" —
+both run the SAME GenerationalStore protocol (operators/genstore.py),
+so the schedule below exercises identical race windows through either
+subclass.
 
 Schedule (W0 / W1 per phase — chosen so every documented race runs
 under real parallelism):
@@ -40,6 +45,7 @@ def barrier(sync_dir: str, me: int, phase: int, timeout: float = 120.0) -> None:
 
 def main() -> None:
     index_path, sync_dir, me_s, out_json = sys.argv[1:5]
+    kind = sys.argv[5] if len(sys.argv) > 5 else "postings"
     me = int(me_s)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,7 +62,14 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    idx = PostingsIndex(spark, index_path)
+    if kind == "ivf":
+        from batch_processing_etl_orchestration_spark.operators.similarity import (  # noqa: E501
+            IvfIndex,
+        )
+
+        idx = IvfIndex.load(spark, index_path)
+    else:
+        idx = PostingsIndex(spark, index_path)
     results: list[dict] = []
 
     def attempt(op: str, fn) -> bool:
@@ -81,11 +94,34 @@ def main() -> None:
             )
             return False
 
-    def docs(ids_words):
-        return spark.createDataFrame(ids_words, "doc_id BIGINT, text STRING")
+    if kind == "ivf":
+        # deterministic 8-dim vectors; add_segment pads nothing — the
+        # index was built with dim=8
+        def docs(ids_words):
+            return spark.createDataFrame(
+                [
+                    (i, [float((i * 7 + j) % 13) for j in range(8)])
+                    for i, _ in ids_words
+                ],
+                "cand_id BIGINT, ce ARRAY<DOUBLE>",
+            )
 
-    def ids(vals):
-        return spark.createDataFrame([(v,) for v in vals], "doc_id BIGINT")
+        def ids(vals):
+            return spark.createDataFrame(
+                [(v,) for v in vals], "cand_id BIGINT"
+            )
+
+        idx.delete_docs = idx.delete_vectors  # schedule uses one name
+    else:
+        def docs(ids_words):
+            return spark.createDataFrame(
+                ids_words, "doc_id BIGINT, text STRING"
+            )
+
+        def ids(vals):
+            return spark.createDataFrame(
+                [(v,) for v in vals], "doc_id BIGINT"
+            )
 
     if me == 0:
         barrier(sync_dir, me, 0)

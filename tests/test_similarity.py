@@ -269,7 +269,6 @@ def test_ivf_incremental_add_equals_rebuild(spark, tmp_path):
     pair-for-pair. New vectors are immediately findable."""
     from batch_processing_etl_orchestration_spark.operators.similarity import (
         IvfIndex,
-        _nearest_cells,
     )
 
     q, c = _qc(spark)
@@ -281,18 +280,10 @@ def test_ivf_incremental_add_equals_rebuild(spark, tmp_path):
     idx1 = IvfIndex.load(spark, p1)
     idx1.add(extra)
 
-    # rebuild-with-same-centroids reference: write the union assigned
-    # against idx1's centroids using the same layout
+    # rebuild-with-same-centroids reference: a fresh build over the
+    # union with the PINNED quantizer (the centroids= escape hatch)
     p2 = str(tmp_path / "ivf_ref")
-    cells = _nearest_cells(c, "cand_id", "ce", idx1.centroids, 2).select(
-        "cand_id", "cell_id"
-    )
-    c.join(cells, "cand_id").write.mode("overwrite").partitionBy(
-        "cell_id"
-    ).parquet(f"{p2}/inverted")
-    spark.read.parquet(f"{p1}/centroids").write.mode("overwrite").parquet(
-        f"{p2}/centroids"
-    )
+    IvfIndex.build(spark, c, p2, dim=64, centroids=idx1.centroids)
     idx2 = IvfIndex.load(spark, p2)
 
     got = {
@@ -306,3 +297,125 @@ def test_ivf_incremental_add_equals_rebuild(spark, tmp_path):
     assert got == ref and len(got) > 0
     # at least one added vector surfaces in some top-k
     assert any(cand >= 400 for (_, cand, _, _) in got)
+
+
+def test_ivf_lifecycle_segments_tombstones_compact(spark, tmp_path):
+    """The full vector-index lifecycle (VERDICT r13 #2): add_segment
+    assigns against the frozen quantizer and is bit-equal to a
+    pinned-centroid rebuild; delete_vectors hides ids immediately;
+    compact_segments folds everything and probes are unchanged; the
+    landing protocol rejects duplicate and tombstoned ids."""
+    import pytest as _pytest
+
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    q, c = _qc(spark)
+    base = c.where(F.col("cand_id") < 350)
+    seg1 = c.where((F.col("cand_id") >= 350) & (F.col("cand_id") < 420))
+    seg2 = c.where(F.col("cand_id") >= 420)
+
+    path = str(tmp_path / "ivf_life")
+    idx = IvfIndex.build(spark, base, path, n_cells=8, dim=64)
+    idx.add_segment(seg1, "batch-1")
+    idx.add_segment(seg2, "batch-2")
+
+    def snap(i):
+        return {
+            (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+            for r in i.probe(q, k=K, n_probe=3).collect()
+        }
+
+    # probe-after-add ≡ pinned-quantizer rebuild over the union
+    ref = IvfIndex.build(
+        spark, c, str(tmp_path / "ivf_life_ref"), dim=64,
+        centroids=idx.centroids,
+    )
+    assert snap(idx) == snap(ref) and len(snap(idx)) > 0
+
+    # duplicate ids (already live) and within-batch dups are rejected
+    with _pytest.raises(ValueError, match="already live"):
+        idx.add_segment(seg1.limit(3), "batch-dup")
+    with _pytest.raises(ValueError, match="duplicate"):
+        idx.add_segment(
+            seg1.limit(1).unionAll(seg1.limit(1)).withColumn(
+                "cand_id", F.col("cand_id") + 10_000
+            ),
+            "batch-self-dup",
+        )
+
+    # tombstones hide immediately, and re-adding a tombstoned id is
+    # rejected until compaction applies the delete
+    victims = [r["cand_id"] for r in seg1.limit(4).collect()]
+    idx.delete_vectors(
+        spark.createDataFrame([(v,) for v in victims], "cand_id BIGINT")
+    )
+    post_del = snap(idx)
+    assert not any(cand in victims for (_, cand, _, _) in post_del)
+    with _pytest.raises(ValueError, match="tombstoned"):
+        idx.add_segment(
+            c.where(F.col("cand_id") == victims[0]), "batch-revive"
+        )
+
+    # compaction folds both segments + the tombstones; probes unchanged
+    assert idx.compact_segments() == 2
+    assert idx._segment_dirs() == [] and not idx.has_tombstones()
+    assert snap(idx) == post_del
+    live = {
+        r["cand_id"]
+        for r in idx._union_store("inverted").select("cand_id").collect()
+    }
+    assert not (set(victims) & live)
+
+    # the index stays mutable post-compaction
+    idx.add_segment(
+        c.where(F.col("cand_id") == victims[0]), "batch-revive-ok"
+    )
+    assert victims[0] in {
+        r["cand_id"]
+        for r in idx._union_store("inverted").select("cand_id").collect()
+    }
+
+
+def test_ivf_probe_pinned_against_midprobe_publish(
+    spark, tmp_path, monkeypatch
+):
+    """A delete_vectors + compact publishing between a probe's
+    generation snapshot and its cell collection must not mix committed
+    states: the probe serves the pinned pre-publish view exactly
+    (the blockmax_prune_plan discipline, applied to vectors)."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    q, c = _qc(spark)
+    path = str(tmp_path / "ivf_race")
+    idx = IvfIndex.build(spark, c, path, n_cells=8, dim=64)
+    expected = {
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in idx.probe(q, k=K, n_probe=3).collect()
+    }
+    victim = next(iter(expected))[1]
+
+    real = IvfIndex._centroids
+    fired = []
+
+    def racing_centroids(self, gen=None):
+        out = real(self, gen)
+        if not fired:
+            fired.append(True)
+            other = IvfIndex.load(spark, self.path)
+            other.delete_vectors(
+                spark.createDataFrame([(victim,)], "cand_id BIGINT")
+            )
+            other.compact_segments()
+        return out
+
+    monkeypatch.setattr(IvfIndex, "_centroids", racing_centroids)
+    got = {
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in idx.probe(q, k=K, n_probe=3).collect()
+    }
+    assert fired
+    assert got == expected  # the pinned snapshot, not the mixed state

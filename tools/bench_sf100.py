@@ -64,6 +64,11 @@ QUERIES_STREAMING = [
     "q_stream_incremental_mv",
     "q_stream_merge_upserts",
     "q_stream_sessionize_capped",
+    # r14 (VERDICT r13 #4/#3): the model-based quality gate and the
+    # index-maintenance drain — both read only documents; per-batch
+    # cost must track rows-per-batch, not corpus size
+    "q_stream_quality_filter",
+    "q_stream_index_maintain",
 ]
 # r12 (proactive): the retrieval/resolution family — the last HEAVY
 # (bench_sf10) members without a third decade. q_bm25_topk reads only
@@ -74,6 +79,11 @@ QUERIES_RETRIEVAL = [
     "q_bm25_topk",
     "q_fuzzy_join_names",
     "q_entity_resolution",
+    # r14 (VERDICT r13 #4/#1): the pruning attestations — the classic
+    # report prices the bounded plan-cost floor (should be ~flat per
+    # decade), the impact report attests real block skips at scale
+    "q_bm25_blockmax_prune_report",
+    "q_bm25_impact_prune_report",
 ]
 # r12: the new model-based selection operators — measured at their
 # birth round so the scale claim ships with decade evidence. Both
@@ -81,6 +91,8 @@ QUERIES_RETRIEVAL = [
 QUERIES_SELECTION = [
     "q_nb_quality_classifier",
     "q_dsir_importance_weights",
+    # r14 (VERDICT r13 #4): rule-based quality gate — one linear scan
+    "q_gopher_quality_rules",
 ]
 
 
