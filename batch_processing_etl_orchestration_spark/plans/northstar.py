@@ -6773,3 +6773,207 @@ def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     idx = PostingsIndex(spark, path)
     return bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)
+
+
+# the v2 assembly's gopher feature CTE (the q_gopher_quality_rules
+# feature block, plus doc_id so the keep set can join back)
+_GOPHER_FEATURES_SQL = (
+    "SELECT doc_id,\n"
+    "       len(string_split(text, ' ')) AS n_words,\n"
+    "       len(replace(text, ' ', '')) AS chars,\n"
+    "       len(text) - len(replace(text, '#', '')) AS hashes,\n"
+    "       CAST((len(text) - len(replace(text, '...', ''))) / 3\n"
+    "            AS BIGINT) AS ells,\n"
+    "       len(string_split(text, chr(10))) AS n_lines,\n"
+    "       len(list_filter(string_split(text, chr(10)),\n"
+    "           l -> l LIKE '- %' OR l LIKE '* %')) AS bullet_lines,\n"
+    "       len(list_filter(string_split(text, chr(10)),\n"
+    "           l -> l LIKE '%...')) AS ell_lines,\n"
+    "       len(list_filter(string_split(text, ' '),\n"
+    "           w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,\n"
+    "       ("
+    + " + ".join(
+        "(CASE WHEN list_contains(string_split(text, ' '), "
+        f"'{s}') THEN 1 ELSE 0 END)"
+        for s in _STOPWORDS["en"]
+    )
+    + ") AS stop_hits\n"
+    "FROM documents"
+)
+
+
+@register(
+    "q_corpus_assembly_v2",
+    oracle=_SQL_SHINGLES_8.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    train AS (
+      SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 20 <> 0
+    ),
+    deduped AS (
+      SELECT doc_id, text, lang, n_chars FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rk
+        FROM train t
+      ) WHERE rk = 1
+    ),
+    eval_g AS (
+      SELECT DISTINCT shingle FROM shingles8 WHERE doc_id % 20 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingles8 s JOIN eval_g e ON s.shingle = e.shingle
+    ),
+    clean AS (
+      SELECT d.* FROM deduped d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND d.n_chars BETWEEN 100 AND 520
+    ),
+    gof AS ({_GOPHER_FEATURES_SQL}),
+    gokeep AS (SELECT doc_id FROM gof WHERE {_GOPHER_KEEP_SQL}),
+    nbkeep AS (
+      SELECT doc_id
+      FROM ({{NB_ORACLE}})
+      WHERE pred_pos
+    ),
+    gated AS (
+      SELECT c.* FROM clean c
+      JOIN gokeep USING (doc_id)
+      JOIN nbkeep USING (doc_id)
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM gated GROUP BY 1
+    ),
+    mn AS (SELECT MIN(n_l) AS n_min FROM counts),
+    kept AS (
+      SELECT c.doc_id, c.text
+      FROM gated c JOIN counts ct ON ct.lang = c.lang, mn
+      WHERE CAST('0x' || substring(md5(c.text), 1, 8) AS BIGINT) % 1000000
+            < CAST(FLOOR(1000000 * SQRT(CAST(mn.n_min AS DOUBLE)
+                                        / CAST(ct.n_l AS DOUBLE))) AS BIGINT)
+    ),
+    toks AS (
+      SELECT doc_id,
+             doc_id % 8 AS packer,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS rn
+      FROM kept
+    ),
+    walk(packer, rn, doc_id, n_tokens, bin_idx, bin_fill) AS (
+      SELECT packer, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.packer, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.bin_fill + t.n_tokens > 512
+                  THEN w.bin_idx + 1 ELSE w.bin_idx END,
+             CASE WHEN w.bin_fill + t.n_tokens > 512
+                  THEN t.n_tokens ELSE w.bin_fill + t.n_tokens END
+      FROM walk w
+      JOIN toks t ON t.packer = w.packer AND t.rn = w.rn + 1
+    )
+    SELECT packer, bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM walk GROUP BY 1, 2
+    """.replace(
+        "{NB_ORACLE}", _REGISTRY["q_nb_quality_classifier"].oracle
+    ),
+    tags=("text", "pipeline", "assembly", "quality", "grouped-map"),
+)
+def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly with the r13 QUALITY GATES wired into the DAG
+    (VERDICT r13 #6) — the stages a production pipeline inserts
+    between dedup and mixing:
+
+    1. exact dedup — lowest doc_id per md5(text) group;
+    2. decontamination — drop survivors sharing any word-8-gram with
+       the eval split (doc_id % 20 == 0);
+    3. length filter — n_chars in [100, 520];
+    4. GOPHER RULE GATE — the full heuristic keep conjunction
+       (word count, mean word length, symbol/bullet/ellipsis ratios,
+       alpha-word share, stopword hits) from q_gopher_quality_rules;
+    5. NB QUALITY GATE — the capped top-K + hashed-tail classifier
+       (q_nb_quality_classifier) trained ONCE on the frozen fixture
+       snapshot, survivors kept on pred_pos (measured at sf0.01: the
+       two gates jointly pass 95 of 385 length-clean docs, keeping
+       every language represented so the mixing stage still binds);
+    6. temperature mixing (τ = 0.5) by language;
+    7. next-fit packing into 512-token bins per packer group.
+
+    The composed oracle (which embeds the FULL NB training SQL as a
+    sub-select) mirrors all seven stages, so the final bins hash-match
+    only if every stage and every stage BOUNDARY is right — including
+    both new gate boundaries. q_corpus_assembly (v1) remains the
+    gate-free baseline; the pair shows the gates' corpus effect
+    in-query.
+
+    Scale: the gates add one feature projection (JVM higher-order
+    functions, no shuffle) and one broadcast-scored pass with the
+    constant-bounded (≤ K+B rows) weight table — both linear scans;
+    training is paid once per model refresh, never per assembly run."""
+    from batch_processing_etl_orchestration_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    train = d.where(~is_eval)
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        train.withColumn("_rk", F.row_number().over(wdup))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    contaminated = decontaminate(
+        deduped, d.where(is_eval), n=8
+    ).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti").where(
+        F.col("n_chars").between(100, 520)
+    )
+    # stage 4: Gopher keep conjunction (features over the survivor set
+    # — per-doc predicates, so gating survivors equals gating the
+    # corpus then intersecting, which is what the oracle does)
+    gokeep = (
+        _gopher_features(clean, keep=("doc_id",))
+        .where(gopher_rules()["gopher_keep"])
+        .select("doc_id")
+    )
+    gated = clean.join(gokeep, "doc_id", "left_semi")
+    # stage 5: frozen NB quality gate (train once on the full snapshot,
+    # score survivors with broadcast literals — q_stream_quality_filter's
+    # serving kernel)
+    head_words, weight_rows, prior6 = _nb_train_capped(spark, d)
+    nbkeep = (
+        nb_score_frozen(spark, gated, head_words, weight_rows, prior6)
+        .where(F.col("pred_pos"))
+        .select("doc_id")
+    )
+    gated = gated.join(nbkeep, "doc_id", "left_semi")
+    counts = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            1000000
+            * F.sqrt(
+                F.col("n_min").cast("double") / F.col("n_l").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+        % 1000000
+    )
+    kept = (
+        gated.join(F.broadcast(thresholds), "lang")
+        .where(bucket < F.col("_thr"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _N_PACKERS).alias("packer"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    return _next_fit_bins(kept)

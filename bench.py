@@ -232,6 +232,13 @@ BENCH_QUERIES = [
     "q_bm25_blockmax_prune_report",
     "q_stream_quality_filter",
     "q_gopher_quality_rules",
+    # r14: impact-ordered pruning attestation, vector-index lifecycle,
+    # streaming index maintenance, gated corpus assembly
+    # (VERDICT r13 #1/#2/#3/#6)
+    "q_bm25_impact_prune_report",
+    "q_ann_ivf_lifecycle",
+    "q_stream_index_maintain",
+    "q_corpus_assembly_v2",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json
@@ -240,17 +247,11 @@ BENCH_QUERIES = [
 # exemptions (q_dup_clusters pointer jumping, q_dedup_keep_canonical
 # persisted labels) were pruned in r6: BENCH_r05 already times the
 # changed workloads, so the guard now covers them again.
-BASELINE_EXEMPT: set[str] = {
-    # r13: q_nb_quality_classifier's workload changed — the vocab-sized
-    # weight table was replaced by the capped top-K + hashed-tail
-    # estimator (VERDICT r12 #1). Prune once a BENCH file recorded
-    # under the capped workload becomes the baseline.
-    "q_nb_quality_classifier",
-    # r13: q_adversarial_skew_report gained the selection-family legs
-    # (10⁶-token mega-doc + NB/DSIR pricing — VERDICT r12 #5): real
-    # added work, not a regression. Prune with the next baseline.
-    "q_adversarial_skew_report",
-}
+BASELINE_EXEMPT: set[str] = set()
+# (r13's q_nb_quality_classifier and q_adversarial_skew_report
+# exemptions were pruned in r14: the committed r13 BENCH_LOCAL.json
+# baseline already times the capped-NB and grown-skew workloads, so
+# the guard covers both again — VERDICT r13 #5.)
 # (r9's q_ngram_containment_pairs exemption — df-capped candidate
 # generation changed the workload — was pruned the same round: the
 # promoted BENCH_LOCAL.json baseline already times the capped shape.)
