@@ -362,13 +362,17 @@ class GenerationalStore:
         if validate is not None:
             validate(bounds, gen0)
         if bounds["lo"] is not None:
+            # no broadcast hint on the batch side: a bulk ingest can be
+            # arbitrarily large, and forcing it through the driver
+            # would OOM exactly when it matters (review r14) — AQE
+            # picks broadcast on its own when the batch is small
             n_live = (
                 self._live_ids(gen0)
                 .where(
                     (F.col(id_col) >= bounds["lo"])
                     & (F.col(id_col) <= bounds["hi"])
                 )
-                .join(F.broadcast(ids), id_col, "left_semi")
+                .join(ids, id_col, "left_semi")
                 .count()
             )
             if n_live:

@@ -232,17 +232,22 @@ class PostingsIndex(GenerationalStore):
         # predicates skip. Term lookups only get finer pruning.
         # Impact mode writes doclens FIRST — (doc_id, dl, maxtf, blk),
         # blk from the (maxtf DESC, dl ASC) impact ordering — then
-        # reads it back for the postings join, so the maxtf groupBy and
-        # the histogram run exactly once and both stores carry the
-        # identical doc→block assignment. Both stores cluster on blk
-        # so the kept/seed BLK ranges (not doc-id ranges) reach the
-        # footers.
+        # reads it back for the postings join, so both stores carry
+        # the identical doc→block assignment. The tf table itself is
+        # eager-checkpointed: maxtf, the histogram, and the postings
+        # store all derive from it, and without the pin the tokenize +
+        # (word, doc) groupBy would run three times per build/ingest
+        # (review r14 — the exact recompute the r13 read-back fix
+        # removed). Both stores cluster on blk so the kept/seed BLK
+        # ranges (not doc-id ranges) reach the footers.
         dls = doc_lengths(docs, id_col, text_col)
+        tf_tbl = build_postings(docs, id_col, text_col)
         if impact:
+            tf_tbl = tf_tbl.localCheckpoint(eager=True)
             stats = dls.join(
-                build_postings(docs, id_col, text_col)
-                .groupBy(id_col)
-                .agg(F.max("tf").cast("long").alias("maxtf")),
+                tf_tbl.groupBy(id_col).agg(
+                    F.max("tf").cast("long").alias("maxtf")
+                ),
                 id_col,
             )
             offs = PostingsIndex._impact_offsets(stats).localCheckpoint(
@@ -262,7 +267,7 @@ class PostingsIndex(GenerationalStore):
                 os.path.join(out, "doclens")
             ).select(id_col, "dl", "blk")
         (
-            build_postings(docs, id_col, text_col)
+            tf_tbl
             .join(dls, id_col)
             .select(
                 "word", id_col, "tf", "dl",

@@ -625,6 +625,12 @@ class IvfIndex(GenerationalStore):
         ).select(c_id, "cell_id")
         (
             candidates.join(cells, c_id)
+            # range-cluster on (cell, id) from birth: files stay
+            # cell-local for partition pruning and ids are sorted
+            # within each file, so the add-segment disjointness
+            # range-prune has tight row-group stats (review r14)
+            .repartitionByRange(8, "cell_id", c_id)
+            .sortWithinPartitions("cell_id", c_id)
             .write.mode("errorifexists")
             .partitionBy("cell_id")
             .parquet(os.path.join(out_dir, "inverted"))
@@ -756,8 +762,16 @@ class IvfIndex(GenerationalStore):
         self.delete_ids(ids, id_col=id_col)
 
     def _live_ids(self, gen: str) -> DataFrame:
-        return self._union_store("inverted", gen=gen).select(
-            self._meta(gen)["id_col"]
+        """One row per live vector id: the inverted store replicates
+        each id n_assign times, so without the distinct the
+        disjointness conflict count would overstate by the replication
+        factor (review r14). The store clusters on (cell_id, id) —
+        see _write_inverted — so the range-prune still reaches the
+        row-group footers within each cell."""
+        return (
+            self._union_store("inverted", gen=gen)
+            .select(self._meta(gen)["id_col"])
+            .distinct()
         )
 
     def _compact_once(self, n_files: int = 16) -> int:

@@ -6691,8 +6691,29 @@ def index_stream_sink(path: str):
         except ValueError as e:
             if "already live" not in str(e):
                 raise  # tombstoned-id / duplicate-id: a REAL conflict
+            # "already live" is only a committed replay when EVERY
+            # batch id is live (the fold-then-redeliver case). A
+            # partial overlap — an at-least-once source re-emitting
+            # one old doc alongside fresh ones — must fail loudly, or
+            # the fresh docs silently vanish (review r14). The two
+            # verification jobs run only on this exception path.
+            ids = batch_df.select("doc_id").distinct()
+            n_live = ids.join(
+                idx._live_ids(idx._gen()), "doc_id", "left_semi"
+            ).count()
+            if n_live != ids.count():
+                raise
         except OSError:
-            return  # rename loser: a concurrent replay landed it
+            # benign ONLY as the rename-collision signature: a
+            # concurrent replay landed the segment first. Any other
+            # OSError (disk full, permissions) must fail the stream —
+            # swallowing it would advance the checkpoint past a batch
+            # that never landed (review r14).
+            if os.path.isdir(
+                os.path.join(idx._gen(), "segments", name)
+            ):
+                return
+            raise
 
     return ingest
 

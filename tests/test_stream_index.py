@@ -77,3 +77,27 @@ def test_middrain_tombstones_honored(spark, tmp_path):
     # and the pipeline keeps ingesting after the fold
     sink(_docs(spark, [(9, "merge sort")]), 2)
     assert _served(PostingsIndex(spark, path)) == {1, 3, 4, 9}
+
+
+def test_partial_overlap_batch_fails_loudly(spark, tmp_path):
+    """'already live' is only a committed replay when EVERY batch id
+    is live. A batch re-emitting one old doc alongside a fresh one
+    (at-least-once source weirdness) must fail the stream — swallowing
+    it would silently lose the fresh doc (review r14)."""
+    path = str(tmp_path / "sidx3")
+    PostingsIndex.build(spark, _docs(spark, []), path)
+    sink = index_stream_sink(path)
+    sink(_docs(spark, [(1, "hash join"), (2, "scan scan")]), 0)
+
+    # full replay with a DIFFERENT batch id after a compaction fold:
+    # every id live -> committed, no-op
+    idx = PostingsIndex(spark, path)
+    idx.delete_docs(spark.createDataFrame([(999,)], "doc_id BIGINT"))
+    idx.compact_segments()
+    sink(_docs(spark, [(1, "hash join"), (2, "scan scan")]), 5)
+    assert _served(PostingsIndex(spark, path)) == {1, 2}
+
+    # partial overlap: id 1 live, id 30 fresh -> must raise
+    with pytest.raises(ValueError, match="already live"):
+        sink(_docs(spark, [(1, "hash join"), (30, "merge sort")]), 6)
+    assert 30 not in _served(PostingsIndex(spark, path))
