@@ -935,6 +935,26 @@ def _block_ranges_pred(id_col: str, blocks: list[int], width: int):
 # lifts θ to near the true k-th best (measured at sf1: kept fell
 # 886 → 734 of 1563 blocks going 64 → 256; 512 added nothing).
 _SEED_WINDOW = 256
+# impact-mode seeding (see blockmax_prune_plan): top blocks by bound +
+# a strided diversity sample — sizes chosen so the seed scan stays
+# ~8k docs, same budget as the classic window
+_SEED_TOP = 128
+_SEED_STRIDE_N = 128
+# impact-mode kept-set cap: the broadcast-join strategy is bounded by
+# driver memory (longs), not by predicate codegen, so it can carry two
+# orders of magnitude more blocks than the classic range predicate
+_KEPT_JOIN_CAP = 1 << 20
+
+
+def _blk_df(spark: SparkSession, blks: list[int]):
+    return spark.createDataFrame([(int(b),) for b in blks], "blk BIGINT")
+
+
+def _coarse_blk_pred(col: str, blks: list[int]):
+    """One [min, max] range over a scattered block set — the part of
+    the selection parquet footers can act on; the broadcast join does
+    the exact membership."""
+    return (F.col(col) >= min(blks)) & (F.col(col) <= max(blks))
 _KEPT_CAP = 16384
 # Below this corpus size the full posting walk beats block-max's fixed
 # plan costs (~5 small driver-coordinated jobs; measured: full scan
@@ -1093,38 +1113,91 @@ def blockmax_prune_plan(
         plan.update(seed_blocks=[], seed_rows=0, theta_scaled=None,
                     kept_blocks=[])
         return plan
-    # seed selection: ONE CONTIGUOUS window of _SEED_WINDOW blocks
-    # anchored at the best-bounded block (top-1 by ub6, TakeOrdered).
-    # A contiguous window compiles to a single doc-id range the
-    # parquet row-group stats can actually skip — 64 SCATTERED top
-    # blocks made the seed scan read every hot row group (measured
-    # 7.5 s of the sf10 plan), while the window scan touches ~one row
-    # group per term. The anchor block still tends to hold top docs,
-    # so θ stays near the exact k-th best.
-    best = (
-        blocks.orderBy(F.desc("ub6"), F.asc("blk"))
-        .limit(1)
-        .collect()
-    )
-    b0 = int(best[0]["blk"])
-    seed_rows_df = (
-        blocks.where(
-            (F.col("blk") >= b0) & (F.col("blk") < b0 + _SEED_WINDOW)
+    # seed selection — MODE-DEPENDENT (r14):
+    #
+    # classic (doc-id blocks): ONE CONTIGUOUS window of _SEED_WINDOW
+    # blocks anchored at the best-bounded block (top-1 by ub6,
+    # TakeOrdered). A contiguous window compiles to a single doc-id
+    # range the parquet row-group stats can actually skip — 64
+    # SCATTERED top blocks made the seed scan read every hot row group
+    # (measured 7.5 s of the sf10 plan) — and doc-id neighbors are an
+    # effectively RANDOM doc sample, so θ lands near the true k-th
+    # best whenever near-top docs aren't vanishingly rare.
+    #
+    # impact: the contiguous window FAILS — impact clustering makes
+    # blk-neighbors HOMOGENEOUS (the anchor's neighborhood is all
+    # high-maxtf/low-dl docs whose bounds are inflated but whose
+    # query-term density is ordinary; measured at sf100: window θ
+    # 1.47 vs true 2.09, kept 95%, both pruning stages toothless). So
+    # the seed is the UNION of the top-_SEED_TOP blocks BY BOUND
+    # (catches genuinely skewed corpora: a block's bound dominates
+    # every member's score, so true-top blocks rank high) and a
+    # _SEED_STRIDE_N-block STRIDED sample across the blk space (the
+    # diversity that restores the random-sample behavior). Scattered
+    # ranges are cheap HERE because impact stores sort by (word, blk)
+    # with small row groups — the classic caveat doesn't apply.
+    if impact:
+        top_rows = (
+            blocks.orderBy(F.desc("ub6"), F.asc("blk"))
+            .select("blk", "nrows")
+            .limit(_SEED_TOP)
+            .collect()
         )
-        .select("blk", "nrows")
-        .collect()  # ≤ _SEED_WINDOW rows
-    )
-    seeds = sorted(int(r["blk"]) for r in seed_rows_df)
-    plan["seed_blocks"] = seeds
-    plan["seed_rows"] = sum(int(r["nrows"]) for r in seed_rows_df)
+        n_blocks = blocks.count()
+        stride = max(1, int(n_blocks) // _SEED_STRIDE_N)
+        strided_rows = (
+            blocks.where(F.pmod(F.col("blk"), F.lit(stride)) == 0)
+            .select("blk", "nrows")
+            .collect()  # ≈ blk-span/stride rows — seed-sized
+        )
+        by_blk = {
+            int(r["blk"]): int(r["nrows"])
+            for r in list(top_rows) + list(strided_rows)
+        }
+        seeds = sorted(by_blk)
+        plan["seed_blocks"] = seeds
+        plan["seed_rows"] = sum(by_blk.values())
+    else:
+        best = (
+            blocks.orderBy(F.desc("ub6"), F.asc("blk"))
+            .limit(1)
+            .collect()
+        )
+        b0 = int(best[0]["blk"])
+        seed_rows_df = (
+            blocks.where(
+                (F.col("blk") >= b0) & (F.col("blk") < b0 + _SEED_WINDOW)
+            )
+            .select("blk", "nrows")
+            .collect()  # ≤ _SEED_WINDOW rows
+        )
+        seeds = sorted(int(r["blk"]) for r in seed_rows_df)
+        plan["seed_blocks"] = seeds
+        plan["seed_rows"] = sum(int(r["nrows"]) for r in seed_rows_df)
     consts = _bm25_consts_df(spark, n_docs, total_dl)
-    pred = _block_ranges_pred(pred_col, seeds, pred_width)
+    seed_hits = index.postings(gen, segs=segs, dead=None).where(
+        F.col("word").isin(terms)
+    )
+    seed_dls = index.doclens(gen, segs=segs, dead=None)
+    if impact:
+        # SCATTERED block sets select via broadcast JOIN, never an
+        # OR-of-ranges predicate: ~250 disjuncts defeat whole-stage
+        # codegen and cost 83 s of interpreted filtering at sf100
+        # (r14 measurement) where the hash join costs ~nothing. One
+        # coarse [min, max] range rides along for parquet footer
+        # pruning. The postings embed dl, so seed_dls is never joined
+        # on this path — no filter needed there.
+        seed_hits = seed_hits.where(
+            _coarse_blk_pred(pred_col, seeds)
+        ).join(F.broadcast(_blk_df(spark, seeds)), pred_col)
+    else:
+        pred = _block_ranges_pred(pred_col, seeds, pred_width)
+        seed_hits = seed_hits.where(pred)
+        seed_dls = seed_dls.where(pred)
     top = (
         _bm25_per_doc(
-            index.postings(gen, segs=segs, dead=None).where(
-                F.col("word").isin(terms) & pred
-            ),
-            index.doclens(gen, segs=segs, dead=None).where(pred),
+            seed_hits,
+            seed_dls,
             dfreq_df,
             consts,
             k1,
@@ -1145,15 +1218,19 @@ def blockmax_prune_plan(
     theta_scaled = int(round(top[-1]["score"] * 1e6))
     plan["theta_scaled"] = theta_scaled
     # ONE job: collect up to cap+1 kept ids — if the cap overflows,
-    # pruning keeps too many blocks to be worth a range predicate and
-    # serving scans unpruned (a superset is always exact-safe)
+    # pruning keeps too many blocks to pay for itself and serving
+    # scans unpruned (a superset is always exact-safe). Impact mode
+    # serves the kept set via broadcast JOIN, which tolerates far
+    # larger sets than a range predicate (the cap is a driver-memory
+    # bound, ~2 MB of longs, not a codegen bound).
+    cap = _KEPT_JOIN_CAP if impact else _KEPT_CAP
     kept_rows = (
         blocks.where(F.col("ub6") >= F.lit(theta_scaled - plan["margin"]))
         .select("blk")
-        .limit(_KEPT_CAP + 1)
+        .limit(cap + 1)
         .collect()
     )
-    if len(kept_rows) > _KEPT_CAP:
+    if len(kept_rows) > cap:
         plan["kept_blocks"] = None
     else:
         plan["kept_blocks"] = sorted(int(r["blk"]) for r in kept_rows)
@@ -1202,26 +1279,31 @@ def bm25_topk_blockmax(
     id_col = plan["id_col"]
     spark = index.spark
     kept = plan["kept_blocks"]
-    if kept is None or not kept:
-        # None: no provable threshold, or too many kept blocks for a
-        # range predicate — scan unpruned (exact superset). Empty
-        # list: zero candidate postings — the full path returns the
-        # same empty result with the right schema. Either way the
-        # stats-derived df/consts literals keep the expression tree
-        # identical to the pruned branch.
-        pred = None
-    else:
-        pred = _block_ranges_pred(
-            plan["pred_col"], kept, plan["pred_width"]
-        )
     hits = index.postings(
         plan["_gen"], segs=plan["_segs"], dead=None
     ).where(F.col("word").isin(terms))
     # doclens passes through UNFILTERED: the index postings embed dl,
     # so _bm25_per_doc never joins it on this path
     dls = index.doclens(plan["_gen"], segs=plan["_segs"], dead=None)
-    if pred is not None:
-        hits = hits.where(pred)
+    if kept is None or not kept:
+        # None: no provable threshold, or too many kept blocks to pay
+        # for itself — scan unpruned (exact superset). Empty list:
+        # zero candidate postings — the full path returns the same
+        # empty result with the right schema. Either way the
+        # stats-derived df/consts literals keep the expression tree
+        # identical to the pruned branch.
+        pass
+    elif plan["impact"]:
+        # scattered kept blocks: coarse range for the footers +
+        # broadcast join for exact membership (see the seed-scan
+        # rationale in blockmax_prune_plan)
+        hits = hits.where(
+            _coarse_blk_pred(plan["pred_col"], kept)
+        ).join(F.broadcast(_blk_df(spark, kept)), plan["pred_col"])
+    else:
+        hits = hits.where(
+            _block_ranges_pred(plan["pred_col"], kept, plan["pred_width"])
+        )
     # per-posting bound pruning BEFORE the per-doc shuffle — the stage
     # that bites even when block bounds are flat (uniform corpora with
     # dense query terms saturate per-block maxima): only postings that

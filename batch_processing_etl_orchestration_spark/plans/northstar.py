@@ -2795,8 +2795,9 @@ def _impact_index(spark: SparkSession, sf_dir: str):
     # The impact-ordered pruning chain, recomputed independently: the
     # (maxtf DESC, dl ASC) histogram offsets, the mod-spread block
     # assignment (plain % — chosen over a hash precisely so this oracle
-    # CAN reproduce it), per-(word, blk) bounds, the 256-block seed
-    # window, the k-th seed threshold, and both pruning stages.
+    # CAN reproduce it), per-(word, blk) bounds, the seed set (top-128
+    # blocks by bound ∪ a 128-target strided sample — impact-mode
+    # seeding), the k-th seed threshold, and both pruning stages.
     oracle="""
     WITH dl AS MATERIALIZED (
       SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
@@ -2853,11 +2854,15 @@ def _impact_index(spark: SparkSession, sf_dir: str):
       FROM stats s JOIN dfreq d USING (word) CROSS JOIN consts c
       GROUP BY 1
     ),
-    best AS (SELECT blk FROM ub ORDER BY ub6 DESC, blk LIMIT 1),
+    topseed AS (
+      SELECT blk, nrows FROM ub ORDER BY ub6 DESC, blk LIMIT 128
+    ),
+    nblk AS (SELECT COUNT(*) AS n FROM ub),
     seeds AS MATERIALIZED (
+      SELECT blk, nrows FROM topseed
+      UNION
       SELECT blk, nrows FROM ub
-      WHERE blk >= (SELECT blk FROM best)
-        AND blk < (SELECT blk FROM best) + 256
+      WHERE blk % GREATEST(1, (SELECT n FROM nblk) // 128) = 0
     ),
     seed_scores AS MATERIALIZED (
       SELECT t.doc_id,
@@ -2949,8 +2954,12 @@ def q_bm25_impact_prune_report(
     never engages (the honest r13 caveat); impact ordering clusters
     the high-potential docs into a thin block prefix, so the bound
     distribution spreads and the threshold actually drops blocks —
-    measured kept/candidate 886→734 of 1563 at sf1 while the doc-id
-    blocks kept all of them. Top-k results are unchanged (doc ids are
+    measured kept/candidate 8145 of 15566 at sf10 while the doc-id
+    blocks kept all 15625. Seeding is mode-specific: impact blocks
+    are HOMOGENEOUS neighborhoods, so the seed unions the
+    top-by-bound blocks with a strided diversity sample instead of
+    the classic contiguous window (the window's θ collapsed to 1.47
+    vs true 2.09 at sf100). Top-k results are unchanged (doc ids are
     never rewritten; blocking is physical geometry) — certified by
     test_impact_index_matches_full_scan_and_prunes — and the oracle
     reproduces the whole chain including the block ASSIGNMENT itself,
