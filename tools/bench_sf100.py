@@ -94,6 +94,16 @@ QUERIES_SELECTION = [
     # r14 (VERDICT r13 #4): rule-based quality gate — one linear scan
     "q_gopher_quality_rules",
 ]
+# r14 (VERDICT r13 #2): the ANN serving paths over the replicated
+# embeddings fixture — the lifecycle query exercises the segmented/
+# tombstoned IvfIndex at decade scale. Replicas duplicate vectors
+# verbatim (ids offset), so recall attestations are trivially met and
+# the decade measures THROUGHPUT of the probe/build machinery.
+QUERIES_SIMILARITY = [
+    "q_ann_ivf_lifecycle",
+    "q_ann_ivf_topk",
+    "q_ann_int8_topk",
+]
 
 
 def build(spark) -> None:
@@ -216,6 +226,40 @@ def build_customer(spark) -> None:
     print(f"sf100 customer: {n} rows in {time.perf_counter() - t0:.0f}s")
 
 
+def build_embeddings(spark) -> None:
+    """embeddings replicas for QUERIES_SIMILARITY — vec_id offset per
+    replica, vectors duplicated verbatim (make_sf1's construction)."""
+    from tools.make_sf1 import SRC, _maxp1, _replicate
+
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    marker = os.path.join(SF100, "_BUILD_OK_EMBEDDINGS")
+    if os.path.isfile(marker):
+        print("sf100 embeddings already built")
+        return
+    import shutil
+
+    os.makedirs(SF100, exist_ok=True)
+    vec_off = _maxp1(spark, "embeddings", "vec_id")
+    base = load_table(spark, SRC, "embeddings")
+    dest = os.path.join(SF100, "embeddings.parquet")
+    shutil.rmtree(dest, ignore_errors=True)
+    t0 = time.perf_counter()
+    for lo in range(0, REPLICAS, CHUNK):
+        reps = [
+            _replicate(base, r, {"vec_id": vec_off})
+            for r in range(lo, min(lo + CHUNK, REPLICAS))
+        ]
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionByName(df)
+        out.write.mode("append").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    with open(marker, "w") as f:
+        f.write(f"{n}\n")
+    print(f"sf100 embeddings: {n} rows in {time.perf_counter() - t0:.0f}s")
+
+
 def bench(spark, names: list[str]) -> None:
     from batch_processing_etl_orchestration_spark.plans import QUERIES
 
@@ -255,10 +299,10 @@ def main() -> None:
     if "--family" in sys.argv:
         idx = sys.argv.index("--family")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in (
-            "docs", "documents", "events", "streaming", "retrieval", "selection", "all"
+            "docs", "documents", "events", "streaming", "retrieval", "selection", "similarity", "all"
         ):
             sys.exit("usage: bench_sf100.py [--build-only|--bench-only] "
-                     "[--family docs|documents|events|streaming|retrieval|selection|all]")
+                     "[--family docs|documents|events|streaming|retrieval|selection|similarity|all]")
         family = sys.argv[idx + 1]
     names = {
         "docs": QUERIES_3,
@@ -267,9 +311,10 @@ def main() -> None:
         "streaming": QUERIES_STREAMING,
         "retrieval": QUERIES_RETRIEVAL,
         "selection": QUERIES_SELECTION,
+        "similarity": QUERIES_SIMILARITY,
         "all": QUERIES_3 + QUERIES_DOCUMENTS + QUERIES_EVENTS
                + QUERIES_STREAMING + QUERIES_RETRIEVAL
-               + QUERIES_SELECTION,
+               + QUERIES_SELECTION + QUERIES_SIMILARITY,
     }[family]
     if "--queries" in sys.argv:
         # resume/selective re-run: comma-separated names, must belong
@@ -314,6 +359,8 @@ def main() -> None:
             build_events_family(spark)
         if family in ("streaming", "retrieval", "all"):
             build_customer(spark)
+        if family in ("similarity", "all"):
+            build_embeddings(spark)
     if "--build-only" not in sys.argv:
         bench(spark, names)
     spark.stop()
