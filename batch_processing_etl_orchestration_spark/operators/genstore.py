@@ -276,6 +276,25 @@ class GenerationalStore:
         except (OSError, ValueError):
             return None
 
+    def _committed_segments(self, gen: str) -> set[str]:
+        """Every segment name ever FOLDED on this generation chain
+        (see _write_folded_manifest). Names still live as segment
+        dirs are NOT here — check the dir (or segment_committed)."""
+        m = self._read_folded(os.path.basename(os.path.normpath(gen)))
+        return set(m.get("committed_segments", [])) if m else set()
+
+    def segment_committed(self, name: str, gen: str | None = None) -> bool:
+        """True iff `name` was durably landed on this index — either
+        its segment dir is live in the generation, or a compaction
+        folded it (the cumulative ledger remembers). THE replay
+        check for exactly-once foreachBatch sinks: a True answer
+        means the batch's effects are already in the index state
+        (possibly net of later deletes) and must not be re-landed."""
+        g = gen or self._gen()
+        return os.path.isdir(
+            os.path.join(g, "segments", name)
+        ) or name in self._committed_segments(g)
+
     def _hop_from(self, cur_name: str, loc_name: str) -> dict | None:
         """The folded manifest of the generation that SNAPSHOT
         `loc_name` (the hop that could have folded artifacts living
@@ -348,12 +367,36 @@ class GenerationalStore:
         meta = self._meta()
         id_col = meta["id_col"]
         gen0 = self._gen()  # ONE generation for check + placement
+        if name in self._committed_segments(gen0):
+            # The name was landed once and FOLDED by a compaction —
+            # re-landing it is a replay whose physical marker (the
+            # segment dir) is gone. Without this ledger check the
+            # replay would re-index the batch even after its docs
+            # were tombstoned and compacted away (ADVICE r14:
+            # delete-before-checkpoint resurrection). Mirror the
+            # live-name collision signature (the atomic rename's
+            # FileExistsError family) so callers classify both the
+            # same way.
+            raise FileExistsError(
+                f"add_segment: segment name {name!r} was already "
+                "committed and folded by a compaction; a replay "
+                "must be treated as committed, not re-landed"
+            )
         bounds = ids.agg(
             F.min(id_col).alias("lo"),
             F.max(id_col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(id_col).alias("n_ids"),
         ).collect()[0]
+        if bounds["n"] == 0:
+            # Empty batches are ROUTINE in micro-batch ingestion.
+            # Landing one would write partitioned stores with zero
+            # dynamic partitions — a _SUCCESS-only directory that
+            # breaks schema inference on every later union read
+            # (ADVICE r14, verified on this Spark). No segment means
+            # no replay marker, which is safe: a redelivery of an
+            # empty batch is itself empty and no-ops again.
+            return
         if bounds["n"] != bounds["n_ids"]:
             raise ValueError(
                 f"add_segment: batch carries {bounds['n'] - bounds['n_ids']}"
@@ -551,9 +594,22 @@ class GenerationalStore:
     ) -> None:
         """Record EXACTLY what a compacted generation folded so a
         writer whose rename raced the snapshot can tell "already in
-        this base" from "stranded in the retired gen" (_chase)."""
+        this base" from "stranded in the retired gen" (_chase).
+
+        ``committed_segments`` is the CUMULATIVE ledger of every
+        segment name ever folded on this index's generation chain
+        (prior generation's ledger ∪ this fold's names). It is the
+        durable half of the exactly-once marker: the segment dir
+        itself disappears at the fold, and a streaming replay whose
+        batch was tombstoned AND compacted before the checkpoint
+        advanced would otherwise re-land it, resurrecting deleted
+        docs (ADVICE r14). Growth is one name per ingested batch —
+        metadata-scale by construction (a production deployment
+        would prune entries older than the sink's checkpoint
+        horizon)."""
         import json
 
+        prior = self._committed_segments(gen)
         with open(os.path.join(out, self._FOLDED), "w") as f:
             json.dump(
                 {
@@ -562,6 +618,9 @@ class GenerationalStore:
                     "tombstones": [
                         os.path.basename(t) for t in tomb_dirs
                     ],
+                    "committed_segments": sorted(
+                        prior | {os.path.basename(s) for s in segs}
+                    ),
                 },
                 f,
             )

@@ -947,7 +947,26 @@ _KEPT_JOIN_CAP = 1 << 20
 
 
 def _blk_df(spark: SparkSession, blks: list[int]):
-    return spark.createDataFrame([(int(b),) for b in blks], "blk BIGINT")
+    """Block-id membership frame for the broadcast join. The kept set
+    can reach _KEPT_JOIN_CAP ≈ 1M longs on the HOT serving path, and
+    a row-of-tuples createDataFrame re-serializes it one Python
+    object at a time — the collect+rebuild round-trip, not broadcast
+    size, was the sf100 latency cost (ADVICE r14). Ship it as ONE
+    Arrow batch instead: a pandas int64 frame with Arrow conversion
+    pinned on for the call."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"blk": pd.Series(blks, dtype="int64")})
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.createDataFrame(pdf)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _coarse_blk_pred(col: str, blks: list[int]):
@@ -1387,9 +1406,15 @@ def _posting_bound_keep(plan: dict, k1: float, b: float):
     the top-k — dropping per-posting (not per-doc) costs nothing and
     needs no cross-posting coordination. Each bound rounds to a scaled
     long before the integer sum (order-free, DuckDB-reproducible);
-    the margin (|terms|+2) absorbs every rounding slack. Much tighter
-    than a pure doc-level bound: the dominant term's saturated global
-    max_tf is replaced by the posting's actual tf."""
+    the margin is |terms|+2 — Σ-of-rounds vs round-of-Σ slack plus
+    fold/ulp dust — PLUS, when round_to < 6, ceil(0.5·10^(6-round_to))
+    for the half-ulp at the public rounding precision: a doc up to
+    half an ulp below the k-th seed score still TIES it at round_to
+    precision and can win the doc_id tiebreak, so θ must slacken by
+    that much in 1e6 units (the same margin blockmax_prune_plan
+    computes — see its construction). Much tighter than a pure
+    doc-level bound: the dominant term's saturated global max_tf is
+    replaced by the posting's actual tf."""
     total6 = None
     own6 = None
     for w in sorted(plan["df"]):

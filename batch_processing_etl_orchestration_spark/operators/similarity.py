@@ -623,8 +623,23 @@ class IvfIndex(GenerationalStore):
         cells = _nearest_cells(
             candidates, c_id, c_vec, centroids, n_assign
         ).select(c_id, "cell_id")
+        joined = candidates.join(cells, c_id)
+        if joined.isEmpty():
+            # empty bootstrap build (a brand-new streaming ingest):
+            # a partitionBy write of zero rows is _SUCCESS-only and
+            # unreadable (ADVICE r14) — publish a schema-bearing
+            # non-partitioned empty store instead
+            (
+                joined.withColumn(
+                    "cell_id", F.col("cell_id").cast("int")
+                )
+                .coalesce(1)
+                .write.mode("errorifexists")
+                .parquet(os.path.join(out_dir, "inverted"))
+            )
+            return
         (
-            candidates.join(cells, c_id)
+            joined
             # range-cluster on (cell, id) from birth: files stay
             # cell-local for partition pruning and ids are sorted
             # within each file, so the add-segment disjointness
@@ -702,6 +717,18 @@ class IvfIndex(GenerationalStore):
             if centroids is not None
             else ivf_build_centroids(candidates, c_id, c_vec, n_cells, dim)
         )
+        # dim is FROZEN in generation meta and every later add_segment
+        # validates against it — so it must match the quantizer it is
+        # recorded beside (ADVICE r14: a mismatched centroids= was
+        # accepted and poisoned every later assignment). Driver-side,
+        # free: cent is n_cells rows of index metadata.
+        bad = [c for c, v in cent if len(v) != int(dim)]
+        if bad:
+            raise ValueError(
+                f"build: centroids for cells {bad[:5]} have dimension "
+                f"!= dim={dim}; the quantizer and the frozen meta "
+                "must agree"
+            )
         gen_name = f"gen-{_uuid.uuid4().hex[:12]}"
         gen_dir = os.path.join(path, gen_name)
         IvfIndex._write_inverted(
@@ -730,6 +757,31 @@ class IvfIndex(GenerationalStore):
         meta = self._meta()
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         n_assign = int(meta.get("n_assign", 2))
+        dim = int(meta.get("dim", 0))
+
+        def _validate(bounds, gen0):
+            # Frozen-dim enforcement (ADVICE r14): _nearest_cells
+            # zip-aggregates query×centroid coordinates, so a
+            # mismatched vector would silently get a wrong/null cell
+            # assignment instead of an error. One bounded probe
+            # (limit-1 early exit) before any store write.
+            if not dim:
+                return
+            n_bad = (
+                new_candidates.where(
+                    F.col(vec_col).isNull()
+                    | (F.size(vec_col) != F.lit(dim))
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"add_segment: batch carries vectors whose "
+                    f"dimension differs from the generation's frozen "
+                    f"dim={dim} (or null vectors); cell assignment "
+                    "would be silently wrong"
+                )
 
         def _write(tmp, gen0):
             self._write_inverted(
@@ -738,7 +790,8 @@ class IvfIndex(GenerationalStore):
             )
 
         self._land_segment(
-            new_candidates.select(F.col(id_col)), name, _write
+            new_candidates.select(F.col(id_col)), name, _write,
+            validate=_validate,
         )
 
     def add(self, new_candidates: DataFrame, n_assign: int = None) -> None:
@@ -795,17 +848,32 @@ class IvfIndex(GenerationalStore):
             merged = self._union_store(
                 "inverted", segs=segs, dead=dead, gen=gen
             )
-            # range-cluster on (cell_id, id): files stay cell-local for
-            # partition pruning AND a big cell splits across ~n_files
-            # tasks instead of one giant file; the id sort gives the
-            # add-segment disjointness scan tight row-group stats
-            (
-                merged.repartitionByRange(n_files, "cell_id", id_col)
-                .sortWithinPartitions("cell_id", id_col)
-                .write.mode("errorifexists")
-                .partitionBy("cell_id")
-                .parquet(os.path.join(out, "inverted"))
-            )
+            if merged.isEmpty():
+                # Deletes covered every vector: a partitionBy write
+                # of zero rows lands zero dynamic partitions — a
+                # _SUCCESS-only dir that fails schema inference on
+                # every later read (ADVICE r14, verified). Publish a
+                # schema-bearing NON-partitioned empty store instead
+                # (cell_id as a data column reads/unions/filters
+                # identically to a discovered partition column).
+                (
+                    merged.coalesce(1)
+                    .write.mode("errorifexists")
+                    .parquet(os.path.join(out, "inverted"))
+                )
+            else:
+                # range-cluster on (cell_id, id): files stay
+                # cell-local for partition pruning AND a big cell
+                # splits across ~n_files tasks instead of one giant
+                # file; the id sort gives the add-segment
+                # disjointness scan tight row-group stats
+                (
+                    merged.repartitionByRange(n_files, "cell_id", id_col)
+                    .sortWithinPartitions("cell_id", id_col)
+                    .write.mode("errorifexists")
+                    .partitionBy("cell_id")
+                    .parquet(os.path.join(out, "inverted"))
+                )
             # centroids are generation metadata: carried forward
             # verbatim (compaction never retrains — that is build's
             # job, explicitly)

@@ -6674,13 +6674,18 @@ def index_stream_sink(path: str):
     — segment-name = batch id IS the exactly-once marker. Replay
     handling, in order of where the redelivery can strike:
 
-    1. the segment dir already exists in the live generation → skip
-       before any Spark work (the common checkpoint-retry);
-    2. a compaction folded the segment between delivery and replay →
-       the landing protocol's id-disjointness check raises "already
-       live" → treated as committed, skip;
+    1. the segment dir already exists in the live generation, OR a
+       compaction folded it (the cumulative committed_segments
+       ledger in the folded manifest remembers every folded name —
+       ADVICE r14: without it, a batch tombstoned AND compacted away
+       before the checkpoint advanced would be re-landed on replay,
+       resurrecting the deleted docs) → skip before any Spark work;
+    2. a replay of a folded batch whose ids are STILL live → the
+       landing protocol's id-disjointness check raises "already
+       live" → treated as committed only when EVERY id is live;
     3. the rename itself loses (another replay landed it mid-flight)
-       → OSError from the atomic rename → committed, skip.
+       or the ledger check raises FileExistsError mid-race → OSError
+       family with segment_committed(name) True → committed, skip.
 
     Anything else propagates: a real failure must fail the stream,
     not be swallowed as a replay."""
@@ -6693,8 +6698,8 @@ def index_stream_sink(path: str):
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         name = f"batch-{batch_id}"
         idx = PostingsIndex(batch_df.sparkSession, path)
-        if os.path.isdir(os.path.join(idx._gen(), "segments", name)):
-            return  # replayed batch: already committed atomically
+        if idx.segment_committed(name):
+            return  # replayed batch: already committed (live or folded)
         try:
             idx.add_segment(batch_df.select("doc_id", "text"), name)
         except ValueError as e:
@@ -6713,14 +6718,13 @@ def index_stream_sink(path: str):
             if n_live != ids.count():
                 raise
         except OSError:
-            # benign ONLY as the rename-collision signature: a
-            # concurrent replay landed the segment first. Any other
+            # benign ONLY as the committed-collision signature: a
+            # concurrent replay landed the segment first, or the
+            # ledger check caught a folded name mid-race. Any other
             # OSError (disk full, permissions) must fail the stream —
             # swallowing it would advance the checkpoint past a batch
             # that never landed (review r14).
-            if os.path.isdir(
-                os.path.join(idx._gen(), "segments", name)
-            ):
+            if idx.segment_committed(name):
                 return
             raise
 

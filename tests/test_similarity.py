@@ -419,3 +419,67 @@ def test_ivf_probe_pinned_against_midprobe_publish(
     }
     assert fired
     assert got == expected  # the pinned snapshot, not the mixed state
+
+
+def test_ivf_empty_compaction_and_empty_batch_guards(spark, tmp_path):
+    """ADVICE r14 (medium): deleting EVERY vector then compacting
+    used to publish a partitionBy store with zero partitions — a
+    _SUCCESS-only dir that fails UNABLE_TO_INFER_SCHEMA on every
+    later read. The guard publishes a schema-bearing non-partitioned
+    empty store; probes return empty, and the index stays mutable.
+    Empty add_segment batches (routine in micro-batch ingestion)
+    no-op without landing a segment."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    q, c = _qc(spark)
+    small = c.where(F.col("cand_id") < 40)
+    path = str(tmp_path / "ivf_empty")
+    idx = IvfIndex.build(spark, small, path, n_cells=4, dim=64)
+
+    # empty batch: no-op, no segment dir, index unchanged
+    idx.add_segment(small.where(F.lit(False)), "batch-empty")
+    assert idx._segment_dirs() == []
+
+    # delete EVERYTHING, compact: generation must stay readable
+    idx.delete_vectors(small.select("cand_id"))
+    idx.compact_segments()
+    assert idx._union_store("inverted").count() == 0
+    assert idx.probe(q, k=5, n_probe=2).count() == 0
+
+    # and the empty generation accepts new vectors again
+    idx.add_segment(small.where(F.col("cand_id") < 10), "batch-refill")
+    refilled = idx.probe(q, k=5, n_probe=4)
+    assert refilled.count() > 0
+
+
+def test_ivf_dim_validation(spark, tmp_path):
+    """ADVICE r14: a batch whose vectors mismatch the generation's
+    frozen dim must be rejected loudly (zip-aggregation would
+    silently mis-assign cells), and build(centroids=) must reject a
+    quantizer whose dimension disagrees with the dim it freezes."""
+    import pytest as _pytest
+
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    q, c = _qc(spark)
+    small = c.where(F.col("cand_id") < 40)
+    path = str(tmp_path / "ivf_dim")
+    idx = IvfIndex.build(spark, small, path, n_cells=4, dim=64)
+
+    bad = (
+        c.where((F.col("cand_id") >= 40) & (F.col("cand_id") < 44))
+        .withColumn("ce", F.slice(F.col("ce"), 1, 32))
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        idx.add_segment(bad, "batch-baddim")
+    assert idx._segment_dirs() == []  # nothing landed
+
+    with _pytest.raises(ValueError, match="dim"):
+        IvfIndex.build(
+            spark, small, str(tmp_path / "ivf_dim2"), dim=32,
+            centroids=idx.centroids,  # 64-d quantizer vs dim=32
+        )

@@ -101,3 +101,58 @@ def test_partial_overlap_batch_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="already live"):
         sink(_docs(spark, [(1, "hash join"), (30, "merge sort")]), 6)
     assert 30 not in _served(PostingsIndex(spark, path))
+
+
+def test_folded_then_deleted_batch_replay_does_not_resurrect(
+    spark, tmp_path
+):
+    """ADVICE r14: a batch lands, its docs are tombstoned, a
+    compaction folds BOTH the segment marker and the tombstones —
+    then the checkpoint replays the batch. Without the cumulative
+    committed_segments ledger the replay re-lands the batch and
+    resurrects the deleted docs; with it the name is known-committed
+    and the replay no-ops."""
+    path = str(tmp_path / "sidx4")
+    PostingsIndex.build(spark, _docs(spark, []), path)
+    sink = index_stream_sink(path)
+    sink(_docs(spark, [(1, "hash join"), (2, "scan scan")]), 0)
+    sink(_docs(spark, [(10, "merge sort"), (11, "sort spill")]), 1)
+
+    idx = PostingsIndex(spark, path)
+    idx.delete_docs(
+        spark.createDataFrame([(10,), (11,)], "doc_id BIGINT")
+    )
+    idx.compact_segments()  # folds batch-1's marker AND its tombstones
+    assert _served(PostingsIndex(spark, path)) == {1, 2}
+
+    sink(_docs(spark, [(10, "merge sort"), (11, "sort spill")]), 1)
+    assert _served(PostingsIndex(spark, path)) == {1, 2}  # stays deleted
+
+    # the ledger survives FURTHER compactions (carried forward)
+    idx2 = PostingsIndex(spark, path)
+    idx2.delete_docs(spark.createDataFrame([(999,)], "doc_id BIGINT"))
+    idx2.compact_segments()
+    sink(_docs(spark, [(10, "merge sort"), (11, "sort spill")]), 1)
+    assert _served(PostingsIndex(spark, path)) == {1, 2}
+
+    # direct add_segment with a folded name is the loud signature
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError, match="already\\s+committed"):
+        PostingsIndex(spark, path).add_segment(
+            _docs(spark, [(50, "fresh doc")]), "batch-1"
+        )
+
+
+def test_empty_batch_lands_no_segment(spark, tmp_path):
+    """Empty micro-batches are routine; landing one would write a
+    _SUCCESS-only partitioned store that breaks later reads (ADVICE
+    r14). The landing protocol no-ops instead — no marker, no dir."""
+    path = str(tmp_path / "sidx5")
+    PostingsIndex.build(spark, _docs(spark, []), path)
+    sink = index_stream_sink(path)
+    sink(_docs(spark, []), 0)
+    idx = PostingsIndex(spark, path)
+    assert idx._segment_dirs() == []
+    sink(_docs(spark, [(1, "hash join")]), 1)
+    assert _served(PostingsIndex(spark, path)) == {1}
