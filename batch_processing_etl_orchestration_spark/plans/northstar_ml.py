@@ -326,6 +326,135 @@ def q_ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_attestation(idx.probe(q, k=10, n_probe=4), q, c_live)
 
 
+def ivf_stream_sink(path: str):
+    """foreachBatch sink for streaming VECTOR-index maintenance
+    (VERDICT r14 #2) — the index_stream_sink pattern applied to
+    IvfIndex: each micro-batch lands as a segment named by its batch
+    id (segment-name = batch id IS the exactly-once marker, durable
+    across compactions via the committed_segments ledger). Replay
+    taxonomy identical to the text sink:
+
+    1. segment_committed(name) — live dir or folded ledger → skip
+       before any Spark work;
+    2. "already live" from the id-disjointness check → committed only
+       when EVERY batch id is live (partial overlap fails loudly);
+    3. OSError family with segment_committed True → a concurrent
+       replay landed it → skip. Anything else fails the stream."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        name = f"batch-{batch_id}"
+        idx = IvfIndex.load(batch_df.sparkSession, path)
+        if idx.segment_committed(name):
+            return
+        try:
+            idx.add_segment(batch_df.select("cand_id", "ce"), name)
+        except ValueError as e:
+            if "already live" not in str(e):
+                raise  # tombstoned / duplicate / dim mismatch: REAL
+            ids = batch_df.select("cand_id").distinct()
+            n_live = ids.join(
+                idx._live_ids(idx._gen()), "cand_id", "left_semi"
+            ).count()
+            if n_live != ids.count():
+                raise
+        except OSError:
+            if idx.segment_committed(name):
+                return
+            raise
+
+    return ingest
+
+
+@register(
+    "q_stream_ivf_maintain",
+    # post-drain serving must reach the same recall attestation as the
+    # one-shot ANN build — the oracle IS the ANN family's SQL
+    oracle=_ANN_ORACLE,
+    tags=("streaming", "similarity", "ann", "ivf", "incremental"),
+)
+def q_stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-index maintenance (VERDICT r14 #2): a platform
+    ingests embeddings continuously, so the IVF index must grow by
+    MICRO-BATCH, not rebuild. The quantizer is trained ONCE on the
+    historical corpus and FROZEN (the production shape: centroid
+    retraining is a rebuild decision, not an ingest side effect — at
+    100 TB the trainer runs on a sample, here on the deterministic
+    full-table k-means of ivf_build_centroids); the index then
+    bootstraps EMPTY and vectors arrive as 4 ordered micro-batches
+    (maxFilesPerTrigger=1 over a cand_id-ranged copy) draining
+    through foreachBatch → IvfIndex.add_segment with segment-name =
+    batch id as the exactly-once marker (redelivery no-ops and
+    mid-drain delete_vectors are pinned in tests/test_stream_ivf.py).
+
+    After the availableNow drain, the probe over the segmented index
+    must reach the same per-query recall attestation as q_ann_ivf_topk
+    over a one-shot build: segment-union inverted lists under one
+    frozen quantizer are indistinguishable from a batch build, so no
+    micro-batching of arrivals can change any cell assignment or any
+    cosine score.
+
+    Scale: per-batch cost is the batch's own centroid assignment +
+    clustered segment write plus one bounded disjointness probe —
+    tracks ARRIVAL RATE, not index size; compact_segments is the
+    merge policy when segment fan-out grows (SCALE.md §segment
+    fan-out)."""
+    import os
+    import shutil
+
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+        ivf_build_centroids,
+    )
+    from batch_processing_etl_orchestration_spark.tables import (
+        build_once,
+        fixture_cache_dir,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    src = build_once(
+        sf_dir,
+        "embeddings.parquet",
+        "stream_ivf_src",
+        lambda p: c.repartitionByRange(4, "cand_id")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    run = fixture_cache_dir(sf_dir, "embeddings.parquet", "stream_ivf_run")
+    shutil.rmtree(run, ignore_errors=True)  # the scenario mutates state
+    path = os.path.join(run, "index")
+    ckpt = os.path.join(run, "ckpt")
+    cent = ivf_build_centroids(c, "cand_id", "ce", n_cells=8, dim=64)
+    IvfIndex.build(
+        spark,
+        spark.createDataFrame([], "cand_id BIGINT, ce ARRAY<DOUBLE>"),
+        path,
+        dim=64,
+        centroids=cent,
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(ivf_stream_sink(path))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    idx = IvfIndex.load(spark, path)
+    q, c_att = _ann_queries_candidates(spark, sf_dir)
+    return _ann_recall_attestation(idx.probe(q, k=10, n_probe=4), q, c_att)
+
+
 @register(
     "q_embedding_near_dup_lsh",
     oracle=f"""
