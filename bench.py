@@ -239,8 +239,10 @@ BENCH_QUERIES = [
     "q_ann_ivf_lifecycle",
     "q_stream_index_maintain",
     "q_corpus_assembly_v2",
-    # r15: streaming vector-index maintenance (VERDICT r14 #2)
+    # r15: streaming vector-index maintenance (VERDICT r14 #2) and
+    # streamed impact-ordered text-index maintenance (VERDICT r14 #6)
     "q_stream_ivf_maintain",
+    "q_stream_index_maintain_impact",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

