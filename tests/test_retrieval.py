@@ -1404,3 +1404,71 @@ def test_impact_serving_plan_shape(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:400]
     assert "word" in pushed
+
+
+def test_hybrid_served_full_probe_equals_exact(spark):
+    """VERDICT r14 #3: the index-served hybrid RRF with every cell
+    probed (n_probe = n_cells) is hash-EQUAL (ordered) to the exact
+    hybrid — the vector leg's only approximation is cell pruning, and
+    the in-cell scoring kernel is the identical scaled-long cosine.
+    At the serving setting (n_probe=4) the fused-top-10 overlap is 8
+    of 10 on the sf0.01 fixture — comfortably above the query's 0.5
+    attestation floor."""
+    from pyspark.sql import Window
+
+    from batch_processing_etl_orchestration_spark.operators.retrieval import (
+        bm25_topk_blockmax,
+    )
+    from batch_processing_etl_orchestration_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        _BM25_TERMS,
+        _impact_index,
+        _ivf_full_index,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    text = bm25_topk_blockmax(_impact_index(spark, sf), _BM25_TERMS, k=50)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tr = text.select("doc_id", F.row_number().over(w).alias("r_text"))
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    idx_v = _ivf_full_index(spark, sf)
+
+    def fuse(vr):
+        return [
+            r["doc_id"]
+            for r in (
+                tr.join(vr, "doc_id", "full_outer")
+                .select(
+                    "doc_id",
+                    (
+                        F.coalesce(1.0 / (60 + F.col("r_text")), F.lit(0.0))
+                        + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0))
+                    ).alias("rrf"),
+                )
+                .orderBy(F.desc("rrf"), F.asc("doc_id"))
+                .limit(10)
+                .collect()
+            )
+        ]
+
+    def vleg(n_probe):
+        return idx_v.probe(q, k=50, n_probe=n_probe).select(
+            F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_vec")
+        )
+
+    exact = fuse(
+        brute_force_topk(q, c, k=50).select(
+            F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_vec")
+        )
+    )
+    assert fuse(vleg(8)) == exact  # full probe: ordered hash equality
+    assert len(set(fuse(vleg(4))) & set(exact)) >= 8  # serving setting
