@@ -589,6 +589,30 @@ class GenerationalStore:
             except Exception as second:
                 raise second from first
 
+    # Segment fan-out threshold for maybe_compact — the measured knee
+    # of the serving-cost-vs-fan-out curve at sf10 (SCALE.md §segment
+    # fan-out): per-segment stores add scan/union overhead roughly
+    # linearly while per-segment block maxima stay discriminative, so
+    # compaction buys back serving latency but costs a full fold. 16
+    # keeps warm BM25 serving within ~1.2x of the one-shot build while
+    # amortizing the fold over 16 ingested batches.
+    MAX_SEGMENTS = 16
+
+    def maybe_compact(
+        self, max_segments: int | None = None, n_files: int = 16
+    ) -> int:
+        """The compaction TRIGGER policy (VERDICT r14 #4): fold when
+        segment fan-out reaches the threshold, else no-op. Callers on
+        the ingest path (the foreachBatch sinks) invoke this after
+        every landing; the threshold bounds both the serving-time
+        union width and the per-query segment-listing cost without
+        paying a full fold per batch. Returns segments folded (0 when
+        below threshold)."""
+        limit = self.MAX_SEGMENTS if max_segments is None else max_segments
+        if len(self._segment_dirs()) < limit:
+            return 0
+        return self.compact_segments(n_files)
+
     def _write_folded_manifest(
         self, out: str, gen: str, segs: list[str], tomb_dirs: list[str]
     ) -> None:

@@ -7096,6 +7096,10 @@ def index_stream_sink(path: str):
             return  # replayed batch: already committed (live or folded)
         try:
             idx.add_segment(batch_df.select("doc_id", "text"), name)
+            # fold when fan-out hits the measured threshold (VERDICT
+            # r14 #4, SCALE.md §segment fan-out) — the ingest path owns
+            # its merge policy instead of leaving compaction test-only
+            idx.maybe_compact()
         except ValueError as e:
             if "already live" not in str(e):
                 raise  # tombstoned-id / duplicate-id: a REAL conflict

@@ -351,6 +351,8 @@ def ivf_stream_sink(path: str):
             return
         try:
             idx.add_segment(batch_df.select("cand_id", "ce"), name)
+            # fold at the measured fan-out threshold (VERDICT r14 #4)
+            idx.maybe_compact()
         except ValueError as e:
             if "already live" not in str(e):
                 raise  # tombstoned / duplicate / dim mismatch: REAL
