@@ -589,13 +589,16 @@ class GenerationalStore:
             except Exception as second:
                 raise second from first
 
-    # Segment fan-out threshold for maybe_compact — the measured knee
-    # of the serving-cost-vs-fan-out curve at sf10 (SCALE.md §segment
-    # fan-out): per-segment stores add scan/union overhead roughly
-    # linearly while per-segment block maxima stay discriminative, so
-    # compaction buys back serving latency but costs a full fold. 16
-    # keeps warm BM25 serving within ~1.2x of the one-shot build while
-    # amortizing the fold over 16 ingested batches.
+    # Segment fan-out threshold for maybe_compact — measured at sf10
+    # (500k docs, SCALE.md §segment fan-out): warm BM25 serving costs
+    # ~0.55 s per live segment in per-store scan/union fixed overhead
+    # (6.2/7.4/14.5/42.9 s at 1/4/16/64 segments vs 4.7 s compacted)
+    # while per-segment block maxima stay fully discriminative at
+    # every fan-out (kept/candidate 6% at 4-64 segments). So the
+    # trigger trades serving latency against fold cost (35.7 s at
+    # sf10): 16 bounds worst-case serving at ~3x the compacted index
+    # while amortizing the fold to ~2.2 s per ingested batch —
+    # comparable to the batch's own landing cost.
     MAX_SEGMENTS = 16
 
     def maybe_compact(
