@@ -652,6 +652,40 @@ class GenerationalStore:
                 f,
             )
 
+    def _write_rebuild_manifest(self, out: str) -> None:
+        """A REBUILD — a fresh build() on a path that already has a
+        live generation (the documented retrain workflow) — folds
+        nothing, but publishing it without a manifest would SEVER the
+        committed_segments ledger: every previously folded batch name
+        would be forgotten, and a streaming checkpoint replay of a
+        batch whose docs were deleted before the rebuild would
+        re-land it (review r15 — the ADVICE r14 resurrection through
+        the retrain door). Carry forward the prior generation's
+        ledger PLUS its still-live segment names (the rebuild
+        replaces their data from source, so their write identity is
+        spent either way). No-op on a brand-new path."""
+        import json
+
+        cur = os.path.join(self.path, "current")
+        if not os.path.islink(cur):
+            return
+        gen = os.path.join(self.path, os.readlink(cur))
+        committed = self._committed_segments(gen) | {
+            os.path.basename(s) for s in self._segment_dirs(gen)
+        }
+        if not committed:
+            return
+        with open(os.path.join(out, self._FOLDED), "w") as f:
+            json.dump(
+                {
+                    "from_gen": os.path.basename(os.path.normpath(gen)),
+                    "segments": [],
+                    "tombstones": [],
+                    "committed_segments": sorted(committed),
+                },
+                f,
+            )
+
     def _publish_and_rescue(
         self,
         gen: str,

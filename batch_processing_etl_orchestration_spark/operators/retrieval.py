@@ -428,6 +428,9 @@ class PostingsIndex(GenerationalStore):
             gen_dir, id_col, text_col, block_width, impact=impact_ordered
         )
         idx = PostingsIndex(spark, path)
+        # a rebuild over a live index carries the committed-segments
+        # ledger forward (review r15 — see _write_rebuild_manifest)
+        idx._write_rebuild_manifest(gen_dir)
         idx._publish(gen_name)  # readers never see a half-built index
         return idx
 
@@ -958,15 +961,16 @@ def _blk_df(spark: SparkSession, blks: list[int]):
 
     pdf = pd.DataFrame({"blk": pd.Series(blks, dtype="int64")})
     key = "spark.sql.execution.arrow.pyspark.enabled"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        return spark.createDataFrame(pdf)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    # One-way idempotent enable, never restored (review r15): a
+    # set/createDataFrame/unset window races concurrent servers in
+    # the same session — an interleaved unset silently drops a peer
+    # back to the row-at-a-time path (the exact sf100 cost this
+    # exists to remove). Leaving Arrow on is semantics-preserving for
+    # this int64-only frame and for every other createDataFrame in
+    # the package (all literal-list schemas, Arrow-indifferent).
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+    return spark.createDataFrame(pdf)
 
 
 def _coarse_blk_pred(col: str, blks: list[int]):

@@ -619,12 +619,17 @@ class IvfIndex(GenerationalStore):
         c_id: str,
         c_vec: str,
         n_assign: int,
+        check_empty: bool = False,
     ) -> None:
+        # check_empty only on the build() path (review r15): segment
+        # landings are guaranteed non-empty by _land_segment's bounds
+        # guard, so the hot ingest path must not pay the extra
+        # limit-1 job evaluating the assignment join
         cells = _nearest_cells(
             candidates, c_id, c_vec, centroids, n_assign
         ).select(c_id, "cell_id")
         joined = candidates.join(cells, c_id)
-        if joined.isEmpty():
+        if check_empty and joined.isEmpty():
             # empty bootstrap build (a brand-new streaming ingest):
             # a partitionBy write of zero rows is _SUCCESS-only and
             # unreadable (ADVICE r14) — publish a schema-bearing
@@ -732,11 +737,15 @@ class IvfIndex(GenerationalStore):
         gen_name = f"gen-{_uuid.uuid4().hex[:12]}"
         gen_dir = os.path.join(path, gen_name)
         IvfIndex._write_inverted(
-            candidates, gen_dir, cent, c_id, c_vec, n_assign
+            candidates, gen_dir, cent, c_id, c_vec, n_assign,
+            check_empty=True,
         )
         IvfIndex._write_centroids(spark, gen_dir, cent)
         IvfIndex._write_meta(gen_dir, c_id, c_vec, dim, n_assign)
         idx = IvfIndex(spark, path, cent, c_id, c_vec)
+        # a rebuild (retrain) over a live index carries the committed-
+        # segments ledger forward (review r15 — _write_rebuild_manifest)
+        idx._write_rebuild_manifest(gen_dir)
         idx._publish(gen_name)
         return idx
 

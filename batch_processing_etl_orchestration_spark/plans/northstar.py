@@ -3388,11 +3388,7 @@ def _ivf_full_index(spark: SparkSession, sf_dir: str):
     path = build_once(
         sf_dir, "embeddings.parquet", "ivf_full", _build, layout=1
     )
-    from batch_processing_etl_orchestration_spark.operators.similarity import (
-        IvfIndex as _I,
-    )
-
-    return _I.load(spark, path)
+    return IvfIndex.load(spark, path)
 
 
 @register(
@@ -3446,9 +3442,12 @@ def q_hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_t = _impact_index(spark, sf_dir)
     text = bm25_topk_blockmax(idx_t, _BM25_TERMS, k=50)
     w_text = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # 50-row leg referenced by BOTH fusions — pin it, or Spark
+    # re-executes the whole pruned BM25 scan once per reference
+    # (review r15; the r13 lazy-reuse lesson)
     text_rank = text.select(
         "doc_id", F.row_number().over(w_text).alias("r_text")
-    )
+    ).localCheckpoint(eager=True)
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(
@@ -3473,7 +3472,13 @@ def q_hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10)
         )
 
-    served = _fuse(text_rank, vec_rank).select("doc_id")
+    # 10 rows, referenced by the hits join AND the final agg — pin so
+    # the IVF probe leg runs once (review r15)
+    served = (
+        _fuse(text_rank, vec_rank)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
 
     # in-query exact baseline: same text leg (lossless), brute-force
     # vector leg with the identical rounding kernel
@@ -7096,10 +7101,6 @@ def index_stream_sink(path: str):
             return  # replayed batch: already committed (live or folded)
         try:
             idx.add_segment(batch_df.select("doc_id", "text"), name)
-            # fold when fan-out hits the measured threshold (VERDICT
-            # r14 #4, SCALE.md §segment fan-out) — the ingest path owns
-            # its merge policy instead of leaving compaction test-only
-            idx.maybe_compact()
         except ValueError as e:
             if "already live" not in str(e):
                 raise  # tombstoned-id / duplicate-id: a REAL conflict
@@ -7125,6 +7126,14 @@ def index_stream_sink(path: str):
             if idx.segment_committed(name):
                 return
             raise
+        # Fold when fan-out hits the measured threshold (VERDICT r14
+        # #4, SCALE.md §segment fan-out) — the ingest path owns its
+        # merge policy. OUTSIDE the try (review r15): the just-landed
+        # segment makes segment_committed(name) true, so a real fold
+        # failure (disk full, permissions) caught by the replay
+        # handler above would be silently swallowed and the checkpoint
+        # would advance past a compaction that never happened.
+        idx.maybe_compact()
 
     return ingest
 

@@ -351,8 +351,6 @@ def ivf_stream_sink(path: str):
             return
         try:
             idx.add_segment(batch_df.select("cand_id", "ce"), name)
-            # fold at the measured fan-out threshold (VERDICT r14 #4)
-            idx.maybe_compact()
         except ValueError as e:
             if "already live" not in str(e):
                 raise  # tombstoned / duplicate / dim mismatch: REAL
@@ -366,6 +364,11 @@ def ivf_stream_sink(path: str):
             if idx.segment_committed(name):
                 return
             raise
+        # Fold at the measured fan-out threshold (VERDICT r14 #4) —
+        # OUTSIDE the try (review r15): a real fold failure must fail
+        # the stream, not be classified as a replay by the handlers
+        # above (the just-landed segment satisfies segment_committed).
+        idx.maybe_compact()
 
     return ingest
 

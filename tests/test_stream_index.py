@@ -275,3 +275,34 @@ def test_compaction_restores_one_shot_prune_geometry(spark):
         assert blkmap(idx_seg) == blkmap(idx_one)
         rep_after = _blockmax_report(spark, idx_seg).first().asDict()
         assert rep_after == rep_one
+
+
+def test_rebuild_carries_committed_ledger(spark, tmp_path):
+    """Review r15: a fresh build() on a live index (the documented
+    retrain workflow) must carry the committed-segments ledger — and
+    the still-live segment names — forward, or a checkpoint replay of
+    a batch deleted before the rebuild re-lands it (the ADVICE r14
+    resurrection through the retrain door)."""
+    path = str(tmp_path / "sidx_rb")
+    PostingsIndex.build(spark, _docs(spark, []), path)
+    sink = index_stream_sink(path)
+    sink(_docs(spark, [(1, "hash join"), (2, "scan scan")]), 0)
+    sink(_docs(spark, [(10, "merge sort"), (11, "sort spill")]), 1)
+
+    idx = PostingsIndex(spark, path)
+    idx.delete_docs(
+        spark.createDataFrame([(10,), (11,)], "doc_id BIGINT")
+    )
+    idx.compact_segments()  # ledger: batch-0, batch-1
+    # land one MORE batch that stays a live segment across the rebuild
+    sink(_docs(spark, [(20, "hash probe")]), 2)
+
+    # the retrain: rebuild from the surviving corpus on the same path
+    PostingsIndex.build(spark, _docs(spark, [(1, "hash join"), (2, "scan scan"), (20, "hash probe")]), path)
+
+    # replay of the deleted-and-folded batch: must NOT resurrect
+    sink(_docs(spark, [(10, "merge sort"), (11, "sort spill")]), 1)
+    assert _served(PostingsIndex(spark, path)) == {1, 2, 20}
+    # replay of the live-at-rebuild batch: write identity spent too
+    sink(_docs(spark, [(20, "hash probe"), (21, "fresh doc")]), 2)
+    assert 21 not in _served(PostingsIndex(spark, path))
