@@ -103,6 +103,12 @@ QUERIES_SIMILARITY = [
     "q_ann_ivf_lifecycle",
     "q_ann_ivf_topk",
     "q_ann_int8_topk",
+    # r15: measured at birth — streaming IVF maintenance (drains the
+    # whole replicated corpus through foreachBatch add_segment) and
+    # hybrid RRF served from the persisted text+vector indexes (cold
+    # pays both index builds)
+    "q_stream_ivf_maintain",
+    "q_hybrid_search_rrf_served",
 ]
 
 
