@@ -346,14 +346,20 @@ class GenerationalStore:
         name: str,
         write_to_tmp,
         validate=None,
+        extra_aggs=None,
     ) -> None:
         """The generic segment-landing protocol: id validation →
         tombstone pre-check → tmp write → atomic rename → chase →
-        tombstone re-check with retract. `ids` is a one-column
-        DataFrame of the batch's ids named as the index id column;
-        `write_to_tmp(tmp_dir, gen0)` writes every segment store;
-        `validate(bounds, gen0)` runs subclass checks after the
-        bounds job (bounds: Row with lo/hi/n/n_ids).
+        tombstone re-check with retract. `ids` is a DataFrame carrying
+        the batch's ids named as the index id column (plus any columns
+        `extra_aggs` needs); `write_to_tmp(tmp_dir, gen0, bounds)`
+        writes every segment store; `validate(bounds, gen0)` runs
+        subclass checks after the bounds job (bounds: Row with
+        lo/hi/n/n_ids plus any `extra_aggs` aliases — r15
+        optimization: subclass validations that are aggregations over
+        the batch ride the ONE bounds job instead of paying their own
+        scan; the IvfIndex dim check was a separate limit-1 action per
+        micro-batch).
 
         Id-disjointness is ENFORCED (review r14): an id already live
         in the base or another segment would double-count in derived
@@ -387,6 +393,7 @@ class GenerationalStore:
             F.max(id_col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(id_col).alias("n_ids"),
+            *(extra_aggs or ()),
         ).collect()[0]
         if bounds["n"] == 0:
             # Empty batches are ROUTINE in micro-batch ingestion.
@@ -404,11 +411,16 @@ class GenerationalStore:
             )
         if validate is not None:
             validate(bounds, gen0)
-        if bounds["lo"] is not None:
-            # no broadcast hint on the batch side: a bulk ingest can be
-            # arbitrarily large, and forcing it through the driver
-            # would OOM exactly when it matters (review r14) — AQE
-            # picks broadcast on its own when the batch is small
+        if bounds["lo"] is not None and self._live_count_hint(gen0) != 0:
+            # The sidecar hint (metadata only, no Spark job) proves an
+            # EMPTY index — the bootstrap ingest's first batch — so the
+            # disjointness scan is skipped outright (r15 optimization;
+            # tombstones can only hide rows, never add live ids).
+            # Otherwise: no broadcast hint on the batch side — a bulk
+            # ingest can be arbitrarily large, and forcing it through
+            # the driver would OOM exactly when it matters (review
+            # r14); AQE picks broadcast on its own when the batch is
+            # small.
             n_live = (
                 self._live_ids(gen0)
                 .where(
@@ -437,7 +449,7 @@ class GenerationalStore:
                 )
         seg_root = os.path.join(gen0, "segments")
         tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex[:8]}")
-        write_to_tmp(tmp, gen0)
+        write_to_tmp(tmp, gen0, bounds)
         final = os.path.join(seg_root, name)
         os.rename(tmp, final)  # atomic publish; raises if name exists
         # A compact_segments racing this call may have snapshot gen0's
@@ -508,6 +520,16 @@ class GenerationalStore:
         # Chase forward (re-applying an already-applied tombstone is
         # harmless: it hides rows that are already gone).
         self._chase("tombstones", tname, gen0)
+
+    def _live_count_hint(self, gen: str) -> int | None:
+        """Upper bound on the number of live ids in `gen`, derived
+        from sidecar METADATA only (no Spark job), or None when
+        unknown. A 0 answer lets _land_segment skip the
+        id-disjointness scan — correct because tombstones can only
+        hide rows, never add live ids, so an index whose stores all
+        record zero rows has no id to collide with. Subclasses
+        override where their stores carry row-count sidecars."""
+        return None
 
     def _tombstone_dirs(self, gen: str | None = None) -> list[str]:
         root = os.path.join(gen or self._gen(), "tombstones")

@@ -114,6 +114,12 @@ class PostingsIndex(GenerationalStore):
     # a block count.
     _BLOCK_DOCS = 32
 
+    # Scale-adaptive segment file sizing (r15): one file per this many
+    # docs per store, capped by the caller's n_files — micro-batches
+    # land single-file stores, bulk adds spread. ~32k docs of the
+    # fixture's ~50-word documents is a few MB of postings per file.
+    _SEG_DOCS_PER_FILE = 32_768
+
     _META_DEFAULT = {"id_col": "doc_id", "text_col": "text"}
 
     @staticmethod
@@ -230,32 +236,68 @@ class PostingsIndex(GenerationalStore):
         # A hot term spanning many small row groups gets narrow id
         # windows per group — that's what the seed/kept range
         # predicates skip. Term lookups only get finer pruning.
-        # Impact mode writes doclens FIRST — (doc_id, dl, maxtf, blk),
-        # blk from the (maxtf DESC, dl ASC) impact ordering — then
-        # reads it back for the postings join, so both stores carry
-        # the identical doc→block assignment. The tf table itself is
-        # eager-checkpointed: maxtf, the histogram, and the postings
-        # store all derive from it, and without the pin the tokenize +
-        # (word, doc) groupBy would run three times per build/ingest
-        # (review r14 — the exact recompute the r13 read-back fix
-        # removed). Both stores cluster on blk so the kept/seed BLK
-        # ranges (not doc-id ranges) reach the footers.
-        dls = doc_lengths(docs, id_col, text_col)
-        tf_tbl = build_postings(docs, id_col, text_col)
+        # ONE tokenize pass per build/ingest (r15 optimization, guide
+        # §2.3/§8: never scan the heavy opaque column twice when a
+        # lightweight derived table answers the question). The
+        # positional store carries EVERY token, so it is written FIRST
+        # and the other stores derive from its read-back: tf = rows
+        # per (word, doc), dl = Σ tf per doc (every token counted
+        # once — identical to size(split)), maxtf = max tf per doc.
+        # The old shape ran the text split three times (tf pass, dl
+        # pass, positions pass) plus two eager checkpoints; the new
+        # one scans raw text once and every derived pass is a
+        # column-pruned scan of the written (word, id[, pos]) parquet.
+        # Impact mode still writes doclens before postings —
+        # (doc_id, dl, maxtf, blk), blk from the (maxtf DESC, dl ASC)
+        # impact ordering — and reads it back for the postings join,
+        # so both stores carry the identical doc→block assignment.
+        # Both stores cluster on blk so the kept/seed BLK ranges (not
+        # doc-id ranges) reach the footers.
+        spark = docs.sparkSession
+        (
+            build_positional_postings(docs, id_col, text_col)
+            .repartitionByRange(n_files, "word")
+            .sortWithinPartitions("word", id_col, "pos")
+            .write.mode("errorifexists")
+            .parquet(os.path.join(out, "positions"))
+        )
+        tf_tbl = (
+            spark.read.parquet(os.path.join(out, "positions"))
+            .groupBy("word", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        stats = tf_tbl.groupBy(id_col).agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.max("tf").cast("long").alias("maxtf"),
+        )
         if impact:
-            tf_tbl = tf_tbl.localCheckpoint(eager=True)
-            stats = dls.join(
-                tf_tbl.groupBy(id_col).agg(
-                    F.max("tf").cast("long").alias("maxtf")
-                ),
-                id_col,
+            # The (maxtf, dl) histogram is broadcast-sized by contract
+            # (see _impact_offsets) — collect it ONCE and compute the
+            # exclusive prefix offsets with exact integer arithmetic
+            # on the driver: the offsets frame becomes a literal
+            # (no recompute per reference), and the corpus totals
+            # (n_docs = Σ cnt, total_dl = Σ dl·cnt) fall out for FREE,
+            # so the impact path skips the separate doclens read-back
+            # aggregation _write_corpus_stats would run.
+            hist = (
+                stats.groupBy("maxtf", "dl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
             )
-            offs = PostingsIndex._impact_offsets(stats).localCheckpoint(
-                eager=True
+            hist.sort(key=lambda r: (-r["maxtf"], r["dl"]))
+            offs_rows, run = [], 0
+            for r in hist:
+                offs_rows.append(
+                    (int(r["maxtf"]), int(r["dl"]), int(r["cnt"]), run)
+                )
+                run += int(r["cnt"])
+            offs = spark.createDataFrame(
+                offs_rows, "maxtf BIGINT, dl BIGINT, cnt BIGINT, off BIGINT"
             )
             (
                 PostingsIndex._with_impact_blk(
-                    stats, id_col, offs, blk_base
+                    stats.select(id_col, "dl", "maxtf"), id_col, offs,
+                    blk_base,
                 )
                 .select(id_col, "dl", "maxtf", "blk")
                 .repartitionByRange(max(1, n_files // 4), "blk")
@@ -263,9 +305,11 @@ class PostingsIndex(GenerationalStore):
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out, "doclens"))
             )
-            dls = docs.sparkSession.read.parquet(
+            dls = spark.read.parquet(
                 os.path.join(out, "doclens")
             ).select(id_col, "dl", "blk")
+        else:
+            dls = stats.select(id_col, "dl")
         (
             tf_tbl
             .join(dls, id_col)
@@ -294,20 +338,9 @@ class PostingsIndex(GenerationalStore):
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out, "doclens"))
             )
-        # positional postings share the word range-clustering, so a
-        # phrase's term scans prune to the same ~1 file per term
-        (
-            build_positional_postings(docs, id_col, text_col)
-            .repartitionByRange(n_files, "word")
-            .sortWithinPartitions("word", id_col, "pos")
-            .write.mode("errorifexists")
-            .parquet(os.path.join(out, "positions"))
-        )
-        # derived stores read BACK the just-written parquet instead
-        # of recomputing the tokenize/join pipelines over the raw docs
-        # (review r13: the recompute doubled every build/ingest's most
-        # expensive passes); postings already embed dl here
-        spark = docs.sparkSession
+        # blockstats read BACK the just-written parquet instead of
+        # recomputing the join pipeline (review r13); postings already
+        # embed dl (and blk in impact mode)
         PostingsIndex._write_blockstats(
             spark.read.parquet(os.path.join(out, "postings")),
             spark.read.parquet(os.path.join(out, "doclens")),
@@ -316,9 +349,23 @@ class PostingsIndex(GenerationalStore):
             block_width,
             n_files,
         )
-        PostingsIndex._write_corpus_stats(
-            spark.read.parquet(os.path.join(out, "doclens")), out
-        )
+        if impact:
+            import json
+
+            with open(os.path.join(out, "_corpus.json"), "w") as f:
+                json.dump(
+                    {
+                        "n_docs": sum(c for _, _, c, _ in offs_rows),
+                        "total_dl": sum(
+                            d * c for _, d, c, _ in offs_rows
+                        ),
+                    },
+                    f,
+                )
+        else:
+            PostingsIndex._write_corpus_stats(
+                spark.read.parquet(os.path.join(out, "doclens")), out
+            )
 
     @staticmethod
     def _write_corpus_stats(doclens: DataFrame, out: str) -> None:
@@ -502,7 +549,7 @@ class PostingsIndex(GenerationalStore):
                     "non-negative doc ids (SQL-portable modulo)"
                 )
 
-        def _write(tmp, gen0):
+        def _write(tmp, gen0, bounds):
             # the FROZEN build-time width keeps the doc→block mapping
             # consistent across base + segments (block-max pruning
             # relies on a doc occupying ONE block for every term it
@@ -513,8 +560,21 @@ class PostingsIndex(GenerationalStore):
             # an efficiency choice — two adds racing to the same base
             # would only merge bounds, never break exactness.
             # Compaction re-blocks globally.
+            # File count scales with the BATCH (r15 optimization,
+            # guide §6): `n_files` is the cap, the actual count grows
+            # one file per _SEG_DOCS_PER_FILE docs — a micro-batch
+            # lands 1 file per store instead of a fixed fan-out of
+            # near-empty files (which every later union read pays to
+            # list and open), while a bulk backfill still spreads.
+            eff_files = max(
+                1,
+                min(
+                    n_files,
+                    -(-int(bounds["n"]) // PostingsIndex._SEG_DOCS_PER_FILE),
+                ),
+            )
             self._write_stores(
-                docs, tmp, n_files, id_col, text_col,
+                docs, tmp, eff_files, id_col, text_col,
                 int(meta.get("block_width", 1)),
                 impact=impact,
                 blk_base=(
@@ -531,6 +591,22 @@ class PostingsIndex(GenerationalStore):
         apply the tombstone anti-join) — the add-segment disjointness
         view, range-prunable on the id-clustered store."""
         return self.doclens(gen).select(self._meta(gen)["id_col"])
+
+    def _live_count_hint(self, gen: str) -> int | None:
+        """Σ `_corpus.json` n_docs over base + segments — sidecar
+        metadata only, no Spark job (r15: lets the empty-bootstrap
+        ingest skip the disjointness scan). None when any store lacks
+        the sidecar (legacy layout — stay conservative)."""
+        import json
+
+        total = 0
+        for d in [gen] + self._segment_dirs(gen):
+            try:
+                with open(os.path.join(d, "_corpus.json")) as f:
+                    total += int(json.load(f)["n_docs"])
+            except (OSError, ValueError, KeyError):
+                return None
+        return total
 
     def _impact_blk_base(self, gen: str) -> int:
         """First free block id for a NEW segment on an impact-blocked
@@ -1127,6 +1203,16 @@ def blockmax_prune_plan(
             F.sum("_ub6").alias("ub6"),
             F.sum("df_blk").cast("long").alias("nrows"),
         )
+        # Pinned (r15 optimization, guide §2.4/§5): every later stage —
+        # impact seeding (top + count + strided), the kept-set collect,
+        # serving's kept join, and the attestation's totals — re-derives
+        # from this frame, and unpinned each action re-ran the
+        # blockstats scan + broadcast join + aggregation from scratch
+        # (measured: 6 sequential driver actions ≈ 1.7 s/report at
+        # sf0.1). One materialization; the frame is block-count-sized
+        # (≤ n_docs/_BLOCK_DOCS rows), the same bound the kept-set
+        # broadcast already relies on.
+        .localCheckpoint(eager=True)
     )
     # totals deliberately NOT computed here: serving doesn't need
     # them, and every extra stats job costs wall-clock at scale — the

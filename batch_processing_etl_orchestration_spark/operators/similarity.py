@@ -331,6 +331,7 @@ def _nearest_cells(
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
     n_probe: int,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, cell_id, cell_rank): the n_probe nearest centroids per
     vector by cosine. Since |v| is constant per vector, ranking by
@@ -363,17 +364,23 @@ def _nearest_cells(
             vmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             scores = (vmat @ cmat.T) / cnorm[None, :]
             top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
-                    "cell_id": cids[top.ravel()].astype("int32"),
-                    "cell_rank": np.tile(np.arange(1, k + 1), len(pdf)),
-                }
-            )
+            cols = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                "cell_id": cids[top.ravel()].astype("int32"),
+                "cell_rank": np.tile(np.arange(1, k + 1), len(pdf)),
+            }
+            if carry_vec:
+                # centroid-training support (r15): the per-cell mean
+                # pass needs the vector BESIDE its assignment — carry
+                # it through the same Arrow batch instead of paying a
+                # corpus-sized join back to the source
+                cols["_vec"] = np.repeat(pdf[vec_col].to_numpy(), k)
+            yield pd.DataFrame(cols)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} LONG, cell_id INT, cell_rank INT"
-    )
+    schema = f"{id_col} LONG, cell_id INT, cell_rank INT"
+    if carry_vec:
+        schema += ", _vec ARRAY<DOUBLE>"
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def ivf_build_centroids(
@@ -405,15 +412,23 @@ def ivf_build_centroids(
             .collect()
         )
     ]
-    exploded = vectors.select(
-        F.col(id_col).alias("_vid"), F.posexplode(vec_col).alias("pos", "val")
-    )
     cent = seeds
     for _ in range(max(1, n_iter)):
-        assign1 = _nearest_cells(vectors, id_col, vec_col, cent, 1)
+        # ONE pass per Lloyd iteration (r15 optimization): the
+        # assignment closure emits each vector BESIDE its nearest
+        # cell, so the per-cell means aggregate directly over
+        # (cell_id, pos, val) — the old shape re-scanned the table
+        # through a posexplode and shuffled every (id, pos, val) row
+        # through a corpus-sized join with the assignment before
+        # aggregating (guide §2.3: aggregate before you shuffle; the
+        # partial agg here ships n_cells × dim rows per task). The
+        # avg sees the identical row multiset.
+        assigned = _nearest_cells(
+            vectors, id_col, vec_col, cent, 1, carry_vec=True
+        )
         means = (
-            exploded.join(
-                assign1.select(F.col(id_col).alias("_vid"), "cell_id"), "_vid"
+            assigned.select(
+                "cell_id", F.posexplode("_vec").alias("pos", "val")
             )
             .groupBy("cell_id", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("w"))
@@ -620,29 +635,42 @@ class IvfIndex(GenerationalStore):
         c_vec: str,
         n_assign: int,
         check_empty: bool = False,
+        n_rows: int | None = None,
     ) -> None:
         # check_empty only on the build() path (review r15): segment
         # landings are guaranteed non-empty by _land_segment's bounds
-        # guard, so the hot ingest path must not pay the extra
-        # limit-1 job evaluating the assignment join
-        cells = _nearest_cells(
-            candidates, c_id, c_vec, centroids, n_assign
-        ).select(c_id, "cell_id")
-        joined = candidates.join(cells, c_id)
-        if check_empty and joined.isEmpty():
+        # guard, so the hot ingest path must not pay the extra job.
+        # The emptiness probe runs on CANDIDATES, not the assignment
+        # join (r15 optimization): the join is 1:n_assign per
+        # candidate, so it is empty iff candidates is, and probing the
+        # join evaluated the whole mapInPandas assignment pipeline
+        # (measured ~3 s of Python-worker/codegen for the answer
+        # "empty").
+        if check_empty and candidates.isEmpty():
             # empty bootstrap build (a brand-new streaming ingest):
             # a partitionBy write of zero rows is _SUCCESS-only and
             # unreadable (ADVICE r14) — publish a schema-bearing
-            # non-partitioned empty store instead
+            # non-partitioned empty store instead. Built from the
+            # candidate schema directly (same column order the join
+            # produces: key, remaining candidate columns, cell_id) so
+            # no assignment plan is ever evaluated on this path.
             (
-                joined.withColumn(
-                    "cell_id", F.col("cell_id").cast("int")
+                candidates.limit(0)
+                .select(
+                    F.col(c_id),
+                    *[c for c in candidates.columns if c != c_id],
                 )
+                .withColumn("cell_id", F.lit(0).cast("int"))
                 .coalesce(1)
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out_dir, "inverted"))
             )
+            IvfIndex._write_row_count(out_dir, 0)
             return
+        cells = _nearest_cells(
+            candidates, c_id, c_vec, centroids, n_assign
+        ).select(c_id, "cell_id")
+        joined = candidates.join(cells, c_id)
         (
             joined
             # range-cluster on (cell, id) from birth: files stay
@@ -655,6 +683,20 @@ class IvfIndex(GenerationalStore):
             .partitionBy("cell_id")
             .parquet(os.path.join(out_dir, "inverted"))
         )
+        if n_rows is not None:
+            # distinct-id count sidecar (r15): segment landings know
+            # the batch size from the bounds job for free; the hint
+            # lets _land_segment skip the disjointness scan on an
+            # all-zero (bootstrap) index
+            IvfIndex._write_row_count(out_dir, n_rows)
+
+    @staticmethod
+    def _write_row_count(out_dir: str, n: int) -> None:
+        import json
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "_corpus.json"), "w") as f:
+            json.dump({"n_docs": int(n)}, f)
 
     @staticmethod
     def _write_centroids(spark, gen_dir: str, centroids) -> None:
@@ -772,19 +814,10 @@ class IvfIndex(GenerationalStore):
             # Frozen-dim enforcement (ADVICE r14): _nearest_cells
             # zip-aggregates query×centroid coordinates, so a
             # mismatched vector would silently get a wrong/null cell
-            # assignment instead of an error. One bounded probe
-            # (limit-1 early exit) before any store write.
-            if not dim:
-                return
-            n_bad = (
-                new_candidates.where(
-                    F.col(vec_col).isNull()
-                    | (F.size(vec_col) != F.lit(dim))
-                )
-                .limit(1)
-                .count()
-            )
-            if n_bad:
+            # assignment instead of an error. The count rides the
+            # bounds job (r15: extra_aggs) instead of paying its own
+            # scan per micro-batch.
+            if dim and int(bounds["n_bad_dim"] or 0):
                 raise ValueError(
                     f"add_segment: batch carries vectors whose "
                     f"dimension differs from the generation's frozen "
@@ -792,15 +825,29 @@ class IvfIndex(GenerationalStore):
                     "would be silently wrong"
                 )
 
-        def _write(tmp, gen0):
+        def _write(tmp, gen0, bounds):
             self._write_inverted(
                 new_candidates, tmp, self._centroids(gen0),
                 id_col, vec_col, n_assign,
+                n_rows=int(bounds["n_ids"]),
             )
 
         self._land_segment(
-            new_candidates.select(F.col(id_col)), name, _write,
+            new_candidates.select(F.col(id_col), F.col(vec_col)),
+            name,
+            _write,
             validate=_validate,
+            extra_aggs=[
+                F.sum(
+                    F.when(
+                        F.col(vec_col).isNull()
+                        | (F.size(vec_col) != F.lit(dim)),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_bad_dim")
+            ]
+            if dim
+            else [F.lit(0).alias("n_bad_dim")],
         )
 
     def add(self, new_candidates: DataFrame, n_assign: int = None) -> None:
@@ -836,6 +883,22 @@ class IvfIndex(GenerationalStore):
             .distinct()
         )
 
+    def _live_count_hint(self, gen: str) -> int | None:
+        """Σ `_corpus.json` distinct-id counts over base + segments —
+        sidecar metadata only (r15: lets the empty-bootstrap ingest
+        skip the disjointness scan). None when any store predates the
+        sidecar (stay conservative)."""
+        import json
+
+        total = 0
+        for d in [gen] + self._segment_dirs(gen):
+            try:
+                with open(os.path.join(d, "_corpus.json")) as f:
+                    total += int(json.load(f)["n_docs"])
+            except (OSError, ValueError, KeyError):
+                return None
+        return total
+
     def _compact_once(self, n_files: int = 16) -> int:
         import uuid as _uuid
 
@@ -870,6 +933,7 @@ class IvfIndex(GenerationalStore):
                     .write.mode("errorifexists")
                     .parquet(os.path.join(out, "inverted"))
                 )
+                self._write_row_count(out, 0)
             else:
                 # range-cluster on (cell_id, id): files stay
                 # cell-local for partition pruning AND a big cell

@@ -2687,23 +2687,33 @@ def _blockmax_report(spark: SparkSession, idx) -> DataFrame:
     if plan is None:  # the fixture index is tombstone-free by build
         raise RuntimeError("blockmax plan unavailable on fixture index")
     blocks = plan["_blocks_df"]
-    tot = blocks.agg(
-        F.count(F.lit(1)).cast("long").alias("nb"),
-        F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("nr"),
-    ).first()
-    n_blocks_total, n_postings_total = int(tot["nb"]), int(tot["nr"])
     if plan["theta_scaled"] is None:
-        # no threshold → nothing pruned: kept == all candidates
-        n_blocks_kept, n_postings_kept = n_blocks_total, n_postings_total
-    else:
-        ktot = blocks.where(
-            F.col("ub6")
-            >= F.lit(int(plan["theta_scaled"]) - int(plan["margin"]))
-        ).agg(
+        tot = blocks.agg(
             F.count(F.lit(1)).cast("long").alias("nb"),
             F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("nr"),
         ).first()
-        n_blocks_kept, n_postings_kept = int(ktot["nb"]), int(ktot["nr"])
+        n_blocks_total, n_postings_total = int(tot["nb"]), int(tot["nr"])
+        # no threshold → nothing pruned: kept == all candidates
+        n_blocks_kept, n_postings_kept = n_blocks_total, n_postings_total
+    else:
+        # ONE fused agg for totals + kept (r15 optimization): the kept
+        # rows are `blocks` rows passing the threshold predicate, so
+        # conditional sums over one scan produce the identical four
+        # numbers the two sequential aggs did — one driver action
+        # instead of two (guide §1.2: remove passes).
+        _kept = F.col("ub6") >= F.lit(
+            int(plan["theta_scaled"]) - int(plan["margin"])
+        )
+        tot = blocks.agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("nr"),
+            F.count(F.when(_kept, F.lit(1))).cast("long").alias("knb"),
+            F.coalesce(
+                F.sum(F.when(_kept, F.col("nrows"))), F.lit(0)
+            ).cast("long").alias("knr"),
+        ).first()
+        n_blocks_total, n_postings_total = int(tot["nb"]), int(tot["nr"])
+        n_blocks_kept, n_postings_kept = int(tot["knb"]), int(tot["knr"])
     if plan["theta_scaled"] is None:
         n_bound_kept = n_postings_kept
     else:

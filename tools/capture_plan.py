@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') for named queries into plans/r15/.
+
+    python tools/capture_plan.py before q_bm25_topk q_hybrid_search_rrf
+    python tools/capture_plan.py after  q_bm25_topk
+
+Runs the query function (which for index/stream scenarios executes the
+build/drain side effects first — the captured plan is the plan of the
+RETURNED DataFrame, the query's registered result)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from batch_processing_etl_orchestration_spark.plans import QUERIES  # noqa: E402
+from batch_processing_etl_orchestration_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r15",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plan")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = QUERIES[name].fn(spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
