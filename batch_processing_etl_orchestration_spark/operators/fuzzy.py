@@ -321,9 +321,14 @@ def entropy_blocked_fuzzy_join(
 
     bounds = _entropy_boundaries(right, col, d, max_len)
     spark = right.sparkSession
-    bdf = spark.createDataFrame(
+    from batch_processing_etl_orchestration_spark.tables import local_rows_df
+
+    bdf = local_rows_df(
+        spark,
         bounds or [(0, *([0] * d))],
-        ["__len", *[f"__b{i}" for i in range(1, d + 1)]],
+        ", ".join(
+            f"{c} BIGINT" for c in ["__len", *[f"__b{i}" for i in range(1, d + 1)]]
+        ),
     )
 
     def explode_segs(df: DataFrame, keep: list[str], cname: str):

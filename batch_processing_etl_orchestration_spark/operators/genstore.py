@@ -411,11 +411,20 @@ class GenerationalStore:
             )
         if validate is not None:
             validate(bounds, gen0)
-        if bounds["lo"] is not None and self._live_count_hint(gen0) != 0:
-            # The sidecar hint (metadata only, no Spark job) proves an
-            # EMPTY index — the bootstrap ingest's first batch — so the
-            # disjointness scan is skipped outright (r15 optimization;
-            # tombstones can only hide rows, never add live ids).
+        if (
+            bounds["lo"] is not None
+            and self._live_count_hint(gen0) != 0
+            and not self._ids_past_watermark(gen0, int(bounds["lo"]))
+        ):
+            # Two sidecar fast paths (metadata only, no Spark job; r15
+            # optimization): the count hint proves an EMPTY index (the
+            # bootstrap ingest's first batch), and the id watermark
+            # proves an APPEND-ONLY batch — every incoming id is
+            # strictly above the maximum id any store ever recorded,
+            # so no live id can collide (stores are immutable and
+            # tombstones only hide rows, never add live ids). Either
+            # skips the disjointness scan outright; the steady-state
+            # ingest — monotone ids from a log — pays ZERO jobs here.
             # Otherwise: no broadcast hint on the batch side — a bulk
             # ingest can be arbitrarily large, and forcing it through
             # the driver would OOM exactly when it matters (review
@@ -530,6 +539,25 @@ class GenerationalStore:
         record zero rows has no id to collide with. Subclasses
         override where their stores carry row-count sidecars."""
         return None
+
+    def _live_id_hi_hint(self, gen: str) -> int | None:
+        """Upper bound on the maximum live id in `gen`, from sidecar
+        METADATA only (no Spark job), or None when unknown. Must
+        never under-report: _ids_past_watermark skips the
+        disjointness scan when a batch's min id exceeds it. Safe by
+        construction where subclasses record each store's actual max
+        id at write time — stores are immutable and tombstones only
+        hide rows, so a recorded max stays an upper bound forever.
+        Subclasses override where their sidecars carry it."""
+        return None
+
+    def _ids_past_watermark(self, gen: str, batch_lo: int) -> bool:
+        """True iff sidecar metadata PROVES the batch is append-only:
+        its smallest id is strictly above every id any live store
+        could hold (r15 optimization — the steady-state ingest of
+        monotone ids lands with zero disjointness jobs)."""
+        hi = self._live_id_hi_hint(gen)
+        return hi is not None and batch_lo > hi
 
     def _tombstone_dirs(self, gen: str | None = None) -> list[str]:
         root = os.path.join(gen or self._gen(), "tombstones")

@@ -214,6 +214,68 @@ class PostingsIndex(GenerationalStore):
         )
 
     @staticmethod
+    def _write_empty_stores(
+        docs: DataFrame,
+        out: str,
+        id_col: str,
+        impact: bool,
+    ) -> None:
+        """Schema-bearing zero-row stores for the empty bootstrap
+        build — column names, order and types identical to what
+        _write_stores emits (the id column's type comes from the
+        input frame; everything derived is the pipeline's BIGINT
+        casts, positions' pos is posexplode's INT)."""
+        from pyspark.sql import types as T
+
+        from batch_processing_etl_orchestration_spark.tables import empty_df
+
+        spark = docs.sparkSession
+        id_t = docs.schema[id_col].dataType
+        big = T.LongType()
+
+        def _w(store: str, fields) -> None:
+            # JVM-only empty frame (tables.empty_df): one trivial Range
+            # task guaranteed to emit a schema-bearing parquet file —
+            # createDataFrame([], ...) would plan a 32-slice Python RDD
+            # whose coalesce(1) write evaluates every slice
+            # sequentially through Python workers (measured ~5-7 s per
+            # store on local[32])
+            (
+                empty_df(
+                    spark,
+                    T.StructType([T.StructField(c, t) for c, t in fields]),
+                )
+                .write.mode("errorifexists")
+                .parquet(os.path.join(out, store))
+            )
+
+        _w(
+            "positions",
+            [("word", T.StringType()), (id_col, id_t), ("pos", T.IntegerType())],
+        )
+        _w(
+            "postings",
+            [("word", T.StringType()), (id_col, id_t), ("tf", big), ("dl", big)]
+            + ([("blk", big)] if impact else []),
+        )
+        _w(
+            "doclens",
+            [(id_col, id_t), ("dl", big)]
+            + ([("maxtf", big), ("blk", big)] if impact else []),
+        )
+        _w(
+            "blockstats",
+            [
+                ("word", T.StringType()),
+                ("blk", big),
+                ("max_tf", big),
+                ("min_dl", big),
+                ("df_blk", big),
+            ],
+        )
+        PostingsIndex._dump_corpus_json(out, 0, 0, None)
+
+    @staticmethod
     def _write_stores(
         docs: DataFrame,
         out: str,
@@ -278,7 +340,12 @@ class PostingsIndex(GenerationalStore):
             # (no recompute per reference), and the corpus totals
             # (n_docs = Σ cnt, total_dl = Σ dl·cnt) fall out for FREE,
             # so the impact path skips the separate doclens read-back
-            # aggregation _write_corpus_stats would run.
+            # aggregation _write_corpus_stats would run. The max doc
+            # id (the _land_segment append-only watermark) rides the
+            # doclens WRITE as an observed metric — same job, no
+            # extra pass (r15 optimization).
+            from pyspark.sql import Observation
+
             hist = (
                 stats.groupBy("maxtf", "dl")
                 .agg(F.count(F.lit(1)).alias("cnt"))
@@ -291,9 +358,18 @@ class PostingsIndex(GenerationalStore):
                     (int(r["maxtf"]), int(r["dl"]), int(r["cnt"]), run)
                 )
                 run += int(r["cnt"])
-            offs = spark.createDataFrame(
-                offs_rows, "maxtf BIGINT, dl BIGINT, cnt BIGINT, off BIGINT"
+            from batch_processing_etl_orchestration_spark.tables import (
+                local_rows_df,
             )
+
+            # Arrow LocalRelation, not a Python-RDD literal (r15): the
+            # offsets frame is broadcast into BOTH store writes below,
+            # and each broadcast of a list-backed frame re-runs its
+            # 32-slice Python scan (~0.5 s per action on local[32])
+            offs = local_rows_df(
+                spark, offs_rows, "maxtf BIGINT, dl BIGINT, cnt BIGINT, off BIGINT"
+            )
+            obs = Observation()
             (
                 PostingsIndex._with_impact_blk(
                     stats.select(id_col, "dl", "maxtf"), id_col, offs,
@@ -302,9 +378,16 @@ class PostingsIndex(GenerationalStore):
                 .select(id_col, "dl", "maxtf", "blk")
                 .repartitionByRange(max(1, n_files // 4), "blk")
                 .sortWithinPartitions("blk", id_col)
+                # observe sits ABOVE the repartition: range partitioning
+                # runs a sampling pass over its child, and a metrics
+                # node below it fires once per pass (measured: count
+                # doubles; max is idempotent but keep both placements
+                # consistent)
+                .observe(obs, F.max(F.col(id_col)).alias("hi"))
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out, "doclens"))
             )
+            id_hi = obs.get["hi"]
             dls = spark.read.parquet(
                 os.path.join(out, "doclens")
             ).select(id_col, "dl", "blk")
@@ -331,12 +414,33 @@ class PostingsIndex(GenerationalStore):
         )
         if not impact:
             # doclens clustered on the id so doc-id range predicates
-            # reach the parquet footers
+            # reach the parquet footers. Corpus stats (n_docs,
+            # total_dl) and the max-id watermark ride the SAME write
+            # as observed metrics — the separate read-back aggregation
+            # _write_corpus_stats ran per build/ingest is gone (r15
+            # optimization: one fewer action per micro-batch landing).
+            from pyspark.sql import Observation
+
+            obs = Observation()
             (
                 dls.repartitionByRange(max(1, n_files // 4), id_col)
                 .sortWithinPartitions(id_col)
+                # observe sits ABOVE the repartition: range partitioning
+                # runs a sampling pass over its child, and a metrics
+                # node below it fires once per pass — the count comes
+                # out DOUBLED (measured on this Spark)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("t"),
+                    F.max(F.col(id_col)).alias("hi"),
+                )
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out, "doclens"))
+            )
+            m = obs.get
+            PostingsIndex._dump_corpus_json(
+                out, int(m["n"] or 0), int(m["t"] or 0), m["hi"]
             )
         # blockstats read BACK the just-written parquet instead of
         # recomputing the join pipeline (review r13); postings already
@@ -350,40 +454,46 @@ class PostingsIndex(GenerationalStore):
             n_files,
         )
         if impact:
-            import json
-
-            with open(os.path.join(out, "_corpus.json"), "w") as f:
-                json.dump(
-                    {
-                        "n_docs": sum(c for _, _, c, _ in offs_rows),
-                        "total_dl": sum(
-                            d * c for _, d, c, _ in offs_rows
-                        ),
-                    },
-                    f,
-                )
-        else:
-            PostingsIndex._write_corpus_stats(
-                spark.read.parquet(os.path.join(out, "doclens")), out
+            PostingsIndex._dump_corpus_json(
+                out,
+                sum(c for _, _, c, _ in offs_rows),
+                sum(d * c for _, d, c, _ in offs_rows),
+                id_hi,
             )
 
     @staticmethod
-    def _write_corpus_stats(doclens: DataFrame, out: str) -> None:
-        """Persist (n_docs, total_dl) next to the stores — BM25's
-        corpus constants become index metadata (one tiny json per
-        base/segment, summed at read time) instead of a per-query
-        doclens aggregation."""
+    def _dump_corpus_json(out, n_docs, total_dl, id_hi) -> None:
+        """The per-store stats sidecar: (n_docs, total_dl) are BM25's
+        corpus constants — index metadata summed at read time instead
+        of a per-query doclens aggregation — and id_hi is the store's
+        max doc id, the _land_segment append-only watermark (omitted
+        when unknown; readers then fall back to the disjointness
+        scan)."""
         import json
 
-        row = doclens.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
-        ).first()
+        st = {"n_docs": int(n_docs), "total_dl": int(total_dl)}
+        if id_hi is not None:
+            st["id_hi"] = int(id_hi)
         with open(os.path.join(out, "_corpus.json"), "w") as f:
-            json.dump(
-                {"n_docs": int(row["n"] or 0),
-                 "total_dl": int(row["t"] or 0)},
-                f,
-            )
+            json.dump(st, f)
+
+    @staticmethod
+    def _write_corpus_stats(doclens: DataFrame, out: str, id_col=None) -> None:
+        """Aggregate-and-persist form of _dump_corpus_json, for
+        callers holding a finished doclens store (compaction). With
+        `id_col` the store's max id rides the same tiny aggregation
+        as the watermark."""
+        row = doclens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("t"),
+            *((F.max(F.col(id_col)).alias("hi"),) if id_col else ()),
+        ).first()
+        PostingsIndex._dump_corpus_json(
+            out,
+            int(row["n"] or 0),
+            int(row["t"] or 0),
+            row["hi"] if id_col else None,
+        )
 
     @staticmethod
     def _write_blockstats(
@@ -467,10 +577,22 @@ class PostingsIndex(GenerationalStore):
         )
         gen_name = f"gen-{uuid.uuid4().hex[:12]}"
         gen_dir = os.path.join(path, gen_name)
-        PostingsIndex._write_stores(
-            docs, gen_dir, n_files, id_col, text_col, block_width,
-            impact=impact_ordered,
-        )
+        if n == 0:
+            # Bootstrap fast path (r15 optimization): a brand-new
+            # streaming ingest builds its index EMPTY, and the full
+            # pipeline is ~5 shuffle-planned actions (plus the impact
+            # histogram collect) to produce zero rows. Write the four
+            # schema-bearing empty stores directly — same schemas the
+            # pipeline would emit, pinned by
+            # tests/test_retrieval.py::test_empty_build_fast_path.
+            PostingsIndex._write_empty_stores(
+                docs, gen_dir, id_col, impact_ordered
+            )
+        else:
+            PostingsIndex._write_stores(
+                docs, gen_dir, n_files, id_col, text_col, block_width,
+                impact=impact_ordered,
+            )
         PostingsIndex._write_meta(
             gen_dir, id_col, text_col, block_width, impact=impact_ordered
         )
@@ -607,6 +729,28 @@ class PostingsIndex(GenerationalStore):
             except (OSError, ValueError, KeyError):
                 return None
         return total
+
+    def _live_id_hi_hint(self, gen: str) -> int | None:
+        """Max `_corpus.json` id_hi over base + segments — the
+        append-only watermark _land_segment's fast path checks
+        (sidecar metadata only, no Spark job; r15 optimization).
+        Empty stores (n_docs == 0) contribute nothing; a non-empty
+        store without the key (pre-watermark layout) makes the
+        answer unknown — stay conservative and scan."""
+        import json
+
+        hi = None
+        for d in [gen] + self._segment_dirs(gen):
+            try:
+                with open(os.path.join(d, "_corpus.json")) as f:
+                    st = json.load(f)
+                if int(st["n_docs"]) == 0:
+                    continue
+                h = int(st["id_hi"])
+            except (OSError, ValueError, KeyError, TypeError):
+                return None
+            hi = h if hi is None else max(hi, h)
+        return hi
 
     def _impact_blk_base(self, gen: str) -> int:
         """First free block id for a NEW segment on an impact-blocked
@@ -751,7 +895,9 @@ class PostingsIndex(GenerationalStore):
                 n_files,
             )
             self._write_corpus_stats(
-                self.spark.read.parquet(os.path.join(out, "doclens")), out
+                self.spark.read.parquet(os.path.join(out, "doclens")),
+                out,
+                id_col=id_col,
             )
             self._write_meta(
                 out, id_col, meta["text_col"], block_width, impact=impact
@@ -1443,16 +1589,18 @@ def _bm25_consts_df(spark: SparkSession, n_docs: int, total_dl: int):
     """(n_docs, avgdl) from collected exact longs — the division runs
     in-plan on the same integers the in-plan aggregate would produce,
     so the resulting double is bit-identical to bm25_topk's consts."""
-    return spark.createDataFrame(
-        [(n_docs, total_dl)], "n_docs BIGINT, total_dl BIGINT"
+    from batch_processing_etl_orchestration_spark.tables import local_rows_df
+
+    return local_rows_df(
+        spark, [(n_docs, total_dl)], "n_docs BIGINT, total_dl BIGINT"
     ).select("n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl"))
 
 
 def _bm25_dfreq_df(spark: SparkSession, dfm: dict[str, int]):
-    if not dfm:
-        return spark.createDataFrame([], "word STRING, df BIGINT")
-    return spark.createDataFrame(
-        sorted(dfm.items()), "word STRING, df BIGINT"
+    from batch_processing_etl_orchestration_spark.tables import local_rows_df
+
+    return local_rows_df(
+        spark, sorted(dfm.items()), "word STRING, df BIGINT"
     )
 
 

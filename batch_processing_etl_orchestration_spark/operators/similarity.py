@@ -636,6 +636,7 @@ class IvfIndex(GenerationalStore):
         n_assign: int,
         check_empty: bool = False,
         n_rows: int | None = None,
+        id_hi: int | None = None,
     ) -> None:
         # check_empty only on the build() path (review r15): segment
         # landings are guaranteed non-empty by _land_segment's bounds
@@ -654,14 +655,23 @@ class IvfIndex(GenerationalStore):
             # candidate schema directly (same column order the join
             # produces: key, remaining candidate columns, cell_id) so
             # no assignment plan is ever evaluated on this path.
+            from pyspark.sql import types as T
+
+            from batch_processing_etl_orchestration_spark.tables import (
+                empty_df,
+            )
+
+            # JVM-only empty frame (r15): limit(0) over a Python-RDD-
+            # backed candidates frame (the bootstrap callers pass a
+            # literal empty) still evaluates its 32 Python slices on
+            # the coalesce(1) write; tables.empty_df is one trivial
+            # Range task and still emits the schema-bearing file.
+            # Same column order the assignment join produces.
+            fields = [candidates.schema[c_id]] + [
+                f for f in candidates.schema.fields if f.name != c_id
+            ] + [T.StructField("cell_id", T.IntegerType())]
             (
-                candidates.limit(0)
-                .select(
-                    F.col(c_id),
-                    *[c for c in candidates.columns if c != c_id],
-                )
-                .withColumn("cell_id", F.lit(0).cast("int"))
-                .coalesce(1)
+                empty_df(candidates.sparkSession, T.StructType(fields))
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out_dir, "inverted"))
             )
@@ -684,24 +694,39 @@ class IvfIndex(GenerationalStore):
             .parquet(os.path.join(out_dir, "inverted"))
         )
         if n_rows is not None:
-            # distinct-id count sidecar (r15): segment landings know
-            # the batch size from the bounds job for free; the hint
-            # lets _land_segment skip the disjointness scan on an
-            # all-zero (bootstrap) index
-            IvfIndex._write_row_count(out_dir, n_rows)
+            # distinct-id count + max-id sidecar (r15): segment
+            # landings know both from the bounds job for free; the
+            # count lets _land_segment skip the disjointness scan on
+            # an all-zero (bootstrap) index, the max id is the
+            # append-only watermark that skips it on every monotone
+            # ingest batch after that
+            IvfIndex._write_row_count(out_dir, n_rows, id_hi=id_hi)
 
     @staticmethod
-    def _write_row_count(out_dir: str, n: int) -> None:
+    def _write_row_count(out_dir: str, n: int, id_hi: int | None = None) -> None:
         import json
 
         os.makedirs(out_dir, exist_ok=True)
+        st = {"n_docs": int(n)}
+        if id_hi is not None:
+            st["id_hi"] = int(id_hi)
         with open(os.path.join(out_dir, "_corpus.json"), "w") as f:
-            json.dump({"n_docs": int(n)}, f)
+            json.dump(st, f)
 
     @staticmethod
     def _write_centroids(spark, gen_dir: str, centroids) -> None:
+        # Arrow LocalRelation, not a Python-RDD literal (r15): a
+        # coalesce(1) write of a list-backed frame evaluates its 32
+        # Python slices SEQUENTIALLY in the one task (measured 5-9 s
+        # on local[32] for 8 rows); the LocalRelation write is one
+        # trivial JVM task (~0.3 s)
+        from batch_processing_etl_orchestration_spark.tables import (
+            local_rows_df,
+        )
+
         (
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
                 "cell_id INT, centroid ARRAY<DOUBLE>",
             )
@@ -830,6 +855,7 @@ class IvfIndex(GenerationalStore):
                 new_candidates, tmp, self._centroids(gen0),
                 id_col, vec_col, n_assign,
                 n_rows=int(bounds["n_ids"]),
+                id_hi=bounds["hi"],
             )
 
         self._land_segment(
@@ -898,6 +924,29 @@ class IvfIndex(GenerationalStore):
             except (OSError, ValueError, KeyError):
                 return None
         return total
+
+    def _live_id_hi_hint(self, gen: str) -> int | None:
+        """Max `_corpus.json` id_hi over base + segments — the
+        append-only watermark _land_segment's fast path checks
+        (sidecar metadata only, no Spark job; r15 optimization).
+        Empty stores contribute nothing; a non-empty store without
+        the key (pre-watermark layout, or a compacted base — the
+        fold does not re-count) makes the answer unknown: stay
+        conservative and scan."""
+        import json
+
+        hi = None
+        for d in [gen] + self._segment_dirs(gen):
+            try:
+                with open(os.path.join(d, "_corpus.json")) as f:
+                    st = json.load(f)
+                if int(st["n_docs"]) == 0:
+                    continue
+                h = int(st["id_hi"])
+            except (OSError, ValueError, KeyError, TypeError):
+                return None
+            hi = h if hi is None else max(hi, h)
+        return hi
 
     def _compact_once(self, n_files: int = 16) -> int:
         import uuid as _uuid

@@ -2764,7 +2764,10 @@ def _blockmax_report(spark: SparkSession, idx) -> DataFrame:
         n_postings_total,
         -1 if plan["theta_scaled"] is None else int(plan["theta_scaled"]),
     )
-    return spark.createDataFrame(
+    from batch_processing_etl_orchestration_spark.tables import local_rows_df
+
+    return local_rows_df(
+        spark,
         [row],
         "block_width BIGINT, n_blocks_total BIGINT, n_blocks_seed BIGINT, "
         "n_postings_seed BIGINT, n_blocks_kept BIGINT, "
@@ -3183,6 +3186,7 @@ def q_stream_index_maintain_impact(
 
     from batch_processing_etl_orchestration_spark.tables import (
         build_once,
+        empty_df,
         fixture_cache_dir,
     )
 
@@ -3219,7 +3223,7 @@ def q_stream_index_maintain_impact(
     ckpt = os.path.join(run, "ckpt")
     PostingsIndex.build(
         spark,
-        spark.createDataFrame([], "doc_id BIGINT, text STRING"),
+        empty_df(spark, "doc_id BIGINT, text STRING"),
         path,
         impact_ordered=True,
     )
@@ -6227,41 +6231,62 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", F.lit(True).alias("_h")
     )
     sel_bucket = _nb_bucket_expr()
-    nb_feats = selw.join(F.broadcast(selhead), "word", "left").select(
-        F.when(
-            F.col("_h").isNotNull(),
-            F.concat(F.lit("w:"), F.col("word")),
+    # ONE word-explode pass feeds BOTH priced quantities (r15
+    # optimization, guide §1.2/§2.3: selw was evaluated twice — once
+    # for the NB distinct-feature count, once for the DSIR bucket
+    # histogram — two full text scans for two tiny aggregates). The
+    # (feat, bucket) pre-aggregation is map-side combinable into ≤
+    # K+B groups (feat's domain is {w:head} ∪ {b:bucket}), and bucket
+    # is a pure function of feat (head feat → its word's bucket, tail
+    # feat → the bucket itself), so distinct feats and the per-bucket
+    # token histogram both fall out of the same tiny table exactly.
+    fb = (
+        selw.join(F.broadcast(selhead), "word", "left")
+        .select(
+            F.when(
+                F.col("_h").isNotNull(),
+                F.concat(F.lit("w:"), F.col("word")),
+            )
+            .otherwise(F.concat(F.lit("b:"), sel_bucket.cast("string")))
+            .alias("feat"),
+            sel_bucket.alias("bucket"),
         )
-        .otherwise(F.concat(F.lit("b:"), sel_bucket.cast("string")))
-        .alias("feat")
-    )
-    nb_side = nb_feats.agg(
-        F.count_distinct("feat").cast("long").alias("nb_feat_rows")
-    )
-    selbuck = (
-        selw.select(sel_bucket.alias("bucket"))
-        .groupBy("bucket")
+        .groupBy("feat", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    dsir_side = selbuck.agg(
-        F.count(F.lit(1)).cast("long").alias("dsir_buckets"),
-        F.max("n").cast("long").alias("dsir_max_bucket_tokens"),
+    nb_side = fb.agg(
+        F.count_distinct("feat").cast("long").alias("nb_feat_rows")
     )
-    src_side = selc.agg(
+    dsir_side = (
+        fb.groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dsir_buckets"),
+            F.max("n").cast("long").alias("dsir_max_bucket_tokens"),
+        )
+    )
+    # hot-source count and mega-doc width ride ONE aggregate over one
+    # selc scan (r15: they were two separate full passes; max(when)
+    # over the single matching row equals the filtered 1-row select)
+    srcmega_side = selc.agg(
         F.sum(
             F.when(F.col("source") == ADVERSARIAL_HOT_SOURCE, 1).otherwise(0)
         )
         .cast("long")
-        .alias("hot_source_docs")
-    )
-    mega_side = selc.where(F.col("doc_id") == F.col("_mn")).select(
-        F.size(F.split("text", " ")).cast("long").alias("mega_doc_tokens")
+        .alias("hot_source_docs"),
+        F.max(
+            F.when(
+                F.col("doc_id") == F.col("_mn"),
+                F.size(F.split("text", " ")),
+            )
+        )
+        .cast("long")
+        .alias("mega_doc_tokens"),
     )
     return (
         doc_side.crossJoin(ev_side)
         .crossJoin(F.broadcast(cap))
-        .crossJoin(F.broadcast(src_side))
-        .crossJoin(F.broadcast(mega_side))
+        .crossJoin(F.broadcast(srcmega_side))
         .crossJoin(F.broadcast(nb_side))
         .crossJoin(F.broadcast(dsir_side))
         .select(
@@ -7057,8 +7082,10 @@ def nb_score_frozen(
         .otherwise(F.concat(F.lit("b:"), bucket.cast("string")))
         .alias("feat"),
     )
-    w_df = spark.createDataFrame(
-        sorted(weight_rows), "feat STRING, scaled_lo BIGINT"
+    from batch_processing_etl_orchestration_spark.tables import local_rows_df
+
+    w_df = local_rows_df(
+        spark, sorted(weight_rows), "feat STRING, scaled_lo BIGINT"
     )
     return (
         feats.join(F.broadcast(w_df), "feat")
@@ -7188,6 +7215,7 @@ def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from batch_processing_etl_orchestration_spark.tables import (
         build_once,
+        empty_df,
         fixture_cache_dir,
     )
 
@@ -7206,7 +7234,7 @@ def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(run, "ckpt")
     PostingsIndex.build(
         spark,
-        spark.createDataFrame([], "doc_id BIGINT, text STRING"),
+        empty_df(spark, "doc_id BIGINT, text STRING"),
         path,
     )
     schema = spark.read.parquet(src).schema

@@ -415,6 +415,7 @@ def q_stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from batch_processing_etl_orchestration_spark.tables import (
         build_once,
+        empty_df,
         fixture_cache_dir,
     )
 
@@ -437,7 +438,7 @@ def q_stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = ivf_build_centroids(c, "cand_id", "ce", n_cells=8, dim=64)
     IvfIndex.build(
         spark,
-        spark.createDataFrame([], "cand_id BIGINT, ce ARRAY<DOUBLE>"),
+        empty_df(spark, "cand_id BIGINT, ce ARRAY<DOUBLE>"),
         path,
         dim=64,
         centroids=cent,

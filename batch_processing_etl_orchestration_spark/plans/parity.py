@@ -1393,7 +1393,10 @@ def q_range_join_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     a large interval table the standard rewrite is binning (join on
     date_trunc bucket, then refine) — here the dim is 3 rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    periods = spark.createDataFrame(
+    from batch_processing_etl_orchestration_spark.tables import local_rows_df
+
+    periods = local_rows_df(
+        spark,
         [
             ("H1-1996", "1996-01-01 00:00:00", "1996-07-01 00:00:00"),
             ("H2-1996", "1996-07-01 00:00:00", "1997-01-01 00:00:00"),

@@ -178,7 +178,9 @@ def _run_update_stream(
     )
     q.awaitTermination()
     if not os.path.isdir(stage):
-        return spark.createDataFrame([], df.schema)
+        from batch_processing_etl_orchestration_spark.tables import empty_df
+
+        return empty_df(spark, df.schema)
     staged = spark.read.parquet(stage)
     # deterministic revision pick: batch_id desc, then the remaining
     # columns as a tiebreak in case a key ever emits more than one row

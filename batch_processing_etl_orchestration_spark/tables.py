@@ -35,6 +35,65 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-side table as an Arrow-backed LocalRelation (r15
+    optimization, guide §4). A list-based createDataFrame plans a
+    Python RDD cut into defaultParallelism slices, and EVERY action
+    that evaluates it — a broadcast build, a write, a coalesce(1) —
+    spins Python workers per slice: measured on local[32], ~5-9 s
+    for a coalesce(1) write of 8 rows and ~0.5 s per broadcast.
+    The pandas+Arrow path plans a LocalRelation instead: converted
+    driver-side, zero tasks, ~0.3 s, and re-references (one frame
+    broadcast into two joins) cost nothing new. The explicit DDL
+    schema governs types exactly as the list path would; the arrow
+    conf is forced ON around the call (runtime-settable) so the
+    fast path also holds under a vanilla session with arrow off."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    names = [f.name for f in _parse_datatype_string(schema).fields]
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=names, dtype=object
+    )
+    return local_pandas_df(spark, pdf, schema)
+
+
+def local_pandas_df(spark: SparkSession, pdf, schema=None) -> DataFrame:
+    """createDataFrame(pandas) with Arrow forced on (see
+    local_rows_df) — same values, same schema, LocalRelation plan
+    instead of a Python RDD. The enable is ONE-WAY idempotent, never
+    restored — the _blk_df convention (review r15): a set/create/
+    unset window races concurrent builders in the same session, and
+    an interleaved unset silently drops a peer back to the
+    row-at-a-time path. Leaving Arrow on is semantics-preserving:
+    the conf only governs pandas⇄Spark conversion transport, and
+    every frame the package converts is a plain-typed literal."""
+    k = "spark.sql.execution.arrow.pyspark.enabled"
+    if spark.conf.get(k, "false") != "true":
+        spark.conf.set(k, "true")
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def empty_df(spark: SparkSession, schema) -> DataFrame:
+    """Zero-row DataFrame with the given schema (DDL string or
+    StructType) built JVM-ONLY on ONE partition (r15 optimization):
+    createDataFrame([], schema) plans a 32-slice Python RDD whose
+    every evaluation spins Python workers, and its writes can land
+    zero files. range(0) + typed null casts plans a trivial JVM
+    Range: aggregates over it are instant and a parquet write is
+    guaranteed to emit one schema-bearing file (the single empty
+    partition writes its footer)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+    return spark.range(0, 0, 1, 1).select(
+        *(F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields)
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar vectorized parquet scan;
     filters/projections applied by callers reach the scan via Catalyst

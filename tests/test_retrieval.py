@@ -1243,6 +1243,121 @@ def test_add_segment_rejects_live_and_duplicate_ids(spark, tmp_path):
     assert 400 in got and len(got) == 71
 
 
+def test_append_only_watermark_skips_disjointness_scan(
+    spark, tmp_path, monkeypatch
+):
+    """r15 optimization: the _corpus.json id_hi watermark must prove
+    an append-only batch disjoint with ZERO Spark jobs (the scan is
+    never built), fall back to the scan whenever the batch could
+    overlap, and stay conservative when any non-empty store lacks
+    the sidecar key."""
+    base = spark.createDataFrame(
+        [(i, f"join w{i % 3}") for i in range(50)],
+        "doc_id BIGINT, text STRING",
+    )
+    index = PostingsIndex.build(spark, base, str(tmp_path / "wmidx"))
+    # base sidecar records the build-time max id
+    import json
+
+    with open(os.path.join(index._gen(), "_corpus.json")) as f:
+        assert json.load(f)["id_hi"] == 49
+
+    calls = []
+    orig = PostingsIndex._live_ids
+
+    def spy(self, gen):
+        calls.append(gen)
+        return orig(self, gen)
+
+    monkeypatch.setattr(PostingsIndex, "_live_ids", spy)
+
+    # append-only: lo=100 > watermark 49 — no scan
+    index.add_segment(
+        spark.createDataFrame(
+            [(i, "join hash") for i in range(100, 105)],
+            "doc_id BIGINT, text STRING",
+        ),
+        "wm-append",
+    )
+    assert calls == []
+    # watermark advanced to the segment's max
+    assert index._live_id_hi_hint(index._gen()) == 104
+
+    # potentially overlapping (lo=30 <= 104): scan runs and rejects
+    with pytest.raises(ValueError, match="already live"):
+        index.add_segment(
+            spark.createDataFrame(
+                [(30, "join")], "doc_id BIGINT, text STRING"
+            ),
+            "wm-overlap",
+        )
+    assert len(calls) == 1
+
+    # gap-filling but disjoint (lo=60 <= 104): scan runs, lands fine
+    index.add_segment(
+        spark.createDataFrame(
+            [(60, "scan")], "doc_id BIGINT, text STRING"
+        ),
+        "wm-gap",
+    )
+    assert len(calls) == 2
+
+    # a non-empty store without the key poisons the hint: conservative
+    with open(os.path.join(index._gen(), "_corpus.json")) as f:
+        st = json.load(f)
+    st.pop("id_hi")
+    with open(os.path.join(index._gen(), "_corpus.json"), "w") as f:
+        json.dump(st, f)
+    assert index._live_id_hi_hint(index._gen()) is None
+    index.add_segment(
+        spark.createDataFrame(
+            [(500, "join")], "doc_id BIGINT, text STRING"
+        ),
+        "wm-nosidecar",
+    )
+    assert len(calls) == 3  # fell back to the scan
+
+    # served state is the union of everything landed
+    got = {
+        r["doc_id"] for r in index.doclens().select("doc_id").collect()
+    }
+    assert got == set(range(50)) | set(range(100, 105)) | {60, 500}
+
+
+@pytest.mark.parametrize("impact", [False, True])
+def test_empty_build_fast_path(spark, tmp_path, impact):
+    """r15 optimization: the empty bootstrap build writes its stores
+    via the direct schema-bearing fast path. The schemas must stay
+    IDENTICAL to what the full _write_stores pipeline emits on zero
+    rows — any drift breaks every later base+segment union read —
+    and the empty index must accept a first segment and serve it."""
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    index = PostingsIndex.build(
+        spark, empty, str(tmp_path / "fastidx"), impact_ordered=impact
+    )
+    slow = str(tmp_path / "slowstores")
+    PostingsIndex._write_stores(
+        empty, slow, 4, "doc_id", "text",
+        32 if impact else 32, impact=impact,
+    )
+    for store in ("positions", "postings", "doclens", "blockstats"):
+        fast_s = spark.read.parquet(
+            os.path.join(index._gen(), store)
+        ).schema
+        slow_s = spark.read.parquet(os.path.join(slow, store)).schema
+        assert fast_s == slow_s, (impact, store, fast_s, slow_s)
+    # lifecycle works on the fast-path index: land + serve
+    index.add_segment(
+        spark.createDataFrame(
+            [(1, "join hash"), (2, "join scan")],
+            "doc_id BIGINT, text STRING",
+        ),
+        "first",
+    )
+    got = bm25_topk(index.postings(), index.doclens(), ["join"], k=5)
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+
+
 def test_impact_index_matches_full_scan_and_prunes(spark, sf_dir, tmp_path):
     """Impact-ordered blocking (VERDICT r13 #1): same top-k as the full
     walk — blocking is physical geometry, never semantics — and, on a
