@@ -6144,7 +6144,18 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingle explode + one df groupBy (the pair queries' own
     stage), one events groupBy on (user, day); the caps/hot-user
-    scalars ride as broadcast 1-row relations, never a collect."""
+    scalars ride as broadcast 1-row relations, never a collect.
+
+    Every scalar is computed on a SINGLE-CONSUMER chain (r15
+    optimization, guide §1.2): a DataFrame referenced by two
+    downstream consumers is a duplicated subtree in the one physical
+    plan — Catalyst does not dedupe common subplans, and AQE exchange
+    reuse only fires on byte-identical exchanges. So df_cap rides
+    doc_side's own aggregation (groupBy the constant cap instead of a
+    second cap reference), hot_user rides the (user, day) block
+    grouping (a constant grouping column instead of a second events
+    scan), and the NB/DSIR/mega/hot-source quantities all fall out of
+    ONE word-explode pass (see fb below) instead of four."""
     from batch_processing_etl_orchestration_spark.operators.dedup import (
         shingle_df_cap,
     )
@@ -6163,8 +6174,12 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot_flag = F.col("_df") > F.col("df_cap")
     pair_mass = F.expr("_df * (_df - 1) DIV 2")
+    # groupBy("df_cap") — a constant column from the 1-row broadcast —
+    # is the same global aggregate, but CARRIES df_cap out of doc_side
+    # so the final projection needs no second cap subtree.
     doc_side = (
         sdf.crossJoin(F.broadcast(cap))
+        .groupBy("df_cap")
         .agg(
             F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
             F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
@@ -6186,9 +6201,14 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("user_id"))
         .alias("user_id"),
         F.to_date("ts").alias("day"),
+        "hot_user",
     )
-    blocks = ev2.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
-    ev_side = blocks.crossJoin(F.broadcast(hotu)).agg(
+    # hot_user is constant, so grouping by it changes no group — it
+    # just rides through so ev_side needs no second events scan.
+    blocks = ev2.groupBy("user_id", "day", "hot_user").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ev_side = blocks.agg(
         F.coalesce(
             F.sum(F.when(F.col("user_id") == F.col("hot_user"), F.col("n"))),
             F.lit(0),
@@ -6224,22 +6244,36 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("source"),
         F.col("_mn"),
     )
+    # posexplode instead of explode: pos==0 marks exactly one row per
+    # document (split() never yields an empty array), so DOC-level
+    # counts (hot-source membership) can ride the word-level pass.
     selw = selc.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
+        (F.col("doc_id") == F.col("_mn")).alias("is_mega"),
+        (F.col("source") == ADVERSARIAL_HOT_SOURCE).alias("is_hot_src"),
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
     )
     selhead = _nb_head_df(selc).select(
         "word", F.lit(True).alias("_h")
     )
     sel_bucket = _nb_bucket_expr()
-    # ONE word-explode pass feeds BOTH priced quantities (r15
-    # optimization, guide §1.2/§2.3: selw was evaluated twice — once
-    # for the NB distinct-feature count, once for the DSIR bucket
-    # histogram — two full text scans for two tiny aggregates). The
-    # (feat, bucket) pre-aggregation is map-side combinable into ≤
-    # K+B groups (feat's domain is {w:head} ∪ {b:bucket}), and bucket
-    # is a pure function of feat (head feat → its word's bucket, tail
-    # feat → the bucket itself), so distinct feats and the per-bucket
-    # token histogram both fall out of the same tiny table exactly.
+    # ONE word-explode pass feeds ALL FOUR selection-side quantities
+    # (r15 optimization, guide §1.2/§2.3). The (feat, bucket)
+    # pre-aggregation is map-side combinable into ≤ K+B groups (feat's
+    # domain is {w:head} ∪ {b:bucket}), and bucket is a pure function
+    # of feat (head feat → its word's bucket, tail feat → the bucket
+    # itself) — so fb holds exactly one row per distinct feat, and:
+    # - nb_feat_rows   = Σ over buckets of fb rows (count_distinct
+    #   feat, because feat→bucket is functional),
+    # - dsir_buckets / dsir_max_bucket_tokens = count / max over the
+    #   per-bucket token sums,
+    # - mega_doc_tokens = Σ n_mega (one exploded row per mega-doc
+    #   word),
+    # - hot_source_docs = Σ n_first_hot (pos==0 once per doc).
+    # Everything chains through per_bucket with a SINGLE consumer at
+    # every level — the earlier shape aggregated fb twice (NB side +
+    # DSIR side), which duplicated the whole explode+join+groupBy
+    # subtree in the physical plan, and paid a separate selc scan for
+    # the hot-source/mega pair on top.
     fb = (
         selw.join(F.broadcast(selhead), "word", "left")
         .select(
@@ -6250,45 +6284,38 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(F.lit("b:"), sel_bucket.cast("string")))
             .alias("feat"),
             sel_bucket.alias("bucket"),
+            "is_mega",
+            ((F.col("pos") == 0) & F.col("is_hot_src")).alias("first_hot"),
         )
         .groupBy("feat", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    nb_side = fb.agg(
-        F.count_distinct("feat").cast("long").alias("nb_feat_rows")
-    )
-    dsir_side = (
-        fb.groupBy("bucket")
-        .agg(F.sum("n").alias("n"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("dsir_buckets"),
-            F.max("n").cast("long").alias("dsir_max_bucket_tokens"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_mega"), 1).otherwise(0)).alias("n_mega"),
+            F.sum(F.when(F.col("first_hot"), 1).otherwise(0)).alias(
+                "n_first_hot"
+            ),
         )
     )
-    # hot-source count and mega-doc width ride ONE aggregate over one
-    # selc scan (r15: they were two separate full passes; max(when)
-    # over the single matching row equals the filtered 1-row select)
-    srcmega_side = selc.agg(
-        F.sum(
-            F.when(F.col("source") == ADVERSARIAL_HOT_SOURCE, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("hot_source_docs"),
-        F.max(
-            F.when(
-                F.col("doc_id") == F.col("_mn"),
-                F.size(F.split("text", " ")),
-            )
-        )
+    per_bucket = fb.groupBy("bucket").agg(
+        F.sum("n").alias("bn"),
+        F.count(F.lit(1)).alias("nf"),
+        F.sum("n_mega").alias("bm"),
+        F.sum("n_first_hot").alias("bh"),
+    )
+    sel_side = per_bucket.agg(
+        F.coalesce(F.sum("nf"), F.lit(0)).cast("long").alias("nb_feat_rows"),
+        F.count(F.lit(1)).cast("long").alias("dsir_buckets"),
+        F.max("bn").cast("long").alias("dsir_max_bucket_tokens"),
+        F.coalesce(F.sum("bm"), F.lit(0))
         .cast("long")
         .alias("mega_doc_tokens"),
+        F.coalesce(F.sum("bh"), F.lit(0))
+        .cast("long")
+        .alias("hot_source_docs"),
     )
     return (
         doc_side.crossJoin(ev_side)
-        .crossJoin(F.broadcast(cap))
-        .crossJoin(F.broadcast(srcmega_side))
-        .crossJoin(F.broadcast(nb_side))
-        .crossJoin(F.broadcast(dsir_side))
+        .crossJoin(F.broadcast(sel_side))
         .select(
             F.col("df_cap").cast("long").alias("df_cap"),
             "n_hot_shingles",
