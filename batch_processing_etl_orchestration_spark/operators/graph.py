@@ -148,6 +148,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     table is node-sized (broadcastable for dimension-scale graphs);
     triangles never materialize adjacency lists. Exact integer
     counts — bit-stable under any scheduling."""
+    # und feeds the degree table twice and the orientation join once,
+    # and the oriented edge table e feeds all three wedge-join sides —
+    # without truncation each reference recomputes the whole upstream
+    # subtree (the initial plan carried 30 scans / 22 exchanges of
+    # redundant work; r15 optimization). Materialize each ONCE — both
+    # are edge-sized, and reading a materialized edge list three ways
+    # is the formulation's intent.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -155,6 +162,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -174,6 +182,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))

@@ -1460,7 +1460,15 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "_mid",
         ).select(F.col("_n").alias("node"), F.col("_a").alias("anc"))
-        closure = closure.unionByName(hop).distinct()
+        # localCheckpoint per round (r15 optimization): `closure` is
+        # referenced twice per doubling (both join sides) plus the
+        # union, so without truncation the lineage TRIPLES each round
+        # — the initial plan carried 114 scans / 72 exchanges of
+        # redundant recomputation (the same fixpoint discipline
+        # pagerank/k-hop/pointer-jumping CC already apply).
+        closure = (
+            closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        )
     closure = closure.unionByName(
         nodes.select("node", F.col("node").alias("anc"))
     )

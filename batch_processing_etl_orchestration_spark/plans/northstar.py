@@ -2290,16 +2290,34 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 20 == 0
     train = d.where(~is_eval)
     wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Stage-boundary localCheckpoints (r15 optimization): deduped
+    # feeds decontamination AND the anti-join, clean feeds the mix
+    # counts AND the kept projection — each extra consumer would
+    # re-run the whole upstream subtree (Catalyst does not dedupe
+    # common subplans; the composed initial plan carried 18 scans of
+    # redundant recomputation). Materializing each stage once is the
+    # composition's intent: the chain stays the per-operator plans
+    # back to back, now literally back to back.
     deduped = (
         train.withColumn("_rk", F.row_number().over(wdup))
         .where(F.col("_rk") == 1)
         .drop("_rk")
+        .localCheckpoint(eager=True)
     )
     contaminated = decontaminate(deduped, d.where(is_eval), n=8).select("doc_id")
-    clean = deduped.join(contaminated, "doc_id", "left_anti").where(
-        F.col("n_chars").between(100, 520)
+    clean = (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .where(F.col("n_chars").between(100, 520))
+        .localCheckpoint(eager=True)
     )
-    counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # counts is lang-sized but its subtree is a full corpus pass —
+    # truncate so the n_min scalar and the thresholds join don't each
+    # pay one.
+    counts = (
+        clean.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .localCheckpoint(eager=True)
+    )
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     thresholds = counts.crossJoin(F.broadcast(n_min)).select(
         "lang",
@@ -7426,16 +7444,27 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 20 == 0
     train = d.where(~is_eval)
     wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Stage-boundary localCheckpoints (r15 optimization, same
+    # rationale as q_corpus_assembly): every gate consumes its input
+    # twice (feature/keep-set side + the semi-join side), so without
+    # truncation the subtree duplication COMPOUNDS per stage — the
+    # composed initial plan carried 72 scans / 27 explodes / 55
+    # exchanges of redundant recomputation. Each stage materializes
+    # once; the attested stage semantics and the composed oracle are
+    # untouched.
     deduped = (
         train.withColumn("_rk", F.row_number().over(wdup))
         .where(F.col("_rk") == 1)
         .drop("_rk")
+        .localCheckpoint(eager=True)
     )
     contaminated = decontaminate(
         deduped, d.where(is_eval), n=8
     ).select("doc_id")
-    clean = deduped.join(contaminated, "doc_id", "left_anti").where(
-        F.col("n_chars").between(100, 520)
+    clean = (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .where(F.col("n_chars").between(100, 520))
+        .localCheckpoint(eager=True)
     )
     # stage 4: Gopher keep conjunction (features over the survivor set
     # — per-doc predicates, so gating survivors equals gating the
@@ -7445,7 +7474,9 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(gopher_rules()["gopher_keep"])
         .select("doc_id")
     )
-    gated = clean.join(gokeep, "doc_id", "left_semi")
+    gated = clean.join(gokeep, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     # stage 5: frozen NB quality gate (train once on the full snapshot,
     # score survivors with broadcast literals — q_stream_quality_filter's
     # serving kernel)
@@ -7455,8 +7486,14 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pred_pos"))
         .select("doc_id")
     )
-    gated = gated.join(nbkeep, "doc_id", "left_semi")
-    counts = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    gated = gated.join(nbkeep, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    counts = (
+        gated.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .localCheckpoint(eager=True)
+    )
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     thresholds = counts.crossJoin(F.broadcast(n_min)).select(
         "lang",
