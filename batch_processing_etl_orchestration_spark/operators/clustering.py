@@ -110,6 +110,14 @@ def exact_kmeans_assign(
                 F.broadcast(new_cent), cent["_c"] == new_cent["cluster"], "left"
             )
             .select("_c", F.coalesce("_cs_new", "_cs").alias("_cs"))
+            # localCheckpoint per update (r15 optimization): cent is k
+            # rows, but its LINEAGE nests the previous iteration's full
+            # assignment + sums — left lazy, the final assignment's one
+            # action re-runs every earlier iteration once per reference
+            # (the fixpoint discipline pagerank/CC already apply).
+            # Eager: the k-row materialization job IS the Lloyd
+            # iteration, paid exactly once.
+            .localCheckpoint(eager=True)
         )
     return assign.select(
         F.col("_vid").alias(id_col), "cluster", "dist_scaled2"

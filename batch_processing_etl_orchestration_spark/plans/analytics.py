@@ -2649,17 +2649,24 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-then-limit order also cross-product-bombs DuckDB's
     optimizer, which misestimates the pair cardinality at 1 and
     reorders items × items)."""
+    # localCheckpoint (r15 optimization): baskets is one fact shuffle
+    # but feeds the order count, the per-item counts (whose table is
+    # aliased into BOTH final joins) and the pair generation —
+    # without truncation the lineitem scan + basket groupBy ran four
+    # times in the one plan.
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+        .localCheckpoint(eager=False)
     )
     nb = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     items = (
         baskets.select(F.explode("pks").alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_item"))
+        .localCheckpoint(eager=False)  # |parts| rows; joined twice
     )
     top_pairs = (
         baskets.select(F.explode("pks").alias("p1"), "pks")

@@ -2302,13 +2302,13 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.withColumn("_rk", F.row_number().over(wdup))
         .where(F.col("_rk") == 1)
         .drop("_rk")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     contaminated = decontaminate(deduped, d.where(is_eval), n=8).select("doc_id")
     clean = (
         deduped.join(contaminated, "doc_id", "left_anti")
         .where(F.col("n_chars").between(100, 520))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # counts is lang-sized but its subtree is a full corpus pass —
     # truncate so the n_min scalar and the thresholds join don't each
@@ -2316,7 +2316,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         clean.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_l"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     thresholds = counts.crossJoin(F.broadcast(n_min)).select(
@@ -4770,8 +4770,12 @@ def q_ann_cluster_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = exact_kmeans_assign(e, "vec_id", "embedding", k=8, n_iter=2).select(
-        "vec_id", "cluster"
+    # assignment table consumed twice (query routing + membership);
+    # checkpoint so the Lloyd fixpoint runs once (r15 optimization)
+    a = (
+        exact_kmeans_assign(e, "vec_id", "embedding", k=8, n_iter=2)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
     )
     q = a.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("cluster").alias("qc")
@@ -5407,10 +5411,20 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("new_words"))
     )
-    joined = per_doc.join(fresh, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("new_words"), F.lit(0)).alias("new_words"),
+    # localCheckpoint (r15 optimization): joined is |docs| rows of
+    # three ints but feeds the bounds scalar, the bucketing join, and
+    # through it both prefix-sum phases — without truncation each consumer
+    # re-ran BOTH word explodes (six explode subtrees in the plan;
+    # two is the floor: n_tokens and first-seen counts aggregate the
+    # token stream on different keys).
+    joined = (
+        per_doc.join(fresh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("new_words"), F.lit(0)).alias("new_words"),
+        )
+        .localCheckpoint(eager=False)
     )
     # Phase 0: contiguous range buckets — the 1-row bounds relation
     # rides in as a broadcast scalar-attach, never a collect.
@@ -5598,10 +5612,25 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sng = shingle_sets(
-        d.select(F.col("source"), F.col("text")), 3, id_col="source"
-    ).distinct()
-    sizes = sng.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    # localCheckpoint (r15 optimization): sng is BOTH self-join sides
+    # plus the per-source sizes (referenced twice more in the final
+    # broadcast joins) — without truncation the shingle explode + distinct
+    # ran four times in the one plan. The (source, shingle) relation
+    # is the query's core working set; materializing it once is the
+    # standard self-join discipline (the doc-level pair queries do
+    # the same).
+    sng = (
+        shingle_sets(
+            d.select(F.col("source"), F.col("text")), 3, id_col="source"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        sng.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)  # |sources| rows; referenced twice
+    )
     a, b = sng.alias("a"), sng.alias("b")
     inter = (
         a.join(
@@ -6819,11 +6848,28 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.length("word")
     ) % 64
     feats = words.select("doc_id", "is_tgt", bucket.alias("bucket"))
-    counts = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("c_tgt"),
+    # ONE explode pass (r15 optimization): the raw feats frame used to
+    # feed the bucket counts AND the per-doc fold, and each of those
+    # fed two more consumers — six word-explode subtrees in the one
+    # physical plan. Pre-aggregate to (doc, bucket) token counts
+    # (map-side combinable, ≤ 64 rows per doc) and checkpoint; every
+    # downstream quantity derives from it exactly: c_raw/c_tgt by
+    # bucket-summing n, and the per-doc fold by Σ n·scaled_lr =
+    # Σ_word scaled_lr (integer products, no rounding).
+    pre = (
+        feats.groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        pre.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("c_raw"),
+            F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("c_tgt"),
+        )
+        .localCheckpoint(eager=False)  # B rows; feeds totals AND ratios
     )
     totals = counts.agg(
         F.sum("c_raw").cast("bigint").alias("n_raw"),
@@ -6848,12 +6894,15 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        feats.join(F.broadcast(ratios), "bucket")
+        pre.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("scaled_lr").cast("bigint").alias("scaled_lw"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("scaled_lr"))
+            .cast("bigint")
+            .alias("scaled_lw"),
         )
+        .localCheckpoint(eager=False)  # feeds the shortlist AND the join
     )
     shortlist = (
         per_doc.orderBy(F.desc("scaled_lw"), "doc_id")
@@ -7475,7 +7524,7 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     gated = clean.join(gokeep, "doc_id", "left_semi").localCheckpoint(
-        eager=True
+        eager=False
     )
     # stage 5: frozen NB quality gate (train once on the full snapshot,
     # score survivors with broadcast literals — q_stream_quality_filter's
@@ -7487,7 +7536,7 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     gated = gated.join(nbkeep, "doc_id", "left_semi").localCheckpoint(
-        eager=True
+        eager=False
     )
     counts = (
         gated.groupBy("lang")
