@@ -6197,12 +6197,13 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization, guide §1.2): a DataFrame referenced by two
     downstream consumers is a duplicated subtree in the one physical
     plan — Catalyst does not dedupe common subplans, and AQE exchange
-    reuse only fires on byte-identical exchanges. So df_cap rides
-    doc_side's own aggregation (groupBy the constant cap instead of a
-    second cap reference), hot_user rides the (user, day) block
-    grouping (a constant grouping column instead of a second events
-    scan), and the NB/DSIR/mega/hot-source quantities all fall out of
-    ONE word-explode pass (see fb below) instead of four."""
+    reuse only fires on byte-identical exchanges. So hot_user rides
+    the (user, day) block grouping (a constant grouping column
+    instead of a second events scan), and the NB/DSIR/mega/hot-source
+    quantities all fall out of ONE word-explode pass (see fb below)
+    instead of four. The cap's second reference stays (a COUNT-only
+    scan, metadata-cheap) to preserve the 1-row-on-empty-corpus edge
+    review r9 pinned."""
     from batch_processing_etl_orchestration_spark.operators.dedup import (
         shingle_df_cap,
     )
@@ -6221,12 +6222,13 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot_flag = F.col("_df") > F.col("df_cap")
     pair_mass = F.expr("_df * (_df - 1) DIV 2")
-    # groupBy("df_cap") — a constant column from the 1-row broadcast —
-    # is the same global aggregate, but CARRIES df_cap out of doc_side
-    # so the final projection needs no second cap subtree.
+    # (doc_side stays an UNGROUPED aggregate — grouping by the
+    # constant df_cap would carry it out in one pass but emits ZERO
+    # rows on an empty shingle table where the oracle emits one
+    # (review r9 pinned that edge); the second cap reference below is
+    # a COUNT-only documents scan, metadata-cheap at any scale.)
     doc_side = (
         sdf.crossJoin(F.broadcast(cap))
-        .groupBy("df_cap")
         .agg(
             F.count(F.when(hot_flag, 1)).alias("n_hot_shingles"),
             F.count(F.when(~hot_flag, 1)).alias("n_cold_shingles"),
@@ -6362,6 +6364,7 @@ def q_adversarial_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         doc_side.crossJoin(ev_side)
+        .crossJoin(F.broadcast(cap))
         .crossJoin(F.broadcast(sel_side))
         .select(
             F.col("df_cap").cast("long").alias("df_cap"),
