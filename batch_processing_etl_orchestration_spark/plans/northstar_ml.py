@@ -195,7 +195,12 @@ def _ann_recall_attestation(ann: DataFrame, q: DataFrame, c: DataFrame) -> DataF
     measured minimum (0.7 across sf0.001/0.01/0.1; aggregate ≥ 0.9,
     asserted in tests/test_similarity.py); both ANN paths are
     deterministic so the attestation cannot flake on fixed data."""
-    ann_ids = ann.select("query_id", "cand_id")
+    # localCheckpoint (r15 optimization): ann_ids feeds the hit join
+    # AND the per-query result counts — without truncation the whole
+    # ANN serving subtree (probe / bucket scan / shortlist+rerank)
+    # ran twice per attestation. The checkpointed frame is ≤ |queries|
+    # × k rows.
+    ann_ids = ann.select("query_id", "cand_id").localCheckpoint(eager=False)
     bf = brute_force_topk(q, c, k=10).select("query_id", "cand_id")
     hits = (
         ann_ids.join(bf, ["query_id", "cand_id"])
