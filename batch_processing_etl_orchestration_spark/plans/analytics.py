@@ -1944,9 +1944,14 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("sv"),
     )
+    # lazy checkpoint (r15 optimization): d (below) feeds the MAD
+    # pass AND the final rollup, so med's full median shuffle would
+    # re-run with each — truncate the 6-row median table; d's own
+    # duplication is then two base scans + broadcast joins (the
+    # documented two-pass floor, cheaper than materializing events).
     med = s.groupBy("event_type").agg(
         F.percentile("sv", 0.5).alias("med_s")
-    )
+    ).localCheckpoint(eager=False)
     d = s.join(F.broadcast(med), "event_type").select(
         "event_type",
         "sv",
@@ -2063,6 +2068,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_c",
         )
+        # lazy checkpoint (r15 optimization): per_cust feeds the
+        # threshold row AND the quartile assignment — without
+        # truncation the orders shuffle ran twice.
+        .localCheckpoint(eager=False)
     )
     th = per_cust.agg(
         F.percentile("recency_days", 0.25).alias("r25"),
@@ -2294,15 +2303,21 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
     ):
         t = load_table(spark, sf_dir, table)
-        counts = t.groupBy(F.col(key).alias("k")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        # lazy checkpoints (r15 optimization): counts feeds the stats
+        # row AND the hot predicate, stats feeds the hot predicate AND
+        # the report row — without truncation the fact groupBy shuffle
+        # ran twice per table and the stats pass twice on top.
+        counts = (
+            t.groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False)
         )
         stats = counts.agg(
             F.sum("cnt").alias("total_rows"),
             F.count(F.lit(1)).alias("n_keys"),
             F.max("cnt").alias("max_cnt"),
             F.percentile("cnt", 0.5).alias("median_cnt"),
-        )
+        ).localCheckpoint(eager=False)
         hot = (
             counts.crossJoin(F.broadcast(stats))
             .where(F.col("cnt") * F.col("n_keys") > 2 * F.col("total_rows"))
@@ -2408,10 +2423,13 @@ def q_value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ep") * 2 < F.col("mm"), 0).otherwise(1).alias("side"),
         "bucket",
     )
+    # lazy checkpoint (r15 optimization): c feeds the per-type totals
+    # AND the final TVD join — without truncation the events scan +
+    # histogram shuffle ran twice. c is <= |types| x 10 rows.
     c = b.groupBy("event_type", "bucket").agg(
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
-    )
+    ).localCheckpoint(eager=False)
     t = c.groupBy("event_type").agg(
         F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
     )
