@@ -97,7 +97,15 @@ def scd2_apply(
         ).alias("_has_upd"),  # marker: NULL-valued tracked
         # updates must still count as updates
     )
-    joined = cur.join(upd, key_cols, "full_outer")
+    # lazy localCheckpoint (r15 optimization): joined feeds FOUR branch
+    # projections (unchanged/closed/reopened/inserted) — without
+    # truncation the full-outer key join (the merge's one real
+    # shuffle) and the guarded update aggregation re-ran once per
+    # branch. The materialized frame is dimension-sized, the merge's
+    # working set.
+    joined = cur.join(upd, key_cols, "full_outer").localCheckpoint(
+        eager=False
+    )
 
     changed = F.lit(False)
     for c in tracked_cols:
