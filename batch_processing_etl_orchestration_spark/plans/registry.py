@@ -132,23 +132,31 @@ def ordered_names() -> list[str]:
     """Registry names ordered for the driver's fixed-size correctness
     window: (1) queries whose LATEST driver row is red — a regression
     or a healed break that must re-attest — then (2) queries never
-    attested at all PLUS green queries whose source fingerprint no
-    longer matches the one recorded at their latest green attestation
-    (VERDICT r9 next #1: a green row proves the code that RAN, so a
-    rewired query is as unproven as a new one and must not ride a
-    pre-rewire green), then (3) the latest-green fingerprint-stable
-    tail ordered STALEST FIRST (ascending latest-attestation round,
-    registration order as tiebreak). Stalest-first replaces r5's
-    strided rotation (VERDICT r8 next #5: the stride left 40 queries
-    un-re-proven for 6+ rounds): every driver window re-attests
-    exactly the queries whose proof is oldest, so no query's
-    attestation age can exceed ceil(|catalog| / window) rounds while
-    the window keeps landing — the bound tests/test_registry.py::
-    test_attestation_freshness enforces at HEAD. NOTE: iteration
-    order therefore depends on the CORRECTNESS_r*.json artifacts at
-    the repo root and plans/fingerprints.json — callers needing a
-    stable order should sort; correctness tests iterate QUERIES
-    directly, which stays in registration order."""
+    attested at all, then (3) every attested-green query STALEST FIRST
+    (ascending latest-attestation round; at the same round, queries
+    whose source fingerprint no longer matches the one recorded at
+    that attestation sort before fingerprint-stable ones, registration
+    order last). Stalest-first replaces r5's strided rotation (VERDICT
+    r8 next #5): every driver window re-attests exactly the queries
+    whose proof is oldest, so no query's attestation age can exceed
+    ceil(|catalog| / window) rounds while the window keeps landing —
+    the bound tests/test_registry.py::test_attestation_freshness
+    enforces at HEAD.
+
+    Fingerprint-changed greens (VERDICT r9 next #1: a green row proves
+    the code that RAN, so a rewired query is unproven at HEAD) used to
+    preempt the ENTIRE stable tail; r16 inherited-state fix: an
+    optimization round that rewires 30+ queries then starves the
+    window — the r15 churn pushed 30 stable queries past the freshness
+    ceiling. Merging both classes by attestation age bounds EVERY
+    query's re-proof age by the same ceiling: a rewired query ages
+    from its pre-rewire attestation like everyone else (and wins ties
+    at equal age), so it still re-attests within the ceiling, while
+    mass churn can no longer crowd out the queries whose proof is
+    oldest. NOTE: iteration order depends on the CORRECTNESS_r*.json
+    artifacts at the repo root and plans/fingerprints.json — callers
+    needing a stable order should sort; correctness tests iterate
+    QUERIES directly, which stays in registration order."""
     rows = _latest_rows()
     rec = _recorded_fingerprints()
     names = list(QUERIES)
@@ -161,15 +169,13 @@ def ordered_names() -> list[str]:
         )
 
     latest_red = [n for n in names if n in rows and not rows[n][1]]
-    pending = [
-        n for n in names if n not in rows or (rows[n][1] and _fp_changed(n))
-    ]
+    never = [n for n in names if n not in rows]
     order = {n: i for i, n in enumerate(names)}
-    tail = sorted(
-        (n for n in names if n in rows and rows[n][1] and not _fp_changed(n)),
-        key=lambda n: (rows[n][0], order[n]),
+    attested = sorted(
+        (n for n in names if n in rows and rows[n][1]),
+        key=lambda n: (rows[n][0], not _fp_changed(n), order[n]),
     )
-    return latest_red + pending + tail
+    return latest_red + never + attested
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -9,8 +9,18 @@ from __future__ import annotations
 from batch_processing_etl_orchestration_spark.plans import registry as R
 
 
-def test_latest_red_then_pending_lead():
+def test_latest_red_then_never_then_stalest_first():
+    """Ordering contract (r16): red first, never-attested second, then
+    EVERY attested-green query stalest-first (attestation round
+    ascending) with fingerprint-changed entries leading at equal age
+    (r10: a green row only proves the code that ran — a rewired query
+    re-attests within the same freshness ceiling, winning ties, but
+    mass churn can no longer crowd the oldest proofs out of the
+    window: the r15 optimization round's 30+ rewires starved the
+    stable tail past the ceiling under the old pending-preempts-all
+    rule)."""
     status = R._latest_status()
+    rows = R._latest_rows()
     rec = R._recorded_fingerprints()
     names = R.ordered_names()
 
@@ -18,22 +28,15 @@ def test_latest_red_then_pending_lead():
         e = rec.get(n)
         return not isinstance(e, dict) or e.get("fp") != R.current_fingerprint(n)
 
-    # "pending" = never attested OR green-with-drifted-fingerprint
-    # (r10: a green row only proves the code that ran)
     n_red = sum(1 for n in names if status.get(n) is False)
-    n_pending = sum(
-        1 for n in names if n not in status or (status[n] and changed(n))
-    )
+    n_never = sum(1 for n in names if n not in status)
     assert all(status.get(n) is False for n in names[:n_red])
-    assert all(
-        n not in status or (status[n] and changed(n))
-        for n in names[n_red : n_red + n_pending]
-    )
-    # the fingerprint-stable green tail follows
-    assert all(
-        status.get(n) is True and not changed(n)
-        for n in names[n_red + n_pending :]
-    )
+    assert all(n not in status for n in names[n_red : n_red + n_never])
+    body = names[n_red + n_never :]
+    assert all(status.get(n) is True for n in body)
+    # stalest first; fingerprint-changed before stable at equal age
+    keys = [(rows[n][0], not changed(n)) for n in body]
+    assert keys == sorted(keys), "attested body must be stalest-first"
     assert set(names) == set(R.QUERIES)
 
 
