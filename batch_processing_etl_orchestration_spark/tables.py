@@ -170,6 +170,15 @@ def fixture_cache_dir(
 
 _BUILD_OK = "_BUILD_OK"
 
+# Per-family build-once cache observations for THIS process (VERDICT
+# r15 next #6): name -> {"state": "warm"} when the first resolve of
+# the family hit a completed cache, or {"state": "cold", "build_s": s}
+# when it had to build. bench.py prints this so the driver can see
+# whether a run's timed region served warm artifacts or paid cold
+# builds. A cold build is never overwritten by a later warm hit on the
+# same family (the interesting fact is that the run built it).
+BUILD_ONCE_STATS: dict[str, dict] = {}
+
 # Minimum idle age before a stale sibling cache tag is reaped —
 # matches PostingsIndex._REAP_AGE_SEC (operators/retrieval.py): long
 # enough that any live process still touching the tag has refreshed
@@ -208,9 +217,19 @@ def build_once(
             os.utime(path)
         except OSError:
             pass
+        BUILD_ONCE_STATS.setdefault(name, {"state": "warm"})
         return path
     shutil.rmtree(path, ignore_errors=True)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     build(path)
+    prev = BUILD_ONCE_STATS.get(name)
+    if prev is None or prev.get("state") != "cold":
+        BUILD_ONCE_STATS[name] = {
+            "state": "cold",
+            "build_s": round(_time.perf_counter() - _t0, 2),
+        }
     os.makedirs(path, exist_ok=True)
     with open(ok, "w") as f:
         f.write(f"layout={layout}\n")

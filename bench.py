@@ -354,6 +354,47 @@ def _row_regressions(
     return deltas + dropped
 
 
+def _tail_queries(per_query: dict[str, float], budget: int = 1350) -> dict[str, float]:
+    """Compact per-query dict for the driver's stdout tail window
+    (VERDICT r15 next #1): the driver archives only the LAST ~2000
+    characters of bench stdout and parses the final JSON line, so the
+    full 148-entry dict (~4 KB) physically cannot reach it. Emit the
+    most-expensive-first prefix that fits a fixed character budget —
+    regressions worth seeing live at the top of the bill, and the
+    driver's per-query comparison gets a real intersection instead of
+    an empty one. The COMPLETE dict still goes to stdout's first line
+    and to BENCH_LOCAL.candidate.json unchanged."""
+    out: dict[str, float] = {}
+    used = 2  # braces
+    for name, t in sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0])):
+        frag = len(name) + len(f"{t:.2f}") + 6  # "name": 1.23,
+        if used + frag > budget:
+            break
+        out[name] = round(t, 2)
+        used += frag
+    return out
+
+
+def _should_promote(
+    baseline_sf, baseline_cpus, sf: float, cpus: int
+) -> bool:
+    """Baseline-promotion gate, pure so tests can pin it (VERDICT r15
+    next #1b): a guard-green run may replace the committed regression
+    baseline ONLY at the same sf AND the same core count. The r15
+    driver's $SPARK_GRAFT_CPUS=8 scaling run passed the probe-
+    calibrated guard (the shuffle probe scales with cores, so
+    calibration absorbed the slowdown) and installed its 279 s 8-core
+    numbers over the 32-core baseline — loosening every next-round
+    comparison ~1.2x. Missing fields on an old baseline default to the
+    documented headline shape (sf0.1, 32 cores) so a legacy baseline
+    is only ever replaced by a run of that shape."""
+    if baseline_sf is None:
+        baseline_sf = 0.1
+    if baseline_cpus is None:
+        baseline_cpus = 32
+    return baseline_sf == sf and baseline_cpus == cpus
+
+
 def _calibration_probe(spark) -> float:
     """Fixed-work host-speed probe (VERDICT r5 #3): a pinned-size
     JVM-side aggregation (xxhash64 over 2e8 longs, 32 splits) whose
@@ -411,6 +452,7 @@ def _calibration_probe_shuffle(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bpeo-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -428,6 +470,18 @@ def main() -> None:
             fn = QUERIES[name].fn if name in QUERIES else KERNEL_BENCH.get(name)
             if fn is not None:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+
+    # Build-once cache visibility (VERDICT r15 next #6): persisted
+    # artifact families (postings/impact/IVF indexes, the bigram LM,
+    # MVs, scenario stores) are built once per fixture generation under
+    # .tmp and survive across bench runs, so their queries time SERVING
+    # only once warm. Print which families this run found warm vs built
+    # cold (with the cold build's seconds) so a cold host's numbers are
+    # explicable and a regression in build cost cannot hide. The warm
+    # pass above already forced every family to resolve.
+    from batch_processing_etl_orchestration_spark import tables as _tables
+
+    print(json.dumps({"build_cache": _tables.BUILD_ONCE_STATS}))
 
     probe_sec = _calibration_probe(spark)
     probe_shuffle_sec = _calibration_probe_shuffle(spark)
@@ -544,8 +598,13 @@ def main() -> None:
         "queries": per_query,
         "rows": row_counts,
         "sf": sf,
+        "cpus": cpus,
         "probe_sec": probe_sec,
         "probe_shuffle_sec": probe_shuffle_sec,
+        # Final cache state: includes families built cold INSIDE the
+        # timed region at this run's sf (the warm pass only resolves
+        # the sf0.001 tags).
+        "build_cache": _tables.BUILD_ONCE_STATS,
     }
     print(json.dumps(result))
     # The driver archives only a tail window of this output, and the
@@ -568,6 +627,14 @@ def main() -> None:
     except OSError:
         pass
     spark.stop()
+    # Final summary line — guaranteed to sit whole inside the driver's
+    # ~2000-char stdout tail. It now carries a compact per-query dict
+    # (most-expensive-first prefix that fits the window, seconds
+    # rounded to 2 decimals) so PERF_r*'s per-query comparison and
+    # geomean are populated again (VERDICT r15 next #1a); the COMPLETE
+    # 148-entry dict is on stdout's first JSON line and in
+    # BENCH_LOCAL.candidate.json, values unchanged.
+    tail_q = _tail_queries(per_query)
     print(
         json.dumps(
             {
@@ -575,11 +642,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "cpus": cpus,
                 "probe_sec": probe_sec,
                 "probe_shuffle_sec": probe_shuffle_sec,
                 "n_queries": len(per_query),
+                "queries": tail_q,
+                "n_queries_in_tail": len(tail_q),
                 "queries_file": "BENCH_LOCAL.json",
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
@@ -603,22 +674,20 @@ def main() -> None:
         sys.exit(1)
     # Guard passed: promote this run's full result to the committed
     # baseline file (atomic rename — a crash mid-promote leaves the
-    # old baseline intact). Only at the SAME sf as the current
-    # baseline: an sf0.01 iteration run must not clobber the sf0.1
-    # baseline the driver's per-round run is guarded against.
+    # old baseline intact). Only at the SAME sf AND the same core
+    # count as the current baseline (_should_promote): an sf0.01
+    # iteration run must not clobber the sf0.1 baseline, and the
+    # driver's 8-core scaling run must not clobber the 32-core one
+    # (it did in r15 — the probe calibration absorbed the core-count
+    # slowdown, so the guard alone could not refuse it).
     local_path = os.path.join(here, "BENCH_LOCAL.json")
     try:
         with open(local_path) as f:
-            baseline_sf = json.load(f).get("sf")
+            _b = json.load(f)
+        baseline_sf, baseline_cpus = _b.get("sf"), _b.get("cpus")
     except (OSError, ValueError):
-        baseline_sf = None
-    if baseline_sf is None:
-        # Missing/corrupt baseline, or one without an sf field:
-        # promote only a run at the documented headline sf (0.1) —
-        # otherwise an sf0.01 iteration run would install itself as
-        # the committed regression baseline (ADVICE r8).
-        baseline_sf = 0.1
-    if baseline_sf == sf:
+        baseline_sf, baseline_cpus = None, None
+    if _should_promote(baseline_sf, baseline_cpus, sf, cpus):
         try:
             os.replace(candidate_path, local_path)
         except OSError:

@@ -117,3 +117,52 @@ def test_bench_sf100_queries_flag_validated_before_spark():
         # host, and the structural assert is the real evidence)
         assert r.returncode != 0, argv
         assert needle in (r.stderr + r.stdout), argv
+
+
+def test_tail_queries_fits_budget_and_keeps_top_of_bill():
+    """VERDICT r15 next #1a: the final stdout line must carry a
+    per-query dict small enough to sit whole in the driver's ~2000-char
+    tail window, ordered so the expensive queries (where regressions
+    matter) always make the cut."""
+    per_query = {f"q_name_{i:03d}": float(i) / 10 for i in range(148)}
+    tq = bench._tail_queries(per_query, budget=1350)
+    assert 0 < len(tq) < len(per_query)
+    # serialized fragment honors the budget
+    assert len(json.dumps(tq, separators=(",", ":"))) <= 1350
+    # most-expensive-first: every included entry >= every excluded one
+    floor = min(tq.values())
+    excluded_max = max(
+        v for k, v in per_query.items() if k not in tq
+    )
+    assert floor >= round(excluded_max, 2)
+    # a small catalog fits whole
+    small = {"q_a": 1.234, "q_b": 0.5}
+    assert bench._tail_queries(small) == {"q_a": 1.23, "q_b": 0.5}
+
+
+def test_should_promote_requires_same_sf_and_cpus():
+    """VERDICT r15 next #1b: the r15 driver's 8-core scaling run passed
+    the probe-calibrated guard and clobbered the 32-core baseline.
+    Promotion now requires BOTH the baseline's sf and core count;
+    legacy baselines missing either field default to the documented
+    headline shape (sf0.1 / 32 cores)."""
+    assert bench._should_promote(0.1, 32, 0.1, 32)
+    assert not bench._should_promote(0.1, 32, 0.1, 8)  # the r15 clobber
+    assert not bench._should_promote(0.1, 32, 0.01, 32)
+    assert not bench._should_promote(0.1, 8, 0.1, 32)
+    # legacy baselines: missing cpus/sf read as 32-core sf0.1
+    assert bench._should_promote(0.1, None, 0.1, 32)
+    assert not bench._should_promote(0.1, None, 0.1, 8)
+    assert bench._should_promote(None, None, 0.1, 32)
+    assert not bench._should_promote(None, None, 0.01, 32)
+
+
+def test_committed_baseline_is_tagged_32_cores():
+    """The committed baseline of record must be a 32-core run — an
+    8-core record loosens every 32-core comparison ~1.2x (ADVICE r15)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+        rec = json.load(f)
+    if rec.get("sf") != 0.1:
+        return
+    assert rec.get("cpus") == 32
