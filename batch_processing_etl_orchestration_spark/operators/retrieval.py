@@ -93,6 +93,10 @@ class PostingsIndex(GenerationalStore):
     file per generation/segment."""
 
     _STORES = ("postings", "doclens", "positions", "blockstats")
+    # Every store is written flat (repartitionByRange + plain parquet,
+    # never partitionBy) by build/add_segment/compact alike → eligible
+    # for the one-scan multi-path read (genstore._read_flat_store).
+    _FLAT_STORES = frozenset(_STORES)
     # Segment validity is judged on the CORE stores only: a pre-r13
     # segment has no blockstats, and silently dropping it from reads
     # would be data loss (review r13). Legacy segments are served
@@ -315,16 +319,23 @@ class PostingsIndex(GenerationalStore):
         # so both stores carry the identical doc→block assignment.
         # Both stores cluster on blk so the kept/seed BLK ranges (not
         # doc-id ranges) reach the footers.
+        # Read-backs below pass the WRITTEN frame's schema explicitly
+        # (r16 optimization): a bare spark.read.parquet runs a
+        # footer-reading schema-inference job per call (~0.1 s fixed
+        # overhead locally), and a landing paid four of them — with
+        # the schema known at write time they cost zero jobs.
         spark = docs.sparkSession
+        pos_df = build_positional_postings(docs, id_col, text_col)
         (
-            build_positional_postings(docs, id_col, text_col)
+            pos_df
             .repartitionByRange(n_files, "word")
             .sortWithinPartitions("word", id_col, "pos")
             .write.mode("errorifexists")
             .parquet(os.path.join(out, "positions"))
         )
         tf_tbl = (
-            spark.read.parquet(os.path.join(out, "positions"))
+            spark.read.schema(pos_df.schema)
+            .parquet(os.path.join(out, "positions"))
             .groupBy("word", id_col)
             .agg(F.count(F.lit(1)).alias("tf"))
         )
@@ -370,12 +381,12 @@ class PostingsIndex(GenerationalStore):
                 spark, offs_rows, "maxtf BIGINT, dl BIGINT, cnt BIGINT, off BIGINT"
             )
             obs = Observation()
+            dl_df = PostingsIndex._with_impact_blk(
+                stats.select(id_col, "dl", "maxtf"), id_col, offs,
+                blk_base,
+            ).select(id_col, "dl", "maxtf", "blk")
             (
-                PostingsIndex._with_impact_blk(
-                    stats.select(id_col, "dl", "maxtf"), id_col, offs,
-                    blk_base,
-                )
-                .select(id_col, "dl", "maxtf", "blk")
+                dl_df
                 .repartitionByRange(max(1, n_files // 4), "blk")
                 .sortWithinPartitions("blk", id_col)
                 # observe sits ABOVE the repartition: range partitioning
@@ -383,23 +394,28 @@ class PostingsIndex(GenerationalStore):
                 # node below it fires once per pass (measured: count
                 # doubles; max is idempotent but keep both placements
                 # consistent)
-                .observe(obs, F.max(F.col(id_col)).alias("hi"))
+                .observe(
+                    obs,
+                    F.max(F.col(id_col)).alias("hi"),
+                    F.min(F.col(id_col)).alias("lo"),
+                )
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out, "doclens"))
             )
-            id_hi = obs.get["hi"]
-            dls = spark.read.parquet(
-                os.path.join(out, "doclens")
-            ).select(id_col, "dl", "blk")
+            id_hi, id_lo = obs.get["hi"], obs.get["lo"]
+            dls = (
+                spark.read.schema(dl_df.schema)
+                .parquet(os.path.join(out, "doclens"))
+                .select(id_col, "dl", "blk")
+            )
         else:
             dls = stats.select(id_col, "dl")
+        post_df = tf_tbl.join(dls, id_col).select(
+            "word", id_col, "tf", "dl",
+            *(("blk",) if impact else ()),
+        )
         (
-            tf_tbl
-            .join(dls, id_col)
-            .select(
-                "word", id_col, "tf", "dl",
-                *(("blk",) if impact else ()),
-            )
+            post_df
             .repartitionByRange(n_files, "word")
             .sortWithinPartitions(
                 *(
@@ -434,20 +450,28 @@ class PostingsIndex(GenerationalStore):
                     F.count(F.lit(1)).alias("n"),
                     F.sum("dl").alias("t"),
                     F.max(F.col(id_col)).alias("hi"),
+                    F.min(F.col(id_col)).alias("lo"),
                 )
                 .write.mode("errorifexists")
                 .parquet(os.path.join(out, "doclens"))
             )
             m = obs.get
             PostingsIndex._dump_corpus_json(
-                out, int(m["n"] or 0), int(m["t"] or 0), m["hi"]
+                out, int(m["n"] or 0), int(m["t"] or 0), m["hi"], m["lo"]
             )
         # blockstats read BACK the just-written parquet instead of
         # recomputing the join pipeline (review r13); postings already
-        # embed dl (and blk in impact mode)
+        # embed dl (and blk in impact mode). Schemas passed explicitly
+        # — they ARE the just-written frames' schemas (r16: no
+        # inference jobs).
+        dl_schema = dl_df.schema if impact else dls.schema
         PostingsIndex._write_blockstats(
-            spark.read.parquet(os.path.join(out, "postings")),
-            spark.read.parquet(os.path.join(out, "doclens")),
+            spark.read.schema(post_df.schema).parquet(
+                os.path.join(out, "postings")
+            ),
+            spark.read.schema(dl_schema).parquet(
+                os.path.join(out, "doclens")
+            ),
             out,
             id_col,
             block_width,
@@ -459,21 +483,25 @@ class PostingsIndex(GenerationalStore):
                 sum(c for _, _, c, _ in offs_rows),
                 sum(d * c for _, d, c, _ in offs_rows),
                 id_hi,
+                id_lo,
             )
 
     @staticmethod
-    def _dump_corpus_json(out, n_docs, total_dl, id_hi) -> None:
+    def _dump_corpus_json(out, n_docs, total_dl, id_hi, id_lo=None) -> None:
         """The per-store stats sidecar: (n_docs, total_dl) are BM25's
         corpus constants — index metadata summed at read time instead
-        of a per-query doclens aggregation — and id_hi is the store's
-        max doc id, the _land_segment append-only watermark (omitted
-        when unknown; readers then fall back to the disjointness
-        scan)."""
+        of a per-query doclens aggregation — and [id_lo, id_hi] is the
+        store's doc-id span: id_hi alone is the _land_segment
+        append-only watermark, the pair is the r16 interval-pruning
+        hint (genstore._live_id_intervals). Omitted when unknown;
+        readers then fall back to the disjointness scan."""
         import json
 
         st = {"n_docs": int(n_docs), "total_dl": int(total_dl)}
         if id_hi is not None:
             st["id_hi"] = int(id_hi)
+        if id_lo is not None:
+            st["id_lo"] = int(id_lo)
         with open(os.path.join(out, "_corpus.json"), "w") as f:
             json.dump(st, f)
 
@@ -486,13 +514,21 @@ class PostingsIndex(GenerationalStore):
         row = doclens.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("dl").alias("t"),
-            *((F.max(F.col(id_col)).alias("hi"),) if id_col else ()),
+            *(
+                (
+                    F.max(F.col(id_col)).alias("hi"),
+                    F.min(F.col(id_col)).alias("lo"),
+                )
+                if id_col
+                else ()
+            ),
         ).first()
         PostingsIndex._dump_corpus_json(
             out,
             int(row["n"] or 0),
             int(row["t"] or 0),
             row["hi"] if id_col else None,
+            row["lo"] if id_col else None,
         )
 
     @staticmethod
@@ -708,11 +744,24 @@ class PostingsIndex(GenerationalStore):
             docs.select(F.col(id_col)), name, _write, validate=_validate
         )
 
-    def _live_ids(self, gen: str) -> DataFrame:
+    def _live_ids(self, gen: str, dirs: list[str] | None = None) -> DataFrame:
         """Ids currently served (doclens is the per-doc store; reads
         apply the tombstone anti-join) — the add-segment disjointness
-        view, range-prunable on the id-clustered store."""
-        return self.doclens(gen).select(self._meta(gen)["id_col"])
+        view, range-prunable on the id-clustered store. `dirs`
+        restricts the scan to the given store dirs (the sidecar
+        interval-pruned set, r16); the tombstone anti-join is applied
+        either way so a tombstoned id still reports as tombstoned
+        downstream, never as a live conflict."""
+        id_col = self._meta(gen)["id_col"]
+        if dirs is None:
+            return self.doclens(gen).select(id_col)
+        df = self._read_flat_store(
+            "doclens", [os.path.join(d, "doclens") for d in dirs]
+        )
+        dead = self._tombstones(gen)
+        if dead is not None:
+            df = df.join(F.broadcast(dead), id_col, "left_anti")
+        return df.select(id_col)
 
     def _live_count_hint(self, gen: str) -> int | None:
         """Σ `_corpus.json` n_docs over base + segments — sidecar

@@ -637,6 +637,7 @@ class IvfIndex(GenerationalStore):
         check_empty: bool = False,
         n_rows: int | None = None,
         id_hi: int | None = None,
+        id_lo: int | None = None,
     ) -> None:
         # check_empty only on the build() path (review r15): segment
         # landings are guaranteed non-empty by _land_segment's bounds
@@ -694,22 +695,31 @@ class IvfIndex(GenerationalStore):
             .parquet(os.path.join(out_dir, "inverted"))
         )
         if n_rows is not None:
-            # distinct-id count + max-id sidecar (r15): segment
-            # landings know both from the bounds job for free; the
-            # count lets _land_segment skip the disjointness scan on
-            # an all-zero (bootstrap) index, the max id is the
-            # append-only watermark that skips it on every monotone
-            # ingest batch after that
-            IvfIndex._write_row_count(out_dir, n_rows, id_hi=id_hi)
+            # distinct-id count + id-span sidecar (r15/r16): segment
+            # landings know all three from the bounds job for free;
+            # the count lets _land_segment skip the disjointness scan
+            # on an all-zero (bootstrap) index, the max id is the
+            # append-only watermark, and the [id_lo, id_hi] pair is
+            # the interval-pruning hint (genstore._live_id_intervals)
+            IvfIndex._write_row_count(
+                out_dir, n_rows, id_hi=id_hi, id_lo=id_lo
+            )
 
     @staticmethod
-    def _write_row_count(out_dir: str, n: int, id_hi: int | None = None) -> None:
+    def _write_row_count(
+        out_dir: str,
+        n: int,
+        id_hi: int | None = None,
+        id_lo: int | None = None,
+    ) -> None:
         import json
 
         os.makedirs(out_dir, exist_ok=True)
         st = {"n_docs": int(n)}
         if id_hi is not None:
             st["id_hi"] = int(id_hi)
+        if id_lo is not None:
+            st["id_lo"] = int(id_lo)
         with open(os.path.join(out_dir, "_corpus.json"), "w") as f:
             json.dump(st, f)
 
@@ -856,6 +866,7 @@ class IvfIndex(GenerationalStore):
                 id_col, vec_col, n_assign,
                 n_rows=int(bounds["n_ids"]),
                 id_hi=bounds["hi"],
+                id_lo=bounds["lo"],
             )
 
         self._land_segment(
@@ -896,18 +907,32 @@ class IvfIndex(GenerationalStore):
         vector index's name."""
         self.delete_ids(ids, id_col=id_col)
 
-    def _live_ids(self, gen: str) -> DataFrame:
+    def _live_ids(self, gen: str, dirs: list[str] | None = None) -> DataFrame:
         """One row per live vector id: the inverted store replicates
         each id n_assign times, so without the distinct the
         disjointness conflict count would overstate by the replication
         factor (review r14). The store clusters on (cell_id, id) —
         see _write_inverted — so the range-prune still reaches the
-        row-group footers within each cell."""
-        return (
-            self._union_store("inverted", gen=gen)
-            .select(self._meta(gen)["id_col"])
-            .distinct()
-        )
+        row-group footers within each cell. `dirs` restricts the scan
+        to the sidecar interval-pruned store dirs (r16); the tombstone
+        anti-join is applied either way so a tombstoned id still
+        reports as tombstoned downstream, never as a live conflict."""
+        id_col = self._meta(gen)["id_col"]
+        if dirs is None:
+            return (
+                self._union_store("inverted", gen=gen)
+                .select(id_col)
+                .distinct()
+            )
+        df = self.spark.read.parquet(os.path.join(dirs[0], "inverted"))
+        for d in dirs[1:]:
+            df = df.unionByName(
+                self.spark.read.parquet(os.path.join(d, "inverted"))
+            )
+        dead = self._tombstones(gen)
+        if dead is not None:
+            df = df.join(F.broadcast(dead), id_col, "left_anti")
+        return df.select(id_col).distinct()
 
     def _live_count_hint(self, gen: str) -> int | None:
         """Σ `_corpus.json` distinct-id counts over base + segments —

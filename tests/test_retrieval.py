@@ -1265,9 +1265,9 @@ def test_append_only_watermark_skips_disjointness_scan(
     calls = []
     orig = PostingsIndex._live_ids
 
-    def spy(self, gen):
-        calls.append(gen)
-        return orig(self, gen)
+    def spy(self, gen, dirs=None):
+        calls.append(dirs)
+        return orig(self, gen, dirs=dirs)
 
     monkeypatch.setattr(PostingsIndex, "_live_ids", spy)
 
@@ -1283,7 +1283,8 @@ def test_append_only_watermark_skips_disjointness_scan(
     # watermark advanced to the segment's max
     assert index._live_id_hi_hint(index._gen()) == 104
 
-    # potentially overlapping (lo=30 <= 104): scan runs and rejects
+    # overlapping the base's [0, 49] interval: scan runs — PRUNED to
+    # the one overlapping store (r16 interval pruning) — and rejects
     with pytest.raises(ValueError, match="already live"):
         index.add_segment(
             spark.createDataFrame(
@@ -1292,30 +1293,48 @@ def test_append_only_watermark_skips_disjointness_scan(
             "wm-overlap",
         )
     assert len(calls) == 1
+    assert calls[0] is not None and len(calls[0]) == 1
 
-    # gap-filling but disjoint (lo=60 <= 104): scan runs, lands fine
+    # gap-filling but disjoint (60 lies between the base's [0, 49] and
+    # the segment's [100, 104]): r16 — intervals PROVE disjointness
+    # from metadata alone, no scan at all (pre-r16 this paid one)
     index.add_segment(
         spark.createDataFrame(
             [(60, "scan")], "doc_id BIGINT, text STRING"
         ),
         "wm-gap",
     )
-    assert len(calls) == 2
+    assert len(calls) == 1
 
-    # a non-empty store without the key poisons the hint: conservative
+    # overlapping ONLY the wm-append segment's [100, 104]: the scan
+    # reads that one store dir, not base + 2 segments
+    with pytest.raises(ValueError, match="already live"):
+        index.add_segment(
+            spark.createDataFrame(
+                [(102, "hash")], "doc_id BIGINT, text STRING"
+            ),
+            "wm-overlap-seg",
+        )
+    assert len(calls) == 2
+    assert calls[1] is not None and len(calls[1]) == 1
+    assert calls[1][0].endswith("wm-append")
+
+    # a non-empty store without the key poisons BOTH hints (watermark
+    # and intervals): conservative full scan (dirs=None)
     with open(os.path.join(index._gen(), "_corpus.json")) as f:
         st = json.load(f)
     st.pop("id_hi")
     with open(os.path.join(index._gen(), "_corpus.json"), "w") as f:
         json.dump(st, f)
     assert index._live_id_hi_hint(index._gen()) is None
+    assert index._live_id_intervals(index._gen()) is None
     index.add_segment(
         spark.createDataFrame(
             [(500, "join")], "doc_id BIGINT, text STRING"
         ),
         "wm-nosidecar",
     )
-    assert len(calls) == 3  # fell back to the scan
+    assert len(calls) == 3 and calls[2] is None  # full-scan fallback
 
     # served state is the union of everything landed
     got = {
