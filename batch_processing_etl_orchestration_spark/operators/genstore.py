@@ -666,9 +666,9 @@ class GenerationalStore:
         if store in self._FLAT_STORES:
             df = self._read_flat_store(store, dirs)
         else:
-            df = self.spark.read.parquet(dirs[0])
+            df = self._read_store_dir(dirs[0])
             for d in dirs[1:]:
-                df = df.unionByName(self.spark.read.parquet(d))
+                df = df.unionByName(self._read_store_dir(d))
         if dead is _UNSET:
             dead = self._tombstones(gen)
         if dead is not None:
@@ -697,6 +697,21 @@ class GenerationalStore:
             schema = self.spark.read.parquet(dirs[0]).schema
             _STORE_SCHEMA_CACHE[key] = schema
         return self.spark.read.schema(schema).parquet(*dirs)
+
+    def _read_store_dir(self, store_dir: str):
+        """One store directory with its schema cached per dir (r16):
+        the per-dir union path (partitioned stores — multi-path
+        discovery is ambiguous there) pays a footer-inference job per
+        spark.read.parquet call, and the SAME immutable dirs are
+        re-read every landing (_live_ids) and every serve. Store dirs
+        are immutable once published/renamed into place, so a cached
+        schema can never go stale; partition-column discovery (dir
+        listing) still runs per read, driver-side."""
+        schema = _STORE_SCHEMA_CACHE.get(store_dir)
+        if schema is None:
+            schema = self.spark.read.parquet(store_dir).schema
+            _STORE_SCHEMA_CACHE[store_dir] = schema
+        return self.spark.read.schema(schema).parquet(store_dir)
 
     # -- compaction ------------------------------------------------------
 

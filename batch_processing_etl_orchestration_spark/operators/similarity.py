@@ -763,16 +763,28 @@ class IvfIndex(GenerationalStore):
                 f,
             )
 
+    _CENTROIDS_CACHE: dict = {}
+
     def _centroids(self, gen: str | None = None):
         """The PINNED generation's quantizer (n_cells rows — index
         metadata). Probe and add_segment read it from the generation
         they operate on rather than trusting self.centroids, so a
         handle that outlived a retrain can never assign or probe with
-        a stale quantizer."""
-        rows = self.spark.read.parquet(
-            os.path.join(gen or self._gen(), "centroids")
-        ).collect()
-        return sorted((r["cell_id"], list(r["centroid"])) for r in rows)
+        a stale quantizer.
+
+        Cached per generation dir (r16): centroids are FROZEN at
+        build/compact and the gen dir is immutable once published, so
+        the read+collect job each landing and each probe paid (the
+        k-row quantizer is re-read per call) can never serve stale
+        values. Process-local, n_cells rows per entry."""
+        path = os.path.join(gen or self._gen(), "centroids")
+        hit = IvfIndex._CENTROIDS_CACHE.get(path)
+        if hit is not None:
+            return hit
+        rows = self.spark.read.parquet(path).collect()
+        out = sorted((r["cell_id"], list(r["centroid"])) for r in rows)
+        IvfIndex._CENTROIDS_CACHE[path] = out
+        return out
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -924,10 +936,10 @@ class IvfIndex(GenerationalStore):
                 .select(id_col)
                 .distinct()
             )
-        df = self.spark.read.parquet(os.path.join(dirs[0], "inverted"))
+        df = self._read_store_dir(os.path.join(dirs[0], "inverted"))
         for d in dirs[1:]:
             df = df.unionByName(
-                self.spark.read.parquet(os.path.join(d, "inverted"))
+                self._read_store_dir(os.path.join(d, "inverted"))
             )
         dead = self._tombstones(gen)
         if dead is not None:
