@@ -170,6 +170,11 @@ def fixture_cache_dir(
 
 _BUILD_OK = "_BUILD_OK"
 
+import threading as _threading  # noqa: E402
+
+_BUILD_LOCKS: dict[str, "_threading.Lock"] = {}
+_BUILD_LOCKS_GUARD = _threading.Lock()
+
 # Per-family build-once cache observations for THIS process (VERDICT
 # r15 next #6): name -> {"state": "warm"} when the first resolve of
 # the family hit a completed cache, or {"state": "cold", "build_s": s}
@@ -204,6 +209,24 @@ def build_once(
     Underscore-prefixed marker files are ignored by Spark's parquet
     directory listings, so they coexist with data files at the root.
     """
+    # Per-family lock (r16): concurrent driver threads (the parallel
+    # vanilla-catalog check, guide §2.6) resolving the SAME family
+    # must not both see the marker absent and build into one
+    # directory. Process-local by design — cross-process overlap is
+    # already handled by the _BUILD_OK marker + reap-age rules.
+    with _BUILD_LOCKS_GUARD:
+        lock = _BUILD_LOCKS.setdefault(name, _threading.Lock())
+    with lock:
+        return _build_once_locked(sf_dir, fixture_file, name, build, layout)
+
+
+def _build_once_locked(
+    sf_dir: str,
+    fixture_file: str,
+    name: str,
+    build,
+    layout: int = 1,
+) -> str:
     import shutil
 
     path = fixture_cache_dir(sf_dir, fixture_file, name, layout)

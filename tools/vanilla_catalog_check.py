@@ -48,18 +48,38 @@ def main() -> int:
     from batch_processing_etl_orchestration_spark.plans import QUERIES
 
     failures: dict[str, str] = {}
-    n_run = 0
-    for name, spec in QUERIES.items():
-        if only and name not in only:
-            continue
-        n_run += 1
+    # Overlap independent queries from a small driver thread pool
+    # (optimization guide §2.6): the catalog is ~250 independent tiny
+    # jobs whose cost is per-action latency, not throughput — run
+    # sequentially this check was the single slowest test in the suite
+    # (343 s of the driver's ~30 min pytest window; VERDICT r15 next
+    # #2). Safe to overlap: query fns are pure plan builders, every
+    # session-conf mutation in the package is a one-way idempotent
+    # same-value set (the _blk_df convention), temp-view registrations
+    # are same-content replaces of the same fixture tables, scenario
+    # run-dirs are per-query, and tables.build_once serializes
+    # same-family builds behind a per-name lock.
+    def _run_one(item):
+        name, spec = item
         try:
-            df = spec.fn(spark, sf_dir)
-            n = len(df.collect())
+            n = len(spec.fn(spark, sf_dir).collect())
             print(f"ok   {name}: {n} rows", flush=True)
+            return name, None
         except Exception:
-            failures[name] = traceback.format_exc(limit=30)
             print(f"FAIL {name}", flush=True)
+            return name, traceback.format_exc(limit=30)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        (n, s) for n, s in QUERIES.items() if not only or n in only
+    ]
+    n_run = len(todo)
+    workers = max(1, int(os.environ.get("SPARK_GRAFT_CHECK_THREADS", "6")))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, tb in pool.map(_run_one, todo):
+            if tb is not None:
+                failures[name] = tb
 
     print(json.dumps({"run": n_run, "failed": sorted(failures)}))
     if failures:
