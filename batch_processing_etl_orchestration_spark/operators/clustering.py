@@ -116,7 +116,12 @@ def exact_kmeans_assign(
             # action re-runs every earlier iteration once per reference
             # (the fixpoint discipline pagerank/CC already apply).
             # Eager: the k-row materialization job IS the Lloyd
-            # iteration, paid exactly once.
+            # iteration, paid exactly once. Posture (VERDICT r15 #7):
+            # executor-local non-replicated blocks and a job at plan-
+            # construction time — acceptable for a k-row frame whose
+            # loss restarts an idempotent fixpoint; see
+            # operators/graph.py module docstring for the full caveat
+            # and the reliable-checkpoint alternative.
             .localCheckpoint(eager=True)
         )
     return assign.select(

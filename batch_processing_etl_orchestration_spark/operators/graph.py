@@ -25,6 +25,20 @@ probabilities are precomputed once. localCheckpoint every few rounds
 truncates lineage the same way the CC fixpoint does. Dangling mass
 (nodes with no out-edges) is a 1-row aggregate redistributed
 uniformly — the standard correction, not a silent drop.
+
+Fault-tolerance posture of the eager localCheckpoints (VERDICT r15
+#7): blocks are executor-local and NOT replicated — on a real cluster
+an executor loss (or dynamic-allocation release) fails the query
+mid-fixpoint instead of recomputing from lineage, and eager=True runs
+a Spark job at DataFrame-construction time (plan building is not
+side-effect-free). Both are deliberate here: the checkpointed frames
+are rank-/edge-sized (never payload-sized), the materialization job
+IS the iteration, and a failed iteration restarts the whole fixpoint
+idempotently. Callers needing durable intermediates on flaky clusters
+should configure spark.sparkContext.setCheckpointDir and switch to
+reliable checkpoint at the call site — measured wall-neutral at
+fixture scale (plans/northstar._stage_checkpoint does exactly that
+for the corpus-assembly stage boundaries).
 """
 
 from __future__ import annotations

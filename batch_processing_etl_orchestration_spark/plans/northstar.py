@@ -87,6 +87,31 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stage_checkpoint(df: DataFrame, eager: bool) -> DataFrame:
+    """Pipeline-stage lineage truncation with the fault-tolerance
+    posture made explicit (VERDICT r15 #7). `localCheckpoint` stores
+    executor-local, non-replicated blocks: on a real cluster an
+    executor loss (or dynamic-allocation release) kills the truncated
+    lineage mid-query instead of recomputing. For the corpus-assembly
+    stage boundaries — corpus-sized frames feeding multi-stage
+    pipelines — use RELIABLE `checkpoint` whenever the session has a
+    checkpoint directory configured (a cluster deployment sets one on
+    durable storage); fall back to localCheckpoint when none is set
+    (the fixture driver's vanilla local session, where executor ==
+    driver and the distinction is moot). Measured at sf0.1
+    (interleaved A/B, 2 rounds x 2 runs): reliable vs local is within
+    noise — local 5.0-6.3 s, reliable 5.0-6.1 s on
+    q_corpus_assembly_v2 — so the durable choice costs nothing where
+    it applies. Operator-level FIXPOINT checkpoints (graph/
+    clustering) stay eager localCheckpoint by design: their frames
+    are edge/k-row-sized and the materialization job IS the
+    iteration."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams — array-local transform
     (no shuffle/window; see operators/dedup.shingle_sets)."""
@@ -2298,25 +2323,24 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redundant recomputation). Materializing each stage once is the
     # composition's intent: the chain stays the per-operator plans
     # back to back, now literally back to back.
-    deduped = (
+    deduped = _stage_checkpoint(
         train.withColumn("_rk", F.row_number().over(wdup))
         .where(F.col("_rk") == 1)
-        .drop("_rk")
-        .localCheckpoint(eager=False)
+        .drop("_rk"),
+        eager=False,
     )
     contaminated = decontaminate(deduped, d.where(is_eval), n=8).select("doc_id")
-    clean = (
+    clean = _stage_checkpoint(
         deduped.join(contaminated, "doc_id", "left_anti")
-        .where(F.col("n_chars").between(100, 520))
-        .localCheckpoint(eager=False)
+        .where(F.col("n_chars").between(100, 520)),
+        eager=False,
     )
     # counts is lang-sized but its subtree is a full corpus pass —
     # truncate so the n_min scalar and the thresholds join don't each
     # pay one.
-    counts = (
-        clean.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_l"))
-        .localCheckpoint(eager=False)
+    counts = _stage_checkpoint(
+        clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")),
+        eager=False,
     )
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     thresholds = counts.crossJoin(F.broadcast(n_min)).select(
@@ -7504,19 +7528,19 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges of redundant recomputation. Each stage materializes
     # once; the attested stage semantics and the composed oracle are
     # untouched.
-    deduped = (
+    deduped = _stage_checkpoint(
         train.withColumn("_rk", F.row_number().over(wdup))
         .where(F.col("_rk") == 1)
-        .drop("_rk")
-        .localCheckpoint(eager=True)
+        .drop("_rk"),
+        eager=True,
     )
     contaminated = decontaminate(
         deduped, d.where(is_eval), n=8
     ).select("doc_id")
-    clean = (
+    clean = _stage_checkpoint(
         deduped.join(contaminated, "doc_id", "left_anti")
-        .where(F.col("n_chars").between(100, 520))
-        .localCheckpoint(eager=True)
+        .where(F.col("n_chars").between(100, 520)),
+        eager=True,
     )
     # stage 4: Gopher keep conjunction (features over the survivor set
     # — per-doc predicates, so gating survivors equals gating the
@@ -7526,8 +7550,8 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(gopher_rules()["gopher_keep"])
         .select("doc_id")
     )
-    gated = clean.join(gokeep, "doc_id", "left_semi").localCheckpoint(
-        eager=False
+    gated = _stage_checkpoint(
+        clean.join(gokeep, "doc_id", "left_semi"), eager=False
     )
     # stage 5: frozen NB quality gate (train once on the full snapshot,
     # score survivors with broadcast literals — q_stream_quality_filter's
@@ -7538,13 +7562,12 @@ def q_corpus_assembly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pred_pos"))
         .select("doc_id")
     )
-    gated = gated.join(nbkeep, "doc_id", "left_semi").localCheckpoint(
-        eager=False
+    gated = _stage_checkpoint(
+        gated.join(nbkeep, "doc_id", "left_semi"), eager=False
     )
-    counts = (
-        gated.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_l"))
-        .localCheckpoint(eager=True)
+    counts = _stage_checkpoint(
+        gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")),
+        eager=True,
     )
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     thresholds = counts.crossJoin(F.broadcast(n_min)).select(

@@ -102,7 +102,12 @@ def scd2_apply(
     # truncation the full-outer key join (the merge's one real
     # shuffle) and the guarded update aggregation re-ran once per
     # branch. The materialized frame is dimension-sized, the merge's
-    # working set.
+    # working set. Posture (VERDICT r15 #7): executor-local
+    # non-replicated blocks — an executor loss on a real cluster fails
+    # the merge instead of recomputing; acceptable for a
+    # dimension-sized frame inside an idempotently retryable merge.
+    # See operators/graph.py module docstring for the full caveat and
+    # the reliable-checkpoint alternative.
     joined = cur.join(upd, key_cols, "full_outer").localCheckpoint(
         eager=False
     )
