@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_processing_etl_orchestration_spark.plans.registry import register
-from batch_processing_etl_orchestration_spark.tables import load_table
+from batch_processing_etl_orchestration_spark.tables import (
+    artifact_schema,
+    load_table,
+    read_artifact,
+)
 
 # ---------------------------------------------------------------------------
 # Exact deduplication
@@ -3269,7 +3273,7 @@ def q_stream_index_maintain_impact(
         path,
         impact_ordered=True,
     )
-    schema = spark.read.parquet(src).schema
+    schema = artifact_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -5080,9 +5084,9 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bigrams = _doc_bigrams(d)
     model = _bigram_lm_model(spark, sf_dir)
-    c2 = spark.read.parquet(os.path.join(model, "c2"))
-    c1 = spark.read.parquet(os.path.join(model, "c1"))
-    vocab = spark.read.parquet(os.path.join(model, "vocab"))
+    c2 = read_artifact(spark, os.path.join(model, "c2"))
+    c1 = read_artifact(spark, os.path.join(model, "c1"))
+    vocab = read_artifact(spark, os.path.join(model, "vocab"))
     lp = F.log(
         (F.col("n2").cast("double") + 1.0)
         / (F.col("n1").cast("double") + F.col("v"))
@@ -5981,7 +5985,7 @@ def q_stream_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delta_refresh(spark, delta, spec, mv, commit_token=f"batch_{batch_id}")
 
-    schema = spark.read.parquet(src).schema
+    schema = artifact_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -7131,7 +7135,7 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     head_words, weight_rows, prior6 = _nb_train_capped(spark, docs)
     score = nb_stream_sink(out, head_words, weight_rows, prior6)
-    schema = spark.read.parquet(src).schema
+    schema = artifact_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -7358,7 +7362,7 @@ def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty_df(spark, "doc_id BIGINT, text STRING"),
         path,
     )
-    schema = spark.read.parquet(src).schema
+    schema = artifact_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -54,7 +54,10 @@ from batch_processing_etl_orchestration_spark.streaming.events import (
     run_stream_to_table,
     session_stream,
 )
-from batch_processing_etl_orchestration_spark.tables import load_table
+from batch_processing_etl_orchestration_spark.tables import (
+    artifact_schema,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # Sketch-based dedup (rows-only: engine hash functions have no ANSI twin)
@@ -448,7 +451,7 @@ def q_stream_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         centroids=cent,
     )
-    schema = spark.read.parquet(src).schema
+    schema = artifact_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1635,7 +1638,7 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delta_refresh(spark, delta, spec, mv, commit_token=f"batch_{batch_id}")
 
-    schema = spark.read.parquet(src).schema
+    schema = artifact_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -37,7 +37,10 @@ from batch_processing_etl_orchestration_spark.functions.exact import (
     ts_str,
 )
 from batch_processing_etl_orchestration_spark.plans.registry import register
-from batch_processing_etl_orchestration_spark.tables import load_table
+from batch_processing_etl_orchestration_spark.tables import (
+    artifact_schema,
+    load_table,
+)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -3691,7 +3694,7 @@ def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             delete_condition=F.col("c_acctbal") == -99999.0,
         )
 
-    schema = spark.read.parquet(src_dir).schema
+    schema = artifact_schema(spark, src_dir)
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

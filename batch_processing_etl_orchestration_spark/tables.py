@@ -94,6 +94,46 @@ def empty_df(spark: SparkSession, schema) -> DataFrame:
     )
 
 
+# (fixture path, mtime_ns, size) -> StructType (r16 optimization):
+# every bare spark.read.parquet runs a footer-reading schema-inference
+# job (~0.05-0.15 s of fixed overhead locally), and the bench's timed
+# region pays one per load_table call — hundreds across the catalog.
+# Keyed on the file's identity stats (the fixture_cache_dir rule), so
+# a regenerated fixture re-infers instead of serving a stale schema.
+# Schema metadata only — never data, never results.
+_FIXTURE_SCHEMA_CACHE: dict = {}
+
+
+def _read_fixture(spark: SparkSession, path: str) -> DataFrame:
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _FIXTURE_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _FIXTURE_SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Read an IMMUTABLE build_once artifact dir with its schema
+    inferred once per process (r16): the cache keys on the path alone
+    because a build_once dir's identity is IN its path
+    (fixture_cache_dir embeds the fixture's mtime_ns/size and the
+    layout version — a regenerated fixture yields a different path).
+    Do not use for mutable dirs."""
+    schema = _FIXTURE_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _FIXTURE_SCHEMA_CACHE[path] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
+def artifact_schema(spark: SparkSession, path: str):
+    """Schema of an immutable build_once artifact dir, cached per
+    path (see read_artifact)."""
+    return read_artifact(spark, path).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar vectorized parquet scan;
     filters/projections applied by callers reach the scan via Catalyst
@@ -118,7 +158,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver's verify harness builds its own SparkSession that does
         # not go through get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_fixture(spark, path)
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
             return df.withColumn(
@@ -135,7 +175,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.expr("convert_timezone('UTC', ts)")
             )
         return df  # already TIMESTAMP_NTZ
-    return spark.read.parquet(path)
+    return _read_fixture(spark, path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
