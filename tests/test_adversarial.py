@@ -210,3 +210,45 @@ def test_selection_skew_bounds(spark, adv_dir):
     assert len(got) == adocs.count()
     mn = adocs.agg(F.min("doc_id")).first()[0]
     assert got[mn] >= 1_000_000  # mega doc scored in full
+
+
+def test_documents_text_never_null_fixture_contract():
+    """ADVICE r15 low: q_adversarial_skew_report's single-pass
+    posexplode counts a document via its pos==0 row, and
+    posexplode(split(NULL)) yields NO rows — so the fixture contract
+    this relies on (documents.text is never null) must be pinned at
+    every benched sf, or a regenerated fixture could silently drop
+    null-text docs from hot_source_docs."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )
+        assert t.column("text").null_count == 0, f"{sf}: null text"
+
+
+def test_skew_report_empty_corpus_row_pinned(spark, tmp_path):
+    """ADVICE r15 low: pin the empty-corpus output of
+    q_adversarial_skew_report — exactly ONE row (the ungrouped-agg
+    edge review r9 established), with the selection-side counts at 0
+    (they aggregate an empty exploded pass) — so any future
+    restructure that changes the 0-vs-NULL semantics or drops the row
+    fails here instead of drifting silently."""
+    from batch_processing_etl_orchestration_spark.plans.northstar import (
+        q_adversarial_skew_report,
+    )
+    from batch_processing_etl_orchestration_spark.tables import load_table
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "emptysf")
+    for t in ("documents", "events"):
+        load_table(spark, src, t).limit(0).coalesce(1).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    rows = q_adversarial_skew_report(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["hot_source_docs"] == 0
+    assert r["mega_doc_tokens"] == 0
+    assert r["nb_feat_rows"] == 0
