@@ -1857,11 +1857,11 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side pagination path itself, not a staged copy. String
     values coerce with try_cast (bronze is all-strings, P4)."""
     from batch_processing_etl_orchestration_spark.sources.pyds import (
-        RestPagesDataSource,
+        register_restpages,
     )
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(RestPagesDataSource)
+    register_restpages(spark)
     df = (
         spark.read.format("restpages")
         .option("n_rows", "2000")
@@ -1903,11 +1903,11 @@ def q_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rows and applies the same range; a pushdown bug that
     mis-prunes a boundary block hash-mismatches immediately."""
     from batch_processing_etl_orchestration_spark.sources.pyds import (
-        RestPagesDataSource,
+        register_restpages,
     )
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(RestPagesDataSource)
+    register_restpages(spark)
     df = (
         spark.read.format("restpages")
         .option("n_rows", "2000")
@@ -1951,14 +1951,14 @@ def q_python_datasource_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-index function; a projection bug that shifts or drops a field
     hash-mismatches."""
     from batch_processing_etl_orchestration_spark.sources.pyds import (
-        RestPagesDataSource,
+        register_restpages,
     )
 
     # RestPagesReader implements pushFilters, and Spark hard-errors at
     # planning time when the conf is off — a bare driver session does
     # not set it, so the query must (mirrors the _scan/_pushdown twins).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(RestPagesDataSource)
+    register_restpages(spark)
     df = (
         spark.read.format("restpages")
         .option("n_rows", "2000")
@@ -2168,10 +2168,10 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from batch_processing_etl_orchestration_spark.sources.pyds import (
-        RestPagesDataSource,
+        register_restpages,
     )
 
-    spark.dataSource.register(RestPagesDataSource)
+    register_restpages(spark)
     stream = (
         spark.readStream.format("restpages")
         .option("n_rows", "2000")

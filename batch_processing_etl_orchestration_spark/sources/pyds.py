@@ -261,3 +261,26 @@ class RestPagesDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return RestPagesStreamReader(self.options)
+
+
+# -- race-safe registration (r16) ---------------------------------------
+import threading as _threading
+
+_REG_LOCK = _threading.Lock()
+_REGISTERED: set = set()
+
+
+def register_restpages(spark) -> None:
+    """Register RestPagesDataSource exactly once per (application,
+    session): spark.dataSource.register silently replaces on repeat
+    calls from ONE thread, but two driver threads registering the same
+    name concurrently race the JVM registry's exists-check and one
+    dies with DATA_SOURCE_ALREADY_EXISTS (observed in the parallel
+    vanilla-catalog check, r16). The class is identical at every call
+    site, so skipping a re-register is value-neutral."""
+    key = (spark.sparkContext.applicationId, id(spark))
+    with _REG_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(RestPagesDataSource)
+        _REGISTERED.add(key)
